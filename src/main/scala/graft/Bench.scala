@@ -1,24 +1,76 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_CPUS
+  * parallelism over SPARK_GRAFT_SF_DIR, plus the KG-pipeline throughput
+  * (docs/sec) at two parallelism levels (local[8] vs local[N]) to evidence
+  * the north-rule scaling-efficiency criterion (≥0.8 from N to 4N cores —
+  * see BASELINE.md). Prints ONE JSON line.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** KG pipeline docs/sec at a given parallelism (fresh session). */
+  private def kgThroughput(cpus: Int, nDocs: Long): Double = {
+    val spark = session(cpus)
+    try {
+      // warm-up (JIT + codegen), then timed run
+      graft.link.TripleExtractor.extract(spark,
+        graft.extract.PageSynth.pages(spark, 2000, cpus),
+        graft.extract.PageSynth.gazetteer,
+        graft.extract.PageSynth.RelationRules.toMap).count()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      graft.link.TripleExtractor.extract(spark,
+        graft.extract.PageSynth.pages(spark, nDocs, cpus * 4),
+        graft.extract.PageSynth.gazetteer,
+        graft.extract.PageSynth.RelationRules.toMap)
+        .groupBy("subj", "pred", "obj").count().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      nDocs / sec
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // scaling run: same KG input at low vs high parallelism
+    val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "60000").toLong
+    val lowCpus = math.max(2, cpus / 4)
+    val thrLow = kgThroughput(lowCpus, kgDocs)
+    val thrHigh = kgThroughput(cpus, kgDocs)
+    val eff = (thrHigh / thrLow) / (cpus.toDouble / lowCpus)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","kg_docs":$kgDocs,""" +
+      s""""kg_docs_per_sec_low":${f"$thrLow%.1f"},"kg_docs_per_sec_high":${f"$thrHigh%.1f"},""" +
+      s""""low_cpus":$lowCpus,"high_cpus":$cpus,""" +
+      s""""scaling_efficiency":${f"$eff%.3f"}}""")
   }
 }

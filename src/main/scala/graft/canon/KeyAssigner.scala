@@ -1,0 +1,52 @@
+package graft.canon
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic dense key assignment: key = rank of the natural id in
+  * global sort order, 1..N.
+  *
+  * Matches the reference's `_assign_keys` (sorted unique values → 1..N,
+  * reference:src/kg_ae/graph/build.py:44-47) but WITHOUT the single-partition
+  * `Window.orderBy` bottleneck (SURVEY.md §7.4): range-repartition by the
+  * id, sort within partitions, per-partition local row_number, then add
+  * broadcast cumulative offsets. Every step is distributed; the only
+  * single-point data is the per-partition count vector (numPartitions rows).
+  *
+  * NOT `monotonically_increasing_id()` — that is non-deterministic across
+  * runs/partitionings; these keys must be stable for resume + P/R checks.
+  */
+object KeyAssigner {
+
+  /** labels: any DataFrame with column `idCol` (other cols dropped).
+    * Returns (idCol, key: Long) with dense deterministic keys 1..N. */
+  def assign(labels: DataFrame, idCol: String, numPartitions: Int = 0): DataFrame = {
+    val spark = labels.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val distinct = labels.select(col(idCol)).where(col(idCol).isNotNull).distinct()
+    // Range partitioner assigns ascending key ranges to ascending partition
+    // ids, so (partition id, local rank) is a global total order.
+    val ranged = distinct.repartitionByRange(parts, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val localRank = ranged.withColumn(
+      "_rn", row_number().over(Window.partitionBy("_pid").orderBy(col(idCol))))
+    val counts = ranged.groupBy("_pid").count() // numPartitions rows — tiny
+    val offsets = counts.withColumn(
+      "_offset",
+      coalesce(
+        sum("count").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    localRank
+      .join(broadcast(offsets), Seq("_pid"))
+      .select(col(idCol), (col("_rn").cast("long") + col("_offset")).as("key"))
+  }
+
+  /** Convenience for a Dataset of strings. */
+  def assignStrings(spark: SparkSession, labels: DataFrame, idCol: String): DataFrame =
+    assign(labels, idCol)
+}

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting. All are
+  * pure Column pipelines over built-ins (codegen'd; no UDFs) so they stay
+  * inside WholeStageCodegen on the 100 TB scan path.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. Empty/blank text → 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "[ ]+")))
+
+  /** BPE-ish subword count: words + digits runs + punctuation marks counted
+    * separately (a cheap, deterministic proxy for tokenizer cost). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Mean token length (0.0 for empty). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = split(trim(text), "[ ]+")
+    when(length(trim(text)) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double"))
+        / size(toks).cast("double"))
+  }
+
+  private val EnStop = Seq("the", "a", "and", "of", "to", "in", "is", "that")
+  private val EsStop = Seq("el", "la", "de", "que", "y", "en", "los", "del")
+  private val DeStop = Seq("der", "die", "und", "das", "nicht", "ist", "von", "mit")
+
+  private def stopHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text),
+      lit(words.mkString("\\b(", "|", ")\\b")), lit(0)))
+
+  /** Quality score in [0,1]: blend of length band, alpha ratio and stopword
+    * density (the reference's length/field gates generalized —
+    * reference:src/kg_ae/datasets/faers/parse.py:92-99 len>1 gates). */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val lenScore = least(n / lit(500.0), lit(1.0))
+    val alpha = size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0)))
+      .cast("double") / greatest(n, lit(1.0))
+    val stopDensity = least(
+      stopHits(text, EnStop).cast("double") * lit(25.0) / greatest(n, lit(1.0)),
+      lit(1.0))
+    least(greatest(
+      lenScore * lit(0.3) + alpha * lit(0.4) + stopDensity * lit(0.3),
+      lit(0.0)), lit(1.0))
+  }
+
+  /** Heuristic language ID over stopword hit counts (n-gram-free, cheap).
+    * Returns "en"/"es"/"de"/"und". Deterministic ties: en > es > de. */
+  def langId(text: Column): Column = {
+    val en = stopHits(text, EnStop)
+    val es = stopHits(text, EsStop)
+    val de = stopHits(text, DeStop)
+    when(en === 0 && es === 0 && de === 0, lit("und"))
+      .when(en >= es && en >= de, lit("en"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  /** Rolling polynomial fingerprint over the token sequence, computed in
+    * the prime field mod 1e9+7 (ANSI-safe: no Long overflow — acc·B + h
+    * stays < 2^60). Order-sensitive (unlike a bag hash); one aggregate
+    * pass, fully codegen'd. */
+  def fingerprint(text: Column, base: Long = 1000003L): Column = {
+    val p = 1000000007L
+    val toks = split(trim(text), "[ ]+")
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * lit(base) + pmod(xxhash64(t), lit(p)), lit(p)))
+  }
+
+  /** All document stats at once (single projection). */
+  def docStats(text: Column): Seq[(String, Column)] = Seq(
+    "n_tokens" -> tokenCount(text),
+    "n_subwords" -> subwordCount(text),
+    "mean_token_len" -> meanTokenLen(text),
+    "quality" -> qualityScore(text),
+    "lang_id" -> langId(text),
+    "fingerprint" -> fingerprint(text))
+}

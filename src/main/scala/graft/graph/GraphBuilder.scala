@@ -1,0 +1,113 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.canon.KeyAssigner
+import graft.link.Gazetteer
+import graft.model.RawTriple
+
+/** Materializes the property graph from extracted triples.
+  *
+  * Reference shape: nodes.json/edges.json with dense int keys per node type
+  * and claim/evidence payload per edge (reference:src/kg_ae/graph/
+  * build.py:121-167, 841-875). Spark shape: two tables —
+  *   vertices(node_type, key, label, props)
+  *   edges(src_type, src_key, dst_type, dst_key, edge, claim_key, claim_type,
+  *         strength_score, frequency, relation, dataset, meta, evidence)
+  *
+  * Construction is pure DataFrame: dedup-by-normalized-label merge (the
+  * reference's actual canonicalization rule, build.py:88-119), dense keys
+  * via KeyAssigner, then inner joins of triples against the per-type key
+  * tables — unmatched endpoints drop, which IS the reference's dict-lookup
+  * drop semantics (J6). Key tables are small relative to triples →
+  * broadcast; the only large shuffles are the claim groupBy and nothing
+  * else.
+  */
+object GraphBuilder {
+
+  val EvidenceCap = 20 // max evidence urls carried per claim (bounded payload)
+
+  case class Graph(vertices: DataFrame, edges: DataFrame)
+
+  /** node label table: (node_type, label) distinct from gazetteer + observed
+    * triple endpoints (exact-label merge = lower/trim, already normalized by
+    * the detector). */
+  def buildVertices(spark: SparkSession, triples: Dataset[RawTriple], gaz: Gazetteer): DataFrame = {
+    import spark.implicits._
+    val bGaz = spark.sparkContext.broadcast(gaz)
+    val endpoints = triples.flatMap(t => Seq(t.subj, t.obj))
+      .distinct()
+      .map(l => (bGaz.value.nodeType(l).getOrElse("Unknown"), l))
+      .toDF("node_type", "label")
+      .where($"node_type" =!= "Unknown")
+    // dense keys PER TYPE (reference keyspaces are per node type)
+    val types = endpoints.select("node_type").distinct().as[String].collect().sorted
+    val keyed = types.map { t =>
+      val lbls = endpoints.where($"node_type" === t).select("label")
+      KeyAssigner.assign(lbls, "label")
+        .withColumn("node_type", lit(t))
+    }
+    val all = keyed.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataset[(String, Long, String)]
+        .toDF("label", "key", "node_type"))
+    all.select($"node_type", $"key", $"label",
+      map(lit("label"), $"label").as("props"))
+  }
+
+  /** Aggregate raw triples into claim edges with provenance, then resolve
+    * endpoint keys. */
+  def buildEdges(spark: SparkSession, triples: Dataset[RawTriple],
+      vertices: DataFrame, gaz: Gazetteer): DataFrame = {
+    import spark.implicits._
+    // one claim row per (subj, pred, obj): frequency = #supporting pages,
+    // evidence = first EvidenceCap urls in sorted order (deterministic,
+    // bounded — never collect unbounded lists at 100 TB)
+    val claims = triples.toDF()
+      .groupBy($"subj", $"pred", $"obj")
+      .agg(
+        count(lit(1)).as("frequency"),
+        slice(sort_array(collect_set($"url")), 1, EvidenceCap).as("evidence_urls"),
+        min($"sentence").as("statement"))
+      .withColumn("strength_score",
+        least(lit(1.0), col("frequency").cast("double") / 10.0))
+    val claimKeys = KeyAssigner.assign(
+      claims.select(concat_ws("", $"subj", $"pred", $"obj").as("ck")), "ck")
+      .withColumnRenamed("key", "claim_key")
+    val withClaimKey = claims
+      .withColumn("ck", concat_ws("", $"subj", $"pred", $"obj"))
+      .join(broadcast(claimKeys), "ck")
+      .drop("ck")
+    // endpoint resolution: inner join against per-type key tables (J6 drop
+    // semantics); vertex dim is small vs triples → broadcast
+    val vk = vertices.select($"node_type", $"label", $"key")
+    val src = vk.select($"node_type".as("src_type"), $"label".as("subj"),
+      $"key".as("src_key"))
+    val dst = vk.select($"node_type".as("dst_type"), $"label".as("obj"),
+      $"key".as("dst_key"))
+    withClaimKey
+      .join(broadcast(src), Seq("subj"))
+      .join(broadcast(dst), Seq("obj"))
+      .select(
+        $"src_type", $"src_key", $"dst_type", $"dst_key",
+        lit("Claim").as("edge"),
+        $"claim_key",
+        $"pred".as("claim_type"),
+        $"strength_score",
+        $"frequency".cast("double").as("frequency"),
+        $"pred".as("relation"),
+        lit("synthetic_web").as("dataset"),
+        map(lit("statement"), $"statement").as("meta"),
+        transform($"evidence_urls", u => struct(
+          lit("page").as("evidence_type"),
+          u.as("source_record_id"),
+          u.as("source_url"),
+          lit("synthetic_web").as("dataset"))).as("evidence"))
+  }
+
+  def build(spark: SparkSession, triples: Dataset[RawTriple], gaz: Gazetteer): Graph = {
+    val v = buildVertices(spark, triples, gaz)
+    val e = buildEdges(spark, triples, v, gaz)
+    Graph(v, e)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.link
+
+import scala.collection.mutable
+
+/** Dictionary entity: a surface form, its canonical norm key and node type. */
+case class GazEntry(norm: String, nodeType: String)
+
+/** Broadcast-able Aho–Corasick automaton for gazetteer mention detection.
+  *
+  * Generalizes the reference's lowercase name-index lookup
+  * (reference:src/kg_ae/graph/store.py:179-192) to in-text matching, per the
+  * north rule: "trie/Aho-Corasick gazetteer broadcast".
+  *
+  * Matching spec (deterministic):
+  *   - patterns are matched on the LOWERCASED text;
+  *   - a hit is only valid at word boundaries: the chars adjacent to the
+  *     match must be non-alphanumeric (or string edge) — mirrors the
+  *     reference's whole-name resolution, not substring resolution;
+  *   - overlapping hits are resolved leftmost-longest, non-overlapping
+  *     (exact-before-partial precedence analogue, resolve.py:23-52).
+  *
+  * Built once on the driver, broadcast to executors (one automaton per JVM,
+  * shared by all partitions — no per-row build cost). The structure is
+  * array-backed and Java-serializable; for a multi-million-entry gazetteer
+  * the build is O(total pattern chars) and the serialized form is compact
+  * enough to broadcast (tens of MB), which is the intended 100 TB deployment
+  * shape: dictionary ships to 1000 executors once per job.
+  */
+class AhoCorasick private (
+    val gotoFn: Array[mutable.HashMap[Char, Int]],
+    val fail: Array[Int],
+    // longest pattern ending at this node (-1 = none); patterns dedup'd
+    val out: Array[Int],
+    val patterns: Array[String]) extends Serializable {
+
+  @inline private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c)
+
+  /** All boundary-valid raw hits as (begin, end) over lowered text, then
+    * leftmost-longest non-overlap selection. Returns (begin, end, patternIdx).
+    */
+  def findMentions(text: String): IndexedSeq[(Int, Int, Int)] = {
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    val hits = mutable.ArrayBuffer.empty[(Int, Int, Int)] // begin, end, pat
+    var state = 0
+    var i = 0
+    val n = lower.length
+    while (i < n) {
+      val c = lower.charAt(i)
+      var s = state
+      while (s != 0 && !gotoFn(s).contains(c)) s = fail(s)
+      state = gotoFn(s).getOrElse(c, 0)
+      // walk output links (collect every pattern ending here)
+      var t = state
+      while (t != 0) {
+        val p = out(t)
+        if (p >= 0) {
+          val pat = patterns(p)
+          val begin = i - pat.length + 1
+          val boundaryOk =
+            (begin == 0 || !isWordChar(lower.charAt(begin - 1))) &&
+            (i == n - 1 || !isWordChar(lower.charAt(i + 1)))
+          if (boundaryOk) hits += ((begin, i + 1, p))
+        }
+        t = fail(t)
+      }
+      i += 1
+    }
+    // leftmost-longest, non-overlapping
+    val sorted = hits.sortBy { case (b, e, _) => (b, -(e - b)) }
+    val sel = mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var lastEnd = 0
+    sorted.foreach { case h @ (b, e, _) =>
+      if (b >= lastEnd) { sel += h; lastEnd = e }
+    }
+    sel.toIndexedSeq
+  }
+}
+
+object AhoCorasick {
+  /** Build from distinct lowercase patterns (caller lowercases). */
+  def build(pats: Seq[String]): AhoCorasick = {
+    val patterns = pats.distinct.toArray
+    val gotoFn = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+    val outB = mutable.ArrayBuffer(-1)
+    patterns.zipWithIndex.foreach { case (pat, pi) =>
+      var state = 0
+      pat.foreach { c =>
+        gotoFn(state).get(c) match {
+          case Some(nxt) => state = nxt
+          case None =>
+            gotoFn += mutable.HashMap.empty[Char, Int]
+            outB += -1
+            gotoFn(state)(c) = gotoFn.length - 1
+            state = gotoFn.length - 1
+        }
+      }
+      // keep the longer pattern if two normalize to the same node (impossible
+      // after distinct, but keep deterministic max)
+      if (outB(state) < 0 || patterns(outB(state)).length < pat.length)
+        outB(state) = pi
+    }
+    val fail = Array.fill(gotoFn.length)(0)
+    val queue = mutable.Queue.empty[Int]
+    gotoFn(0).valuesIterator.foreach(queue.enqueue(_))
+    while (queue.nonEmpty) {
+      val r = queue.dequeue()
+      gotoFn(r).foreach { case (c, s) =>
+        queue.enqueue(s)
+        var st = fail(r)
+        while (st != 0 && !gotoFn(st).contains(c)) st = fail(st)
+        fail(s) = gotoFn(st).getOrElse(c, 0)
+        if (fail(s) == s) fail(s) = 0
+      }
+    }
+    new AhoCorasick(gotoFn.toArray, fail, outB.toArray, patterns)
+  }
+}
+
+/** A gazetteer = entity dictionary (norm surface → node type) + automaton. */
+class Gazetteer(val entries: Map[String, String]) extends Serializable {
+  @transient lazy val automaton: AhoCorasick =
+    AhoCorasick.build(entries.keys.toSeq.sorted) // sorted → deterministic ids
+  def nodeType(norm: String): Option[String] = entries.get(norm)
+}
+
+object Gazetteer {
+  def apply(es: Seq[GazEntry]): Gazetteer =
+    new Gazetteer(es.map(e => e.norm -> e.nodeType).toMap)
+}

@@ -1,0 +1,98 @@
+package graft.link
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.extract.TextExtractor
+import graft.model.{Mention, Page, RawTriple}
+
+/** Mention detection + entity linking + pattern triple extraction.
+  *
+  * One fused, shuffle-free pass over pages: html → text (byte-identical
+  * extraction spec) → Aho-Corasick mentions → consecutive-pair relation
+  * matching → (subj, pred, obj) rows. Generalizes the reference's
+  * lookup-maps-then-emit edge builders (reference:src/kg_ae/graph/
+  * build.py:354-805) into a distributed narrow transform: the dictionary is
+  * broadcast once; no shuffle occurs until canonicalization aggregates.
+  */
+object MentionDetector {
+
+  /** Per-row pure function: extracted text of a page (text column wins if
+    * present, else decode html). The north-rule per-url invariant is defined
+    * on this output. */
+  def extractText(p: Page): String =
+    if (p.text != null) TextExtractor.clean(p.text)
+    else TextExtractor.htmlToText(p.html)
+
+  /** Pure per-row mention scan over an already-cleaned text. */
+  def mentionsOf(gaz: Gazetteer, url: String, text: String): Seq[Mention] = {
+    if (text == null || text.isEmpty) return Nil
+    gaz.automaton.findMentions(text).map { case (b, e, pi) =>
+      val surface = text.substring(b, e)
+      Mention(url, surface, surface.toLowerCase(java.util.Locale.ROOT), b, e)
+    }
+  }
+
+  /** Distributed mentions: broadcast gazetteer, narrow flatMap. */
+  def detect(spark: SparkSession, pages: Dataset[Page], gaz: Gazetteer): Dataset[Mention] = {
+    import spark.implicits._
+    val bGaz: Broadcast[Gazetteer] = spark.sparkContext.broadcast(gaz)
+    pages.flatMap { p => mentionsOf(bGaz.value, p.url, extractText(p)) }
+  }
+}
+
+/** Pattern-rule triple extraction (north rule: "dependency-pattern triple
+  * extraction emitting (subj, pred, obj) rows").
+  *
+  * Rule: for consecutive non-overlapping mentions m1, m2 in a page's cleaned
+  * text, if the gap text between them — trimmed of spaces — equals a relation
+  * phrase AND the (subjType, objType) of the linked entities matches the
+  * claim shape (claim-shape table, reference:docs/data-sources.md:56-68),
+  * emit `(m1.norm, claim_type, m2.norm)`. The gap must stay within one
+  * sentence (no '.' crossing). Deterministic and purely per-row.
+  */
+object TripleExtractor {
+
+  /** phrase(lowercase) → (claim_type, subjType, objType) */
+  type Rules = Map[String, (String, String, String)]
+
+  def triplesOf(gaz: Gazetteer, rules: Rules, url: String, text: String): Seq[RawTriple] = {
+    val ms = MentionDetector.mentionsOf(gaz, url, text)
+    if (ms.size < 2) return Nil
+    val out = Seq.newBuilder[RawTriple]
+    var i = 0
+    while (i < ms.size - 1) {
+      val m1 = ms(i); val m2 = ms(i + 1)
+      val gap = text.substring(m1.end, m2.begin)
+      if (!gap.contains('.')) {
+        val phrase = gap.trim.toLowerCase(java.util.Locale.ROOT)
+        rules.get(phrase).foreach { case (claim, st, ot) =>
+          val t1 = gaz.nodeType(m1.norm)
+          val t2 = gaz.nodeType(m2.norm)
+          if (t1.contains(st) && t2.contains(ot)) {
+            val sentence = text.substring(m1.begin, math.min(text.length, m2.end + 1))
+            out += RawTriple(m1.norm, claim, m2.norm, url, sentence)
+          }
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Distributed: pages (optionally language-filtered) → raw triples.
+    * Narrow transform; dictionary broadcast; no shuffle. */
+  def extract(spark: SparkSession, pages: Dataset[Page], gaz: Gazetteer,
+      rules: Rules, langFilter: Option[String] = Some("en")): Dataset[RawTriple] = {
+    import spark.implicits._
+    val bGaz = spark.sparkContext.broadcast(gaz)
+    val bRules = spark.sparkContext.broadcast(rules)
+    val filtered = langFilter match {
+      case Some(l) => pages.filter(_.lang == l)
+      case None => pages
+    }
+    filtered.flatMap { p =>
+      triplesOf(bGaz.value, bRules.value, p.url, MentionDetector.extractText(p))
+    }
+  }
+}

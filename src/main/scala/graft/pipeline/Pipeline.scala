@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extract.PageSynth
+import graft.graph.{GraphBuilder, Validator}
+import graft.link.TripleExtractor
+import graft.model.Page
+
+/** Checkpointed, resumable stage DAG — the engine analogue of the
+  * reference's medallion layers with cache-skip
+  * (reference:src/kg_ae/datasets/base.py:75-79 skip-if-present;
+  * src/kg_ae/etl/stage.py:1-27 download→parse→normalize→build).
+  *
+  * Each stage writes exactly one parquet table via a temp-dir + atomic
+  * rename commit (the sandbox stand-in for an Iceberg snapshot commit) plus
+  * a manifest recording {stage, version, upstream fingerprints, row count}.
+  * On re-run, a stage whose manifest matches its code version and upstream
+  * fingerprints is SKIPPED — so a job killed mid-pipeline resumes from the
+  * last committed stage and, because every stage function is deterministic,
+  * produces byte-identical tables (north-rule resumability).
+  *
+  * A `counters` table records per-stage rows-in/rows-out/elapsed — the
+  * per-partition lineage/metrics requirement (north rule; analogue of the
+  * reference's meta.json per-dataset counts, build.py:862-874).
+  */
+object Pipeline {
+
+  case class StageResult(stage: String, rows: Long, skipped: Boolean,
+      elapsedSec: Double)
+
+  final case class Manifest(stage: String, version: String,
+      upstream: String, rows: Long)
+
+  private def manifestPath(root: String, stage: String) =
+    Paths.get(root, stage, "_MANIFEST")
+
+  private def readManifest(root: String, stage: String): Option[Manifest] = {
+    val p = manifestPath(root, stage)
+    if (!Files.exists(p)) None
+    else Files.readString(p).split("\n").toList match {
+      case v :: up :: rows :: _ => Some(Manifest(stage, v, up, rows.toLong))
+      case _ => None
+    }
+  }
+
+  private def writeManifest(root: String, m: Manifest): Unit = {
+    Files.writeString(manifestPath(root, m.stage),
+      s"${m.version}\n${m.upstream}\n${m.rows}")
+  }
+
+  /** Run one stage: skip when committed with matching version+upstream. */
+  def runStage(spark: SparkSession, root: String, stage: String,
+      version: String, upstream: String)(body: => DataFrame): StageResult = {
+    val dir = Paths.get(root, stage)
+    val t0 = System.nanoTime()
+    readManifest(root, stage) match {
+      case Some(m) if m.version == version && m.upstream == upstream &&
+          Files.exists(dir.resolve("_COMMITTED")) =>
+        StageResult(stage, m.rows, skipped = true, 0.0)
+      case _ =>
+        val tmp = Paths.get(root, s".tmp_$stage")
+        deleteRec(tmp)
+        val df = body
+        df.write.mode("overwrite").parquet(tmp.toString)
+        val rows = spark.read.parquet(tmp.toString).count()
+        deleteRec(dir)
+        Files.createDirectories(dir.getParent)
+        Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+        Files.writeString(dir.resolve("_COMMITTED"), "1")
+        writeManifest(root, Manifest(stage, version, upstream, rows))
+        StageResult(stage, rows, skipped = false,
+          (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+  }
+
+  /** Fingerprint of a committed stage output (manifest content) — used as
+    * the downstream's `upstream` key so edits invalidate transitively. */
+  def fingerprint(root: String, stages: Seq[String]): String =
+    stages.map(s => readManifest(root, s)
+      .map(m => s"${m.stage}:${m.version}:${m.rows}").getOrElse("?"))
+      .mkString("|")
+
+  val CodeVersion = "v1" // bump to invalidate all stages
+
+  /** The full KG pipeline over a synthesized pages corpus:
+    * pages → triples (extract+link fused, narrow) → vertices/edges
+    * (canonicalize+materialize) → validation + counters.
+    */
+  def run(spark: SparkSession, root: String, nPages: Long,
+      partitions: Int = 32): Seq[StageResult] = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(root))
+    val results = Seq.newBuilder[StageResult]
+
+    val s1 = runStage(spark, root, "pages", CodeVersion, s"n=$nPages") {
+      PageSynth.pages(spark, nPages, partitions).toDF()
+    }
+    results += s1
+
+    val up1 = fingerprint(root, Seq("pages"))
+    val s2 = runStage(spark, root, "triples", CodeVersion, up1) {
+      val pages = spark.read.parquet(s"$root/pages").as[Page]
+      TripleExtractor.extract(spark, pages, PageSynth.gazetteer,
+        PageSynth.RelationRules.toMap).toDF()
+    }
+    results += s2
+
+    val up2 = fingerprint(root, Seq("pages", "triples"))
+    val s3 = runStage(spark, root, "vertices", CodeVersion, up2) {
+      val triples = spark.read.parquet(s"$root/triples")
+        .as[graft.model.RawTriple]
+      GraphBuilder.buildVertices(spark, triples, PageSynth.gazetteer)
+    }
+    results += s3
+
+    val up3 = fingerprint(root, Seq("pages", "triples", "vertices"))
+    val s4 = runStage(spark, root, "edges", CodeVersion, up3) {
+      val triples = spark.read.parquet(s"$root/triples")
+        .as[graft.model.RawTriple]
+      val vertices = spark.read.parquet(s"$root/vertices")
+      GraphBuilder.buildEdges(spark, triples, vertices, PageSynth.gazetteer)
+    }
+    results += s4
+
+    // validation gate (fail-fast, reference build.py:849-854)
+    val v = spark.read.parquet(s"$root/vertices")
+    val e = spark.read.parquet(s"$root/edges")
+    Validator.validateOrThrow(v, e)
+
+    // counters table (lineage/metrics)
+    val counters = results.result()
+      .map(r => (r.stage, r.rows, r.skipped, r.elapsedSec))
+      .toDF("stage", "rows", "skipped", "elapsed_sec")
+    counters.coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/_counters")
+    results.result()
+  }
+}

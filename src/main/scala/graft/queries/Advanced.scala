@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.canon.ConnectedComponents
+import graft.dedup.Dedup
+import graft.extract.PageSynth
+import graft.functions.TextFunctions
+import graft.link.{Gazetteer, GazEntry, MentionDetector, TripleExtractor}
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+
+import QueryDef.t
+
+/** KG-construction, dedup, similarity-search and multimodal operators.
+  * SQL-expressible ones carry DuckDB oracles; hash-family-dependent ones
+  * (minhash LSH internals, simhash, RHP-LSH ANN, xxhash fingerprints) are
+  * rows-only here and oracle-tested in ScalaTest against pure-Scala
+  * reimplementations.
+  */
+object Advanced {
+
+  /** Gazetteer terms for the documents-table mention demo: single-token
+    * terms only, so leftmost-longest overlap resolution provably coincides
+    * with naive per-term counting (making a SQL oracle exact). Multi-token
+    * overlap semantics are covered by the KG pipeline specs. */
+  private val DocTerms = Seq("key", "table", "spark", "merge", "window")
+  private lazy val docGaz = Gazetteer(DocTerms.map(GazEntry(_, "Term")))
+
+  /** documents ∪ shifted copy — guaranteed exact-duplicate clusters for the
+    * near-dup pipelines (ids i and i+100000 share identical text). */
+  private def dupDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Gazetteer mention detection (Aho-Corasick, broadcast) over documents.
+    QueryDef("q28_mentions", (s, d) => {
+      import s.implicits._
+      val bGaz = s.sparkContext.broadcast(docGaz)
+      val rows = t(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      rows.flatMap { case (id, text) =>
+        MentionDetector.mentionsOf(bGaz.value, id.toString, text)
+          .groupBy(_.norm).map { case (term, ms) => (id, term, ms.size.toLong) }
+      }.toDF("doc_id", "term", "n_mentions")
+    }, Some("""
+      SELECT doc_id, term, n_mentions FROM (
+        SELECT doc_id, 'key' AS term,
+          CAST(len(regexp_extract_all(text, '\bkey\b')) AS BIGINT) AS n_mentions FROM documents
+        UNION ALL SELECT doc_id, 'table',
+          CAST(len(regexp_extract_all(text, '\btable\b')) AS BIGINT) FROM documents
+        UNION ALL SELECT doc_id, 'spark',
+          CAST(len(regexp_extract_all(text, '\bspark\b')) AS BIGINT) FROM documents
+        UNION ALL SELECT doc_id, 'merge',
+          CAST(len(regexp_extract_all(text, '\bmerge\b')) AS BIGINT) FROM documents
+        UNION ALL SELECT doc_id, 'window',
+          CAST(len(regexp_extract_all(text, '\bwindow\b')) AS BIGINT) FROM documents
+      ) WHERE n_mentions >= 1""")),
+
+    // Term co-occurrence edges: docs containing both terms (A6 KG shape).
+    QueryDef("q29_term_cooccur", (s, d) => {
+      import s.implicits._
+      val bGaz = s.sparkContext.broadcast(docGaz)
+      val rows = t(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val presence = rows.flatMap { case (id, text) =>
+        MentionDetector.mentionsOf(bGaz.value, id.toString, text)
+          .map(_.norm).distinct.map(term => (id, term))
+      }.toDF("doc_id", "term")
+      presence.as("a").join(presence.as("b"), Seq("doc_id"))
+        .where(col("a.term") < col("b.term"))
+        .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+        .agg(count(lit(1)).as("n_docs"))
+    }, Some("""
+      WITH presence AS (
+        SELECT doc_id, 'key' AS term FROM documents WHERE len(regexp_extract_all(text, '\bkey\b')) >= 1
+        UNION ALL SELECT doc_id, 'table' FROM documents WHERE len(regexp_extract_all(text, '\btable\b')) >= 1
+        UNION ALL SELECT doc_id, 'spark' FROM documents WHERE len(regexp_extract_all(text, '\bspark\b')) >= 1
+        UNION ALL SELECT doc_id, 'merge' FROM documents WHERE len(regexp_extract_all(text, '\bmerge\b')) >= 1
+        UNION ALL SELECT doc_id, 'window' FROM documents WHERE len(regexp_extract_all(text, '\bwindow\b')) >= 1)
+      SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_docs
+      FROM presence a JOIN presence b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2""")),
+
+    // Connected components (large-star/small-star) vs recursive-CTE oracle.
+    QueryDef("q30_connected_components", (s, d) => {
+      val ps = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .distinct()
+      val a = ps.select(col("l_partkey"), col("l_suppkey").as("supp_a"))
+      val b = ps.select(col("l_partkey"), col("l_suppkey").as("supp_b"))
+      val edges = a.join(b, Seq("l_partkey"))
+        .where(col("supp_a") < col("supp_b"))
+        .groupBy(col("supp_a"), col("supp_b"))
+        .agg(count(lit(1)).as("n")).where(col("n") >= 3)
+        .select(col("supp_a").as("src"), col("supp_b").as("dst"))
+      ConnectedComponents.run(edges)
+    }, Some("""
+      WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      e0 AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM ps a JOIN ps b
+          ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      nodes AS (SELECT DISTINCT src AS id FROM sym),
+      reach (id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst AS id, r.comp
+        FROM reach r JOIN sym e ON e.src = r.id)
+      SELECT id, MIN(comp) AS component FROM reach GROUP BY id""")),
+
+    // MinHash+LSH near-dup dedup, verified end-to-end against a TRUE-Jaccard
+    // + recursive-CTE connected-components oracle on the duplicated corpus.
+    // (LSH recall at these similarity levels is 1 − (1−s⁴)¹⁶ ≈ 1; the exact
+    // verify stage makes precision exact, so the outputs coincide.)
+    QueryDef("q26_minhash_dedup", (s, d) => {
+      Dedup.minhashDedup(dupDocs(s, d), "doc_id", "text",
+        k = 5, numHashes = 64, bands = 16, threshold = 0.8)
+    }, Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM docs),
+      sh AS (SELECT DISTINCT doc_id,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+             FROM toks, UNNEST(generate_series(1, len(ts) - 4)) AS u(i)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT ia AS src, ib AS dst FROM inter
+                JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+                WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8),
+      sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+      reach (id, comp) AS (
+        SELECT DISTINCT src, src FROM sym
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN sym e ON e.src = r.id)
+      SELECT id AS doc_id, MIN(comp) AS canonical_id FROM reach GROUP BY id""")),
+
+    // Exact n-gram Jaccard similarity join on the duplicated corpus, vs the
+    // same computation spelled out in SQL.
+    QueryDef("q34_ngram_jaccard", (s, d) => {
+      Dedup.ngramJaccardPairs(dupDocs(s, d), "doc_id", "text",
+        k = 3, threshold = 0.9)
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM docs),
+      sh AS (SELECT DISTINCT doc_id,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b,
+        CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+      FROM inter JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.9""")),
+
+    // Brute-force cosine top-k over embeddings (exact ANN baseline).
+    QueryDef("q24_cosine_topk", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+      Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }, Some("""
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                     c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8)
+      WHERE rank <= 5""")),
+
+    // LSH-bucketed ANN (hash-family internals → rows-only; recall measured
+    // against the brute-force baseline in AnnSpec).
+    QueryDef("q25_ann_lsh", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+      Ann.lshTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }, None),
+
+    // SimHash signatures + banded candidates (rows-only; semantics in spec).
+    QueryDef("q35_simhash", (s, d) => {
+      val sigs = Dedup.simhash(dupDocs(s, d), "doc_id", "text")
+      Dedup.simhashCandidates(sigs)
+    }, None),
+
+    // 64-bit rolling fingerprint (xxhash-based → rows-only).
+    QueryDef("q36_fingerprint", (s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"))
+    }, None),
+
+    // Multimodal: binary payload plumbing + stubbed decode (rows-only).
+    QueryDef("q37_multimodal", (s, d) => {
+      val media = Multimodal.syntheticMedia(s, 200)
+      Multimodal.extractFeatures(s, media)
+        .toDF().select(col("media_id"), col("kind"), col("n_bytes"))
+    }, None),
+
+    // Flagship: the full KG pipeline (synth pages → extract → link →
+    // triples) — rows-only here; P/R vs the pure oracle is asserted in
+    // KgPipelineSpec.
+    QueryDef("q38_kg_triples", (s, d) => {
+      val n = if (d.contains("0.1")) 20000L
+        else if (d.contains("0.01")) 2000L else 300L
+      val pages = PageSynth.pages(s, n)
+      TripleExtractor.extract(s, pages, PageSynth.gazetteer,
+        PageSynth.RelationRules.toMap)
+        .groupBy(col("subj"), col("pred"), col("obj"))
+        .agg(count(lit(1)).as("frequency"))
+    }, None)
+  )
+}

@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.canon.KeyAssigner
+import graft.extract.TextExtractor
+import graft.functions.TextFunctions
+import graft.stats.Disproportionality
+import graft.streaming.StreamOps
+
+import QueryDef.t
+
+/** Text-analysis, FAERS-style statistics, key assignment, and
+  * window/streaming-shaped operators — each backed by a DuckDB oracle.
+  */
+object TextStats {
+
+  /** Planted-association co-occurrence pairs over `events`: the outcome
+    * 'crash' is strongly tied to exposure 'error' (plus a background rate
+    * via user_id so margins stay positive) — integer-only logic, identical
+    * in both engines. */
+  private val pairsSql = """
+      SELECT event_type AS exposure,
+        CASE WHEN (event_type = 'error' AND user_id % 3 = 0)
+                  OR user_id % 37 = 0 THEN 'crash'
+             ELSE 'ok_' || CAST(user_id % 4 AS VARCHAR) END AS outcome
+      FROM events"""
+
+  private def pairsDf(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "events").select(
+      col("event_type").as("exposure"),
+      when((col("event_type") === "error" && col("user_id") % 3 === 0)
+          || col("user_id") % 37 === 0, lit("crash"))
+        .otherwise(concat(lit("ok_"), (col("user_id") % 4).cast("string")))
+        .as("outcome"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // P16: the byte-identity text cleaner (whitespace collapse + trim +
+    // truncate), the north-rule invariant, as a distributed projection.
+    QueryDef("q15_text_clean", (s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextExtractor.cleanCol(col("text"), 120).as("clean_text"),
+        length(TextExtractor.cleanCol(col("text"), 120)).as("clean_len"))
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id,
+          trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS s
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN length(s) > 120 THEN substr(s, 1, 120) || '...' ELSE s END
+          AS clean_text,
+        length(CASE WHEN length(s) > 120 THEN substr(s, 1, 120) || '...'
+          ELSE s END) AS clean_len
+      FROM c""")),
+
+    // Token counting via pure string arithmetic (engine-agnostic).
+    QueryDef("q16_token_stats", (s, d) => {
+      val text = col("text")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        (length(text) - length(regexp_replace(text, " ", "")) + 1)
+          .as("n_tokens"),
+        TextFunctions.subwordCount(text).as("n_subwords"),
+        size(regexp_extract_all(text, lit("[a-z]+"), lit(0))).as("n_words"))
+    }, Some("""
+      SELECT doc_id,
+        length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+          AS n_subwords,
+        len(regexp_extract_all(text, '[a-z]+')) AS n_words
+      FROM documents""")),
+
+    // Quality scoring + heuristic language ID (stopword densities).
+    QueryDef("q17_lang_quality", (s, d) => {
+      val text = col("text")
+      val en = size(regexp_extract_all(lower(text),
+        lit("\\b(the|a|and|of|to|in|is|that)\\b"), lit(0)))
+      val nTok = length(text) - length(regexp_replace(text, " ", "")) + 1
+      t(s, d, "documents").select(
+        col("doc_id"), en.as("stop_hits"),
+        (en.cast("double") / nTok.cast("double")).as("stop_ratio"),
+        TextFunctions.langId(text).as("lang_id"))
+    }, Some("""
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+          AS stop_hits,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b')) AS DOUBLE)
+          / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+          AS stop_ratio,
+        CASE
+          WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b')) = 0
+           AND len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b')) = 0
+           AND len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b')) = 0
+          THEN 'und'
+          WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+            >= len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+           AND len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+            >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+          THEN 'en'
+          WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+            >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+          THEN 'es'
+          ELSE 'de' END AS lang_id
+      FROM documents""")),
+
+    // Exact dedup: canonical id per identical text.
+    QueryDef("q18_exact_dedup", (s, d) => {
+      graft.dedup.Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+    }, Some("""
+      SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_dups
+      FROM documents GROUP BY text""")),
+
+    // A6/A7: co-occurrence disproportionality with planted signal.
+    QueryDef("q19_signals", (s, d) => {
+      Disproportionality.signals(pairsDf(s, d), "exposure", "outcome")
+        .select(col("exposure"), col("outcome"), col("a"),
+          col("exposure_n"), col("outcome_n"),
+          col("prr"), col("ror"), col("chi2"))
+    }, Some(s"""
+      WITH pairs AS ($pairsSql),
+      ag AS (SELECT exposure, outcome, COUNT(*) AS a FROM pairs GROUP BY 1, 2),
+      em AS (SELECT exposure, COUNT(*) AS exposure_n FROM pairs GROUP BY 1),
+      om AS (SELECT outcome, COUNT(*) AS outcome_n FROM pairs GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS n FROM pairs),
+      j AS (SELECT exposure, outcome, a, exposure_n, outcome_n, n,
+              CAST(exposure_n - a AS DOUBLE) AS b,
+              CAST(outcome_n - a AS DOUBLE) AS c,
+              CAST(n - exposure_n - outcome_n + a AS DOUBLE) AS d
+            FROM ag JOIN em USING (exposure) JOIN om USING (outcome)
+            CROSS JOIN nn),
+      st AS (SELECT exposure, outcome, a, exposure_n, outcome_n,
+              (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + b)) / (c / (c + d)) AS prr,
+              (CAST(a AS DOUBLE) * d) / (b * c) AS ror,
+              (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
+                * (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
+                / ((CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE)) AS chi2
+            FROM j WHERE b > 0 AND c > 0 AND d > 0 AND a >= 3)
+      SELECT exposure, outcome, a, exposure_n, outcome_n, prr, ror, chi2
+      FROM st WHERE prr > 1.0 AND chi2 > 3.84""")),
+
+    // T2 over signals: top-k outcomes per exposure by chi².
+    QueryDef("q20_signal_topk", (s, d) => {
+      val sig = Disproportionality.signals(pairsDf(s, d), "exposure", "outcome")
+      Disproportionality.topKPerExposure(sig, 3)
+        .select(col("exposure"), col("outcome"), col("rank"))
+    }, Some(s"""
+      WITH pairs AS ($pairsSql),
+      ag AS (SELECT exposure, outcome, COUNT(*) AS a FROM pairs GROUP BY 1, 2),
+      em AS (SELECT exposure, COUNT(*) AS exposure_n FROM pairs GROUP BY 1),
+      om AS (SELECT outcome, COUNT(*) AS outcome_n FROM pairs GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS n FROM pairs),
+      j AS (SELECT exposure, outcome, a, exposure_n, outcome_n, n,
+              CAST(exposure_n - a AS DOUBLE) AS b,
+              CAST(outcome_n - a AS DOUBLE) AS c,
+              CAST(n - exposure_n - outcome_n + a AS DOUBLE) AS d
+            FROM ag JOIN em USING (exposure) JOIN om USING (outcome)
+            CROSS JOIN nn),
+      st AS (SELECT exposure, outcome, a,
+              (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + b)) / (c / (c + d)) AS prr,
+              (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
+                * (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
+                / ((CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE)) AS chi2
+            FROM j WHERE b > 0 AND c > 0 AND d > 0 AND a >= 3)
+      SELECT exposure, outcome, rank FROM (
+        SELECT exposure, outcome,
+          ROW_NUMBER() OVER (PARTITION BY exposure
+            ORDER BY chi2 DESC, outcome) AS rank
+        FROM st WHERE prr > 1.0 AND chi2 > 3.84)
+      WHERE rank <= 3""")),
+
+    // A10: deterministic dense key assignment (distributed, offset-based).
+    QueryDef("q21_dense_keys", (s, d) => {
+      KeyAssigner.assign(t(s, d, "documents").select(col("source")), "source")
+    }, Some("""
+      SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS key
+      FROM (SELECT DISTINCT source FROM documents)""")),
+
+    // Streaming-shaped: tumbling-window counts (batch form of A6-stream).
+    QueryDef("q27_window_counts", (s, d) => {
+      t(s, d, "events").groupBy(
+          window(col("ts"), "1 hour").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+    }, Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
+      FROM events GROUP BY 1, 2""")),
+
+    // S10-analogue: JSON field extraction from a string column.
+    QueryDef("q32_json_extract", (s, d) => {
+      t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    }, Some("""
+      SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events""")),
+
+    // Sessionization: gap > 30 min starts a new session per user.
+    QueryDef("q33_sessionize", (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gap = (unix_timestamp(col("ts"))
+        - unix_timestamp(lag(col("ts"), 1).over(byUser)))
+      t(s, d, "events")
+        .withColumn("new_session",
+          when(gap.isNull || gap > 1800, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("event_id"), col("session_idx"))
+    }, Some("""
+      SELECT user_id, event_id,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM (
+        SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+            OR date_diff('second',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+               > 1800
+          THEN 1 ELSE 0 END AS new_session
+        FROM events)"""))
+  )
+}

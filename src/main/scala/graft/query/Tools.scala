@@ -1,0 +1,134 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic query tools over the materialized graph — the engine
+  * equivalent of the reference's tool layer (reference:src/kg_ae/tools/),
+  * each a parameterized DataFrame query compiled by Catalyst.
+  *
+  * At 100 TB the graph tables are partitioned by (src_type, bucket(src_key))
+  * so these point lookups prune to a handful of files; in tests they run
+  * over cached DataFrames.
+  */
+object Tools {
+
+  /** Entity resolution (reference:src/kg_ae/tools/resolve.py:23-52 +
+    * store.py:179-192): exact lowercase match wins; else substring scan
+    * bounded at `limit` hits, shortest-label-then-alphabetical tie-break.
+    * Exact-before-partial precedence is encoded as match_rank.
+    */
+  def resolve(vertices: DataFrame, nodeType: String, name: String,
+      limit: Int = 25): DataFrame = {
+    val q = name.toLowerCase(java.util.Locale.ROOT).trim
+    val base = vertices.where(col("node_type") === nodeType)
+      .withColumn("_lbl", lower(col("label")))
+    val exact = base.where(col("_lbl") === q).withColumn("match_rank", lit(0))
+    val partial = base.where(col("_lbl").contains(q) && col("_lbl") =!= q)
+      .withColumn("match_rank", lit(1))
+      .orderBy(length(col("label")), col("label"))
+      .limit(limit)
+    exact.unionByName(partial)
+      .orderBy(col("match_rank"), length(col("label")), col("label"))
+      .drop("_lbl")
+  }
+
+  /** 1-hop traversal with dedup-keep-best + top-k
+    * (reference:src/kg_ae/tools/adverse_events.py:26-52): out-edges of
+    * (srcType, srcKey) to dstType, keep max frequency per destination,
+    * order desc, limit. */
+  def neighbors(edges: DataFrame, vertices: DataFrame, srcType: String,
+      srcKey: Long, dstType: String, k: Int = 100): DataFrame = {
+    val hits = edges.where(
+      col("src_type") === srcType && col("src_key") === srcKey &&
+      col("dst_type") === dstType)
+    val best = hits.groupBy("dst_type", "dst_key")
+      .agg(max("frequency").as("frequency"),
+        max("strength_score").as("strength_score"),
+        count(lit(1)).as("n_claims"))
+    best.join(vertices.select(col("node_type").as("dst_type"),
+        col("key").as("dst_key"), col("label")), Seq("dst_type", "dst_key"))
+      .orderBy(col("frequency").desc, col("label"))
+      .limit(k)
+  }
+
+  /** 2-hop paths src →(pred1) mid →(pred2) dst with multiplicative score
+    * decay per hop (reference:src/kg_ae/tools/paths.py:56-159: ×0.9 per
+    * extra hop; scoring policy docs/scoring-policy.md:223-260). */
+  def paths2(edges: DataFrame, srcType: String, srcKey: Long,
+      midType: String, dstType: String, decay: Double = 0.9,
+      maxPaths: Int = 100): DataFrame = {
+    val hop1 = edges.where(
+        col("src_type") === srcType && col("src_key") === srcKey &&
+        col("dst_type") === midType)
+      .select(col("dst_key").as("mid_key"),
+        col("claim_type").as("pred1"),
+        col("strength_score").as("s1"))
+    val hop2 = edges.where(
+        col("src_type") === midType && col("dst_type") === dstType)
+      .select(col("src_key").as("mid_key"), col("dst_key"),
+        col("claim_type").as("pred2"),
+        col("strength_score").as("s2"))
+    hop1.join(hop2, "mid_key")
+      .withColumn("score", col("s1") * col("s2") * lit(decay))
+      .orderBy(col("score").desc, col("mid_key"), col("dst_key"))
+      .limit(maxPaths)
+  }
+
+  /** Shared-neighbor intersection (DDI analogue, reference:src/kg_ae/tools/
+    * adverse_events.py:117-146): destinations reachable from BOTH keys. */
+  def sharedNeighbors(edges: DataFrame, srcType: String, keyA: Long,
+      keyB: Long, dstType: String): DataFrame = {
+    def outs(k: Long) = edges.where(
+        col("src_type") === srcType && col("src_key") === k &&
+        col("dst_type") === dstType)
+      .select(col("dst_key")).distinct()
+    outs(keyA).join(outs(keyB), Seq("dst_key"), "inner") // ≡ intersect
+  }
+
+  /** Bounded subgraph extraction: all edges within `hops` of a seed
+    * (frontier expansion via joins; each hop a shuffle bounded by frontier
+    * size). */
+  def subgraph(edges: DataFrame, srcType: String, srcKey: Long,
+      hops: Int = 2): DataFrame = {
+    var frontier = edges.sparkSession
+      .createDataFrame(Seq((srcType, srcKey)))
+      .toDF("node_type", "key")
+    var acc: DataFrame = null
+    (1 to hops).foreach { _ =>
+      val out = edges.join(frontier
+          .withColumnRenamed("node_type", "src_type")
+          .withColumnRenamed("key", "src_key"),
+        Seq("src_type", "src_key"))
+      // dropDuplicates on the claim identity (map-typed payload columns
+      // cannot participate in set ops)
+      acc = if (acc == null) out
+        else acc.unionByName(out).dropDuplicates(
+          "src_type", "src_key", "dst_type", "dst_key", "claim_key")
+      frontier = out.select(col("dst_type").as("node_type"),
+        col("dst_key").as("key")).distinct()
+    }
+    acc
+  }
+
+  /** Per-group best-edge summary (reference:src/kg_ae/tools/
+    * mechanism.py:50-70): per destination gene count edges + strongest
+    * claim, ordered by support then label. */
+  def evidenceSummary(edges: DataFrame, claimType: String): DataFrame = {
+    edges.where(col("claim_type") === claimType)
+      .groupBy("dst_type", "dst_key")
+      .agg(count(lit(1)).as("n_edges"),
+        max("strength_score").as("best_strength"),
+        max("frequency").as("max_frequency"))
+      .orderBy(col("n_edges").desc, col("dst_key"))
+  }
+
+  /** Window top-k per source — batched variant of per-key limits
+    * (SURVEY T2/T3): for EVERY source at once, top-k destinations. */
+  def topKNeighborsAll(edges: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("src_type"), col("src_key"))
+      .orderBy(col("frequency").desc, col("dst_key").asc)
+    edges.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: exact brute-force cosine top-k — a broadcast of the query set
+  * against the full corpus, cosine computed with higher-order functions
+  * (`aggregate`/`zip_with`, fully codegen'd, no UDF), ranked per query with
+  * a window. At 100 TB the corpus side stays partitioned, the query side is
+  * broadcast, so the scan is embarrassingly parallel with zero shuffle
+  * until the final per-query top-k (bounded: queries × k rows).
+  *
+  * Scale path: random-hyperplane LSH — a deterministic hash-derived
+  * hyperplane family maps each vector to a compact bit signature; neighbor
+  * search only scans the candidate bucket(s), then exact-reranks.
+  */
+object Ann {
+
+  /** Σ a_i * b_i in double precision, deterministic left-to-right order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each row of `queries` over `corpus`.
+    * Output: (query_id, neighbor_id, cosine, rank). Self-matches excluded.
+    * Ties broken by neighbor id (deterministic). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * xxhash64 → uniform in [-1, 1). No RNG state, reproducible across runs
+    * and cluster sizes. */
+  private def planeComponent(p: Int, d: Column): Column =
+    (xxhash64(lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** nBits-bit random-hyperplane signature of a vector column. */
+  def rhpSignature(vec: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH ANN: bucket corpus + queries by signature band, exact-rerank only
+    * within shared buckets. `bands` bands of nBits/bands signature bits;
+    * recall grows with bands (multi-probe analogue). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val r = nBits / bands
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame = {
+      val sig = rhpSignature(col(vec), nBits)
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(sig, b * r).bitwiseAND(lit((1L << r) - 1)).as("bits"))
+      }
+      df.select(col(id), col(vec), explode(array(bandCols: _*)).as("bk"))
+        .select(col(id), col(vec), col("bk.band").as("band"),
+          col("bk.bits").as("bits"))
+    }
+    val cb = withBuckets(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "neighbor_id", "cv")
+    val qb = withBuckets(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv")
+    val cands = cb.join(broadcast(qb), Seq("band", "bits"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cands.withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold via LSH
+    * buckets (the embedding leg of the dedup suite). */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val r = nBits / bands
+    val sig = rhpSignature(col(vecCol), nBits)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * r).bitwiseAND(lit((1L << r) - 1)).as("bits"))
+    }
+    val bucketed = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("v"), col("bk.band").as("band"),
+        col("bk.bits").as("bits"))
+    val a = bucketed.select(col("band"), col("bits"), col("id").as("id_a"),
+      col("v").as("va"))
+    val b = bucketed.select(col("band"), col("bits"), col("id").as("id_b"),
+      col("v").as("vb"))
+    a.join(b, Seq("band", "bits")).where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

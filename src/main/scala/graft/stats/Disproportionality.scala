@@ -1,0 +1,93 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** FAERS-style co-occurrence disproportionality statistics (2×2 PRR / ROR /
+  * chi²) over (report, exposure, outcome) data.
+  *
+  * Reference semantics: the single-pass dict accumulation + signal math in
+  * reference:src/kg_ae/datasets/faers/parse.py:58-199 — pair counts `a`,
+  * margins per drug / per AE, total N, then
+  *   b = drug−a, c = ae−a, d = N−a−b−c,
+  *   PRR = (a/(a+b)) / (c/(c+d)),  ROR = (a·d)/(b·c),
+  *   chi² = (a−E)²/E · N²/((a+b)(a+c)(c+d)(b+d))-free form: Σ (obs−exp)²/exp
+  *   (the reference uses E = (a+b)(a+c)/N and (a−E)²/E),
+  * with gates a≥3, PRR>1, chi²>3.84, b,c,d>0 and top-K outcomes per
+  * exposure by chi² (parse.py:164-208).
+  *
+  * Spark shape (SURVEY A6/A7): three hash aggregations (pair, exposure
+  * margin, outcome margin — each map-side partial, skew-safe) + broadcast
+  * joins of the margins (margins are ≤ |vocabulary| rows, tiny vs pairs) +
+  * pure column arithmetic. Hot-key skew on the PAIR aggregation is handled
+  * natively by Spark's partial aggregation; the optional `saltBuckets`
+  * two-phase path demonstrates explicit salting for extreme skew
+  * (SURVEY.md §7.4): stage 1 groups on (exposure, outcome, salt) — spreading
+  * one hot pair over `saltBuckets` reducers — stage 2 sums the partials.
+  */
+object Disproportionality {
+
+  /** pairs: DataFrame with columns (exposure, outcome), one row per
+    * co-occurrence event (already distinct per report if desired).
+    * Returns per-(exposure, outcome): a, exposure_n, outcome_n, n, prr,
+    * ror, chi2 — gated like the reference.
+    */
+  def signals(pairs: DataFrame, exposureCol: String, outcomeCol: String,
+      minA: Long = 3, saltBuckets: Int = 0): DataFrame = {
+    val e = col(exposureCol)
+    val o = col(outcomeCol)
+
+    val a =
+      if (saltBuckets <= 1) {
+        pairs.groupBy(e.as("exposure"), o.as("outcome"))
+          .agg(count(lit(1)).as("a"))
+      } else {
+        // explicit two-phase salted aggregation for extreme hot pairs; the
+        // per-row salt spreads one hot (exposure, outcome) over saltBuckets
+        // reducers — final sums are salt-invariant, so determinism holds
+        pairs
+          .groupBy(e.as("exposure"), o.as("outcome"),
+            pmod(xxhash64(monotonically_increasing_id()),
+              lit(saltBuckets.toLong)).as("_salt"))
+          .agg(count(lit(1)).as("_partial"))
+          .groupBy(col("exposure"), col("outcome"))
+          .agg(sum("_partial").as("a"))
+      }
+    val em = pairs.groupBy(e.as("exposure")).agg(count(lit(1)).as("exposure_n"))
+    val om = pairs.groupBy(o.as("outcome")).agg(count(lit(1)).as("outcome_n"))
+    val n = pairs.count()
+
+    val joined = a
+      .join(broadcast(em), "exposure")
+      .join(broadcast(om), "outcome")
+      .withColumn("n", lit(n))
+    withStats(joined, minA)
+  }
+
+  /** 2×2 stats + gates on a frame carrying (a, exposure_n, outcome_n, n). */
+  def withStats(joined: DataFrame, minA: Long = 3): DataFrame = {
+    val a = col("a").cast("double")
+    val b = (col("exposure_n") - col("a")).cast("double")
+    val c = (col("outcome_n") - col("a")).cast("double")
+    val d = (col("n") - col("exposure_n") - col("outcome_n") + col("a")).cast("double")
+    val expct = (a + b) * (a + c) / col("n").cast("double")
+    joined
+      .withColumn("b", b).withColumn("c", c).withColumn("d", d)
+      .where(col("b") > 0 && col("c") > 0 && col("d") > 0 && col("a") >= minA)
+      .withColumn("prr", (a / (a + b)) / (col("c") / (col("c") + col("d"))))
+      .withColumn("ror", (a * col("d")) / (col("b") * col("c")))
+      .withColumn("chi2",
+        (a - expct) * (a - expct) / expct)
+      .where(col("prr") > 1.0 && col("chi2") > 3.84)
+  }
+
+  /** Top-K outcomes per exposure by chi² (reference parse.py:203-208) —
+    * the canonical window top-k; ties broken deterministically. */
+  def topKPerExposure(signals: DataFrame, k: Int = 100): DataFrame = {
+    val w = Window.partitionBy(col("exposure"))
+      .orderBy(col("chi2").desc, col("outcome").asc)
+    signals.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.canon.{ConnectedComponents, KeyAssigner}
+
+class CanonSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("KeyAssigner: keys are exactly rank-in-sorted-order, 1..N") {
+    val labels = Seq("pear", "apple", "fig", "apple", "date", "fig", "kiwi")
+    val got = KeyAssigner.assign(labels.toDF("label"), "label")
+      .as[(String, Long)].collect().sortBy(_._2)
+    val want = labels.distinct.sorted.zipWithIndex
+      .map { case (l, i) => (l, (i + 1).toLong) }
+    assert(got.toSeq == want)
+  }
+
+  test("KeyAssigner: deterministic across runs and partition counts") {
+    val labels = (0 until 5000).map(i =>
+      f"label-${graft.extract.PageSynth.splitmix64(i) % 997}%04d")
+    val df = labels.toDF("label")
+    val a = KeyAssigner.assign(df, "label", 4).as[(String, Long)]
+      .collect().toMap
+    val b = KeyAssigner.assign(df.repartition(13), "label", 11)
+      .as[(String, Long)].collect().toMap
+    assert(a == b)
+    val sorted = labels.distinct.sorted
+    assert(sorted.zipWithIndex.forall { case (l, i) => a(l) == i + 1 })
+  }
+
+  /** Driver-side union-find oracle. */
+  private def ccOracle(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress to minimum root
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // ensure root is the min of each component
+    val groups = ids.groupBy(find)
+    groups.flatMap { case (_, members) =>
+      val m = members.min
+      members.map(_ -> m)
+    }.toMap
+  }
+
+  test("ConnectedComponents matches union-find oracle on random graphs") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      val edges = (0 until 150).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val got = ConnectedComponents
+        .run(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      val want = ccOracle(edges)
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("ConnectedComponents: chain graph (worst-case diameter)") {
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = ConnectedComponents.run(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 63L).map(_ -> 0L).toMap)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** deterministic corpus: 40 base docs; ids 1000+i are exact copies of i;
+    * ids 2000+i are near-copies (one token changed) of i for i < 10. */
+  private lazy val docs = {
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def text(i: Int) = (0 until 30).map(k =>
+      words((graft.extract.PageSynth.splitmix64(i * 100L + k) & 0x7FFFFFFF)
+        .toInt % words.length)).mkString(" ")
+    val base = (0 until 40).map(i => (i.toLong, text(i)))
+    val exact = (0 until 40).map(i => (1000L + i, text(i)))
+    val near = (0 until 10).map { i =>
+      val toks = text(i).split(" ")
+      toks(15) = "CHANGED"
+      (2000L + i, toks.mkString(" "))
+    }
+    (base ++ exact ++ near).toDF("doc_id", "text")
+  }
+
+  test("exact dedup: identical texts collapse to min id") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    (0 until 40).foreach { i =>
+      val expectDups = if (i < 10) 2 else 2 // near-dups differ, so 2 exact
+      assert(got(i.toLong) == expectDups)
+    }
+    assert(!got.contains(1000L)) // copies fold into the base id
+  }
+
+  /** naive driver-side Jaccard on word 5-gram shingle sets */
+  private def jac(a: String, b: String, k: Int): Double = {
+    def sh(t: String) = t.split(" ").sliding(k).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("minhashDedup: exact + near dups clustered, distinct docs untouched") {
+    val got = Dedup.minhashDedup(docs, "doc_id", "text", k = 5,
+      numHashes = 64, bands = 16, threshold = 0.6)
+      .as[(Long, Long)].collect().toMap
+    // every exact copy maps to its base
+    (0 until 40).foreach { i =>
+      assert(got.get(1000L + i).contains(i.toLong), s"exact copy $i")
+    }
+    // near-copies: SOUND (never clusters below the exact-Jaccard threshold,
+    // because the verify stage is exact) and LSH recall is high
+    val texts = docs.as[(Long, String)].collect().toMap
+    val eligible = (0 until 10)
+      .filter(i => jac(texts(i.toLong), texts(2000L + i), 5) >= 0.6)
+    val found = eligible.count(i => got.get(2000L + i).contains(i.toLong))
+    (0 until 10).foreach { i =>
+      if (got.get(2000L + i).contains(i.toLong))
+        assert(jac(texts(i.toLong), texts(2000L + i), 5) >= 0.6)
+    }
+    assert(eligible.isEmpty || found.toDouble / eligible.size >= 0.6,
+      s"LSH recall $found/${eligible.size}")
+  }
+
+  test("jaccardOnPairs matches naive computation") {
+    val pairs = Seq((0L, 2000L), (1L, 2001L), (0L, 1L)).toDF("id_a", "id_b")
+    val got = Dedup.jaccardOnPairs(docs, pairs, "doc_id", "text", 5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val texts = docs.as[(Long, String)].collect().toMap
+    Seq((0L, 2000L), (1L, 2001L), (0L, 1L)).foreach { case (a, b) =>
+      val want = jac(texts(a), texts(b), 5)
+      if (want == 0.0) assert(!got.contains((a, b))) // no shared shingle row
+      else assert(math.abs(got((a, b)) - want) < 1e-12, s"pair ($a,$b)")
+    }
+  }
+
+  test("ngramJaccardPairs finds exact pairs with jaccard 1.0") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3,
+      threshold = 0.95)
+      .as[(Long, Long, Double)].collect()
+    (0 until 40).foreach { i =>
+      assert(got.exists(r => r._1 == i && r._2 == 1000L + i && r._3 == 1.0))
+    }
+  }
+
+  test("simhash: identical texts → identical signatures; near → close") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    (0 until 40).foreach(i => assert(sigs(i.toLong) == sigs(1000L + i)))
+    (0 until 10).foreach { i =>
+      val ham = java.lang.Long.bitCount(sigs(i.toLong) ^ sigs(2000L + i))
+      assert(ham <= 16, s"near-dup $i hamming=$ham")
+    }
+    val cands = Dedup.simhashCandidates(
+      sigs.toSeq.toDF("doc_id", "simhash"))
+      .as[(Long, Long)].collect().toSet
+    (0 until 40).foreach(i => assert(cands.contains((i.toLong, 1000L + i))))
+  }
+}

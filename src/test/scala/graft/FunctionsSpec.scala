@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.streaming.StreamOps
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokenCount / subwordCount / meanTokenLen") {
+    val df = Seq("one two three", "", "  ", "a b", "hello, world42")
+      .toDF("t")
+    val got = df.select(
+      TextFunctions.tokenCount(col("t")).as("n"),
+      TextFunctions.subwordCount(col("t")).as("sw"),
+      TextFunctions.meanTokenLen(col("t")).as("ml"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got(0) == ((3, 3, 11.0 / 3)))
+    assert(got(1)._1 == 0 && got(2)._1 == 0)
+    assert(got(3) == ((2, 2, 1.0)))
+    assert(got(4)._2 == 4) // hello , world 42
+  }
+
+  test("langId picks the densest stopword family") {
+    val df = Seq(
+      "the cat is in the house and that is fine",
+      "el perro y la casa de los vecinos en madrid",
+      "der hund und die katze ist nicht von mir",
+      "zzz qqq xxx").toDF("t")
+    val got = df.select(TextFunctions.langId(col("t"))).as[String].collect()
+    assert(got.toSeq == Seq("en", "es", "de", "und"))
+  }
+
+  test("fingerprint: deterministic, order-sensitive, stable across runs") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("t")
+    val got = df.select(TextFunctions.fingerprint(col("t"))).as[Long].collect()
+    assert(got(0) == got(2))
+    assert(got(0) != got(1)) // order matters
+    val again = df.select(TextFunctions.fingerprint(col("t"))).as[Long].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("quality score in [0,1], monotone-ish in substance") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and that is a fine day in the sun",
+      "x").toDF("t")
+    val got = df.select(TextFunctions.qualityScore(col("t"))).as[Double].collect()
+    assert(got.forall(q => q >= 0.0 && q <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("multimodal: batched stub decode preserves schema + partitioning") {
+    val media = Multimodal.syntheticMedia(spark, 50, 4)
+    val feats = Multimodal.extractFeatures(spark, media)
+    assert(feats.rdd.getNumPartitions == 4) // narrow: no shuffle
+    val rows = feats.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.feature.length == 8))
+    // deterministic stub
+    val again = Multimodal.extractFeatures(spark, media).collect()
+    assert(rows.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
+    // metadata-only stats never touch payload
+    val stats = Multimodal.kindStats(media.toDF()).collect()
+    assert(stats.map(_.getAs[String]("kind")).toSet == Set("image", "audio", "video"))
+  }
+
+  test("streaming: windowed counts via memory sink == batch windowed counts") {
+    val dir = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    // file stream source needs a directory, not a single file
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    StreamOps.windowedCountsStream(spark, streamDir.toString,
+      events.schema, "stream_counts")
+    // normalize TIMESTAMP (stream, LTZ) vs TIMESTAMP_NTZ (batch) via
+    // date_format under the UTC session zone
+    val streamed = spark.sql(
+      "SELECT date_format(window.start, 'yyyy-MM-dd HH:mm') AS w, " +
+        "event_type, n FROM stream_counts")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = StreamOps.windowedCountsBatch(events)
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("w"),
+        col("event_type"), col("n"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.PageSynth
+import graft.graph.{GraphBuilder, Validator}
+import graft.link.{MentionDetector, TripleExtractor}
+
+/** End-to-end KG pipeline correctness: P/R vs an INDEPENDENT oracle.
+  *
+  * The oracle derives expected triples straight from the generator's
+  * planted structure (PageSynth.sentences / boilerplate / truncation /
+  * lang), not from the engine code paths — so extraction, mention
+  * detection, linking and triple rules are all under test at once.
+  * North-rule target: P/R ≥ 0.95; planted rules are exact, so we assert
+  * P = R = 1.0.
+  */
+class KgPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val N = 600L
+
+  /** Expected (subj, pred, obj, url) multiset from the planted structure. */
+  def oracleTriples(n: Long): Seq[(String, String, String, String)] = {
+    (0L until n).flatMap { i =>
+      if (PageSynth.lang(i) != "en") Nil
+      else if (PageSynth.isBoilerplate(i)) {
+        val t = PageSynth.boilerplateTemplate(i)
+        Seq((PageSynth.drugName(t), "DRUG_AE", PageSynth.aeName(t),
+          PageSynth.url(i)))
+      } else if (PageSynth.draw(i, 5, 20) == 0) {
+        // oversized pages: the 14K-char lorem block precedes every relation
+        // sentence, so truncation at 10000 chars drops them all
+        Nil
+      } else {
+        PageSynth.sentences(i).flatMap { s =>
+          val noDot = s.stripSuffix(".")
+          PageSynth.RelationRules.collectFirst {
+            case (phrase, (claim, _, _)) if noDot.contains(s" $phrase ") =>
+              val Array(subj, obj) = noDot.split(s" $phrase ")
+              (subj, claim, obj, PageSynth.url(i))
+          }.toSeq
+        }
+      }
+    }
+  }
+
+  lazy val engineTriples: Seq[(String, String, String, String)] = {
+    import spark.implicits._
+    val pages = PageSynth.pages(spark, N)
+    TripleExtractor.extract(spark, pages, PageSynth.gazetteer,
+      PageSynth.RelationRules.toMap)
+      .map(t => (t.subj, t.pred, t.obj, t.url))
+      .collect().toSeq
+  }
+
+  test("triple P/R vs planted oracle == 1.0") {
+    val want = oracleTriples(N).groupBy(identity).view.mapValues(_.size).toMap
+    val got = engineTriples.groupBy(identity).view.mapValues(_.size).toMap
+    val tp = got.map { case (k, c) => math.min(c, want.getOrElse(k, 0)) }.sum
+    val precision = tp.toDouble / got.values.sum
+    val recall = tp.toDouble / want.values.sum
+    withClue(s"precision=$precision recall=$recall " +
+        s"got=${got.values.sum} want=${want.values.sum}") {
+      assert(precision == 1.0 && recall == 1.0)
+    }
+    assert(want.values.sum > 300) // the corpus actually planted plenty
+  }
+
+  test("byte-identical extracted text per url (engine vs pure oracle)") {
+    import spark.implicits._
+    val pages = PageSynth.pages(spark, 300)
+    val got = pages.map(p => (p.url, MentionDetector.extractText(p)))
+      .collect().toMap
+    (0L until 300L).foreach { i =>
+      val want = graft.extract.TextExtractor.htmlToText(
+        PageSynth.html(i), graft.extract.TextExtractor.MaxChars)
+      assert(got(PageSynth.url(i)) == want, s"url ${PageSynth.url(i)}")
+    }
+  }
+
+  test("graph build: validation invariants + deterministic keys") {
+    import spark.implicits._
+    val pages = PageSynth.pages(spark, 300)
+    val triples = TripleExtractor.extract(spark, pages, PageSynth.gazetteer,
+      PageSynth.RelationRules.toMap)
+    val g = GraphBuilder.build(spark, triples, PageSynth.gazetteer)
+    val report = Validator.validateOrThrow(g.vertices, g.edges)
+    assert(report.vertexCount > 0 && report.edgeCount > 0)
+
+    // dense per-type keys: 1..N per node type, rank of sorted label
+    val drugs = g.vertices.filter("node_type = 'Drug'")
+      .select("key", "label").as[(Long, String)].collect().sortBy(_._1)
+    assert(drugs.map(_._1).toSeq == (1L to drugs.length).toSeq)
+    assert(drugs.map(_._2).toSeq == drugs.map(_._2).sorted.toSeq)
+
+    // rebuild → byte-identical graph (determinism / resumability);
+    // map/array payloads via to_json (set ops reject MAP columns)
+    def canonV(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("node_type"), col("key"), col("label"),
+        to_json(col("props")).as("props"))
+    val g2 = GraphBuilder.build(spark, triples, PageSynth.gazetteer)
+    assert(canonV(g2.vertices).exceptAll(canonV(g.vertices)).isEmpty
+      && canonV(g.vertices).exceptAll(canonV(g2.vertices)).isEmpty)
+    def canonE(df: org.apache.spark.sql.DataFrame) =
+      df.drop("evidence").withColumn("meta", to_json(col("meta")))
+    val e1 = canonE(g.edges)
+    val e2 = canonE(g2.edges)
+    assert(e2.exceptAll(e1).isEmpty && e1.exceptAll(e2).isEmpty)
+  }
+
+  test("multi-word + prefix-overlap mention semantics (leftmost-longest)") {
+    val gaz = PageSynth.gazetteer
+    val text = "zorvex1 causes severe rash17 and severe rash1 appears."
+    val ms = MentionDetector.mentionsOf(gaz, "u", text)
+    assert(ms.map(_.norm) == Seq("zorvex1", "severe rash17", "severe rash1"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Pipeline
+
+/** Resumability + determinism of the checkpointed stage DAG (north rule:
+  * resumable from checkpoint; identical output after mid-pipeline rerun). */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("full run → rerun skips all stages; outputs identical") {
+    val root = Files.createTempDirectory("graft_pipe").toString
+    val r1 = Pipeline.run(spark, root, nPages = 200, partitions = 8)
+    assert(r1.forall(!_.skipped))
+    val edges1 = spark.read.parquet(s"$root/edges")
+      .drop("evidence").collect().toSet.map((r: org.apache.spark.sql.Row) => r.toString)
+
+    val r2 = Pipeline.run(spark, root, nPages = 200, partitions = 8)
+    assert(r2.forall(_.skipped), s"expected all skipped: $r2")
+    val edges2 = spark.read.parquet(s"$root/edges")
+      .drop("evidence").collect().toSet.map((r: org.apache.spark.sql.Row) => r.toString)
+    assert(edges1 == edges2)
+  }
+
+  test("mid-pipeline kill: downstream stages recompute, upstream skipped, result identical") {
+    val rootA = Files.createTempDirectory("graft_pipeA").toString
+    val rootB = Files.createTempDirectory("graft_pipeB").toString
+    Pipeline.run(spark, rootA, nPages = 150, partitions = 8)
+
+    // simulate a job killed after 'triples': only run the first two stages
+    Pipeline.runStage(spark, rootB, "pages", Pipeline.CodeVersion, "n=150") {
+      graft.extract.PageSynth.pages(spark, 150, 8).toDF()
+    }
+    val up1 = Pipeline.fingerprint(rootB, Seq("pages"))
+    Pipeline.runStage(spark, rootB, "triples", Pipeline.CodeVersion, up1) {
+      import spark.implicits._
+      val pages = spark.read.parquet(s"$rootB/pages").as[graft.model.Page]
+      graft.link.TripleExtractor.extract(spark, pages,
+        graft.extract.PageSynth.gazetteer,
+        graft.extract.PageSynth.RelationRules.toMap).toDF()
+    }
+    // resume: full run must skip pages+triples, compute vertices+edges
+    val res = Pipeline.run(spark, rootB, nPages = 150, partitions = 8)
+    val byStage = res.map(r => r.stage -> r.skipped).toMap
+    assert(byStage("pages") && byStage("triples"))
+    assert(!byStage("vertices") && !byStage("edges"))
+
+    def tbl(root: String, t: String) = spark.read.parquet(s"$root/$t")
+      .drop("evidence").collect().map(_.toString).sorted.toSeq
+    assert(tbl(rootA, "vertices") == tbl(rootB, "vertices"))
+    assert(tbl(rootA, "edges") == tbl(rootB, "edges"))
+  }
+
+  test("version bump invalidates: changed code version recomputes") {
+    val root = Files.createTempDirectory("graft_pipeC").toString
+    val a = Pipeline.runStage(spark, root, "pages", "v1", "n=50") {
+      graft.extract.PageSynth.pages(spark, 50, 4).toDF()
+    }
+    assert(!a.skipped)
+    val b = Pipeline.runStage(spark, root, "pages", "v1", "n=50") {
+      graft.extract.PageSynth.pages(spark, 50, 4).toDF()
+    }
+    assert(b.skipped)
+    val c = Pipeline.runStage(spark, root, "pages", "v2", "n=50") {
+      graft.extract.PageSynth.pages(spark, 50, 4).toDF()
+    }
+    assert(!c.skipped)
+  }
+
+  test("counters table records per-stage lineage") {
+    val root = Files.createTempDirectory("graft_pipeD").toString
+    Pipeline.run(spark, root, nPages = 100, partitions = 4)
+    val counters = spark.read.parquet(s"$root/_counters").collect()
+    assert(counters.map(_.getAs[String]("stage")).toSet ==
+      Set("pages", "triples", "vertices", "edges"))
+    assert(counters.forall(_.getAs[Long]("rows") > 0))
+  }
+}

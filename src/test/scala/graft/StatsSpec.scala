@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stats.Disproportionality
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** planted: (d1, headache) strongly associated; background uniform */
+  private lazy val pairs = {
+    val strong = Seq.fill(60)(("d1", "headache"))
+    val d1bg = Seq.fill(40)(("d1", "nausea"))
+    val bg = (0 until 400).map(i => (s"d${2 + i % 4}", if (i % 5 == 0) "headache" else "nausea"))
+    (strong ++ d1bg ++ bg).toDF("drug", "ae")
+  }
+
+  test("planted signal found; 2×2 math exact") {
+    val sig = Disproportionality.signals(pairs, "drug", "ae")
+      .where($"exposure" === "d1" && $"outcome" === "headache")
+      .collect()
+    assert(sig.length == 1)
+    val r = sig.head
+    val a = 60.0; val drugN = 100.0; val aeN = 140.0; val n = 500.0
+    val b = drugN - a; val c = aeN - a; val dd = n - drugN - aeN + a
+    assert(r.getAs[Long]("a") == 60)
+    assert(math.abs(r.getAs[Double]("prr") - (a / (a + b)) / (c / (c + dd))) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ror") - (a * dd) / (b * c)) < 1e-12)
+    val e = (a + b) * (a + c) / n
+    assert(math.abs(r.getAs[Double]("chi2") - (a - e) * (a - e) / e) < 1e-12)
+  }
+
+  test("gates: low-count and null-association pairs are filtered") {
+    val sig = Disproportionality.signals(pairs, "drug", "ae")
+      .select("exposure", "outcome").as[(String, String)].collect().toSet
+    assert(!sig.contains(("d2", "nausea"))) // prr ≈ background, not > gates
+  }
+
+  test("salted two-phase aggregation ≡ plain aggregation") {
+    val plain = Disproportionality.signals(pairs, "drug", "ae")
+      .select("exposure", "outcome", "a", "prr", "ror", "chi2")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Disproportionality.signals(pairs, "drug", "ae", saltBuckets = 8)
+      .select("exposure", "outcome", "a", "prr", "ror", "chi2")
+      .collect().map(_.toString).sorted.toSeq
+    assert(plain == salted)
+  }
+
+  test("topKPerExposure bounds outcomes per exposure deterministically") {
+    val sig = Disproportionality.signals(pairs, "drug", "ae", minA = 1)
+    val topk = Disproportionality.topKPerExposure(sig, 1).collect()
+    val perExposure = topk.groupBy(_.getAs[String]("exposure"))
+    assert(perExposure.values.forall(_.length == 1))
+  }
+}

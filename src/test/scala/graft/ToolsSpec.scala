@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{Edge, Vertex}
+import graft.query.Tools
+
+/** Mirrors the reference's DDI fixture suite
+  * (reference:tests/test_ddi.py:23-137): tiny hand-built graph, exact
+  * assertions on traversal/intersection/resolution semantics. */
+class ToolsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def v(t: String, k: Long, label: String) =
+    Vertex(t, k, label, Map("label" -> label))
+  private def e(st: String, sk: Long, dt: String, dk: Long, claim: String,
+      freq: Double, strength: Double = 0.5) =
+    Edge(st, sk, dt, dk, "Claim", sk * 1000 + dk, claim, strength, freq,
+      claim, "fixture", Map.empty, Seq.empty)
+
+  // 3 drugs, 2 combos, 2 AEs, 2 genes (reference fixture shape)
+  private lazy val vertices = Seq(
+    v("Drug", 1, "warfarin"), v("Drug", 2, "aspirin"), v("Drug", 3, "ibuprofen"),
+    v("DrugCombination", 1, "warfarin + aspirin"),
+    v("DrugCombination", 2, "aspirin + ibuprofen"),
+    v("AdverseEvent", 1, "bleeding"), v("AdverseEvent", 2, "nausea"),
+    v("Gene", 1, "VKORC1"), v("Gene", 2, "PTGS1")
+  ).toDS().toDF()
+
+  private lazy val edges = Seq(
+    e("Drug", 1, "DrugCombination", 1, "DRUG_IN_COMBINATION", 1),
+    e("Drug", 2, "DrugCombination", 1, "DRUG_IN_COMBINATION", 1),
+    e("Drug", 2, "DrugCombination", 2, "DRUG_IN_COMBINATION", 1),
+    e("Drug", 3, "DrugCombination", 2, "DRUG_IN_COMBINATION", 1),
+    e("DrugCombination", 1, "AdverseEvent", 1, "DDI_AE", 12),
+    e("DrugCombination", 2, "AdverseEvent", 2, "DDI_AE", 5),
+    e("Drug", 1, "Gene", 1, "DRUG_TARGET", 1, 0.9),
+    e("Drug", 2, "Gene", 2, "DRUG_TARGET", 1, 0.8),
+    e("Gene", 1, "AdverseEvent", 1, "GENE_AE", 1, 0.7),
+    e("Drug", 1, "AdverseEvent", 1, "DRUG_AE", 7),
+    e("Drug", 1, "AdverseEvent", 1, "DRUG_AE", 9), // dup claim, higher freq
+    e("Drug", 1, "AdverseEvent", 2, "DRUG_AE", 3)
+  ).toDS().toDF()
+
+  test("resolve: exact beats partial; shortest-label tie-break; bounded") {
+    val r = Tools.resolve(vertices, "Drug", "aspirin").collect()
+    assert(r.head.getAs[String]("label") == "aspirin")
+    val partial = Tools.resolve(vertices, "Drug", "rin").collect()
+    assert(partial.map(_.getAs[String]("label")).toSeq ==
+      Seq("aspirin", "warfarin")) // both partial; shorter first
+    assert(Tools.resolve(vertices, "Drug", "xyz").isEmpty)
+  }
+
+  test("neighbors: dedup-keep-best + ordering (AEs of warfarin)") {
+    val r = Tools.neighbors(edges, vertices, "Drug", 1, "AdverseEvent")
+      .collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[String]("label") == "bleeding")
+    assert(r(0).getAs[Double]("frequency") == 9.0) // max of dup claims
+    assert(r(0).getAs[Long]("n_claims") == 2)
+    assert(r(1).getAs[String]("label") == "nausea")
+  }
+
+  test("sharedNeighbors: DDI combo intersection semantics + symmetry") {
+    val shared = Tools.sharedNeighbors(edges, "Drug", 1, 2, "DrugCombination")
+      .as[Long].collect().toSeq
+    assert(shared == Seq(1)) // warfarin+aspirin combo
+    val sym = Tools.sharedNeighbors(edges, "Drug", 2, 1, "DrugCombination")
+      .as[Long].collect().toSeq
+    assert(sym == shared)
+    val none = Tools.sharedNeighbors(edges, "Drug", 1, 3, "DrugCombination")
+      .collect()
+    assert(none.isEmpty)
+  }
+
+  test("paths2: drug→gene→AE with decay-scored ordering") {
+    val p = Tools.paths2(edges, "Drug", 1, "Gene", "AdverseEvent").collect()
+    assert(p.length == 1)
+    val score = p(0).getAs[Double]("score")
+    assert(math.abs(score - 0.9 * 0.7 * 0.9) < 1e-12)
+  }
+
+  test("subgraph: 2-hop frontier from warfarin") {
+    val sg = Tools.subgraph(edges, "Drug", 1, hops = 2)
+    // hop1: 4 edges out of warfarin; hop2: combo1→AE1 + gene1→AE1
+    assert(sg.count() == 6)
+  }
+
+  test("topKNeighborsAll: batched per-source window top-k") {
+    val r = Tools.topKNeighborsAll(edges, 1)
+      .where(col("src_type") === "Drug" && col("src_key") === 1
+        && col("claim_type") === "DRUG_AE")
+      .collect()
+    assert(r.length == 1 && r(0).getAs[Double]("frequency") == 9.0)
+  }
+}
