@@ -24,23 +24,27 @@ object Bench {
     s
   }
 
-  /** KG pipeline docs/sec at a given parallelism (fresh session). */
+  private def kgJob(spark: SparkSession, nDocs: Long, parts: Int): Unit =
+    graft.link.TripleExtractor.extract(spark,
+      graft.extract.PageSynth.pages(spark, nDocs, parts),
+      graft.extract.PageSynth.gazetteer,
+      graft.extract.PageSynth.RelationRules.toMap)
+      .groupBy("subj", "pred", "obj").count()
+      .write.mode("overwrite").format("noop").save()
+
+  /** KG pipeline docs/sec at a given parallelism (fresh session in the same
+    * JVM). One identical warm-up run, then best of two timed runs — removes
+    * the JIT/codegen order bias between the two parallelism levels. */
   private def kgThroughput(cpus: Int, nDocs: Long): Double = {
     val spark = session(cpus)
     try {
-      // warm-up (JIT + codegen), then timed run
-      graft.link.TripleExtractor.extract(spark,
-        graft.extract.PageSynth.pages(spark, 2000, cpus),
-        graft.extract.PageSynth.gazetteer,
-        graft.extract.PageSynth.RelationRules.toMap).count()
-      val t0 = System.nanoTime()
-      graft.link.TripleExtractor.extract(spark,
-        graft.extract.PageSynth.pages(spark, nDocs, cpus * 4),
-        graft.extract.PageSynth.gazetteer,
-        graft.extract.PageSynth.RelationRules.toMap)
-        .groupBy("subj", "pred", "obj").count().count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      nDocs / sec
+      kgJob(spark, 2000, cpus) // warm-up, identical job shape
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        kgJob(spark, nDocs, cpus * 4)
+        (System.nanoTime() - t0) / 1e9
+      }
+      nDocs / times.min
     } finally spark.stop()
   }
 
@@ -51,12 +55,18 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s $sec%8.2f s")
+      name -> sec
     }
     spark.stop()
 
-    // scaling run: same KG input at low vs high parallelism
+    // scaling run: same KG input at low vs high parallelism (high first only
+    // inside kgThroughput's own warm-up; order here is low → high with
+    // identical warm-ups, best-of-2 timing each)
     val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "60000").toLong
     val lowCpus = math.max(2, cpus / 4)
     val thrLow = kgThroughput(lowCpus, kgDocs)

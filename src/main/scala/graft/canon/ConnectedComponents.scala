@@ -66,8 +66,10 @@ object ConnectedComponents {
   }
 
   def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val spark = edges.sparkSession
-    var e = symmetrize(edges).localCheckpoint(true)
+    // cut the upstream lineage ONCE — every iteration (and the final id
+    // scan) reads the checkpointed edge list, never the producing pipeline
+    val base = symmetrize(edges).localCheckpoint(true)
+    var e = base
     var prev = (-1L, -1L)
     var iter = 0
     var converged = false
@@ -83,7 +85,7 @@ object ConnectedComponents {
     val members = e.groupBy("src").agg(min(col("dst")).as("component"))
       .select(col("src").as("id"), col("component"))
     // roots + singletons map to themselves
-    val allIds = symmetrize(edges).select(col("src").as("id")).distinct()
+    val allIds = base.select(col("src").as("id")).distinct()
     allIds.join(members, Seq("id"), "left")
       .select(col("id"),
         when(col("component").isNull || col("component") > col("id"), col("id"))

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.extract.TextExtractor
+
+/** Native Catalyst expression for the byte-identity text cleaner
+  * (SURVEY §2.9: "promote to a Catalyst Expression (codegen) if hot-path
+  * profiling demands"). One fused JVM pass — collapse + strip + truncate —
+  * instead of the three regexp_replace passes of
+  * [[TextExtractor.cleanCol]]; participates in WholeStageCodegen via a
+  * static call, no boxing beyond the UTF8String bridge.
+  *
+  * Semantics are EXACTLY [[TextExtractor.clean]] (reference:
+  * src/kg_ae/datasets/openfda/parse.py:154-171); CleanTextExprSpec fuzzes
+  * equivalence against both the pure oracle and the regexp pipeline.
+  */
+case class CleanText(child: Expression, maxChars: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"clean_text expects STRING, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CleanText.eval(input.asInstanceOf[UTF8String], maxChars)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CleanText.eval($c, $maxChars)")
+
+  override def prettyName: String = "clean_text"
+  override protected def withNewChildInternal(newChild: Expression): CleanText =
+    copy(child = newChild)
+}
+
+object CleanText {
+  /** Static entry point shared by interpreted + generated code paths. */
+  def eval(s: UTF8String, maxChars: Int): UTF8String = {
+    if (s == null) return null
+    UTF8String.fromString(cleanJava(s.toString, maxChars))
+  }
+
+  /** Single-pass clean: identical output to TextExtractor.clean —
+    * collapse whitespace runs to ' ', strip both ends, then truncate to
+    * max + "...". */
+  def cleanJava(s: String, max: Int): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = s.charAt(i)
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+      if (isWs) {
+        if (sb.length() > 0) pendingSpace = true // leading ws dropped
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    } // trailing ws never emitted: pendingSpace only flushes before non-ws
+    if (sb.length() > max) {
+      sb.setLength(max)
+      sb.append("...")
+    }
+    sb.toString
+  }
+}
+
+/** Catalyst injection — usable as SQL `clean_text(col[, max])` once the
+  * session is built `.withExtensions(new GraftExtensions)` (or via
+  * `GraftFunctions.register(spark)` on an existing session). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftFunctions.cleanTextDescriptor)
+  }
+}
+
+object GraftFunctions {
+  private def build(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(c) => CleanText(c, TextExtractor.MaxChars)
+    case Seq(c, m) => CleanText(c,
+      m.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      "clean_text(col[, maxChars])")
+  }
+
+  val cleanTextDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("clean_text"),
+    new ExpressionInfo(classOf[CleanText].getName, "clean_text"),
+    build _)
+
+  /** Register on an already-built session (tests, Verify, Bench). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "clean_text", build, "scala_udf")
+}

@@ -29,12 +29,14 @@ object Relational {
             * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
             .cast("double").as("revenue"),
           count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
     }, Some("""
       SELECT l_returnflag, l_linestatus,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-        COUNT(*) AS count_order
+        COUNT(*) AS count_order,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1995-09-01'
       GROUP BY l_returnflag, l_linestatus""")),
@@ -257,6 +259,60 @@ object Relational {
       FROM ps a JOIN ps b
         ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
       GROUP BY 1, 2 HAVING COUNT(*) >= 2""")),
+
+    // A5: max + sorted string-agg of DISTINCT values per group.
+    QueryDef("q39_concat_agg", (s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(max(col("l_quantity")).as("max_qty"),
+          concat_ws(",", sort_array(collect_set(col("l_returnflag"))))
+            .as("flags"))
+    }, Some("""
+      SELECT l_partkey, max_qty, string_agg(l_returnflag, ',' ORDER BY l_returnflag) AS flags
+      FROM (SELECT DISTINCT l_partkey, l_returnflag,
+              MAX(l_quantity) OVER (PARTITION BY l_partkey) AS max_qty
+            FROM lineitem)
+      GROUP BY l_partkey, max_qty""")),
+
+    // J2: left join on a composite key against a pre-aggregated frame
+    // (reduce-before-join, the reference's SIDER freq-agg shape).
+    QueryDef("q40_composite_join", (s, d) => {
+      val li = t(s, d, "lineitem")
+      val agg = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("total_qty"))
+      li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))
+        .join(agg, Seq("l_partkey", "l_suppkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("n_lines"),
+          col("total_qty"))
+    }, Some("""
+      WITH agg AS (
+        SELECT l_partkey, l_suppkey, COUNT(*) AS n_lines,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY 1, 2)
+      SELECT l.l_orderkey, l.l_linenumber, a.n_lines, a.total_qty
+      FROM lineitem l LEFT JOIN agg a
+        ON l.l_partkey = a.l_partkey AND l.l_suppkey = a.l_suppkey""")),
+
+    // J3: double-decode join — one fact joined twice against dimensions,
+    // then inner-ified by null filters (the reference's STRING alias decode).
+    QueryDef("q41_double_decode", (s, d) => {
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"), "left")
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"), "left")
+        .where(col("p_name").isNotNull && col("s_name").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_name"),
+          col("s_name"))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, p_name, s_name
+      FROM lineitem
+      LEFT JOIN part ON l_partkey = p_partkey
+      LEFT JOIN supplier ON l_suppkey = s_suppkey
+      WHERE p_name IS NOT NULL AND s_name IS NOT NULL""")),
 
     // T5/T6: bounded partial-name resolve with deterministic tie-breaks.
     QueryDef("q31_resolve", (s, d) => {

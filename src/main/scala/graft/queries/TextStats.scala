@@ -38,12 +38,16 @@ object TextStats {
   val defs: Seq[QueryDef] = Seq(
 
     // P16: the byte-identity text cleaner (whitespace collapse + trim +
-    // truncate), the north-rule invariant, as a distributed projection.
+    // truncate), the north-rule invariant, as a distributed projection —
+    // served by the native codegen clean_text expression (one fused pass;
+    // CleanTextExprSpec proves byte-equality with the regexp pipeline).
     QueryDef("q15_text_clean", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val cleaned = call_function("clean_text", col("text"), lit(120))
       t(s, d, "documents").select(
         col("doc_id"),
-        TextExtractor.cleanCol(col("text"), 120).as("clean_text"),
-        length(TextExtractor.cleanCol(col("text"), 120)).as("clean_len"))
+        cleaned.as("clean_text"),
+        length(cleaned).as("clean_len"))
     }, Some("""
       WITH c AS (
         SELECT doc_id,

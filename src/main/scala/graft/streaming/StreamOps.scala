@@ -3,6 +3,10 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+case class SessEvent(user_id: Long, event_id: Long, ts_micros: Long)
+case class SessState(lastTs: Long, idx: Int)
+case class SessOut(user_id: Long, event_id: Long, session_idx: Int)
+
 /** Structured Streaming surface. The reference is fully batch
   * (SURVEY §2.8); the one order-insensitive aggregation that maps to a
   * stream is the co-occurrence count (A6) → watermarked windowed counts.
@@ -41,6 +45,44 @@ object StreamOps {
       .format("memory")
       .queryName(queryName)
       .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Custom per-key state: streaming sessionization via
+    * flatMapGroupsWithState (the KeyValueGroupedDataset state API the
+    * SURVEY maps "custom state" to, §2.8). A new session starts when the
+    * gap to the previous event of the same user exceeds `gapSec`. State
+    * carries (last event time, session counter) across micro-batches. */
+  def sessionizeStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType, queryName: String,
+      gapSec: Long = 1800L): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val events = spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").cast("long").as("ts_sec"))
+      .select(col("user_id"), col("event_id"),
+        (col("ts_sec") * 1000000L).as("ts_micros"))
+      .as[SessEvent]
+    val out = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[SessState]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts_micros, e.event_id))
+          var (last, idx) = state.getOption
+            .map(s => (s.lastTs, s.idx)).getOrElse((Long.MinValue, 0))
+          val res = evs.map { e =>
+            if (last == Long.MinValue || e.ts_micros - last > gapSec * 1000000L)
+              idx += 1
+            last = e.ts_micros
+            SessOut(uid, e.event_id, idx)
+          }
+          if (evs.nonEmpty) state.update(SessState(last, idx))
+          res.iterator
+      }
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
     q.processAllAvailable()
     q.stop()
   }

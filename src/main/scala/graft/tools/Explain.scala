@@ -15,12 +15,20 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val exec = sys.env.get("SPARK_GRAFT_EXPLAIN_EXEC").contains("1")
     graft.SparkEntry.all
       .filter(q => names.isEmpty || names.contains(q.name))
       .foreach { q =>
         println(s"\n===================== ${q.name} =====================")
-        try q.fn(spark, sfDir).explain("formatted")
-        catch { case e: Throwable => println(s"explain failed: $e") }
+        try {
+          val df = q.fn(spark, sfDir)
+          df.explain("formatted")
+          if (exec) {
+            val t0 = System.nanoTime()
+            df.write.mode("overwrite").format("noop").save()
+            println(f"[exec] ${q.name} ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+        } catch { case e: Throwable => println(s"explain failed: $e") }
       }
     spark.stop()
   }

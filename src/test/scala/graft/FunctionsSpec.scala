@@ -90,4 +90,21 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(streamed == batch)
   }
+
+  test("streaming sessionization (flatMapGroupsWithState) == batch window sessionize") {
+    val dir = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    StreamOps.sessionizeStream(spark, streamDir.toString, events.schema,
+      "stream_sessions")
+    val streamed = spark.sql(
+      "SELECT user_id, event_id, CAST(session_idx AS BIGINT) FROM stream_sessions")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("q33_sessionize")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
 }

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Readers
+
+/** Per-scan-shape tests (SURVEY §2.1): deterministic fixture files written
+  * to a temp dir, read back through the library readers. */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpFile(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft_src")
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("S2: header TSV") {
+    val p = tmpFile("a.tsv", "id\tname\n1\taspirin\n2\twarfarin\n")
+    val df = Readers.csvWithHeader(spark, p)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.count() == 2)
+  }
+
+  test("S3: headerless TSV with imposed schema") {
+    val p = tmpFile("b.tsv", "1\t0.5\n2\t0.9\n")
+    val schema = StructType(Seq(
+      StructField("gene_id", LongType), StructField("score", DoubleType)))
+    val df = Readers.csvImposedSchema(spark, p, schema)
+    assert(df.as[(Long, Double)].collect().toSet == Set((1L, 0.5), (2L, 0.9)))
+  }
+
+  test("S4: commented-header TSV skips # lines") {
+    val p = tmpFile("c.tsv", "# Fields:\n# gene\tdisease\ng1\td1\ng2\td2\n")
+    val schema = StructType(Seq(
+      StructField("gene", StringType), StructField("disease", StringType)))
+    val df = Readers.csvCommentHeader(spark, p, schema)
+    assert(df.count() == 2)
+    assert(df.where($"gene" === "g1").count() == 1)
+  }
+
+  test("S5: tolerant scan keeps ragged lines; projection prunes") {
+    val p = tmpFile("d.tsv", "a\tb\tc\nx\ty\tz\nshort\nlong\t1\t2\textra\n")
+    val df = Readers.csvTolerant(spark, p).select("a", "b")
+    assert(df.count() == 3) // ragged rows survive PERMISSIVE
+  }
+
+  test("S6: gzipped CSV reads transparently") {
+    val dir = Files.createTempDirectory("graft_gz")
+    val p = dir.resolve("e.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(p))
+    out.write("k,v\n1,a\n2,b\n".getBytes(StandardCharsets.UTF_8))
+    out.close()
+    val df = Readers.csvGz(spark, p.toString)
+    assert(df.count() == 2)
+  }
+
+  test("S7: space-separated scan") {
+    val p = tmpFile("f.txt", "p1 p2 score\ng1 g2 700\ng1 g3 900\n")
+    val df = Readers.spaceSeparated(spark, p)
+    assert(df.where($"score" >= 700).count() == 2)
+    assert(df.columns.toSeq == Seq("p1", "p2", "score"))
+  }
+
+  test("S10: JSONL with corrupt-record capture") {
+    val p = tmpFile("g.jsonl",
+      """{"id":1,"name":"ok"}
+        |NOT JSON AT ALL
+        |{"id":2,"name":"fine"}
+        |""".stripMargin)
+    val df = Readers.jsonl(spark, p).cache()
+    assert(df.where($"_corrupt_record".isNull).count() == 2)
+    assert(df.where($"_corrupt_record".isNotNull).count() == 1)
+  }
+
+  test("S11: nested JSON docs explode + first-of-list extraction") {
+    val p = tmpFile("h.json",
+      """{"response": {"numFound": 2, "docs": [
+        |  {"symbol": "BRCA1", "uniprot_ids": ["P38398", "X0"]},
+        |  {"symbol": "TP53",  "uniprot_ids": ["P04637"]}
+        |]}}""".stripMargin)
+    val df = Readers.nestedJsonDocs(spark, p, "response.docs")
+      .select($"symbol", element_at($"uniprot_ids", 1).as("uniprot"))
+    assert(df.as[(String, String)].collect().toSet ==
+      Set(("BRCA1", "P38398"), ("TP53", "P04637")))
+  }
+
+  test("S9: zip-of-JSON explodes members on executors") {
+    val dir = Files.createTempDirectory("graft_zip")
+    val p = dir.resolve("docs.zip")
+    val zos = new ZipOutputStream(Files.newOutputStream(p))
+    Seq("r1.json" -> """{"results":[{"id":"a"}]}""",
+        "r2.json" -> """{"results":[{"id":"b"},{"id":"c"}]}""").foreach {
+      case (name, content) =>
+        zos.putNextEntry(new ZipEntry(name))
+        zos.write(content.getBytes(StandardCharsets.UTF_8))
+        zos.closeEntry()
+    }
+    zos.close()
+    val df = Readers.zipOfJson(spark, p.toString).cache()
+    assert(df.count() == 2)
+    // downstream parse: from_json + explode (the reference descends results[])
+    val ids = df.select(explode(
+        from_json($"json",
+          StructType(Seq(StructField("results",
+            ArrayType(StructType(Seq(StructField("id", StringType))))))))
+          .getField("results")).as("r"))
+      .select($"r.id").as[String].collect().toSet
+    assert(ids == Set("a", "b", "c"))
+  }
+
+  test("S13: JSON artifact sink round-trips") {
+    val dir = Files.createTempDirectory("graft_meta").toString + "/meta"
+    Readers.writeJsonArtifact(
+      Seq(("edges", 100L), ("vertices", 10L)).toDF("table", "rows"), dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+  }
+}
