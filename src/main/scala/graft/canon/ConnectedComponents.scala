@@ -65,7 +65,45 @@ object ConnectedComponents {
     (r.getLong(0), r.getLong(1))
   }
 
-  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** Size-aware dispatch: below `localThreshold` edges the component graph
+    * fits trivially in driver memory (near-dup graphs are sparse — a few
+    * edges per duplicate cluster — even when the corpus is 100 TB), so a
+    * driver union-find avoids ~5 shuffle stages × O(log n) rounds of fixed
+    * job overhead. Above it, the distributed large-star/small-star loop
+    * runs. Both paths produce identical output (CanonSpec pins this). */
+  def run(edges: DataFrame, maxIter: Int = 25,
+      localThreshold: Long = 2000000L): DataFrame = {
+    val base = symmetrize(edges).localCheckpoint(true)
+    if (base.count() <= localThreshold) runLocal(base)
+    else runDistributed(base, maxIter)
+  }
+
+  /** Driver union-find over a (small) symmetric edge list. */
+  private def runLocal(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val pairs = base.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    // root = min id of component: union-by-min above keeps roots minimal
+    val out = parent.keys.toSeq.map(id => (id, find(id)))
+    spark.createDataFrame(out).toDF("id", "component")
+  }
+
+  /** The scale path: alternating star rounds, O(log n) iterations. */
+  def runDistributed(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     // cut the upstream lineage ONCE — every iteration (and the final id
     // scan) reads the checkpointed edge list, never the producing pipeline
     val base = symmetrize(edges).localCheckpoint(true)

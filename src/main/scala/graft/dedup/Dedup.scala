@@ -34,15 +34,16 @@ object Dedup {
   }
 
   /** MinHash signatures: n independent 64-bit min-hashes per doc.
-    * Hash family: xxhash64(shingle, seed_i) — one explode + one groupBy
-    * with n min() aggregates (map-side partial, skew-free). */
+    * Hash family: xxhash64(shingle, seed_i). Computed as a NARROW
+    * projection with array HOFs — no explode, no shuffle, no n-aggregate
+    * codegen blowup; each row emits its full signature in one pass, so the
+    * 100 TB scan stays embarrassingly parallel. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), k)).as("shingle"))
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sh = shingles(col(textCol), k)
+    val sigCols = (0 until numHashes).map(i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i)))).as(s"h$i"))
+    docs.select(col(idCol).as("doc_id") +: sigCols: _*)
   }
 
   /** LSH candidate pairs from signatures: `bands` bands of
@@ -107,44 +108,57 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** All-pairs n-gram Jaccard similarity join above a threshold (no LSH —
-    * the exact baseline; prefer minhashDedup at scale). */
+  /** Exact n-gram Jaccard similarity join above a threshold, with PREFIX
+    * FILTERING (the classic exact similarity-join optimization, cf. PPJoin,
+    * Xiao et al., WWW'08): order every doc's shingles by ascending global
+    * frequency; for Jaccard ≥ t a matching pair MUST share one of each
+    * doc's first |d| − ⌈t·|d|⌉ + 1 shingles, so the candidate join runs on
+    * that small, rare-shingle prefix instead of every shingle — killing the
+    * frequent-shingle bucket blowup — and the full intersection is computed
+    * exactly only for candidates. Output identical to the naive all-pairs
+    * join (oracle-checked in q34 + DedupSpec). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), k)).as("shingle")).distinct()
-    val pairs = sh.select(col("doc_id").as("id_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    pairs
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(freq, "shingle")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("shingle").asc)))
+      .join(sizes, "doc_id")
+      .where(col("rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz")).cast("long") + 1)
+      .select(col("doc_id"), col("shingle"))
+    val candidates = ranked.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(ranked.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    jaccardOnPairs(docs, candidates, idCol, textCol, k)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
   /** 64-bit SimHash per doc: bit i of the signature = sign of
-    * Σ_tokens (bit i of xxhash64(token) ? +1 : −1). Pure column pipeline:
-    * explode tokens → per-bit contribution sums → reassemble bits. */
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : −1). Computed as a NARROW
+    * per-row array-HOF pipeline (no explode, no 64-aggregate shuffle): one
+    * aggregate() pass accumulates the 64 bit-counts, a second folds them
+    * into the signature. SQL shiftleft/shiftright accept column shift
+    * amounts (the Scala functions API doesn't), hence expr(). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("tok"))
-      .where(length(col("tok")) > 0)
-      .withColumn("h", xxhash64(col("tok")))
-    val sums = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1))
-        .as(s"b$i")
-    }
-    val agged = toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    agged.select(col("doc_id"), sig.as("simhash"))
+    val sigSql =
+      s"""aggregate(
+            zip_with(
+              aggregate(
+                filter(split($textCol, ' '), t -> length(t) > 0),
+                array_repeat(0L, 64),
+                (acc, t) -> zip_with(acc, sequence(0, 63),
+                  (a, i) -> a + IF((shiftright(xxhash64(t), i) & 1L) = 1L, 1L, -1L))),
+              sequence(0, 63),
+              (c, i) -> IF(c > 0L, shiftleft(1L, i), 0L)),
+            0L, (s, x) -> s | x)"""
+    docs.selectExpr(s"$idCol AS doc_id", s"($sigSql) AS simhash")
   }
 
   /** SimHash near-dup candidates: docs whose signatures match on any of the

@@ -75,6 +75,30 @@ object TextFunctions {
       (acc, t) => pmod(acc * lit(base) + pmod(xxhash64(t), lit(p)), lit(p)))
   }
 
+  /** Affinity string → nM parse (P18, reference:src/kg_ae/datasets/
+    * bindingdb/normalize.py:33-44): strip `>`, `<`, `=`, `~` and commas,
+    * tolerant float cast, positive-only (null otherwise). */
+  def affinityNm(c: Column): Column = {
+    val v = regexp_replace(trim(c), "[><=~,]", "").try_cast("double")
+    when(v > 0.0, v)
+  }
+
+  /** pX strength score (P19, reference:bindingdb/normalize.py:47-54):
+    * clamp((9 − log10(nM) − 4) / 6, 0, 1) — affinity to [0,1] strength. */
+  def pxStrength(nM: Column): Column =
+    greatest(least((lit(9.0) - log10(nM) - lit(4.0)) / lit(6.0), lit(1.0)),
+      lit(0.0))
+
+  /** Classification → score mapping with default (P19,
+    * reference:clingen/normalize.py:17-26): a when-chain over a literal
+    * dictionary, defaulting to 0.5. */
+  def classificationScore(c: Column, mapping: Map[String, Double],
+      default: Double = 0.5): Column =
+    mapping.foldLeft(lit(default)) { case (acc, (k, v)) =>
+      when(lower(trim(c)) === k.toLowerCase(java.util.Locale.ROOT), v)
+        .otherwise(acc)
+    }
+
   /** All document stats at once (single projection). */
   def docStats(text: Column): Seq[(String, Column)] = Seq(
     "n_tokens" -> tokenCount(text),

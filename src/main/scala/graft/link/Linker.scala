@@ -1,0 +1,70 @@
+package graft.link
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entity-link candidate re-ranking (north star: "batched entity-link
+  * scorer — trie/Aho-Corasick gazetteer broadcast + TF-IDF candidate
+  * re-ranking"; generalizes the reference's deterministic tie-breaking
+  * resolution, reference:src/kg_ae/tools/resolve.py:23-52).
+  *
+  * An ambiguous surface form maps to several candidate entities, each with
+  * a textual context profile. Score(candidate | page) =
+  * Σ_{t ∈ tokens(page) ∩ context(candidate)} idf(t), where
+  * idf(t) = ln(1 + N/df(t)) over the candidate-context corpus. The winner
+  * per (url, surface) is the max score; ties break on entity_id — fully
+  * deterministic.
+  *
+  * Shape at scale: contexts are dictionary-sized (≪ corpus) → broadcast
+  * joins against the exploded page-token stream; one aggregation keyed by
+  * (url, surface, entity) and a window max — no quadratic blowup.
+  */
+object Linker {
+
+  /** idf table from candidate contexts: (token, idf). */
+  def idf(contexts: DataFrame): DataFrame = {
+    val tokens = contexts.select(col("entity_id"),
+      explode(split(lower(col("context")), " ")).as("token"))
+      .where(length(col("token")) > 0).distinct()
+    val n = contexts.select(col("entity_id")).distinct().count()
+    tokens.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(1.0) + lit(n.toDouble) / col("df")))
+      .select("token", "idf")
+  }
+
+  /** Resolve ambiguous mentions.
+    * mentions: (url, norm)   — detected surfaces per page
+    * pages:    (url, text)   — cleaned page text
+    * candidates: (norm, entity_id) — surface → candidate entities (≥1 each)
+    * contexts: (entity_id, context) — space-separated context profile
+    * Returns (url, norm, entity_id, score) — one winner per (url, norm).
+    */
+  def rank(spark: SparkSession, mentions: DataFrame, pages: DataFrame,
+      candidates: DataFrame, contexts: DataFrame): DataFrame = {
+    val idfT = idf(contexts)
+    val ctxTokens = contexts.select(col("entity_id"),
+        explode(split(lower(col("context")), " ")).as("token"))
+      .where(length(col("token")) > 0).distinct()
+      .join(broadcast(idfT), "token")
+    val pageTokens = pages.select(col("url"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .distinct() // set semantics: a context word counts once per page
+    // only pages that actually carry an ambiguous mention matter
+    val mentionCand = mentions.select(col("url"), col("norm")).distinct()
+      .join(broadcast(candidates), "norm")
+    val scored = mentionCand
+      .join(pageTokens, "url")
+      .join(broadcast(ctxTokens), Seq("entity_id", "token"))
+      .groupBy("url", "norm", "entity_id")
+      .agg(sum(col("idf")).as("score"))
+    // candidates with zero overlap still compete (score 0)
+    val all = mentionCand.join(scored, Seq("url", "norm", "entity_id"), "left")
+      .na.fill(0.0, Seq("score"))
+    val w = Window.partitionBy(col("url"), col("norm"))
+      .orderBy(col("score").desc, col("entity_id").asc)
+    all.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select("url", "norm", "entity_id", "score")
+  }
+}

@@ -19,10 +19,13 @@ object MentionDetector {
 
   /** Per-row pure function: extracted text of a page (text column wins if
     * present, else decode html). The north-rule per-url invariant is defined
-    * on this output. */
+    * on this output. Served by the allocation-lean implementations
+    * (FastHtml / CleanText.cleanJava), fuzz-proved byte-identical to the
+    * regex spec (FastHtmlSpec, CleanTextExprSpec). */
   def extractText(p: Page): String =
-    if (p.text != null) TextExtractor.clean(p.text)
-    else TextExtractor.htmlToText(p.html)
+    if (p.text != null)
+      graft.functions.CleanText.cleanJava(p.text, TextExtractor.MaxChars)
+    else graft.extract.FastHtml.htmlToText(p.html, TextExtractor.MaxChars)
 
   /** Pure per-row mention scan over an already-cleaned text. */
   def mentionsOf(gaz: Gazetteer, url: String, text: String): Seq[Mention] = {

@@ -53,9 +53,13 @@ object Pipeline {
       s"${m.version}\n${m.upstream}\n${m.rows}")
   }
 
-  /** Run one stage: skip when committed with matching version+upstream. */
+  /** Run one stage: skip when committed with matching version+upstream.
+    * `partitionCols` hive-partitions the output (downstream point queries
+    * prune to matching directories — the sandbox stand-in for Iceberg
+    * partition transforms). */
   def runStage(spark: SparkSession, root: String, stage: String,
-      version: String, upstream: String)(body: => DataFrame): StageResult = {
+      version: String, upstream: String, partitionCols: Seq[String] = Nil)
+      (body: => DataFrame): StageResult = {
     val dir = Paths.get(root, stage)
     val t0 = System.nanoTime()
     readManifest(root, stage) match {
@@ -66,7 +70,9 @@ object Pipeline {
         val tmp = Paths.get(root, s".tmp_$stage")
         deleteRec(tmp)
         val df = body
-        df.write.mode("overwrite").parquet(tmp.toString)
+        val writer = df.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+         else writer).parquet(tmp.toString)
         val rows = spark.read.parquet(tmp.toString).count()
         deleteRec(dir)
         Files.createDirectories(dir.getParent)
@@ -126,7 +132,8 @@ object Pipeline {
     results += s3
 
     val up3 = fingerprint(root, Seq("pages", "triples", "vertices"))
-    val s4 = runStage(spark, root, "edges", CodeVersion, up3) {
+    val s4 = runStage(spark, root, "edges", CodeVersion, up3,
+        partitionCols = Seq("claim_type")) {
       val triples = spark.read.parquet(s"$root/triples")
         .as[graft.model.RawTriple]
       val vertices = spark.read.parquet(s"$root/vertices")

@@ -52,25 +52,31 @@ class CanonSpec extends AnyFunSuite {
     }.toMap
   }
 
-  test("ConnectedComponents matches union-find oracle on random graphs") {
+  test("ConnectedComponents (both paths) matches union-find oracle on random graphs") {
     (1 to 3).foreach { seed =>
       val rnd = new scala.util.Random(seed)
       val n = 200
       val edges = (0 until 150).map(_ =>
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter(e => e._1 != e._2)
-      val got = ConnectedComponents
-        .run(edges.toDF("src", "dst"))
-        .as[(Long, Long)].collect().toMap
       val want = ccOracle(edges)
-      assert(got == want, s"seed=$seed")
+      val local = ConnectedComponents
+        .run(edges.toDF("src", "dst")) // small → driver union-find path
+        .as[(Long, Long)].collect().toMap
+      assert(local == want, s"seed=$seed local path")
+      val dist = ConnectedComponents
+        .runDistributed(edges.toDF("src", "dst")) // forced scale path
+        .as[(Long, Long)].collect().toMap
+      assert(dist == want, s"seed=$seed distributed path")
     }
   }
 
-  test("ConnectedComponents: chain graph (worst-case diameter)") {
+  test("ConnectedComponents: chain graph (worst-case diameter), both paths") {
     val edges = (0L until 63L).map(i => (i, i + 1))
-    val got = ConnectedComponents.run(edges.toDF("src", "dst"))
-      .as[(Long, Long)].collect().toMap
-    assert(got == (0L to 63L).map(_ -> 0L).toMap)
+    val want = (0L to 63L).map(_ -> 0L).toMap
+    assert(ConnectedComponents.run(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap == want)
+    assert(ConnectedComponents.runDistributed(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap == want)
   }
 }

@@ -88,6 +88,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered jaccard join ≡ naive all-pairs join (exactness)") {
+    // naive quadratic oracle on the driver
+    val texts = docs.as[(Long, String)].collect()
+    def sh3(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val shs = texts.map { case (id, t) => id -> sh3(t) }.toMap
+    val thresholds = Seq(0.5, 0.8, 0.95)
+    thresholds.foreach { t =>
+      val want = (for {
+        (a, sa) <- shs.toSeq; (b, sb) <- shs.toSeq if a < b
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= t
+      } yield (a, b, j)).toSet
+      val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == want, s"threshold $t")
+    }
+  }
+
   test("simhash: identical texts → identical signatures; near → close") {
     val sigs = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
