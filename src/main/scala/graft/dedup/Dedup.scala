@@ -40,10 +40,15 @@ object Dedup {
     * 100 TB scan stays embarrassingly parallel. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64): DataFrame = {
-    val sh = shingles(col(textCol), k)
+    // materialize the shingle array ONCE per row in its own projection —
+    // referencing the shingles() expression inside all n signature columns
+    // would recompute it n times (CollapseProject keeps the split because
+    // the attribute is referenced n times, i.e. non-cheap multi-use)
+    val shingled = docs.select(col(idCol).as("doc_id"),
+      shingles(col(textCol), k).as("_sh"))
     val sigCols = (0 until numHashes).map(i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i)))).as(s"h$i"))
-    docs.select(col(idCol).as("doc_id") +: sigCols: _*)
+      array_min(transform(col("_sh"), s => xxhash64(s, lit(i)))).as(s"h$i"))
+    shingled.select(col("doc_id") +: sigCols: _*)
   }
 
   /** LSH candidate pairs from signatures: `bands` bands of
@@ -80,8 +85,14 @@ object Dedup {
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
+    // Cut lineage between stages: fusing the 64-column signature projection
+    // into the band/bucket/verify plan lets CollapseProject inline the
+    // shingle computation into every consumer (O(64×) recompute per row)
+    // and balloons optimization time. At cluster scale these cuts become
+    // persisted checkpoint tables (the pipeline's stage commits).
     val sigs = minhashSignatures(docs, idCol, textCol, k, numHashes)
-    val cands = lshCandidates(sigs, numHashes, bands)
+      .localCheckpoint(true)
+    val cands = lshCandidates(sigs, numHashes, bands).localCheckpoint(true)
     val verified = jaccardOnPairs(docs, cands, idCol, textCol, k)
       .where(col("jaccard") >= threshold)
     val comps = ConnectedComponents.run(

@@ -61,14 +61,25 @@ object GraphBuilder {
       vertices: DataFrame, gaz: Gazetteer): DataFrame = {
     import spark.implicits._
     // one claim row per (subj, pred, obj): frequency = #supporting pages,
-    // evidence = first EvidenceCap urls in sorted order (deterministic,
-    // bounded — never collect unbounded lists at 100 TB)
-    val claims = triples.toDF()
+    // evidence = first EvidenceCap urls in url-sorted order.
+    // Two-phase on purpose: a collect_set would buffer EVERY url of a hot
+    // claim in one aggregation buffer before capping (OOM at 100 TB for a
+    // boilerplate-hot subject). Instead the cap is enforced by a window
+    // rank over a spillable sort BEFORE any list materializes — per-claim
+    // state is bounded at EvidenceCap everywhere.
+    val stats = triples.toDF()
       .groupBy($"subj", $"pred", $"obj")
-      .agg(
-        count(lit(1)).as("frequency"),
-        slice(sort_array(collect_set($"url")), 1, EvidenceCap).as("evidence_urls"),
+      .agg(count(lit(1)).as("frequency"),
         min($"sentence").as("statement"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"subj", $"pred", $"obj").orderBy($"url")
+    val evidence = triples.toDF()
+      .select($"subj", $"pred", $"obj", $"url").distinct()
+      .withColumn("_rn", row_number().over(w))
+      .where($"_rn" <= EvidenceCap)
+      .groupBy($"subj", $"pred", $"obj")
+      .agg(sort_array(collect_list($"url")).as("evidence_urls"))
+    val claims = stats.join(evidence, Seq("subj", "pred", "obj"))
       .withColumn("strength_score",
         least(lit(1.0), col("frequency").cast("double") / 10.0))
     val claimKeys = KeyAssigner.assign(

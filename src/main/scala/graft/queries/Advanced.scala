@@ -195,6 +195,8 @@ object Advanced {
     // SimHash signatures + banded candidates (rows-only; semantics in spec).
     QueryDef("q35_simhash", (s, d) => {
       val sigs = Dedup.simhash(dupDocs(s, d), "doc_id", "text")
+        .localCheckpoint(true) // keep the signature aggregate out of the
+                               // band projections (plan-fusion recompute)
       Dedup.simhashCandidates(sigs)
     }, None),
 

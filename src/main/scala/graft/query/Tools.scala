@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -123,6 +123,25 @@ object Tools {
         max("frequency").as("max_frequency"))
       .orderBy(col("n_edges").desc, col("dst_key"))
   }
+
+  /** Evidence retrieval by claim (reference evidence tool:
+    * src/kg_ae/tools/ evidence fetch by claim_key; store._claims index). */
+  def evidenceForClaim(edges: DataFrame, claimKey: Long): DataFrame =
+    edges.where(col("claim_key") === claimKey)
+      .select(col("claim_key"), col("claim_type"), col("dataset"),
+        explode(col("evidence")).as("ev"))
+      .select(col("claim_key"), col("claim_type"), col("dataset"),
+        col("ev.evidence_type"), col("ev.source_record_id"),
+        col("ev.source_url"))
+
+  /** Path re-scoring policy (reference:src/kg_ae/tools/paths.py:182-259 +
+    * docs/scoring-policy.md:223-260): base score × source weight ×
+    * 0.95^hops length penalty × 1.2 multi-source bonus (≥2 distinct
+    * datasets supporting the path). Pure column arithmetic. */
+  def policyScore(baseScore: Column, hops: Column, nDistinctSources: Column,
+      sourceWeight: Column): Column =
+    baseScore * sourceWeight * pow(lit(0.95), hops) *
+      when(nDistinctSources >= 2, lit(1.2)).otherwise(lit(1.0))
 
   /** Window top-k per source — batched variant of per-key limits
     * (SURVEY T2/T3): for EVERY source at once, top-k destinations. */

@@ -72,12 +72,17 @@ object Ann {
       vecCol: String, k: Int, nBits: Int = 16, bands: Int = 4): DataFrame = {
     val r = nBits / bands
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame = {
-      val sig = rhpSignature(col(vec), nBits)
+      // materialize the signature once — band columns referencing the raw
+      // rhpSignature expression would recompute all nBits projections per
+      // band
+      val sigd = df.select(col(id), col(vec),
+        rhpSignature(col(vec), nBits).as("_sig"))
       val bandCols = (0 until bands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(sig, b * r).bitwiseAND(lit((1L << r) - 1)).as("bits"))
+          shiftright(col("_sig"), b * r).bitwiseAND(lit((1L << r) - 1))
+            .as("bits"))
       }
-      df.select(col(id), col(vec), explode(array(bandCols: _*)).as("bk"))
+      sigd.select(col(id), col(vec), explode(array(bandCols: _*)).as("bk"))
         .select(col(id), col(vec), col("bk.band").as("band"),
           col("bk.bits").as("bits"))
     }
@@ -104,14 +109,15 @@ object Ann {
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 16, bands: Int = 4): DataFrame = {
     val r = nBits / bands
-    val sig = rhpSignature(col(vecCol), nBits)
+    val sigd = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      rhpSignature(col(vecCol), nBits).as("_sig"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(sig, b * r).bitwiseAND(lit((1L << r) - 1)).as("bits"))
+        shiftright(col("_sig"), b * r).bitwiseAND(lit((1L << r) - 1))
+          .as("bits"))
     }
-    val bucketed = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        explode(array(bandCols: _*)).as("bk"))
+    val bucketed = sigd
+      .select(col("id"), col("v"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("v"), col("bk.band").as("band"),
         col("bk.bits").as("bits"))
     val a = bucketed.select(col("band"), col("bits"), col("id").as("id_a"),

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the optimizations the 100 TB design relies on
+  * must actually appear in the executed plans — filter pushdown to the
+  * parquet scan, partition pruning on the hive-partitioned edges table,
+  * broadcast joins for dimension sides, WholeStageCodegen on scan paths.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("predicate pushdown reaches the parquet scan (q02)") {
+    val plan = planOf(SparkEntry.queries("q02_filter_project")(spark, sf))
+    assert(plan.contains("PushedFilters:"), plan.take(800))
+    assert(plan.contains("EqualTo(l_returnflag,R)")
+      || plan.contains("l_returnflag"), plan.take(800))
+  }
+
+  test("column pruning: scan reads only projected columns (q02)") {
+    val plan = planOf(SparkEntry.queries("q02_filter_project")(spark, sf))
+    // ReadSchema must not include unprojected wide columns
+    assert(!plan.contains("l_extendedprice") || !plan.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey"),
+      "scan should not read unused columns")
+  }
+
+  test("dimension joins broadcast (q04, q41)") {
+    val p4 = planOf(SparkEntry.queries("q04_left_join_enrich")(spark, sf))
+    assert(p4.contains("BroadcastHashJoin") || p4.contains("BroadcastExchange"),
+      p4.take(500))
+    val p41 = planOf(SparkEntry.queries("q41_double_decode")(spark, sf))
+    assert(p41.contains("BroadcastHashJoin"), p41.take(500))
+  }
+
+  test("WholeStageCodegen covers the scan+project hot path (q15)") {
+    val plan = planOf(SparkEntry.queries("q15_text_clean")(spark, sf))
+    // executedPlan.toString marks codegen stages with a '*(n)' prefix
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      plan.take(500))
+  }
+
+  test("hive-partitioned edges table prunes partitions on claim_type") {
+    val root = Files.createTempDirectory("graft_prune").toString
+    graft.pipeline.Pipeline.run(spark, root, nPages = 150, partitions = 4)
+    val edges = spark.read.parquet(s"$root/edges")
+    val filtered = edges.where(col("claim_type") === "DRUG_AE")
+    val plan = planOf(filtered)
+    assert(plan.contains("PartitionFilters:") &&
+      plan.contains("claim_type"), plan.take(1000))
+    // pruning must actually reduce the partition count read
+    val scan = filtered.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(scan.exists(_.selectedPartitions.partitionCount == 1),
+      s"expected 1 pruned partition, got ${scan.map(_.selectedPartitions.partitionCount)}")
+  }
+
+  test("aggregations use partial (map-side) aggregation (q01)") {
+    val plan = planOf(SparkEntry.queries("q01_agg_pricing")(spark, sf))
+    // HashAggregate appears twice around the exchange: partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+  }
+}

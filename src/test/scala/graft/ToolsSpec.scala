@@ -88,6 +88,33 @@ class ToolsSpec extends AnyFunSuite {
     assert(sg.count() == 6)
   }
 
+  test("evidenceForClaim returns flattened provenance rows") {
+    val withEv = Seq(
+      graft.model.Edge("Drug", 1, "Gene", 1, "Claim", 42, "DRUG_TARGET",
+        0.9, 1.0, "r", "ds", Map.empty, Seq(
+          graft.model.Evidence("page", "r1", "http://u/1", "ds", Map.empty),
+          graft.model.Evidence("page", "r2", "http://u/2", "ds", Map.empty)))
+    ).toDS().toDF()
+    val ev = Tools.evidenceForClaim(withEv, 42).collect()
+    assert(ev.length == 2)
+    assert(ev.map(_.getAs[String]("source_url")).toSet ==
+      Set("http://u/1", "http://u/2"))
+    assert(Tools.evidenceForClaim(withEv, 99).isEmpty)
+  }
+
+  test("policyScore: weights, hop decay, multi-source bonus") {
+    val df = Seq(
+      (1.0, 2, 1, 1.0), // 2 hops, single source
+      (1.0, 2, 3, 1.0), // 2 hops, multi-source bonus
+      (0.5, 0, 1, 0.8)  // weighted, no hops
+    ).toDF("base", "hops", "nsrc", "w")
+    val got = df.select(Tools.policyScore(col("base"), col("hops"),
+      col("nsrc"), col("w"))).as[Double].collect()
+    assert(math.abs(got(0) - 0.95 * 0.95) < 1e-12)
+    assert(math.abs(got(1) - 0.95 * 0.95 * 1.2) < 1e-12)
+    assert(math.abs(got(2) - 0.4) < 1e-12)
+  }
+
   test("topKNeighborsAll: batched per-source window top-k") {
     val r = Tools.topKNeighborsAll(edges, 1)
       .where(col("src_type") === "Drug" && col("src_key") === 1
