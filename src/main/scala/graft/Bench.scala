@@ -39,12 +39,9 @@ object Bench {
     val spark = session(cpus)
     try {
       kgJob(spark, 2000, cpus) // warm-up, identical job shape
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        kgJob(spark, nDocs, cpus * 4)
-        (System.nanoTime() - t0) / 1e9
-      }
-      nDocs / times.min
+      val t0 = System.nanoTime()
+      kgJob(spark, nDocs, cpus * 4)
+      nDocs / ((System.nanoTime() - t0) / 1e9)
     } finally spark.stop()
   }
 
@@ -53,9 +50,10 @@ object Bench {
     * Alternating sessions bracket the noise; best-of per level. */
   private def kgScaling(levels: Seq[Int], nDocs: Long): Map[Int, Double] = {
     val best = scala.collection.mutable.Map.empty[Int, Double]
-    (1 to 2).foreach { _ =>
+    (1 to 3).foreach { round =>
       levels.foreach { c =>
         val t = kgThroughput(c, nDocs)
+        System.err.println(f"[bench] kg scaling round $round cpus=$c%-3d ${t}%.0f docs/s")
         best(c) = math.max(best.getOrElse(c, 0.0), t)
       }
     }

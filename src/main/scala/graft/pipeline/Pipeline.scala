@@ -101,11 +101,13 @@ object Pipeline {
   val CodeVersion = "v1" // bump to invalidate all stages
 
   /** The full KG pipeline over a synthesized pages corpus:
-    * pages → triples (extract+link fused, narrow) → vertices/edges
+    * pages → [optional page canonicalization: MinHash+LSH+CC boilerplate
+    * dedup keeps one canonical page per near-dup cluster] → triples
+    * (extract+link fused, narrow) → vertices/edges
     * (canonicalize+materialize) → validation + counters.
     */
   def run(spark: SparkSession, root: String, nPages: Long,
-      partitions: Int = 32): Seq[StageResult] = {
+      partitions: Int = 32, dedupPages: Boolean = false): Seq[StageResult] = {
     import spark.implicits._
     Files.createDirectories(Paths.get(root))
     val results = Seq.newBuilder[StageResult]
@@ -115,9 +117,36 @@ object Pipeline {
     }
     results += s1
 
-    val up1 = fingerprint(root, Seq("pages"))
+    val pagesStage = if (dedupPages) {
+      // boilerplate canonicalization (SURVEY §7.4 phase 2): extract text,
+      // minhash near-dup clusters, keep the min-url page per cluster
+      val up = fingerprint(root, Seq("pages"))
+      val sd = runStage(spark, root, "pages_canonical", CodeVersion, up) {
+        val pages = spark.read.parquet(s"$root/pages").as[Page]
+        val withText = pages.map(p =>
+            (p.url, graft.link.MentionDetector.extractText(p)))
+          .toDF("url", "text")
+        val clusters = graft.dedup.Dedup.minhashDedup(
+          withText.withColumn("doc_id",
+            xxhash64(col("url")).bitwiseAND(lit(Long.MaxValue))),
+          "doc_id", "text", k = 5, numHashes = 64, bands = 16,
+          threshold = 0.9)
+        val ids = withText.withColumn("doc_id",
+          xxhash64(col("url")).bitwiseAND(lit(Long.MaxValue)))
+        val keep = ids.join(clusters, Seq("doc_id"), "left")
+          .where(col("canonical_id").isNull ||
+            col("canonical_id") === col("doc_id"))
+          .select(col("url"))
+        spark.read.parquet(s"$root/pages")
+          .join(keep, Seq("url"), "left_semi")
+      }
+      results += sd
+      "pages_canonical"
+    } else "pages"
+
+    val up1 = fingerprint(root, Seq(pagesStage))
     val s2 = runStage(spark, root, "triples", CodeVersion, up1) {
-      val pages = spark.read.parquet(s"$root/pages").as[Page]
+      val pages = spark.read.parquet(s"$root/$pagesStage").as[Page]
       TripleExtractor.extract(spark, pages, PageSynth.gazetteer,
         PageSynth.RelationRules.toMap).toDF()
     }

@@ -70,6 +70,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(!c.skipped)
   }
 
+  test("page canonicalization stage: boilerplate clusters collapse") {
+    val root = Files.createTempDirectory("graft_pipeE").toString
+    val res = Pipeline.run(spark, root, nPages = 400, partitions = 8,
+      dedupPages = true)
+    assert(res.map(_.stage).contains("pages_canonical"))
+    val full = spark.read.parquet(s"$root/pages").count()
+    val canon = spark.read.parquet(s"$root/pages_canonical").count()
+    assert(canon < full, s"expected dedup to drop pages: $canon vs $full")
+    // triples from the deduped corpus are a subset of the full corpus run
+    val rootFull = Files.createTempDirectory("graft_pipeF").toString
+    Pipeline.run(spark, rootFull, nPages = 400, partitions = 8)
+    val tFull = spark.read.parquet(s"$rootFull/triples")
+      .select("subj", "pred", "obj", "url").collect().map(_.toString).toSet
+    val tDedup = spark.read.parquet(s"$root/triples")
+      .select("subj", "pred", "obj", "url").collect().map(_.toString).toSet
+    assert(tDedup.subsetOf(tFull) && tDedup.size < tFull.size)
+    // resumable: rerun skips everything
+    val res2 = Pipeline.run(spark, root, nPages = 400, partitions = 8,
+      dedupPages = true)
+    assert(res2.forall(_.skipped))
+  }
+
   test("counters table records per-stage lineage") {
     val root = Files.createTempDirectory("graft_pipeD").toString
     Pipeline.run(spark, root, nPages = 100, partitions = 4)
