@@ -66,12 +66,14 @@ object Bench {
     val spark = session(cpus)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timeOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        failed += name // machine-readable: emitted in the JSON, not just stderr
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -105,8 +107,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed_queries":$failedJson,""" +
       s""""sf":"$sfDir","kg_docs":$kgDocs,""" +
       s""""kg_docs_per_sec_${lowCpus}cores":${f"${thr(lowCpus)}%.1f"},""" +
       s""""kg_docs_per_sec_${midCpus}cores":${f"${thr(midCpus)}%.1f"},""" +

@@ -41,8 +41,12 @@ object KeyAssigner {
           .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(col("_pid"), col("_offset"))
+    // offsets is numPartitions rows — no static broadcast hint on purpose:
+    // AQE broadcasts it at runtime from its true size, and keeping the KG
+    // build free of compile-time hints lets PlanSpec assert that nothing
+    // fact-proportional (claim keys!) is ever hint-broadcast.
     localRank
-      .join(broadcast(offsets), Seq("_pid"))
+      .join(offsets, Seq("_pid"))
       .select(col(idCol), (col("_rn").cast("long") + col("_offset")).as("key"))
   }
 

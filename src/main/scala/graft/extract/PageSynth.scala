@@ -45,17 +45,20 @@ object PageSynth {
   val NumGenes = 30
   val NumAes = 20
   val NumDiseases = 15
+  val NumPathways = 12
 
   def drugName(i: Int) = s"zorvex$i"
   def geneName(i: Int) = s"gtx$i"
   def aeName(i: Int) = s"severe rash$i" // multi-word: exercises AC automaton
   def diseaseName(i: Int) = s"cold flux$i"
+  def pathwayName(i: Int) = s"wnt cascade$i"
 
   lazy val gazEntries: Seq[GazEntry] =
     (0 until NumDrugs).map(i => GazEntry(drugName(i), "Drug")) ++
     (0 until NumGenes).map(i => GazEntry(geneName(i), "Gene")) ++
     (0 until NumAes).map(i => GazEntry(aeName(i), "AdverseEvent")) ++
-    (0 until NumDiseases).map(i => GazEntry(diseaseName(i), "Disease"))
+    (0 until NumDiseases).map(i => GazEntry(diseaseName(i), "Disease")) ++
+    (0 until NumPathways).map(i => GazEntry(pathwayName(i), "Pathway"))
 
   lazy val gazetteer: Gazetteer = Gazetteer(gazEntries)
 
@@ -65,7 +68,8 @@ object PageSynth {
     "inhibits" -> (("DRUG_TARGET", "Drug", "Gene")),
     "causes" -> (("DRUG_AE", "Drug", "AdverseEvent")),
     "associated with" -> (("GENE_DISEASE", "Gene", "Disease")),
-    "interacts with" -> (("GENE_GENE", "Gene", "Gene")))
+    "interacts with" -> (("GENE_GENE", "Gene", "Gene")),
+    "participates in" -> (("GENE_PATHWAY", "Gene", "Pathway")))
 
   private val Noise = Array("the", "patient", "cohort", "study", "reported",
     "baseline", "clinical", "observed", "group", "trial", "dose", "placebo")
@@ -80,20 +84,30 @@ object PageSynth {
     if (draw(i, k, 10) < 3) 0 else draw(i, k + 1000, NumDrugs)
   }
 
-  /** Relation sentences for page i (pure; shared by generator and oracle). */
+  /** Relation sentences for page i (pure; shared by generator and oracle).
+    * Cases 4/5 plant the ternary DDI shape (Drug combined-with Drug
+    * jointly-cause AE → DrugCombination node, reference:src/kg_ae/graph/
+    * build.py:747-805) and Gene→Pathway membership. */
   def sentences(i: Long): Seq[String] = {
     val nSent = 2 + draw(i, 2, 4) // 2..5 relation sentences
     (0 until nSent).map { s =>
       val k = 10L + s * 7
-      draw(i, k, 4) match {
+      draw(i, k, 6) match {
         case 0 =>
           s"${drugName(drugIdx(i, k + 1))} inhibits ${geneName(draw(i, k + 2, NumGenes))}."
         case 1 =>
           s"${drugName(drugIdx(i, k + 1))} causes ${aeName(draw(i, k + 2, NumAes))}."
         case 2 =>
           s"${geneName(draw(i, k + 1, NumGenes))} associated with ${diseaseName(draw(i, k + 2, NumDiseases))}."
-        case _ =>
+        case 3 =>
           s"${geneName(draw(i, k + 1, NumGenes))} interacts with ${geneName(draw(i, k + 2, NumGenes))}."
+        case 4 =>
+          s"${geneName(draw(i, k + 1, NumGenes))} participates in ${pathwayName(draw(i, k + 2, NumPathways))}."
+        case _ =>
+          val a = drugIdx(i, k + 1)
+          val b0 = draw(i, k + 2, NumDrugs)
+          val b = if (b0 == a) (b0 + 1) % NumDrugs else b0
+          s"${drugName(a)} combined with ${drugName(b)} jointly cause ${aeName(draw(i, k + 3, NumAes))}."
       }
     }
   }

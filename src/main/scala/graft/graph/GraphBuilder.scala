@@ -30,6 +30,19 @@ object GraphBuilder {
 
   case class Graph(vertices: DataFrame, edges: DataFrame)
 
+  /** Node type of a label: gazetteer lookup, else the sorted-pair
+    * combination rule — a label "a + b" whose two members are both Drugs is
+    * a DrugCombination node (reference:src/kg_ae/graph/build.py:757-791:
+    * combo nodes keyed by the sorted drug pair). */
+  def nodeTypeOf(gaz: Gazetteer, label: String): String =
+    gaz.nodeType(label).getOrElse {
+      val parts = label.split(" \\+ ", -1)
+      if (parts.length == 2 &&
+          parts.forall(p => gaz.nodeType(p).contains("Drug")))
+        "DrugCombination"
+      else "Unknown"
+    }
+
   /** node label table: (node_type, label) distinct from gazetteer + observed
     * triple endpoints (exact-label merge = lower/trim, already normalized by
     * the detector). */
@@ -38,7 +51,7 @@ object GraphBuilder {
     val bGaz = spark.sparkContext.broadcast(gaz)
     val endpoints = triples.flatMap(t => Seq(t.subj, t.obj))
       .distinct()
-      .map(l => (bGaz.value.nodeType(l).getOrElse("Unknown"), l))
+      .map(l => (nodeTypeOf(bGaz.value, l), l))
       .toDF("node_type", "label")
       .where($"node_type" =!= "Unknown")
     // dense keys PER TYPE (reference keyspaces are per node type)
@@ -87,18 +100,23 @@ object GraphBuilder {
       .withColumnRenamed("key", "claim_key")
     val withClaimKey = claims
       .withColumn("ck", concat_ws("", $"subj", $"pred", $"obj"))
-      .join(broadcast(claimKeys), "ck")
+      .join(claimKeys, "ck")
       .drop("ck")
     // endpoint resolution: inner join against per-type key tables (J6 drop
-    // semantics); vertex dim is small vs triples → broadcast
+    // semantics). NO broadcast hints here: (a) the claim-key table above is
+    // FACT-proportional (one row per distinct claim, billions at 100 TB) and
+    // broadcasting it would OOM — the shuffle join co-partitions on ck;
+    // (b) the vertex table is gazetteer-bounded in this corpus, but a
+    // web-scale entity vocabulary reaches hundreds of millions of labels —
+    // AQE picks broadcast at runtime only when the build side is truly small.
     val vk = vertices.select($"node_type", $"label", $"key")
     val src = vk.select($"node_type".as("src_type"), $"label".as("subj"),
       $"key".as("src_key"))
     val dst = vk.select($"node_type".as("dst_type"), $"label".as("obj"),
       $"key".as("dst_key"))
     withClaimKey
-      .join(broadcast(src), Seq("subj"))
-      .join(broadcast(dst), Seq("obj"))
+      .join(src, Seq("subj"))
+      .join(dst, Seq("obj"))
       .select(
         $"src_type", $"src_key", $"dst_type", $"dst_key",
         lit("Claim").as("edge"),
@@ -113,12 +131,52 @@ object GraphBuilder {
           lit("page").as("evidence_type"),
           u.as("source_record_id"),
           u.as("source_url"),
-          lit("synthetic_web").as("dataset"))).as("evidence"))
+          lit("synthetic_web").as("dataset"),
+          map().cast("map<string,string>").as("payload"))).as("evidence"))
+  }
+
+  /** DRUG_LABEL self-loop edges: one per Drug with ≥1 DRUG_AE claim,
+    * carrying label text in the evidence PAYLOAD map — the engine analogue
+    * of the reference's openFDA label sections stored on Drug→Drug self
+    * edges (reference:src/kg_ae/graph/build.py:600-641, served by
+    * tools/adverse_events.py:148-177). Claim keys use the negative drug-key
+    * space so they never collide with dense claim keys (≥1). */
+  def buildLabelEdges(spark: SparkSession, triples: Dataset[RawTriple],
+      vertices: DataFrame): DataFrame = {
+    import spark.implicits._
+    val perDrug = triples.toDF()
+      .where($"pred" === "DRUG_AE")
+      .groupBy($"subj")
+      .agg(count(lit(1)).cast("double").as("frequency"),
+        min($"sentence").as("section_text"),
+        min($"url").as("src_url"))
+    val drugKeys = vertices.where($"node_type" === "Drug")
+      .select($"label".as("subj"), $"key")
+    perDrug.join(drugKeys, Seq("subj"))
+      .select(
+        lit("Drug").as("src_type"), $"key".as("src_key"),
+        lit("Drug").as("dst_type"), $"key".as("dst_key"),
+        lit("DrugLabel").as("edge"),
+        (-$"key").as("claim_key"),
+        lit("DRUG_LABEL").as("claim_type"),
+        lit(1.0).as("strength_score"),
+        $"frequency",
+        lit("HAS_LABEL").as("relation"),
+        lit("synthetic_web").as("dataset"),
+        map(lit("brand_name"), $"subj").as("meta"),
+        array(struct(
+          lit("label").as("evidence_type"),
+          $"src_url".as("source_record_id"),
+          $"src_url".as("source_url"),
+          lit("synthetic_web").as("dataset"),
+          map(lit("adverse_reactions"), $"section_text").as("payload")))
+          .as("evidence"))
   }
 
   def build(spark: SparkSession, triples: Dataset[RawTriple], gaz: Gazetteer): Graph = {
     val v = buildVertices(spark, triples, gaz)
     val e = buildEdges(spark, triples, v, gaz)
+      .unionByName(buildLabelEdges(spark, triples, v))
     Graph(v, e)
   }
 }

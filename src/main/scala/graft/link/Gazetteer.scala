@@ -33,8 +33,14 @@ class AhoCorasick private (
     val out: Array[Int],
     val patterns: Array[String]) extends Serializable {
 
+  // Word chars = [0-9A-Za-z_] exactly — the RE2/\b class. Keeping this
+  // ASCII-only (not Character.isLetterOrDigit) pins the boundary semantics
+  // to the oracle's regex definition: '_' is a word char, non-ASCII letters
+  // are boundaries. (ADVICE r1: Unicode-aware boundaries diverged from the
+  // q28/q29 \b oracle on '_'/non-ASCII-adjacent terms.)
   @inline private def isWordChar(c: Char): Boolean =
-    Character.isLetterOrDigit(c)
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
+    (c >= 'A' && c <= 'Z') || c == '_'
 
   /** All boundary-valid raw hits as (begin, end) over lowered text, then
     * leftmost-longest non-overlap selection. Returns (begin, end, patternIdx).

@@ -59,7 +59,26 @@ object TripleExtractor {
   /** phrase(lowercase) → (claim_type, subjType, objType) */
   type Rules = Map[String, (String, String, String)]
 
-  def triplesOf(gaz: Gazetteer, rules: Rules, url: String, text: String): Seq[RawTriple] = {
+  /** Ternary relation pattern `m1 <phrase1> m2 <phrase2> m3` with node types
+    * (t1, t2, t3), modeled the reference way (reference:src/kg_ae/graph/
+    * build.py:747-805): two membership claims m1/m2 → combo plus one
+    * combo → m3 claim, where the combo node is keyed by the SORTED pair of
+    * member labels so the same pair always reuses one node (SURVEY A11). */
+  case class TernaryRule(phrase1: String, phrase2: String,
+      t1: String, t2: String, t3: String,
+      memberClaim: String, tailClaim: String)
+
+  /** The DDI rule: Drug combined-with Drug jointly-cause AdverseEvent. */
+  val DdiRule: TernaryRule = TernaryRule("combined with", "jointly cause",
+    "Drug", "Drug", "AdverseEvent", "DRUG_IN_COMBINATION", "DDI_AE_TWOSIDES")
+
+  /** Sorted-pair combination label (A11: least/greatest, so ("b","a") and
+    * ("a","b") canonicalize to one node — reference build.py:757-791). */
+  def comboLabel(a: String, b: String): String =
+    if (a <= b) s"$a + $b" else s"$b + $a"
+
+  def triplesOf(gaz: Gazetteer, rules: Rules, url: String, text: String,
+      ternary: Option[TernaryRule] = Some(DdiRule)): Seq[RawTriple] = {
     val ms = MentionDetector.mentionsOf(gaz, url, text)
     if (ms.size < 2) return Nil
     val out = Seq.newBuilder[RawTriple]
@@ -80,13 +99,37 @@ object TripleExtractor {
       }
       i += 1
     }
+    ternary.foreach { r =>
+      var j = 0
+      while (j < ms.size - 2) {
+        val m1 = ms(j); val m2 = ms(j + 1); val m3 = ms(j + 2)
+        val g1 = text.substring(m1.end, m2.begin)
+        val g2 = text.substring(m2.end, m3.begin)
+        if (!g1.contains('.') && !g2.contains('.') &&
+            g1.trim.toLowerCase(java.util.Locale.ROOT) == r.phrase1 &&
+            g2.trim.toLowerCase(java.util.Locale.ROOT) == r.phrase2 &&
+            m1.norm != m2.norm &&
+            gaz.nodeType(m1.norm).contains(r.t1) &&
+            gaz.nodeType(m2.norm).contains(r.t2) &&
+            gaz.nodeType(m3.norm).contains(r.t3)) {
+          val combo = comboLabel(m1.norm, m2.norm)
+          val sentence =
+            text.substring(m1.begin, math.min(text.length, m3.end + 1))
+          out += RawTriple(m1.norm, r.memberClaim, combo, url, sentence)
+          out += RawTriple(m2.norm, r.memberClaim, combo, url, sentence)
+          out += RawTriple(combo, r.tailClaim, m3.norm, url, sentence)
+        }
+        j += 1
+      }
+    }
     out.result()
   }
 
   /** Distributed: pages (optionally language-filtered) → raw triples.
     * Narrow transform; dictionary broadcast; no shuffle. */
   def extract(spark: SparkSession, pages: Dataset[Page], gaz: Gazetteer,
-      rules: Rules, langFilter: Option[String] = Some("en")): Dataset[RawTriple] = {
+      rules: Rules, langFilter: Option[String] = Some("en"),
+      ternary: Option[TernaryRule] = Some(DdiRule)): Dataset[RawTriple] = {
     import spark.implicits._
     val bGaz = spark.sparkContext.broadcast(gaz)
     val bRules = spark.sparkContext.broadcast(rules)
@@ -95,7 +138,8 @@ object TripleExtractor {
       case None => pages
     }
     filtered.flatMap { p =>
-      triplesOf(bGaz.value, bRules.value, p.url, MentionDetector.extractText(p))
+      triplesOf(bGaz.value, bRules.value, p.url,
+        MentionDetector.extractText(p), ternary)
     }
   }
 }

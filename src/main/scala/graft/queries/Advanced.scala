@@ -127,10 +127,13 @@ object Advanced {
       WITH RECURSIVE docs AS (
         SELECT doc_id, text FROM documents
         UNION ALL SELECT doc_id + 100000, text FROM documents),
-      toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM docs),
-      sh AS (SELECT DISTINCT doc_id,
-               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
-             FROM toks, UNNEST(generate_series(1, len(ts) - 4)) AS u(i)),
+      toks AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM docs),
+      sh AS (SELECT DISTINCT doc_id, s FROM (
+               SELECT doc_id,
+                 ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+               FROM toks, UNNEST(generate_series(1, len(ts) - 4)) AS u(i)
+               UNION ALL  -- short-doc rule: whole text is the only shingle
+               SELECT doc_id, text AS s FROM toks WHERE len(ts) < 5)),
       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -154,10 +157,12 @@ object Advanced {
       WITH docs AS (
         SELECT doc_id, text FROM documents
         UNION ALL SELECT doc_id + 100000, text FROM documents),
-      toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM docs),
-      sh AS (SELECT DISTINCT doc_id,
-               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-             FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)),
+      toks AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM docs),
+      sh AS (SELECT DISTINCT doc_id, s FROM (
+               SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+               FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+               UNION ALL  -- short-doc rule: whole text is the only shingle
+               SELECT doc_id, text AS s FROM toks WHERE len(ts) < 3)),
       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

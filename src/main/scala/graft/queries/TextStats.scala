@@ -220,8 +220,9 @@ object TextStats {
         .select(col("user_id"), col("event_id"), col("session_idx"))
     }, Some("""
       SELECT user_id, event_id,
-        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_idx
       FROM (
         SELECT user_id, event_id, ts,
           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -36,7 +36,18 @@ class KgPipelineSpec extends AnyFunSuite {
       } else {
         PageSynth.sentences(i).flatMap { s =>
           val noDot = s.stripSuffix(".")
-          PageSynth.RelationRules.collectFirst {
+          if (noDot.contains(" combined with ") &&
+              noDot.contains(" jointly cause ")) {
+            // ternary DDI: Drug combined-with Drug jointly-cause AE →
+            // 2 membership triples + 1 combo→AE triple, sorted-pair combo
+            val Array(a, rest) = noDot.split(" combined with ", 2)
+            val Array(b, ae) = rest.split(" jointly cause ", 2)
+            val combo = if (a <= b) s"$a + $b" else s"$b + $a"
+            Seq(
+              (a, "DRUG_IN_COMBINATION", combo, PageSynth.url(i)),
+              (b, "DRUG_IN_COMBINATION", combo, PageSynth.url(i)),
+              (combo, "DDI_AE_TWOSIDES", ae, PageSynth.url(i)))
+          } else PageSynth.RelationRules.collectFirst {
             case (phrase, (claim, _, _)) if noDot.contains(s" $phrase ") =>
               val Array(subj, obj) = noDot.split(s" $phrase ")
               (subj, claim, obj, PageSynth.url(i))
@@ -108,6 +119,64 @@ class KgPipelineSpec extends AnyFunSuite {
     val e1 = canonE(g.edges)
     val e2 = canonE(g2.edges)
     assert(e2.exceptAll(e1).isEmpty && e1.exceptAll(e2).isEmpty)
+  }
+
+  test("all 6 reference node types + DDI/pathway/label claims materialize") {
+    import spark.implicits._
+    val pages = PageSynth.pages(spark, 400)
+    val triples = TripleExtractor.extract(spark, pages, PageSynth.gazetteer,
+      PageSynth.RelationRules.toMap)
+    val g = GraphBuilder.build(spark, triples, PageSynth.gazetteer)
+    Validator.validateOrThrow(g.vertices, g.edges)
+    val types = g.vertices.select("node_type").distinct()
+      .as[String].collect().toSet
+    assert(types == Validator.AllowedNodeTypes) // all 6, incl. combos+pathways
+    val claims = g.edges.select("claim_type").distinct()
+      .as[String].collect().toSet
+    assert(Set("DRUG_IN_COMBINATION", "DDI_AE_TWOSIDES", "GENE_PATHWAY",
+      "DRUG_LABEL", "DRUG_AE", "DRUG_TARGET").subsetOf(claims))
+    // sorted-pair combo invariant: every combo label is "a + b" with a <= b
+    val combos = g.vertices.where(col("node_type") === "DrugCombination")
+      .select("label").as[String].collect()
+    assert(combos.nonEmpty)
+    combos.foreach { c =>
+      val Array(a, b) = c.split(" \\+ "); assert(a <= b, c)
+    }
+    // DDI traversable end-to-end: Drug→Combo and Combo→AE edges both exist
+    assert(g.edges.where(col("claim_type") === "DDI_AE_TWOSIDES"
+      && col("src_type") === "DrugCombination"
+      && col("dst_type") === "AdverseEvent").count() > 0)
+  }
+
+  test("claim keys: ambiguous concatenations get distinct keys") {
+    import spark.implicits._
+    // ("ab","c","d") and ("a","bc","d") concatenate identically without a
+    // separator — the NUL-separated claim identity must keep them distinct
+    val gaz = graft.link.Gazetteer(Seq(
+      graft.link.GazEntry("ab", "Drug"), graft.link.GazEntry("a", "Drug"),
+      graft.link.GazEntry("d", "Gene")))
+    val triples = Seq(
+      graft.model.RawTriple("ab", "c", "d", "u1", "s1"),
+      graft.model.RawTriple("a", "bc", "d", "u2", "s2")).toDS()
+    val v = GraphBuilder.buildVertices(spark, triples, gaz)
+    val e = GraphBuilder.buildEdges(spark, triples, v, gaz)
+    assert(e.select("claim_key").distinct().count() == 2)
+  }
+
+  test("KG build plan carries no static broadcast hints (scale guard)") {
+    import spark.implicits._
+    val pages = PageSynth.pages(spark, 50)
+    val triples = TripleExtractor.extract(spark, pages, PageSynth.gazetteer,
+      PageSynth.RelationRules.toMap)
+    val g = GraphBuilder.build(spark, triples, PageSynth.gazetteer)
+    // The claim-key table is fact-proportional; a hinted broadcast there
+    // OOMs at 100 TB. AQE may still broadcast truly-small sides at runtime
+    // — that's adaptive and fine; what must never appear is a compile-time
+    // hint. (analyzed plan: ResolvedHint/UnresolvedHint nodes; optimized
+    // plan: JoinHint annotations)
+    val plans = Seq(g.edges.queryExecution.analyzed.toString,
+      g.edges.queryExecution.optimizedPlan.toString)
+    plans.foreach(p => assert(!p.toLowerCase.contains("broadcast"), p.take(500)))
   }
 
   test("multi-word + prefix-overlap mention semantics (leftmost-longest)") {
