@@ -75,7 +75,7 @@ object ConnectedComponents {
       localThreshold: Long = 2000000L): DataFrame = {
     val base = symmetrize(edges).localCheckpoint(true)
     if (base.count() <= localThreshold) runLocal(base)
-    else runDistributed(base, maxIter)
+    else loop(base, maxIter) // base already symmetric + lineage-cut
   }
 
   /** Driver union-find over a (small) symmetric edge list. */
@@ -102,23 +102,36 @@ object ConnectedComponents {
     spark.createDataFrame(out).toDF("id", "component")
   }
 
-  /** The scale path: alternating star rounds, O(log n) iterations. */
-  def runDistributed(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    // cut the upstream lineage ONCE — every iteration (and the final id
-    // scan) reads the checkpointed edge list, never the producing pipeline
-    val base = symmetrize(edges).localCheckpoint(true)
+  /** Rounds taken by the last distributed run — test introspection only. */
+  @volatile private[graft] var lastRounds: Int = 0
+
+  /** The scale path: alternating star rounds, O(log n) iterations.
+    * Accepts arbitrary (possibly oriented) edges; symmetrizes + cuts
+    * lineage once, then iterates. */
+  def runDistributed(edges: DataFrame, maxIter: Int = 25): DataFrame =
+    loop(symmetrize(edges).localCheckpoint(true), maxIter)
+
+  /** Iteration core. `base` MUST be symmetric and lineage-cut — callers
+    * guarantee it, so round 1 skips the redundant symmetrize+distinct that
+    * used to run twice (r1 verdict: double symmetrize/checkpoint). Later
+    * rounds re-symmetrize because small-star emits oriented edges. */
+  private def loop(base: DataFrame, maxIter: Int): DataFrame = {
     var e = base
+    var eIsSymmetric = true
     var prev = (-1L, -1L)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(symmetrize(e))).localCheckpoint(true)
+      val in = if (eIsSymmetric) e else symmetrize(e)
+      val next = smallStar(largeStar(in)).localCheckpoint(true)
+      eIsSymmetric = false
       val cs = checksum(next)
       converged = cs == prev
       prev = cs
       e = next
       iter += 1
     }
+    lastRounds = iter
     // After convergence every edge points node → component root (min id).
     val members = e.groupBy("src").agg(min(col("dst")).as("component"))
       .select(col("src").as("id"), col("component"))

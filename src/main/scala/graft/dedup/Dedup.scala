@@ -15,13 +15,39 @@ import graft.canon.ConnectedComponents
 object Dedup {
 
   /** Exact dedup: canonical row per identical `textCol` = min idCol.
-    * One hash aggregation; at 100 TB group on xxhash64(text) first so the
-    * shuffle key is 8 bytes, then resolve rare collisions on full text. */
-  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    docs.groupBy(col(textCol))
-      .agg(min(col(idCol)).as("canonical_id"),
-        count(lit(1)).as("n_dups"))
+    * Hash-first grouping: the shuffle key is xxhash64(text) — 8 bytes
+    * instead of the document body — with a collision re-check. Groups whose
+    * members disagree on a second, independent hash contain ≥2 distinct
+    * texts; ONLY those rare rows are re-grouped on the full text (broadcast
+    * semi-join of the collided hash set, then an agg over a near-empty
+    * input). Two texts colliding on BOTH 64-bit hashes (~2⁻¹²⁸) are
+    * accepted as equal — the standard content-hash dedup contract. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactWithHashes(docs, idCol, textCol,
+      t => xxhash64(t), t => xxhash64(t, lit(7)))
+
+  /** [[exact]] with injectable hash functions (tests force collisions to
+    * pin the full-text fallback path). */
+  private[graft] def exactWithHashes(docs: DataFrame, idCol: String,
+      textCol: String, h1: Column => Column, h2: Column => Column): DataFrame = {
+    val hashed = docs.select(col(idCol).as("_id"), col(textCol).as("_text"))
+      .withColumn("_h", h1(col("_text")))
+      .withColumn("_h2", h2(col("_text")))
+    val agg = hashed.groupBy("_h").agg(
+      min(col("_id")).as("canonical_id"),
+      count(lit(1)).as("n_dups"),
+      min(col("_h2")).as("_a"), max(col("_h2")).as("_b"))
+    val clean = agg.where(col("_a") === col("_b"))
       .select(col("canonical_id"), col("n_dups"))
+    val collidedHashes = agg.where(col("_a") =!= col("_b")).select(col("_h"))
+    // second pass over the source gated by the (near-empty) collided set —
+    // broadcast semi-join filters map-side, so the rescan shuffles ~nothing
+    val resolved = hashed
+      .join(broadcast(collidedHashes), Seq("_h"), "left_semi")
+      .groupBy(col("_text"))
+      .agg(min(col("_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+      .select(col("canonical_id"), col("n_dups"))
+    clean.unionByName(resolved)
   }
 
   /** Word k-gram shingles of a text column as an array column. */
@@ -57,15 +83,32 @@ object Dedup {
     * truncated deterministically by doc id — a documented recall/skew
     * trade; log the drop in callers if needed). */
   def lshCandidates(signatures: DataFrame, numHashes: Int = 64,
-      bands: Int = 16, bucketCap: Int = 50): DataFrame = {
+      bands: Int = 16, bucketCap: Int = 50): DataFrame =
+    pairsFromBuckets(lshBuckets(signatures, numHashes, bands), bucketCap)
+
+  /** (doc_id, band, sig) bucket assignment from a signature frame. */
+  def lshBuckets(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"h$i"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
     }
-    val buckets = signatures
+    signatures
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** Distinct candidate pairs (i < j) within each bucket. `bucketCap > 0`
+    * truncates hot buckets to the cap lowest doc ids (deterministic) —
+    * callers must surface the drop (see minhashDedup's logged counter);
+    * `bucketCap <= 0` uses a capless self-join (no truncation). */
+  def pairsFromBuckets(buckets: DataFrame, bucketCap: Int): DataFrame = {
+    if (bucketCap <= 0) {
+      val a = buckets.select(col("band"), col("sig"), col("doc_id").as("id_a"))
+      val b = buckets.select(col("band"), col("sig"), col("doc_id").as("id_b"))
+      return a.join(b, Seq("band", "sig")).where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
     val capped = buckets
       .groupBy("band", "sig")
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, bucketCap)
@@ -80,24 +123,64 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash near-dup end-to-end: signatures → LSH candidates → exact
-    * Jaccard verify → connected components → (doc_id, canonical_id). */
+  /** MinHash near-dup end-to-end: exact-duplicate pre-collapse → signatures
+    * → LSH candidates → exact Jaccard verify → connected components →
+    * (doc_id, canonical_id).
+    *
+    * The pre-collapse is the key scale (and correctness-at-scale) move:
+    * byte-identical texts — the bulk of web duplicates (boilerplate) —
+    * share identical signatures, so they all land in the SAME buckets and
+    * a 10k-copy boilerplate cluster alone blows the per-bucket pair
+    * expansion (and previously overflowed the bucket cap, silently losing
+    * members). Collapsing each distinct text to its min-id representative
+    * first makes LSH see each text once; members rejoin at the end with
+    * their representative's component. Output is identical to running LSH
+    * over the raw corpus (exact dups have Jaccard 1 ≥ any threshold).
+    *
+    * Hot-bucket truncation among the remaining distinct-text reps is
+    * counted and logged (never silent): see the `[dedup] lsh dropped`
+    * stderr line. */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
-    // Cut lineage between stages: fusing the 64-column signature projection
-    // into the band/bucket/verify plan lets CollapseProject inline the
-    // shingle computation into every consumer (O(64×) recompute per row)
-    // and balloons optimization time. At cluster scale these cuts become
-    // persisted checkpoint tables (the pipeline's stage commits).
-    val sigs = minhashSignatures(docs, idCol, textCol, k, numHashes)
+      threshold: Double = 0.8, bucketCap: Int = 50): DataFrame = {
+    // 1. exact pre-collapse: one hash agg; members table is (id, rep, n)
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("_text"))
+    val groups = base.groupBy("_text")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+    val members = base.join(groups, "_text")
+      .select(col("doc_id"), col("rep"), col("n"))
       .localCheckpoint(true)
-    val cands = lshCandidates(sigs, numHashes, bands).localCheckpoint(true)
-    val verified = jaccardOnPairs(docs, cands, idCol, textCol, k)
+    val repDocs = groups.select(col("rep").as("doc_id"), col("_text"))
+      .localCheckpoint(true)
+    // 2. LSH over representatives only. Lineage cuts between stages: fusing
+    // the 64-column signature projection into the band/bucket/verify plan
+    // lets CollapseProject inline the shingle computation into every
+    // consumer (O(64×) recompute per row). At cluster scale these cuts are
+    // persisted checkpoint tables (the pipeline's stage commits).
+    val sigs = minhashSignatures(repDocs, "doc_id", "_text", k, numHashes)
+      .localCheckpoint(true)
+    val buckets = lshBuckets(sigs, numHashes, bands)
+    val dropped = buckets.groupBy("band", "sig").count()
+      .where(col("count") > bucketCap)
+      .agg(coalesce(sum(col("count") - bucketCap), lit(0L))).head().getLong(0)
+    if (dropped > 0) System.err.println(
+      s"[dedup] lsh dropped $dropped bucket slots over cap=$bucketCap " +
+        "(recall exposure — raise bucketCap or pre-collapse more)")
+    val cands = pairsFromBuckets(buckets, bucketCap).localCheckpoint(true)
+    val verified = jaccardOnPairs(repDocs, cands, "doc_id", "_text", k)
       .where(col("jaccard") >= threshold)
     val comps = ConnectedComponents.run(
       verified.select(col("id_a").as("src"), col("id_b").as("dst")))
-    comps.select(col("id").as("doc_id"), col("component").as("canonical_id"))
+    // 3. rejoin members: a doc is a duplicate iff its text group has ≥2
+    // members or its rep is in a near-dup component. component roots are
+    // min rep ids == min member ids (reps are per-group minima).
+    members
+      .join(comps.select(col("id").as("rep"), col("component")), Seq("rep"),
+        "left")
+      .where(col("n") >= 2 || col("component").isNotNull)
+      .select(col("doc_id"),
+        coalesce(col("component"), col("rep")).as("canonical_id"))
   }
 
   /** Exact pairwise Jaccard for given candidate pairs. */
@@ -172,18 +255,56 @@ object Dedup {
     docs.selectExpr(s"$idCol AS doc_id", s"($sigSql) AS simhash")
   }
 
+  /** Portable 32-bit SimHash: identical shape to [[simhash]] but the
+    * per-token value is the first 8 hex chars of md5(token) — a hash an
+    * external SQL engine can recompute exactly (the driver's DuckDB oracle
+    * does), making the whole signature oracle-checkable. Same narrow
+    * array-HOF pipeline: token values materialized once, one aggregate pass
+    * for the 32 bit-counts, one fold into the signature. */
+  def simhashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigSql =
+      s"""aggregate(
+            zip_with(
+              aggregate(
+                transform(
+                  filter(split($textCol, ' '), t -> length(t) > 0),
+                  t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)),
+                array_repeat(0L, 32),
+                (acc, v) -> zip_with(acc, sequence(0, 31),
+                  (a, i) -> a + IF((shiftright(v, i) & 1L) = 1L, 1L, -1L))),
+              sequence(0, 31),
+              (c, i) -> IF(c > 0L, shiftleft(1L, i), 0L)),
+            0L, (s, x) -> s | x)"""
+    docs.selectExpr(s"$idCol AS doc_id", s"($sigSql) AS simhash")
+  }
+
   /** SimHash near-dup candidates: docs whose signatures match on any of the
-    * four 16-bit bands differ by ≤ ~3 bits with high probability. */
-  def simhashCandidates(sigs: DataFrame): DataFrame = {
-    val bands = (0 until 4).map { b =>
+    * `bands` bands of `bitsPerBand` bits. `bucketCap > 0` truncates hot
+    * buckets to the first cap doc ids (id-sorted, deterministic) — the
+    * dropped-candidate count is LOGGED by callers via
+    * [[bucketOverflowCount]], never silent. `bucketCap <= 0` switches to a
+    * capless bucket self-join: no truncation, no per-bucket list buffering —
+    * the exhaustive (and still bucket-bounded) 100 TB shape. */
+  def simhashCandidates(sigs: DataFrame, bands: Int = 4,
+      bitsPerBand: Int = 16, bucketCap: Int = 50): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bits"))
+        shiftright(col("simhash"), b * bitsPerBand)
+          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bits"))
     }
     val buckets = sigs.select(col("doc_id"),
-        explode(array(bands: _*)).as("bk"))
+        explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bits").as("bits"))
-    buckets.groupBy("band", "bits")
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 50).as("ids"))
+    if (bucketCap <= 0) {
+      val a = buckets.select(col("band"), col("bits"), col("doc_id").as("id_a"))
+      val b = buckets.select(col("band"), col("bits"), col("doc_id").as("id_b"))
+      a.join(b, Seq("band", "bits"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    } else buckets.groupBy("band", "bits")
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, bucketCap)
+        .as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(expr(
         "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))

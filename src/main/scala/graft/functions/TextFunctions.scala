@@ -75,6 +75,19 @@ object TextFunctions {
       (acc, t) => pmod(acc * lit(base) + pmod(xxhash64(t), lit(p)), lit(p)))
   }
 
+  /** Portable rolling fingerprint: same polynomial-mod-prime structure as
+    * [[fingerprint]] but the per-token value is the first 8 hex chars of
+    * md5(token) — recomputable by external SQL engines (the driver's DuckDB
+    * oracle), so the fingerprint op is oracle-checkable end-to-end. Splits
+    * on single spaces (empty tokens included) to keep the mirror trivial. */
+  def fingerprintPortable(text: Column): Column = {
+    val p = 1000000007L
+    val vals = transform(split(text, " "),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    aggregate(vals, lit(0L),
+      (acc, v) => pmod(acc * lit(31L) + v, lit(p)))
+  }
+
   /** Affinity string → nM parse (P18, reference:src/kg_ae/datasets/
     * bindingdb/normalize.py:33-44): strip `>`, `<`, `=`, `~` and commas,
     * tolerant float cast, positive-only (null otherwise). */

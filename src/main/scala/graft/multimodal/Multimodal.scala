@@ -36,6 +36,25 @@ object Multimodal {
     }
   }
 
+  /** Media table derived from the `documents` corpus: payload = the
+    * document's UTF-8 bytes (stand-in for a WARC media payload whose size
+    * an external oracle can recompute as octet_length), kind cycled by id.
+    * Makes the binary-column plumbing oracle-checkable: the driver's DuckDB
+    * gate verifies (media_id, kind, n_bytes) while the decode stub stays
+    * spec-tested. */
+  def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio"
+          else "video"
+        val payload = if (text == null) Array.emptyByteArray
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, kind, payload, 16 + (id % 64).toInt, 16 + (id % 48).toInt,
+          8000 + (id % 3).toInt * 8000)
+    }
+  }
+
   /** STUB decode: a real implementation would decode the codec here.
     * The fake derives a fixed-size feature vector deterministically from
     * payload bytes, so downstream plumbing (schema, batching, similarity)

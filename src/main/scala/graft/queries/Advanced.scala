@@ -188,35 +188,100 @@ object Advanced {
         WHERE q.vec_id < 8)
       WHERE rank <= 5""")),
 
-    // LSH-bucketed ANN (hash-family internals → rows-only; recall measured
-    // against the brute-force baseline in AnnSpec).
+    // LSH-bucketed ANN with a coordinate-sign hyperplane family so the
+    // bucketing itself is oracle-checkable (the xxhash-RHP family stays the
+    // scale default; its recall is measured vs brute force in AnnSpec).
     QueryDef("q25_ann_lsh", (s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.where(col("vec_id") < 8)
-      Ann.lshTopK(emb, queries, "vec_id", "embedding", k = 5)
+      Ann.lshTopK(emb, queries, "vec_id", "embedding", k = 5, nBits = 32,
+        bands = 4, sigFn = Ann.coordSignSignature)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
-    }, None),
+    }, Some("""
+      WITH buckets AS (
+        SELECT e.vec_id, b.band,
+          CAST(SUM(CASE WHEN e.embedding[b.band * 8 + j.j + 1] > 0
+            THEN (1::BIGINT << j.j) ELSE 0 END) AS BIGINT) AS bits
+        FROM embeddings e,
+             (SELECT unnest(range(4)) AS band) b,
+             (SELECT unnest(range(8)) AS j) j
+        GROUP BY e.vec_id, b.band),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buckets q JOIN buckets c ON q.band = c.band AND q.bits = c.bits
+        WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT cand.query_id, cand.neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY cand.query_id
+            ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                     cand.neighbor_id) AS rank
+        FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+                  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+      SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""")),
 
-    // SimHash signatures + banded candidates (rows-only; semantics in spec).
+    // Portable SimHash (md5-derived token values) + 2×16-bit banded
+    // candidates, capless self-join variant — fully oracle-checked. The
+    // xxhash 64-bit simhash stays the scale default (DedupSpec).
     QueryDef("q35_simhash", (s, d) => {
-      val sigs = Dedup.simhash(dupDocs(s, d), "doc_id", "text")
+      val sigs = Dedup.simhashPortable(dupDocs(s, d), "doc_id", "text")
         .localCheckpoint(true) // keep the signature aggregate out of the
                                // band projections (plan-fusion recompute)
-      Dedup.simhashCandidates(sigs)
-    }, None),
+      Dedup.simhashCandidates(sigs, bands = 2, bitsPerBand = 16,
+        bucketCap = 0)
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM docs),
+      vals AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS v
+               FROM toks WHERE len(tok) > 0),
+      bits AS (SELECT doc_id, i.i AS i,
+                 SUM(CASE WHEN (v >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+               FROM vals, (SELECT unnest(range(32)) AS i) i
+               GROUP BY 1, 2),
+      sig0 AS (SELECT doc_id,
+                 CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                   AS BIGINT) AS simhash
+               FROM bits GROUP BY 1),
+      sig AS (SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT)
+                AS simhash
+              FROM docs d LEFT JOIN sig0 s USING (doc_id)),
+      buckets AS (SELECT doc_id, b.b AS band,
+                    (simhash >> (b.b * 16)) & 65535 AS bits
+                  FROM sig, (SELECT unnest(range(2)) AS b) b)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id""")),
 
-    // 64-bit rolling fingerprint (xxhash-based → rows-only).
+    // Portable rolling fingerprint (md5 token values, polynomial mod-prime)
+    // — oracle-checked; the xxhash variant stays the library default.
     QueryDef("q36_fingerprint", (s, d) => {
       t(s, d, "documents").select(col("doc_id"),
-        TextFunctions.fingerprint(col("text")).as("fingerprint"))
-    }, None),
+        TextFunctions.fingerprintPortable(col("text")).as("fingerprint"))
+    }, Some("""
+      SELECT doc_id, list_reduce(
+        list_prepend(0::BIGINT,
+          list_transform(string_split(text, ' '),
+            t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
+        (h, t) -> (h * 31 + t) % 1000000007) AS fingerprint
+      FROM documents""")),
 
-    // Multimodal: binary payload plumbing + stubbed decode (rows-only).
+    // Multimodal: binary payload plumbing over documents-derived media —
+    // metadata surface (media_id, kind, n_bytes) oracle-checked; the
+    // decode stub stays spec-only.
     QueryDef("q37_multimodal", (s, d) => {
-      val media = Multimodal.syntheticMedia(s, 200)
+      val media = Multimodal.fromDocuments(s, t(s, d, "documents"))
       Multimodal.extractFeatures(s, media)
         .toDF().select(col("media_id"), col("kind"), col("n_bytes"))
-    }, None),
+    }, Some("""
+      SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio'
+             ELSE 'video' END AS kind,
+        CAST(octet_length(encode(text)) AS INT) AS n_bytes
+      FROM documents""")),
 
     // Flagship: the full KG pipeline (synth pages → extract → link →
     // triples) — rows-only here; P/R vs the pure oracle is asserted in

@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.query.PathTools
+
+import QueryDef.t
+
+/** Driver-oracle-checkable coverage of the reference tool layer
+  * (reference:src/kg_ae/tools/) — the tools are generic DataFrame programs
+  * over (vertices, edges), so they run unchanged over a typed property
+  * graph DERIVED FROM the deterministic TPC-H tables, which DuckDB can
+  * reconstruct exactly. Mapping:
+  *
+  *   supplier → Drug        part → Gene        p_brand → Disease (as-is)
+  *   upper(p_brand) → AdverseEvent   (same concept, two "ontologies" with
+  *     different casing — exactly the situation the J8 label-equality join
+  *     exists for, reference:src/kg_ae/tools/paths.py:98-111)
+  *   p_type → Pathway       order → DrugCombination (suppliers that appear
+  *     on one order are "co-prescribed"; membership bounded to
+  *     l_suppkey ≤ 30 to keep pair fan-out proportional at every sf)
+  *
+  * Claim granularity: one DRUG_TARGET edge per (supplier, part,
+  * returnflag) — multiple claims per drug–gene pair, so dedup-by-gene and
+  * claim counting are actually exercised. Fixture-graph semantics are
+  * covered in PathToolsSpec; these queries pin the SAME code against the
+  * DuckDB gate at data scale.
+  */
+object GraphQueries {
+
+  private def brandKey(c: org.apache.spark.sql.Column) =
+    substring(c, 7, 10).cast("long")
+  private def prioKey(c: org.apache.spark.sql.Column) =
+    substring(c, 1, 1).cast("long") + 1000L
+
+  /** Typed vertex table (node_type, key, label). */
+  def tpchVertices(s: SparkSession, d: String): DataFrame = {
+    val part = t(s, d, "part")
+    val drugs = t(s, d, "supplier").select(lit("Drug").as("node_type"),
+      col("s_suppkey").as("key"), col("s_name").as("label"))
+    val genes = part.select(lit("Gene").as("node_type"),
+      col("p_partkey").as("key"), col("p_name").as("label"))
+    val aesBrand = part.select(brandKey(col("p_brand")).as("key"),
+      upper(col("p_brand")).as("label")).distinct()
+      .select(lit("AdverseEvent").as("node_type"), col("key"), col("label"))
+    val aesPrio = t(s, d, "orders")
+      .select(prioKey(col("o_orderpriority")).as("key"),
+        col("o_orderpriority").as("label")).distinct()
+      .select(lit("AdverseEvent").as("node_type"), col("key"), col("label"))
+    val diseases = part.select(brandKey(col("p_brand")).as("key"),
+      col("p_brand").as("label")).distinct()
+      .select(lit("Disease").as("node_type"), col("key"), col("label"))
+    val pathways = pathwayKeys(s, d)
+      .select(lit("Pathway").as("node_type"), col("key"),
+        col("p_type").as("label"))
+    val combos = t(s, d, "orders").select(
+      lit("DrugCombination").as("node_type"), col("o_orderkey").as("key"),
+      concat(lit("combo "), col("o_orderkey")).as("label"))
+    drugs.unionByName(genes).unionByName(aesBrand).unionByName(aesPrio)
+      .unionByName(diseases).unionByName(pathways).unionByName(combos)
+  }
+
+  /** Dense pathway keys: rank of p_type in sort order (6 values). */
+  private def pathwayKeys(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select("p_type").distinct()
+      .withColumn("key",
+        row_number().over(Window.orderBy("p_type")).cast("long"))
+
+  /** Typed edge table in the GraphBuilder schema (minus evidence). */
+  def tpchEdges(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val part = t(s, d, "part")
+    val orders = t(s, d, "orders")
+    def edgeRow(df: DataFrame, st: String, sk: String, dt: String,
+        dk: String, claim: String, strength: org.apache.spark.sql.Column,
+        freq: org.apache.spark.sql.Column,
+        variant: org.apache.spark.sql.Column = lit("")): DataFrame =
+      df.select(
+        lit(st).as("src_type"), col(sk).cast("long").as("src_key"),
+        lit(dt).as("dst_type"), col(dk).cast("long").as("dst_key"),
+        lit(claim).as("edge"),
+        xxhash64(lit(st), col(sk), lit(dt), col(dk), lit(claim), variant)
+          .as("claim_key"),
+        lit(claim).as("claim_type"),
+        strength.cast("double").as("strength_score"),
+        freq.cast("double").as("frequency"),
+        lit(claim).as("relation"),
+        lit("tpch").as("dataset"),
+        map().cast("map<string,string>").as("meta"))
+    val drugTarget = edgeRow(
+      li.groupBy("l_suppkey", "l_partkey", "l_returnflag")
+        .agg(count(lit(1)).as("n")),
+      "Drug", "l_suppkey", "Gene", "l_partkey", "DRUG_TARGET",
+      lit(0.9), col("n"), col("l_returnflag"))
+    val drugAe = edgeRow(
+      li.join(part, col("p_partkey") === col("l_partkey"))
+        .where(col("l_quantity") >= 49)
+        .groupBy(col("l_suppkey"), brandKey(col("p_brand")).as("bk"))
+        .agg(count(lit(1)).as("n")),
+      "Drug", "l_suppkey", "AdverseEvent", "bk", "DRUG_AE",
+      lit(0.7), col("n"))
+    val geneDisease = edgeRow(
+      part.select(col("p_partkey"), brandKey(col("p_brand")).as("bk"),
+        (col("p_size") / lit(50.0)).as("sc")),
+      "Gene", "p_partkey", "Disease", "bk", "GENE_DISEASE",
+      col("sc"), lit(1.0))
+    val genePathway = edgeRow(
+      part.join(pathwayKeys(s, d), "p_type")
+        .select(col("p_partkey"), col("key").as("pk")),
+      "Gene", "p_partkey", "Pathway", "pk", "GENE_PATHWAY",
+      lit(0.9), lit(1.0))
+    val membership = edgeRow(
+      li.where(col("l_suppkey") <= 30)
+        .select("l_suppkey", "l_orderkey").distinct(),
+      "Drug", "l_suppkey", "DrugCombination", "l_orderkey",
+      "DRUG_IN_COMBINATION", lit(0.5), lit(1.0))
+    val ddiAe = edgeRow(
+      orders.select(col("o_orderkey"),
+        prioKey(col("o_orderpriority")).as("ak"), col("o_totalprice")),
+      "DrugCombination", "o_orderkey", "AdverseEvent", "ak",
+      "DDI_AE_TWOSIDES", col("o_totalprice"), lit(1.0))
+    drugTarget.unionByName(drugAe).unionByName(geneDisease)
+      .unionByName(genePathway).unionByName(membership).unionByName(ddiAe)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J8: batched Drug→AE paths — direct edges ∪ label-equality two-hop.
+    QueryDef("q42_label_paths", (s, d) => {
+      val e = tpchEdges(s, d)
+      val v = tpchVertices(s, d)
+      val direct = e.where(col("claim_type") === "DRUG_AE")
+        .select(col("src_key").as("drug_key"), col("dst_key").as("ae_key"),
+          col("frequency").as("direct_score"))
+      val drugGene = e.where(col("claim_type") === "DRUG_TARGET")
+        .select(col("src_key").as("drug_key"), col("dst_key").as("gene_key"))
+        .distinct()
+      val geneDisease = e.where(col("claim_type") === "GENE_DISEASE")
+        .groupBy(col("src_key").as("gene_key"),
+          col("dst_key").as("disease_key"))
+        .agg(max("strength_score").as("score"))
+      val diseases = v.where(col("node_type") === "Disease")
+        .select(col("key").as("disease_key"), col("label").as("disease_label"))
+      val aes = v.where(col("node_type") === "AdverseEvent")
+        .select(col("key").as("ae_key"), col("label").as("ae_label"))
+      PathTools.labelEqualityPaths(direct, drugGene, geneDisease, diseases,
+        aes)
+    }, Some("""
+      WITH dg AS (SELECT DISTINCT l_suppkey AS drug_key,
+                    l_partkey AS gene_key FROM lineitem),
+      gd AS (SELECT p_partkey AS gene_key,
+               CAST(substr(p_brand, 7) AS BIGINT) AS disease_key,
+               p_size / 50.0 AS score FROM part),
+      dis AS (SELECT DISTINCT CAST(substr(p_brand, 7) AS BIGINT)
+                AS disease_key, p_brand AS disease_label FROM part),
+      aes AS (SELECT DISTINCT CAST(substr(p_brand, 7) AS BIGINT) AS ae_key,
+                upper(p_brand) AS ae_label FROM part
+              UNION
+              SELECT DISTINCT CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                + 1000, o_orderpriority FROM orders),
+      direct AS (SELECT l_suppkey AS drug_key,
+                   CAST(substr(p_brand, 7) AS BIGINT) AS ae_key,
+                   CAST(COUNT(*) AS DOUBLE) AS direct_score
+                 FROM lineitem JOIN part ON p_partkey = l_partkey
+                 WHERE l_quantity >= 49 GROUP BY 1, 2)
+      SELECT drug_key, ae_key, gene_key, hops, score, evidence_count FROM (
+        SELECT drug_key, ae_key, CAST(NULL AS BIGINT) AS gene_key,
+          1 AS hops, direct_score AS score, 1 AS evidence_count FROM direct
+        UNION ALL
+        SELECT dg.drug_key, a.ae_key, dg.gene_key, 3 AS hops,
+          COALESCE(gd.score, 0.5) * 0.9 AS score, 2 AS evidence_count
+        FROM dg JOIN gd USING (gene_key)
+          JOIN dis USING (disease_key)
+          JOIN aes a
+            ON lower(trim(dis.disease_label)) = lower(trim(a.ae_label)))""")),
+
+    // P8: prefix / starts-with filter (reference:src/kg_ae/datasets/hpo/
+    // parse.py:186-190, clingen/parse.py:93 shape).
+    QueryDef("q43_prefix_filter", (s, d) => {
+      t(s, d, "part").where(col("p_name").startsWith("red"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    }, Some("""
+      SELECT p_partkey, p_name, p_brand FROM part
+      WHERE p_name LIKE 'red%'""")),
+
+    // DDI tool, batched: every drug pair sharing a combination → AE fan-out.
+    QueryDef("q44_ddi_all", (s, d) => {
+      PathTools.drugDrugInteractionsAll(tpchEdges(s, d), tpchVertices(s, d))
+    }, Some("""
+      WITH mem AS (SELECT DISTINCT l_suppkey AS drug_key,
+                     l_orderkey AS combo_key
+                   FROM lineitem WHERE l_suppkey <= 30),
+      cae AS (SELECT o_orderkey AS combo_key,
+                CAST(substr(o_orderpriority, 1, 1) AS BIGINT) + 1000 AS ae_key,
+                o_totalprice AS prr, o_orderpriority AS ae_label FROM orders)
+      SELECT a.drug_key AS drug_a_key, b.drug_key AS drug_b_key,
+        c.ae_key, c.ae_label, c.prr
+      FROM mem a JOIN mem b
+        ON a.combo_key = b.combo_key AND a.drug_key < b.drug_key
+      JOIN cae c ON c.combo_key = a.combo_key""")),
+
+    // Drug profile: drug + targets + top-20 AEs in one answer.
+    QueryDef("q45_drug_profile", (s, d) => {
+      PathTools.drugProfile(tpchEdges(s, d), tpchVertices(s, d), 1L)
+    }, Some("""
+      WITH tgt AS (SELECT DISTINCT l_partkey FROM lineitem
+                   WHERE l_suppkey = 1),
+      dae AS (SELECT CAST(substr(p_brand, 7) AS BIGINT) AS key,
+                upper(p_brand) AS label, CAST(COUNT(*) AS DOUBLE) AS frequency
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE l_suppkey = 1 AND l_quantity >= 49 GROUP BY 1, 2)
+      SELECT 'drug' AS section, s_suppkey AS key, s_name AS label,
+        CAST(NULL AS DOUBLE) AS frequency FROM supplier WHERE s_suppkey = 1
+      UNION ALL
+      SELECT 'target', l_partkey, p_name, CAST(NULL AS DOUBLE)
+      FROM tgt JOIN part ON p_partkey = l_partkey
+      UNION ALL
+      SELECT * FROM (SELECT 'adverse_event', key, label, frequency
+                     FROM dae ORDER BY frequency DESC, label LIMIT 20)""")),
+
+    // Subgraph with node labels + evidence-weighted edge scores.
+    QueryDef("q46_subgraph_props", (s, d) => {
+      PathTools.subgraphWithProps(tpchEdges(s, d), tpchVertices(s, d),
+        "Drug", 1L, hops = 2)
+    }, Some("""
+      WITH drug AS (SELECT s_suppkey, s_name FROM supplier
+                    WHERE s_suppkey = 1),
+      tgt AS (SELECT DISTINCT l_partkey, l_returnflag FROM lineitem
+              WHERE l_suppkey = 1),
+      genes AS (SELECT DISTINCT l_partkey FROM tgt),
+      myorders AS (SELECT DISTINCT l_orderkey FROM lineitem
+                   WHERE l_suppkey = 1),
+      pk AS (SELECT p_type,
+               CAST(row_number() OVER (ORDER BY p_type) AS BIGINT) AS key
+             FROM (SELECT DISTINCT p_type FROM part))
+      SELECT 'Drug' AS src_type, CAST(1 AS BIGINT) AS src_key,
+        d.s_name AS src_label, 'Gene' AS dst_type, t.l_partkey AS dst_key,
+        p.p_name AS dst_label, 'DRUG_TARGET' AS claim_type,
+        0.9::DOUBLE * 1.0::DOUBLE AS weight
+      FROM tgt t JOIN part p ON p.p_partkey = t.l_partkey CROSS JOIN drug d
+      UNION ALL
+      SELECT 'Drug', 1, d.s_name, 'AdverseEvent',
+        CAST(substr(p_brand, 7) AS BIGINT), upper(p_brand), 'DRUG_AE',
+        0.7::DOUBLE * 0.7::DOUBLE
+      FROM (SELECT DISTINCT p_brand FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE l_suppkey = 1 AND l_quantity >= 49) CROSS JOIN drug d
+      UNION ALL
+      SELECT 'Drug', 1, d.s_name, 'DrugCombination', o.l_orderkey,
+        'combo ' || o.l_orderkey, 'DRUG_IN_COMBINATION', 0.5::DOUBLE * 0.5::DOUBLE
+      FROM myorders o CROSS JOIN drug d
+      UNION ALL
+      SELECT 'Gene', g.l_partkey, p.p_name, 'Disease',
+        CAST(substr(p.p_brand, 7) AS BIGINT), p.p_brand, 'GENE_DISEASE',
+        (p.p_size / 50.0) * 0.8::DOUBLE
+      FROM genes g JOIN part p ON p.p_partkey = g.l_partkey
+      UNION ALL
+      SELECT 'Gene', g.l_partkey, p.p_name, 'Pathway', pk.key, p.p_type,
+        'GENE_PATHWAY', 0.9::DOUBLE * 0.9::DOUBLE
+      FROM genes g JOIN part p ON p.p_partkey = g.l_partkey
+      JOIN pk ON pk.p_type = p.p_type
+      UNION ALL
+      SELECT 'DrugCombination', o.l_orderkey, 'combo ' || o.l_orderkey,
+        'AdverseEvent', CAST(substr(os.o_orderpriority, 1, 1) AS BIGINT)
+        + 1000, os.o_orderpriority, 'DDI_AE_TWOSIDES', os.o_totalprice * 0.5::DOUBLE
+      FROM myorders o JOIN orders os ON os.o_orderkey = o.l_orderkey""")),
+
+    // Mechanism expansion: targets (claim-counted) + their pathways.
+    QueryDef("q47_mechanism", (s, d) => {
+      PathTools.expandMechanism(tpchEdges(s, d), tpchVertices(s, d), 1L)
+    }, Some("""
+      WITH tgt AS (SELECT l_partkey AS key,
+                     CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_claims
+                   FROM lineitem WHERE l_suppkey = 1 GROUP BY 1),
+      pw AS (SELECT DISTINCT p.p_type FROM tgt t
+             JOIN part p ON p.p_partkey = t.key),
+      pk AS (SELECT p_type,
+               CAST(row_number() OVER (ORDER BY p_type) AS BIGINT) AS key
+             FROM (SELECT DISTINCT p_type FROM part))
+      SELECT 'target' AS kind, t.key, p_name AS label, n_claims
+      FROM tgt t JOIN part ON p_partkey = t.key
+      UNION ALL
+      SELECT 'pathway', pk.key, pw.p_type, CAST(NULL AS BIGINT)
+      FROM pw JOIN pk USING (p_type)""")),
+
+    // P12: list-of-struct extraction — first matching element
+    // (reference:src/kg_ae/datasets/opentargets/normalize.py:83-95 shape:
+    // element_at(filter(col, pred), 1)).
+    QueryDef("q48_struct_extract", (s, d) => {
+      val items = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice")))).as("items"))
+      val firstR = try_element_at(
+        filter(col("items"), x => x.getField("l_returnflag") === lit("R")),
+        lit(1))
+      items.select(col("l_orderkey"),
+        firstR.getField("l_linenumber").as("first_r_line"),
+        firstR.getField("l_extendedprice").as("first_r_price"))
+        .where(col("first_r_line").isNotNull)
+    }, Some("""
+      SELECT l_orderkey, l_linenumber AS first_r_line,
+        l_extendedprice AS first_r_price
+      FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+              row_number() OVER (PARTITION BY l_orderkey
+                ORDER BY l_linenumber, l_returnflag, l_extendedprice) AS rn
+            FROM lineitem WHERE l_returnflag = 'R')
+      WHERE rn = 1"""))
+  )
+}

@@ -65,18 +65,32 @@ object Ann {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** nBits-bit coordinate-sign signature: bit p = (vec[p] > 0). A
+    * hyperplane family of coordinate axes — weaker separation than random
+    * hyperplanes but exactly reproducible by external SQL engines (the
+    * driver's DuckDB oracle recomputes it), so the LSH bucketing itself is
+    * oracle-checkable, not just spec-checked. */
+  def coordSignSignature(vec: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { p =>
+      when(element_at(vec, p + 1) > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
   /** LSH ANN: bucket corpus + queries by signature band, exact-rerank only
     * within shared buckets. `bands` bands of nBits/bands signature bits;
-    * recall grows with bands (multi-probe analogue). */
+    * recall grows with bands (multi-probe analogue). `sigFn` picks the
+    * hyperplane family (default: hash-derived random hyperplanes). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nBits: Int = 16, bands: Int = 4): DataFrame = {
+      vecCol: String, k: Int, nBits: Int = 16, bands: Int = 4,
+      sigFn: (Column, Int) => Column = rhpSignature): DataFrame = {
     val r = nBits / bands
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame = {
       // materialize the signature once — band columns referencing the raw
       // rhpSignature expression would recompute all nBits projections per
       // band
       val sigd = df.select(col(id), col(vec),
-        rhpSignature(col(vec), nBits).as("_sig"))
+        sigFn(col(vec), nBits).as("_sig"))
       val bandCols = (0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("_sig"), b * r).bitwiseAND(lit((1L << r) - 1))

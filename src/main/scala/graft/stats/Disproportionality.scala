@@ -45,10 +45,13 @@ object Disproportionality {
       } else {
         // explicit two-phase salted aggregation for extreme hot pairs; the
         // per-row salt spreads one hot (exposure, outcome) over saltBuckets
-        // reducers — final sums are salt-invariant, so determinism holds
+        // reducers — final sums are salt-invariant, so determinism holds.
+        // Salt = spark_partition_id(), NOT monotonically_increasing_id():
+        // a grouping key must be stable under task retries, and the
+        // partition id is (the row-index counter inside mii is not).
         pairs
           .groupBy(e.as("exposure"), o.as("outcome"),
-            pmod(xxhash64(monotonically_increasing_id()),
+            pmod(spark_partition_id().cast("long"),
               lit(saltBuckets.toLong)).as("_salt"))
           .agg(count(lit(1)).as("_partial"))
           .groupBy(col("exposure"), col("outcome"))

@@ -78,5 +78,10 @@ class CanonSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap == want)
     assert(ConnectedComponents.runDistributed(edges.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap == want)
+    // O(log n) convergence guard: a 64-node chain must finish well inside
+    // the bound (star rounds roughly halve the diameter per iteration);
+    // regression here means the round structure broke
+    assert(ConnectedComponents.lastRounds <= 10,
+      s"chain took ${ConnectedComponents.lastRounds} rounds")
   }
 }

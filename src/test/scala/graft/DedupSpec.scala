@@ -37,6 +37,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains(1000L)) // copies fold into the base id
   }
 
+  test("exact dedup: hash-first output == text-grouped baseline; " +
+      "forced-collision fallback path") {
+    import org.apache.spark.sql.Column
+    val baseline = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_dups"))
+      .select("canonical_id", "n_dups")
+      .as[(Long, Long)].collect().toSet
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(got == baseline)
+    // force EVERY row into one hash group: the second hash disagrees, so
+    // the full-text fallback must resolve all of them — output unchanged
+    val collided = Dedup.exactWithHashes(docs, "doc_id", "text",
+      (_: Column) => lit(1L), t => xxhash64(t))
+      .as[(Long, Long)].collect().toSet
+    assert(collided == baseline)
+  }
+
   /** naive driver-side Jaccard on word 5-gram shingle sets */
   private def jac(a: String, b: String, k: Int): Double = {
     def sh(t: String) = t.split(" ").sliding(k).map(_.mkString(" ")).toSet
