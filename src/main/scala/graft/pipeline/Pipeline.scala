@@ -98,7 +98,7 @@ object Pipeline {
       .map(m => s"${m.stage}:${m.version}:${m.rows}").getOrElse("?"))
       .mkString("|")
 
-  val CodeVersion = "v1" // bump to invalidate all stages
+  val CodeVersion = "v2" // bump to invalidate all stages
 
   /** The full KG pipeline over a synthesized pages corpus:
     * pages → [optional page canonicalization: MinHash+LSH+CC boilerplate
@@ -167,6 +167,7 @@ object Pipeline {
         .as[graft.model.RawTriple]
       val vertices = spark.read.parquet(s"$root/vertices")
       GraphBuilder.buildEdges(spark, triples, vertices, PageSynth.gazetteer)
+        .unionByName(GraphBuilder.buildLabelEdges(spark, triples, vertices))
     }
     results += s4
 

@@ -176,14 +176,18 @@ object GraphQueries {
           JOIN aes a
             ON lower(trim(dis.disease_label)) = lower(trim(a.ae_label)))""")),
 
-    // P8: prefix / starts-with filter (reference:src/kg_ae/datasets/hpo/
-    // parse.py:186-190, clingen/parse.py:93 shape).
+    // P8 prefix / starts-with filter (reference:src/kg_ae/datasets/hpo/
+    // parse.py:186-190, clingen/parse.py:93 shape) + P7 membership isin
+    // (reference:ctd/parse.py direct-evidence gate shape).
     QueryDef("q43_prefix_filter", (s, d) => {
-      t(s, d, "part").where(col("p_name").startsWith("red"))
+      t(s, d, "part")
+        .where(col("p_name").startsWith("red")
+          && col("p_type").isin("PROMO", "ECONOMY", "SMALL"))
         .select(col("p_partkey"), col("p_name"), col("p_brand"))
     }, Some("""
       SELECT p_partkey, p_name, p_brand FROM part
-      WHERE p_name LIKE 'red%'""")),
+      WHERE p_name LIKE 'red%'
+        AND p_type IN ('PROMO', 'ECONOMY', 'SMALL')""")),
 
     // DDI tool, batched: every drug pair sharing a combination → AE fan-out.
     QueryDef("q44_ddi_all", (s, d) => {
