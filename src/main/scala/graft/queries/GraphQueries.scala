@@ -289,6 +289,33 @@ object GraphQueries {
       SELECT 'pathway', pk.key, pw.p_type, CAST(NULL AS BIGINT)
       FROM pw JOIN pk USING (p_type)""")),
 
+    // Embedding-cosine near-dup pairs (the embedding leg of the dedup
+    // suite) via the oracle-checkable coordinate-sign LSH family; pairs
+    // only in the output (raw float cosines hash differently across
+    // engines; the spec checks values).
+    QueryDef("q49_embed_neardup", (s, d) => {
+      graft.similarity.Ann.cosineNearDupPairs(t(s, d, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4, nBits = 32, bands = 4,
+        sigFn = graft.similarity.Ann.coordSignSignature)
+        .select(col("id_a"), col("id_b"))
+    }, Some("""
+      WITH buckets AS (
+        SELECT e.vec_id, b.band,
+          CAST(SUM(CASE WHEN e.embedding[b.band * 8 + j.j + 1] > 0
+            THEN (1::BIGINT << j.j) ELSE 0 END) AS BIGINT) AS bits
+        FROM embeddings e,
+             (SELECT unnest(range(4)) AS band) b,
+             (SELECT unnest(range(8)) AS j) j
+        GROUP BY e.vec_id, b.band),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b FROM cand
+      JOIN embeddings x ON x.vec_id = id_a
+      JOIN embeddings y ON y.vec_id = id_b
+      WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4""")),
+
     // P12: list-of-struct extraction — first matching element
     // (reference:src/kg_ae/datasets/opentargets/normalize.py:83-95 shape:
     // element_at(filter(col, pred), 1)).

@@ -121,10 +121,11 @@ object Ann {
   /** Embedding-cosine near-duplicate pairs above a threshold via LSH
     * buckets (the embedding leg of the dedup suite). */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 16, bands: Int = 4): DataFrame = {
+      threshold: Double, nBits: Int = 16, bands: Int = 4,
+      sigFn: (Column, Int) => Column = rhpSignature): DataFrame = {
     val r = nBits / bands
     val sigd = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      rhpSignature(col(vecCol), nBits).as("_sig"))
+      sigFn(col(vecCol), nBits).as("_sig"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("_sig"), b * r).bitwiseAND(lit((1L << r) - 1))
