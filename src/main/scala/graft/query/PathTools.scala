@@ -273,6 +273,58 @@ object PathTools {
     self.unionByName(targets).unionByName(aes)
   }
 
+  /** Source label → gene–disease claim type (mechanism.py:158-166). */
+  val DiseaseGeneClaimTypes: Map[String, String] = Map(
+    "opentargets" -> "GENE_DISEASE", "ctd" -> "GENE_DISEASE_CTD",
+    "clingen" -> "GENE_DISEASE_CLINGEN")
+
+  /** Reverse lookup: genes associated with a disease, filtered by source
+    * (claim-type map), min score, score-ranked (get_disease_genes,
+    * mechanism.py:167-206). Traverses INCOMING Gene→Disease edges —
+    * in-edges are just an out-edge scan keyed on dst; at rest the edges
+    * table is claim_type-partitioned so the allowed-claim filter prunes
+    * partitions before the key filter. */
+  def diseaseGenes(edges: DataFrame, vertices: DataFrame, diseaseKey: Long,
+      sources: Seq[String] = Nil, minScore: Double = 0.0,
+      limit: Int = 100): DataFrame = {
+    val allowed =
+      (if (sources.isEmpty) DiseaseGeneClaimTypes.values
+       else sources.flatMap(DiseaseGeneClaimTypes.get)).toSeq.distinct
+    val sourceOf = DiseaseGeneClaimTypes.foldLeft(lit(null).cast("string")) {
+      case (acc, (src, ct)) =>
+        when(col("claim_type") === ct, lit(src)).otherwise(acc)
+    }
+    edges.where(col("src_type") === "Gene" && col("dst_type") === "Disease"
+        && col("dst_key") === diseaseKey
+        && col("claim_type").isin(allowed: _*)
+        && (col("strength_score").isNull || col("strength_score") >= minScore))
+      .select(col("dst_key").as("disease_key"),
+        col("src_key").as("gene_key"),
+        col("strength_score").as("score"), sourceOf.as("source"))
+      .join(typed(vertices, "Gene", "gene_key", "gene_symbol"), "gene_key")
+      .join(typed(vertices, "Disease", "disease_key", "disease_label"),
+        "disease_key")
+      .orderBy(col("score").desc_nulls_last, col("gene_key"))
+      .limit(limit)
+  }
+
+  /** Gene–gene interactors above a confidence gate, score-ranked
+    * (get_gene_interactors, mechanism.py:208-230). */
+  def geneInteractors(edges: DataFrame, vertices: DataFrame, geneKey: Long,
+      minScore: Double = 0.7, limit: Int = 100,
+      claimType: String = "GENE_GENE"): DataFrame = {
+    edges.where(col("src_type") === "Gene" && col("src_key") === geneKey
+        && col("dst_type") === "Gene" && col("claim_type") === claimType
+        && col("strength_score") >= minScore)
+      .select(col("src_key").as("gene_key"),
+        col("dst_key").as("interactor_key"),
+        col("strength_score").as("score"))
+      .join(typed(vertices, "Gene", "interactor_key", "interactor_symbol"),
+        "interactor_key")
+      .orderBy(col("score").desc, col("interactor_key"))
+      .limit(limit)
+  }
+
   // --------------------------------------------------------------------
   // Entity claims + label sections
   // (reference:src/kg_ae/tools/evidence.py:77-101, adverse_events.py:148-177)

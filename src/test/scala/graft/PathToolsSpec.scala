@@ -149,6 +149,33 @@ class PathToolsSpec extends AnyFunSuite {
     assert(p(2).getAs[Double]("frequency") == 9.0)
   }
 
+  test("diseaseGenes: reverse lookup with source filter + score gate") {
+    val extra = Seq(
+      e("Gene", 2, "Disease", 1, "GENE_DISEASE_CTD", 1, 0.9),
+      e("Gene", 1, "Disease", 1, "GENE_GENE", 1, 0.95) // wrong claim type
+    ).toDS().toDF()
+    val all = PathTools.diseaseGenes(edges.unionByName(extra), vertices, 1)
+      .collect()
+    // ranked by score desc: CTD 0.9 (PTGS1) then opentargets 0.6 (VKORC1)
+    assert(all.map(r => (r.getAs[String]("gene_symbol"),
+      r.getAs[String]("source"))).toSeq ==
+      Seq(("PTGS1", "ctd"), ("VKORC1", "opentargets")))
+    val otOnly = PathTools.diseaseGenes(edges.unionByName(extra), vertices, 1,
+      sources = Seq("opentargets")).collect()
+    assert(otOnly.map(_.getAs[String]("gene_symbol")).toSeq == Seq("VKORC1"))
+    assert(PathTools.diseaseGenes(edges, vertices, 1, minScore = 0.7).isEmpty)
+  }
+
+  test("geneInteractors: confidence gate + ranked") {
+    val withGG = edges.unionByName(Seq(
+      e("Gene", 1, "Gene", 2, "GENE_GENE", 1, 0.8)).toDS().toDF())
+    val r = PathTools.geneInteractors(withGG, vertices, 1).collect()
+    assert(r.length == 1
+      && r(0).getAs[String]("interactor_symbol") == "PTGS1")
+    assert(PathTools.geneInteractors(withGG, vertices, 1, minScore = 0.9)
+      .isEmpty)
+  }
+
   test("entityClaims: per-entity claim filter, strongest first") {
     val all = PathTools.entityClaims(edges, "Drug", 1).collect()
     assert(all.length == 4) // target + AE + combo membership + label
