@@ -84,11 +84,25 @@ object GraphBuilder {
       .groupBy($"subj", $"pred", $"obj")
       .agg(count(lit(1)).as("frequency"),
         min($"sentence").as("statement"))
-    val w = org.apache.spark.sql.expressions.Window
+    // Two-LEVEL rank for the evidence cap: a single window partitioned by
+    // the claim would send EVERY distinct url of a boilerplate-hot claim to
+    // one reducer (a straggler at web scale — billions of urls per hot
+    // claim). Level 1 ranks inside (claim, url-hash bucket) — ≤1/64th of a
+    // hot claim per group — and keeps each bucket's first EvidenceCap urls,
+    // a guaranteed superset of the global first EvidenceCap (min-k is
+    // bucket-decomposable). Level 2 ranks the ≤ 64×cap survivors per claim.
+    // Deterministic: both levels order by url.
+    val bucket = pmod(xxhash64($"url"), lit(64L))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"subj", $"pred", $"obj", $"_b").orderBy($"url")
+    val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy($"subj", $"pred", $"obj").orderBy($"url")
     val evidence = triples.toDF()
       .select($"subj", $"pred", $"obj", $"url").distinct()
-      .withColumn("_rn", row_number().over(w))
+      .withColumn("_b", bucket)
+      .withColumn("_rn1", row_number().over(w1))
+      .where($"_rn1" <= EvidenceCap)
+      .withColumn("_rn", row_number().over(w2))
       .where($"_rn" <= EvidenceCap)
       .groupBy($"subj", $"pred", $"obj")
       .agg(sort_array(collect_list($"url")).as("evidence_urls"))

@@ -148,6 +148,25 @@ class KgPipelineSpec extends AnyFunSuite {
       && col("dst_type") === "AdverseEvent").count() > 0)
   }
 
+  test("evidence cap: hot claim keeps exactly the first-N url-sorted urls") {
+    import spark.implicits._
+    val gaz = graft.link.Gazetteer(Seq(
+      graft.link.GazEntry("d", "Drug"), graft.link.GazEntry("g", "Gene")))
+    // one hot claim with 100 distinct urls (4 dup rows each) + a cold one
+    val hot = (0 until 100).flatMap(i => Seq.fill(4)(
+      graft.model.RawTriple("d", "X", "g", f"u$i%03d", "s")))
+    val cold = Seq(graft.model.RawTriple("d", "Y", "g", "u9", "s"))
+    val v = GraphBuilder.buildVertices(spark, (hot ++ cold).toDS(), gaz)
+    val e = GraphBuilder.buildEdges(spark, (hot ++ cold).toDS(), v, gaz)
+    val row = e.where(col("claim_type") === "X").head()
+    val urls = row.getSeq[org.apache.spark.sql.Row](
+        row.fieldIndex("evidence"))
+      .map(_.getAs[String]("source_url"))
+    // exactly the first EvidenceCap urls in sorted order, no bucket leakage
+    assert(urls == (0 until GraphBuilder.EvidenceCap).map(i => f"u$i%03d"))
+    assert(row.getAs[Double]("frequency") == 400.0)
+  }
+
   test("claim keys: ambiguous concatenations get distinct keys") {
     import spark.implicits._
     // ("ab","c","d") and ("a","bc","d") concatenate identically without a
