@@ -33,6 +33,50 @@ class AhoCorasick private (
     val out: Array[Int],
     val patterns: Array[String]) extends Serializable {
 
+  /** Dense DFA fast path: next[state*128 + ascii] with goto/fail closure
+    * precomputed, eliminating the per-char fail-walk + HashMap probes in
+    * the scan inner loop. Built only while states×128 ints stay small
+    * (≤ ~32 MB) — a multi-million-pattern web gazetteer falls back to the
+    * HashMap walk automatically. @transient: rebuilt lazily per executor
+    * after broadcast (cheap, O(states×128)), so the serialized automaton
+    * stays compact. */
+  @transient private lazy val dfa: Array[Int] = {
+    val n = gotoFn.length
+    if (n > (1 << 16)) null
+    else {
+      val next = new Array[Int](n * 128)
+      // BFS order guarantees fail(s) < s in visit order… not in index
+      // order, so resolve via fail chain on demand instead: process root
+      // first, then states in BFS order (fail targets are always visited
+      // before their dependents in BFS of the trie).
+      val order = new Array[Int](n)
+      var head = 0; var tail = 0
+      order(tail) = 0; tail += 1
+      val seen = new Array[Boolean](n); seen(0) = true
+      while (head < tail) {
+        val s = order(head); head += 1
+        gotoFn(s).valuesIterator.foreach { t =>
+          if (!seen(t)) { seen(t) = true; order(tail) = t; tail += 1 }
+        }
+      }
+      var i = 0
+      while (i < tail) {
+        val s = order(i)
+        var c = 0
+        while (c < 128) {
+          val direct = gotoFn(s).getOrElse(c.toChar, -1)
+          next(s * 128 + c) =
+            if (direct >= 0) direct
+            else if (s == 0) 0
+            else next(fail(s) * 128 + c) // fail(s) already filled (BFS)
+          c += 1
+        }
+        i += 1
+      }
+      next
+    }
+  }
+
   // Word chars = [0-9A-Za-z_] exactly — the RE2/\b class. Keeping this
   // ASCII-only (not Character.isLetterOrDigit) pins the boundary semantics
   // to the oracle's regex definition: '_' is a word char, non-ASCII letters
@@ -48,14 +92,19 @@ class AhoCorasick private (
   def findMentions(text: String): IndexedSeq[(Int, Int, Int)] = {
     val lower = text.toLowerCase(java.util.Locale.ROOT)
     val hits = mutable.ArrayBuffer.empty[(Int, Int, Int)] // begin, end, pat
+    val d = dfa
     var state = 0
     var i = 0
     val n = lower.length
     while (i < n) {
       val c = lower.charAt(i)
-      var s = state
-      while (s != 0 && !gotoFn(s).contains(c)) s = fail(s)
-      state = gotoFn(s).getOrElse(c, 0)
+      if (d != null && c < 128) {
+        state = d(state * 128 + c)
+      } else {
+        var s = state
+        while (s != 0 && !gotoFn(s).contains(c)) s = fail(s)
+        state = gotoFn(s).getOrElse(c, 0)
+      }
       // walk output links (collect every pattern ending here)
       var t = state
       while (t != 0) {

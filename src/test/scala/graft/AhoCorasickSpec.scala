@@ -1,0 +1,79 @@
+package graft
+
+import scala.collection.mutable
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.link.AhoCorasick
+
+/** Equivalence fuzz for the automaton (incl. the dense-DFA fast path)
+  * against a naive indexOf-based oracle implementing the same spec:
+  * lowercase match, ASCII word-boundary validity, leftmost-longest
+  * non-overlapping selection. */
+class AhoCorasickSpec extends AnyFunSuite {
+
+  private def isWordChar(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
+    (c >= 'A' && c <= 'Z') || c == '_'
+
+  /** independent oracle: scan every pattern with indexOf. */
+  private def naive(patterns: Seq[String], text: String): Seq[(Int, Int, Int)] = {
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    val hits = mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var from = 0
+      var i = lower.indexOf(p, from)
+      while (i >= 0) {
+        val end = i + p.length
+        val ok = (i == 0 || !isWordChar(lower.charAt(i - 1))) &&
+          (end == lower.length || !isWordChar(lower.charAt(end)))
+        if (ok) hits += ((i, end, pi))
+        from = i + 1
+        i = lower.indexOf(p, from)
+      }
+    }
+    val sorted = hits.sortBy { case (b, e, _) => (b, -(e - b)) }
+    val sel = mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var lastEnd = 0
+    sorted.foreach { case h @ (b, e, _) =>
+      if (b >= lastEnd) { sel += h; lastEnd = e }
+    }
+    sel.toSeq
+  }
+
+  test("fuzz: automaton (DFA path) == naive oracle on adversarial texts") {
+    val patterns = Seq("ab", "abc", "b", "bc", "cold flux1", "cold flux14",
+      "zorvex1", "zorvex12", "a_b", "x1").sorted
+    val ac = AhoCorasick.build(patterns)
+    val alphabet = "abcx1 4_.éZ\t"
+    val rnd = new scala.util.Random(7)
+    (0 until 3000).foreach { t =>
+      val text = (0 until (1 + rnd.nextInt(40)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val got = ac.findMentions(text)
+      val want = naive(patterns, text)
+      assert(got == want, s"text=<$text>")
+    }
+  }
+
+  test("fuzz: large pattern set still matches oracle (stress fail links)") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abc"
+    val patterns = (0 until 200).map(_ =>
+      (0 until (1 + rnd.nextInt(6)))
+        .map(_ => alphabet(rnd.nextInt(3))).mkString).distinct.sorted
+    val ac = AhoCorasick.build(patterns)
+    (0 until 1000).foreach { _ =>
+      val text = (0 until (1 + rnd.nextInt(60)))
+        .map(_ => "abc .".charAt(rnd.nextInt(5))).mkString
+      assert(ac.findMentions(text) == naive(patterns, text), s"<$text>")
+    }
+  }
+
+  test("boundary semantics: underscore is a word char, non-ASCII is not") {
+    val ac = AhoCorasick.build(Seq("spark"))
+    assert(ac.findMentions("spark_x").isEmpty)   // '_' joins the word
+    assert(ac.findMentions("x_spark").isEmpty)
+    assert(ac.findMentions("ésparké").nonEmpty)  // é is a boundary (RE2 \b)
+    assert(ac.findMentions("SPARK!").nonEmpty)
+  }
+}
