@@ -143,11 +143,27 @@ object Tools {
     baseScore * sourceWeight * pow(lit(0.95), hops) *
       when(nDistinctSources >= 2, lit(1.2)).otherwise(lit(1.0))
 
-  /** Window top-k per source — batched variant of per-key limits
-    * (SURVEY T2/T3): for EVERY source at once, top-k destinations. */
-  def topKNeighborsAll(edges: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("src_type"), col("src_key"))
-      .orderBy(col("frequency").desc, col("dst_key").asc)
-    edges.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  /** Bounded top-k per group: two-level rank so a hot group never lands on
+    * one reducer. Level 1 ranks within (group, hash-bucket of the tiebreak
+    * column) and keeps ≤k per bucket — a superset of the global top-k
+    * (top-k is bucket-decomposable) — level 2 ranks the ≤64k survivors.
+    * Output identical to a single window (spec-pinned). */
+  def boundedTopK(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[Column], k: Int, bucketCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val w1 = Window.partitionBy(g :+ pmod(xxhash64(bucketCol), lit(64L)): _*)
+      .orderBy(orderCols: _*)
+    val w2 = Window.partitionBy(g: _*).orderBy(orderCols: _*)
+    df.withColumn("_rk1", row_number().over(w1)).where(col("_rk1") <= k)
+      .withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+      .drop("_rk1")
   }
+
+  /** Window top-k per source — batched variant of per-key limits
+    * (SURVEY T2/T3): for EVERY source at once, top-k destinations. A
+    * web-scale hot source (millions of out-edges) would straggle a single
+    * per-source window partition, so this rides [[boundedTopK]]. */
+  def topKNeighborsAll(edges: DataFrame, k: Int): DataFrame =
+    boundedTopK(edges, Seq("src_type", "src_key"),
+      Seq(col("frequency").desc, col("dst_key").asc), k, col("dst_key"))
 }

@@ -49,6 +49,35 @@ object StreamOps {
     q.stop()
   }
 
+  /** Streaming KG construction: the extract→link→triples stage of the
+    * pipeline as a Structured Streaming job — new page files micro-batch
+    * into claim counts incrementally. The extraction flatMap is the SAME
+    * narrow per-row code the batch pipeline runs (broadcast gazetteer);
+    * the claim aggregate is vocabulary-bounded, so complete-mode state
+    * stays dimension-sized. At scale this is the "pages land continuously
+    * in the lake" deployment shape; the batch job is the backfill. */
+  def tripleStream(spark: SparkSession, pagesDir: String,
+      schema: org.apache.spark.sql.types.StructType, queryName: String,
+      gaz: graft.link.Gazetteer,
+      rules: graft.link.TripleExtractor.Rules): Unit = {
+    import spark.implicits._
+    val bGaz = spark.sparkContext.broadcast(gaz)
+    val bRules = spark.sparkContext.broadcast(rules)
+    val pages = spark.readStream.schema(schema).parquet(pagesDir)
+      .withColumn("warc_ts", col("warc_ts").cast("timestamp"))
+      .as[graft.model.Page]
+    val triples = pages.filter(_.lang == "en").flatMap { p =>
+      graft.link.TripleExtractor.triplesOf(bGaz.value, bRules.value, p.url,
+        graft.link.MentionDetector.extractText(p))
+    }
+    val claims = triples.groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(count(lit(1)).as("frequency"))
+    val q = claims.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Custom per-key state: streaming sessionization via
     * flatMapGroupsWithState (the KeyValueGroupedDataset state API the
     * SURVEY maps "custom state" to, §2.8). A new session starts when the

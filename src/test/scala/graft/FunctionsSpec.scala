@@ -91,6 +91,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming KG triples (incremental claim counts) == batch extraction") {
+    import graft.extract.PageSynth
+    // two micro-batch files: pages arrive in waves; complete-mode counts
+    // must equal the one-shot batch job over the union
+    val pagesDir = java.nio.file.Files.createTempDirectory("graft_pages")
+    val p1 = PageSynth.pages(spark, 150).toDF()
+    val p2 = spark.range(150, 300).map(i => PageSynth.page(i))(
+      org.apache.spark.sql.Encoders.product[graft.model.Page]).toDF()
+    p1.write.parquet(pagesDir.resolve("b1").toString)
+    p2.write.parquet(pagesDir.resolve("b2").toString)
+    val schema = spark.read.parquet(pagesDir.resolve("b1").toString).schema
+    StreamOps.tripleStream(spark, s"$pagesDir/*", schema, "stream_triples",
+      PageSynth.gazetteer, PageSynth.RelationRules.toMap)
+    val streamed = spark.sql(
+      "SELECT subj, pred, obj, frequency FROM stream_triples")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.link.TripleExtractor.extract(spark,
+        PageSynth.pages(spark, 300), PageSynth.gazetteer,
+        PageSynth.RelationRules.toMap)
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(count(lit(1)).as("frequency"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) == batch window sessionize") {
     val dir = "/root/testdata/sf0.001"
     val events = spark.read.parquet(s"$dir/events.parquet")

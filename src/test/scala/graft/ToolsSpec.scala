@@ -122,4 +122,24 @@ class ToolsSpec extends AnyFunSuite {
       .collect()
     assert(r.length == 1 && r(0).getAs[Double]("frequency") == 9.0)
   }
+
+  test("boundedTopK == single-window top-k on a hot group") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot source with 500 destinations + a cold one
+    val hot = (0 until 500).map(i =>
+      ("Drug", 1L, i.toLong, (i % 37).toDouble)) ++
+      Seq(("Drug", 2L, 7L, 5.0))
+    val df = hot.toDF("src_type", "src_key", "dst_key", "frequency")
+    val naive = df.withColumn("rank", row_number().over(
+        Window.partitionBy(col("src_type"), col("src_key"))
+          .orderBy(col("frequency").desc, col("dst_key").asc)))
+      .where(col("rank") <= 10)
+      .select("src_key", "dst_key", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val bounded = Tools.boundedTopK(df, Seq("src_type", "src_key"),
+        Seq(col("frequency").desc, col("dst_key").asc), 10, col("dst_key"))
+      .select("src_key", "dst_key", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(bounded == naive)
+  }
 }
