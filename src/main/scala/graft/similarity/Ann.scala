@@ -118,6 +118,59 @@ object Ann {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Deterministic unit-ish centroid component for (centroid c, dim d) —
+    * hash-derived, no trained k-means state to ship or version. */
+  private def centroidComponent(c: Int, d: Column): Column =
+    (xxhash64(lit(0xC3A5), lit(c), d).cast("double")
+      / lit(Long.MaxValue.toDouble))
+
+  /** Per-row dot products against all `nlist` hash-derived centroids, as an
+    * array column (narrow, codegen'd HOFs — one pass per row). */
+  private def centroidDots(vec: Column, nlist: Int): Column =
+    array((0 until nlist).map { c =>
+      aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * centroidComponent(c, i)),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+
+  /** IVF (inverted-file) ANN — the second scale path next to LSH: corpus
+    * vectors coarse-quantize to their argmax-dot centroid (one list per
+    * centroid); a query probes its `nprobe` best centroids and
+    * exact-reranks only those lists, scanning ~nprobe/nlist of the corpus.
+    * Centroids are hash-derived (deterministic across runs/cluster sizes,
+    * nothing to train or broadcast); swap `centroidComponent` for learned
+    * centroids without changing the plan. Output schema matches
+    * [[bruteForceTopK]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("_dots", centroidDots(col("cv"), nlist))
+      .withColumn("cluster",
+        expr("array_position(_dots, array_max(_dots))").cast("int") - 1)
+      .drop("_dots")
+    val qProbes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("_dots", centroidDots(col("qv"), nlist))
+      .withColumn("_ranked", expr(
+        s"slice(array_sort(arrays_zip(_dots, sequence(0, ${nlist - 1})), " +
+          "(a, b) -> CASE WHEN a._dots > b._dots THEN -1 " +
+          "WHEN a._dots < b._dots THEN 1 ELSE 0 END), " +
+          s"1, $nprobe)"))
+      .select(col("query_id"), col("qv"),
+        explode(expr("transform(_ranked, r -> CAST(r.`1` AS INT))"))
+          .as("cluster"))
+    val cands = cb.join(broadcast(qProbes), Seq("cluster"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cands.withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold via LSH
     * buckets (the embedding leg of the dedup suite). */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,

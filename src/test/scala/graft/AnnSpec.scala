@@ -49,6 +49,28 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.05) // deterministic; LSH trades recall for scan cost
   }
 
+  test("ivfTopK: probes a corpus fraction; exact scores; recall reported") {
+    val queries = emb.where(col("vec_id") < 8)
+    val brute = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(s"IVF recall@5 = $recall (nprobe/nlist = 4/16 of the corpus)")
+    assert(ivf.nonEmpty && recall > 0.05)
+    // nprobe == nlist degenerates to exhaustive search == brute force
+    val full = Ann.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute)
+    // determinism: same result on re-run (hash-derived centroids)
+    val again = Ann.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again == ivf)
+  }
+
   test("cosineNearDupPairs: only high-cosine pairs, symmetric-free, exact") {
     val pairs = Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.9)
       .as[(Long, Long, Double)].collect()
