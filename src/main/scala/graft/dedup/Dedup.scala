@@ -143,15 +143,42 @@ object Dedup {
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, bucketCap: Int = 50): DataFrame = {
-    // 1. exact pre-collapse: one hash agg; members table is (id, rep, n)
+    // 1. exact pre-collapse, HASH-FIRST (same contract as [[exact]]): the
+    // shuffle key is xxhash64(text), never the document body. min_by
+    // carries the representative text as an aggregation VALUE — partial
+    // aggregation keeps one text per (hash, input partition), so network
+    // bytes stay ~one copy per distinct text, with 8-byte keys. Groups
+    // whose members disagree on the second hash (real 64-bit collisions,
+    // ~never) are re-resolved on full text via a broadcast-gated branch.
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("_text"))
-    val groups = base.groupBy("_text")
+    val hashed = base
+      .withColumn("_h", xxhash64(col("_text")))
+      .withColumn("_h2", xxhash64(col("_text"), lit(7)))
+    val agg = hashed.groupBy("_h").agg(
+      min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
+      min_by(col("_text"), col("doc_id")).as("_text"),
+      min(col("_h2")).as("_a"), max(col("_h2")).as("_b"))
+    val collided = agg.where(col("_a") =!= col("_b")).select(col("_h"))
+    val cleanGroups = agg.where(col("_a") === col("_b"))
+      .select(col("_h"), col("rep"), col("n"), col("_text"))
+    val collGroups = hashed
+      .join(broadcast(collided), Seq("_h"), "left_semi")
+      .groupBy(col("_h"), col("_text"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
-    val members = base.join(groups, "_text")
+    // member → rep mapping: 8-byte join keys; text pruned from the clean
+    // branch (only collided rows — ~none — join on text)
+    val members = hashed
+      .join(broadcast(collided), Seq("_h"), "left_anti")
+      .join(cleanGroups.select(col("_h"), col("rep"), col("n")), "_h")
       .select(col("doc_id"), col("rep"), col("n"))
+      .unionByName(hashed
+        .join(broadcast(collided), Seq("_h"), "left_semi")
+        .join(collGroups, Seq("_h", "_text"))
+        .select(col("doc_id"), col("rep"), col("n")))
       .localCheckpoint(true)
-    val repDocs = groups.select(col("rep").as("doc_id"), col("_text"))
+    val repDocs = cleanGroups.select(col("rep").as("doc_id"), col("_text"))
+      .unionByName(collGroups.select(col("rep").as("doc_id"), col("_text")))
       .localCheckpoint(true)
     // 2. LSH over representatives only. Lineage cuts between stages: fusing
     // the 64-column signature projection into the band/bucket/verify plan
@@ -294,22 +321,8 @@ object Dedup {
     }
     val buckets = sigs.select(col("doc_id"),
         explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bits").as("bits"))
-    if (bucketCap <= 0) {
-      val a = buckets.select(col("band"), col("bits"), col("doc_id").as("id_a"))
-      val b = buckets.select(col("band"), col("bits"), col("doc_id").as("id_b"))
-      a.join(b, Seq("band", "bits"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    } else buckets.groupBy("band", "bits")
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, bucketCap)
-        .as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))
-        .as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .distinct()
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bits").as("sig"))
+    pairsFromBuckets(buckets, bucketCap)
   }
 }

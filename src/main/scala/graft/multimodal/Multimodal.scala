@@ -22,17 +22,25 @@ object Multimodal {
   case class Feature(media_id: Long, kind: String, n_bytes: Int,
       feature: Array[Float])
 
+  /** Shared media-row synthesis: kind ladder + metadata are pure functions
+    * of the id (single source of truth for syntheticMedia, fromDocuments
+    * AND the q37 oracle's CASE expression). */
+  def mediaRowFor(id: Long, payload: Array[Byte]): MediaRow = {
+    val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio"
+      else "video"
+    MediaRow(id, kind, payload, 16 + (id % 64).toInt, 16 + (id % 48).toInt,
+      8000 + (id % 3).toInt * 8000)
+  }
+
   /** Deterministic fake media table: payload bytes are a pure function of
     * id (stand-in for real WARC media payloads). */
   def syntheticMedia(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { i =>
-      val kind = if (i % 3 == 0) "image" else if (i % 3 == 1) "audio" else "video"
       val len = 64 + (i % 128).toInt
       val payload = Array.tabulate[Byte](len)(j =>
         (graft.extract.PageSynth.splitmix64(i * 1000 + j) & 0xFF).toByte)
-      MediaRow(i, kind, payload, 16 + (i % 64).toInt, 16 + (i % 48).toInt,
-        8000 + (i % 3).toInt * 8000)
+      mediaRowFor(i, payload)
     }
   }
 
@@ -46,12 +54,9 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
       case (id, text) =>
-        val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio"
-          else "video"
         val payload = if (text == null) Array.emptyByteArray
           else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        MediaRow(id, kind, payload, 16 + (id % 64).toInt, 16 + (id % 48).toInt,
-          8000 + (id % 3).toInt * 8000)
+        mediaRowFor(id, payload)
     }
   }
 

@@ -119,7 +119,11 @@ object Pipeline {
 
     val pagesStage = if (dedupPages) {
       // boilerplate canonicalization (SURVEY §7.4 phase 2): extract text,
-      // minhash near-dup clusters, keep the min-url page per cluster
+      // minhash near-dup clusters, keep the min-xxhash64(url) page per
+      // cluster (deterministic, hash-ordered — NOT lexicographic-min url).
+      // 63-bit ids can collide and merge unrelated pages with ~n²/2⁶⁴
+      // probability — fine for this optional dedup stage at sandbox scale;
+      // switch to a 128-bit id before trillion-page deployments.
       val up = fingerprint(root, Seq("pages"))
       val sd = runStage(spark, root, "pages_canonical", CodeVersion, up) {
         val pages = spark.read.parquet(s"$root/pages").as[Page]

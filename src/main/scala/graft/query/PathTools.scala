@@ -287,9 +287,13 @@ object PathTools {
   def diseaseGenes(edges: DataFrame, vertices: DataFrame, diseaseKey: Long,
       sources: Seq[String] = Nil, minScore: Double = 0.0,
       limit: Int = 100): DataFrame = {
+    val unknown = sources.filterNot(DiseaseGeneClaimTypes.contains)
+    require(unknown.isEmpty,
+      s"unknown disease-gene source(s) ${unknown.mkString(", ")} — " +
+        s"valid: ${DiseaseGeneClaimTypes.keys.toSeq.sorted.mkString(", ")}")
     val allowed =
       (if (sources.isEmpty) DiseaseGeneClaimTypes.values
-       else sources.flatMap(DiseaseGeneClaimTypes.get)).toSeq.distinct
+       else sources.map(DiseaseGeneClaimTypes)).toSeq.distinct
     val sourceOf = DiseaseGeneClaimTypes.foldLeft(lit(null).cast("string")) {
       case (acc, (src, ct)) =>
         when(col("claim_type") === ct, lit(src)).otherwise(acc)

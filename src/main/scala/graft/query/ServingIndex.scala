@@ -56,13 +56,15 @@ object ServingIndex {
   def build(vertices: DataFrame, edges: DataFrame,
       maxEntries: Long = 10000000L): ServingIndex = {
     val spark = vertices.sparkSession
-    val v = vertices.cache()
-    val e = edges.cache()
-    val n = v.count()
+    // gate BEFORE caching: failing after cache() would leave an oversized
+    // table pinned in executor storage for the life of the session
+    val n = vertices.count()
     require(n <= maxEntries,
       s"vertex vocabulary ($n) exceeds broadcast cap ($maxEntries) — " +
         "the label map must stay vocabulary-bounded; raise the cap only " +
         "for genuinely small graphs or serve labels by join instead")
+    val v = vertices.cache()
+    val e = edges.cache()
     import spark.implicits._
     val labels = v.select("node_type", "key", "label")
       .as[(String, Long, String)].collect()

@@ -16,10 +16,11 @@ import org.apache.spark.sql.SparkSession
   */
 object RunPipeline {
   def main(args: Array[String]): Unit = {
-    val root = if (args.nonEmpty) args(0) else "/tmp/graft_pipeline"
-    val nPages = args.lift(1).map(_.toLong).getOrElse(100000L)
-    val partitions = args.lift(2).map(_.toInt).getOrElse(32)
     val dedup = args.contains("--dedup-pages")
+    val pos = args.filterNot(_.startsWith("--")) // flags are position-free
+    val root = pos.headOption.getOrElse("/tmp/graft_pipeline")
+    val nPages = pos.lift(1).map(_.toLong).getOrElse(100000L)
+    val partitions = pos.lift(2).map(_.toInt).getOrElse(32)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
@@ -31,6 +32,7 @@ object RunPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var ok = true
     try {
       val t0 = System.nanoTime()
       val results = graft.pipeline.Pipeline.run(spark, root, nPages,
@@ -45,7 +47,8 @@ object RunPipeline {
       println(s"[pipeline] validation: $report")
       println(f"[pipeline] total ${(System.nanoTime() - t0) / 1e9}%.2f s " +
         s"(${nPages} pages → $root)")
-      if (!report.ok) sys.exit(1)
-    } finally spark.stop()
+      ok = report.ok
+    } finally spark.stop() // a sys.exit inside try would skip this
+    if (!ok) sys.exit(1)
   }
 }
