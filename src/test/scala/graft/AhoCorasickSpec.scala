@@ -69,6 +69,23 @@ class AhoCorasickSpec extends AnyFunSuite {
     }
   }
 
+  test("java-serialization roundtrip (cluster broadcast path) preserves matching") {
+    // local-mode broadcasts may skip ser/deser, so pin it explicitly: the
+    // @transient DFA must rebuild on the deserialized copy
+    val patterns = Seq("ab", "abc", "cold flux1", "zorvex12").sorted
+    val ac = AhoCorasick.build(patterns)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(ac); oos.close()
+    val ois = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val ac2 = ois.readObject().asInstanceOf[AhoCorasick]
+    val texts = Seq("ab abc cold flux1 zorvex12.", "xabcx", "", "é ab_c ab")
+    texts.foreach { t =>
+      assert(ac2.findMentions(t) == ac.findMentions(t), s"<$t>")
+    }
+  }
+
   test("boundary semantics: underscore is a word char, non-ASCII is not") {
     val ac = AhoCorasick.build(Seq("spark"))
     assert(ac.findMentions("spark_x").isEmpty)   // '_' joins the word
