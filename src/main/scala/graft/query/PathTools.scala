@@ -81,10 +81,16 @@ object PathTools {
         && col("src_key") === drugKey && col("dst_type") === "Gene")
       .select(col("src_key").as("drug_key"), col("dst_key").as("gene_key"))
       .distinct()
-    // dedup-keep-best per (gene, disease) — get_gene_diseases semantics
+    // dedup-keep-best per (gene, disease) — get_gene_diseases semantics.
+    // Prune to the drug's target genes BEFORE aggregating: for a point
+    // query the drug's gene set is tiny (broadcast join), so the fact-sized
+    // Gene→Disease partition never feeds a full aggregation.
     val geneDisease = edges.where(col("src_type") === "Gene"
         && col("dst_type") === "Disease")
-      .groupBy(col("src_key").as("gene_key"), col("dst_key").as("disease_key"))
+      .select(col("src_key").as("gene_key"), col("dst_key").as("disease_key"),
+        col("strength_score"))
+      .join(drugGene.select("gene_key"), Seq("gene_key"), "left_semi")
+      .groupBy(col("gene_key"), col("disease_key"))
       .agg(max("strength_score").as("score"))
     val diseases = typed(vertices, "Disease", "disease_key", "disease_label")
     val aes = typed(vertices, "AdverseEvent", "ae_key", "ae_label")
@@ -106,9 +112,11 @@ object PathTools {
       .select(col("dst_key").as("gene_key")).distinct()
     def hop(dstType: String, kind: String, score: Column) =
       edges.where(col("src_type") === "Gene" && col("dst_type") === dstType)
-        .groupBy(col("src_key").as("gene_key"), col("dst_key").as("end_key"))
+        .select(col("src_key").as("gene_key"), col("dst_key").as("end_key"),
+          col("strength_score"))
+        .join(targets, Seq("gene_key"), "left_semi") // prune before the agg
+        .groupBy(col("gene_key"), col("end_key"))
         .agg(max("strength_score").as("strength_score"))
-        .join(targets, "gene_key")
         .join(typed(vertices, dstType, "end_key", "end_label"), "end_key")
         .select(lit(drugKey).as("drug_key"), col("gene_key"),
           lit(kind).as("path_kind"), col("end_key"), col("end_label"),
