@@ -87,6 +87,49 @@ object Multimodal {
     }
   }
 
+  case class ResizedRow(media_id: Long, width: Int, height: Int,
+      payload: Array[Byte])
+  case class FrameRow(media_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** STUB resize kernel: a real implementation decodes, scales and
+    * re-encodes; the fake derives the output bytes deterministically from
+    * (payload, target dims) so the plumbing — batch iteration, binary
+    * in/out schema, metadata columns — is fully testable in-container. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](math.max(1, (w * h) / 64))
+    var i = 0
+    while (i < out.length) {
+      out(i) = (if (payload.isEmpty) (i * 31).toByte
+        else payload(i % payload.length)) ; i += 1
+    }
+    out
+  }
+
+  /** Batched resize over image rows (mapPartitions ≈ mapInPandas batch):
+    * narrow, partition-preserving, non-image kinds pass through untouched
+    * upstream (filter pushes to the scan). */
+  def resizeImages(spark: SparkSession, media: Dataset[MediaRow],
+      w: Int, h: Int): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { batch =>
+      batch.map(m => ResizedRow(m.media_id, w, h, resizeStub(m.payload, w, h)))
+    }
+  }
+
+  /** STUB frame sampling: a real implementation demuxes the container and
+    * decodes every Nth frame; the fake slices the payload into fixed-size
+    * pseudo-frames and keeps every Nth — the row-explosion shape (one
+    * input row → many frame rows) is the real contract. */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
+      everyN: Int, frameBytes: Int = 16): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      m.payload.grouped(frameBytes).zipWithIndex
+        .filter { case (_, idx) => idx % everyN == 0 }
+        .map { case (bytes, idx) => FrameRow(m.media_id, idx, bytes) }
+    }
+  }
+
   /** Metadata-only pushdown demo: stats per kind never touch the payload
     * column (column pruning keeps the binary out of the scan). */
   def kindStats(media: DataFrame): DataFrame =

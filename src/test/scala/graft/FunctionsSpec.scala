@@ -68,6 +68,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(stats.map(_.getAs[String]("kind")).toSet == Set("image", "audio", "video"))
   }
 
+  test("multimodal: resize + frame-sample plumbing (narrow, deterministic)") {
+    val media = Multimodal.syntheticMedia(spark, 60, 4)
+    val resized = Multimodal.resizeImages(spark, media, 32, 32)
+    assert(resized.rdd.getNumPartitions == 4) // narrow per-batch kernel
+    val rr = resized.collect()
+    assert(rr.length == 20) // ids % 3 == 0 are images
+    assert(rr.forall(r => r.width == 32 && r.height == 32
+      && r.payload.length == 32 * 32 / 64))
+    val again = Multimodal.resizeImages(spark, media, 32, 32).collect()
+    assert(rr.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
+    // frame sampling: one video row explodes to every-Nth pseudo-frames
+    val frames = Multimodal.sampleFrames(spark, media, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    val byId = frames.groupBy(_.media_id)
+    val vids = media.collect().filter(_.kind == "video")
+    vids.foreach { v =>
+      val expect = (0 until (v.payload.length + 15) / 16).count(_ % 2 == 0)
+      assert(byId(v.media_id).length == expect, s"media ${v.media_id}")
+    }
+  }
+
   test("streaming: windowed counts via memory sink == batch windowed counts") {
     val dir = "/root/testdata/sf0.001"
     val events = spark.read.parquet(s"$dir/events.parquet")
