@@ -140,16 +140,17 @@ object Dedup {
     * Hot-bucket truncation among the remaining distinct-text reps is
     * counted and logged (never silent): see the `[dedup] lsh dropped`
     * stderr line. */
-  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, bucketCap: Int = 50): DataFrame = {
-    // 1. exact pre-collapse, HASH-FIRST (same contract as [[exact]]): the
-    // shuffle key is xxhash64(text), never the document body. min_by
-    // carries the representative text as an aggregation VALUE — partial
-    // aggregation keeps one text per (hash, input partition), so network
-    // bytes stay ~one copy per distinct text, with 8-byte keys. Groups
-    // whose members disagree on the second hash (real 64-bit collisions,
-    // ~never) are re-resolved on full text via a broadcast-gated branch.
+  /** Hash-first exact-duplicate collapse shared by the near-dup pipelines:
+    * returns (members(doc_id, rep, n), repDocs(doc_id, _text)) — both
+    * lineage-cut. The shuffle key is xxhash64(text), never the document
+    * body; min_by carries the representative text as an aggregation VALUE
+    * (partial aggregation keeps one text per (hash, input partition), so
+    * network bytes stay ~one copy per distinct text with 8-byte keys).
+    * Groups whose members disagree on a second hash (real 64-bit
+    * collisions, ~never) are re-resolved on full text via a
+    * broadcast-gated branch — same contract as [[exact]]. */
+  private[graft] def exactCollapse(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("_text"))
     val hashed = base
@@ -180,6 +181,14 @@ object Dedup {
     val repDocs = cleanGroups.select(col("rep").as("doc_id"), col("_text"))
       .unionByName(collGroups.select(col("rep").as("doc_id"), col("_text")))
       .localCheckpoint(true)
+    (members, repDocs)
+  }
+
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, bucketCap: Int = 50): DataFrame = {
+    // 1. exact pre-collapse (hash-first, see exactCollapse)
+    val (members, repDocs) = exactCollapse(docs, idCol, textCol)
     // 2. LSH over representatives only. Lineage cuts between stages: fusing
     // the 64-column signature projection into the band/bucket/verify plan
     // lets CollapseProject inline the shingle computation into every
@@ -240,6 +249,32 @@ object Dedup {
     * join (oracle-checked in q34 + DedupSpec). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Exact-duplicate pre-collapse (same move as minhashDedup): identical
+    // texts have identical shingle sets, so a boilerplate cluster of m
+    // copies would put m copies of every shingle into the similarity join
+    // (m² blowup per cluster). Run PPJoin over one representative per
+    // distinct text, then expand: within-group pairs are Jaccard 1.0 by
+    // definition; cross-group pairs inherit their representative pair's
+    // exact Jaccard. Output identical to the naive all-pairs run.
+    val (members, repDocs) = exactCollapse(docs, idCol, textCol)
+    val repPairs = ngramJaccardPairsDistinct(repDocs, "doc_id", "_text", k,
+      threshold).localCheckpoint(true)
+    val m = members.select(col("doc_id"), col("rep"))
+    val within = m.select(col("rep"), col("doc_id").as("id_a"))
+      .join(m.select(col("rep"), col("doc_id").as("id_b")), "rep")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(m.select(col("rep").as("id_a"), col("doc_id").as("ma")), "id_a")
+      .join(m.select(col("rep").as("id_b"), col("doc_id").as("mb")), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    within.unionByName(cross)
+  }
+
+  /** PPJoin core over docs already known to have DISTINCT texts. */
+  private def ngramJaccardPairsDistinct(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, threshold: Double): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), k)).as("shingle")).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
