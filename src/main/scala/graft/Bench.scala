@@ -77,16 +77,27 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // The sandbox host is multi-tenant: one window of CPU steal can absorb
+    // tens of seconds and back-to-back re-timing of a single query samples
+    // the SAME bad window twice. Instead, time the FULL query list in
+    // several interleaved passes (the pattern kgScaling already uses) and
+    // keep per-query minima; a steal window then poisons at most one pass
+    // of each query. Min AND max are both emitted so steal is visible in
+    // the artifact rather than silently folded away.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
-      .map { case (name, fn) =>
-      // the sandbox host is multi-tenant: a single timing can absorb tens
-      // of seconds of CPU steal. Re-time anything slow and keep the min.
-      val first = timeOnce(name, fn)
-      val sec = if (first > 5.0) math.min(first, timeOnce(name, fn)) else first
-      System.err.println(f"[bench] $name%-28s $sec%8.2f s")
-      name -> sec
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val minT = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val maxT = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    (1 to passes).foreach { pass =>
+      names.foreach { case (name, fn) =>
+        val t = timeOnce(name, fn)
+        System.err.println(f"[bench] pass $pass $name%-28s $t%8.2f s")
+        minT(name) = math.min(minT.getOrElse(name, Double.MaxValue), t)
+        maxT(name) = math.max(maxT.getOrElse(name, 0.0), t)
+      }
     }
+    val results = names.map { case (name, _) => name -> minT(name) }
     spark.stop()
 
     // scaling run: same KG input at low vs high parallelism (high first only
@@ -122,10 +133,13 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val qsMax = results.map { case (k, _) =>
+      "\"" + k + "\":" + f"${maxT(k)}%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_max":$qsMax,"bench_passes":$passes,""" +
       s""""failed_queries":$failedJson,""" +
       s""""sf":"$sfDir","kg_docs":$kgDocs,""" +
       s""""kg_docs_per_sec_${lowCpus}cores":${f"${thr(lowCpus)}%.1f"},""" +

@@ -197,12 +197,16 @@ object Dedup {
     val sigs = minhashSignatures(repDocs, "doc_id", "_text", k, numHashes)
       .localCheckpoint(true)
     val buckets = lshBuckets(sigs, numHashes, bands)
-    val dropped = buckets.groupBy("band", "sig").count()
-      .where(col("count") > bucketCap)
-      .agg(coalesce(sum(col("count") - bucketCap), lit(0L))).head().getLong(0)
-    if (dropped > 0) System.err.println(
-      s"[dedup] lsh dropped $dropped bucket slots over cap=$bucketCap " +
-        "(recall exposure — raise bucketCap or pre-collapse more)")
+    // capless runs (bucketCap <= 0) truncate nothing — skip both the
+    // misleading warning and the extra aggregation pass
+    if (bucketCap > 0) {
+      val dropped = buckets.groupBy("band", "sig").count()
+        .where(col("count") > bucketCap)
+        .agg(coalesce(sum(col("count") - bucketCap), lit(0L))).head().getLong(0)
+      if (dropped > 0) System.err.println(
+        s"[dedup] lsh dropped $dropped bucket slots over cap=$bucketCap " +
+          "(recall exposure — raise bucketCap or pre-collapse more)")
+    }
     val cands = pairsFromBuckets(buckets, bucketCap).localCheckpoint(true)
     val verified = jaccardOnPairs(repDocs, cands, "doc_id", "_text", k)
       .where(col("jaccard") >= threshold)
@@ -272,7 +276,22 @@ object Dedup {
     within.unionByName(cross)
   }
 
-  /** PPJoin core over docs already known to have DISTINCT texts. */
+  /** PPJoin core over docs already known to have DISTINCT texts.
+    *
+    * Candidate pruning beyond the prefix filter (both from Xiao et al.,
+    * WWW'08; neither changes the output — the exact intersection still
+    * verifies every surviving pair, DedupSpec pins equivalence):
+    *  - LENGTH filter: Jaccard ≥ t ⟹ min(|a|,|b|) ≥ t·max(|a|,|b|)
+    *    (overlap ≤ min size, overlap ≥ t·union ≥ t·max size).
+    *  - POSITIONAL filter: shingle lists share ONE global frequency order,
+    *    so for the first common prefix shingle at positions (i, j),
+    *    overlap ≤ 1 + min(|a|−i, |b|−j) (any earlier shared shingle would
+    *    itself be an earlier common prefix element). The per-pair MAX of
+    *    that bound over all prefix matches is therefore a valid upper
+    *    bound; pairs whose bound can't reach the required overlap
+    *    ⌈t/(1+t)·(|a|+|b|)⌉ are dropped BEFORE the expensive exact
+    *    intersection. A 1e-9 slack keeps IEEE rounding of t·x from ever
+    *    pruning an exactly-at-threshold pair. */
   private def ngramJaccardPairsDistinct(docs: DataFrame, idCol: String,
       textCol: String, k: Int, threshold: Double): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
@@ -286,11 +305,24 @@ object Dedup {
       .join(sizes, "doc_id")
       .where(col("rn") <=
         col("sz") - ceil(lit(threshold) * col("sz")).cast("long") + 1)
-      .select(col("doc_id"), col("shingle"))
-    val candidates = ranked.select(col("doc_id").as("id_a"), col("shingle"))
-      .join(ranked.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
+      .select(col("doc_id"), col("shingle"), col("rn"), col("sz"))
+    val candidates = ranked.select(col("doc_id").as("id_a"), col("shingle"),
+        col("rn").as("rn_a"), col("sz").as("sz_a"))
+      .join(ranked.select(col("doc_id").as("id_b"), col("shingle"),
+        col("rn").as("rn_b"), col("sz").as("sz_b")), "shingle")
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .where(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double")
+          - lit(1e-9))
+      .groupBy("id_a", "id_b")
+      .agg(
+        max(lit(1L) + least(col("sz_a") - col("rn_a"),
+          col("sz_b") - col("rn_b"))).as("_ub"),
+        max(col("sz_a")).as("_sa"), max(col("sz_b")).as("_sb"))
+      .where(col("_ub").cast("double") >=
+        lit(threshold / (1.0 + threshold))
+          * (col("_sa") + col("_sb")).cast("double") - lit(1e-9))
+      .select("id_a", "id_b")
     jaccardOnPairs(docs, candidates, idCol, textCol, k)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -97,15 +97,22 @@ object GraphBuilder {
       .partitionBy($"subj", $"pred", $"obj", $"_b").orderBy($"url")
     val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy($"subj", $"pred", $"obj").orderBy($"url")
+    // per-evidence PAYLOAD (reference build.py:121-167: every evidence item
+    // carries a payload dict): the supporting sentence of that page,
+    // min-per-(claim, url) so repeated mentions stay deterministic. The
+    // groupBy replaces the old 4-column distinct — same dedup, plus the
+    // payload value.
     val evidence = triples.toDF()
-      .select($"subj", $"pred", $"obj", $"url").distinct()
+      .groupBy($"subj", $"pred", $"obj", $"url")
+      .agg(min($"sentence").as("ev_sentence"))
       .withColumn("_b", bucket)
       .withColumn("_rn1", row_number().over(w1))
       .where($"_rn1" <= EvidenceCap)
       .withColumn("_rn", row_number().over(w2))
       .where($"_rn" <= EvidenceCap)
       .groupBy($"subj", $"pred", $"obj")
-      .agg(sort_array(collect_list($"url")).as("evidence_urls"))
+      .agg(sort_array(collect_list(struct($"url", $"ev_sentence")))
+        .as("evidence_items"))
     val claims = stats.join(evidence, Seq("subj", "pred", "obj"))
       .withColumn("strength_score",
         least(lit(1.0), col("frequency").cast("double") / 10.0))
@@ -141,12 +148,13 @@ object GraphBuilder {
         $"pred".as("relation"),
         lit("synthetic_web").as("dataset"),
         map(lit("statement"), $"statement").as("meta"),
-        transform($"evidence_urls", u => struct(
+        transform($"evidence_items", e => struct(
           lit("page").as("evidence_type"),
-          u.as("source_record_id"),
-          u.as("source_url"),
+          e.getField("url").as("source_record_id"),
+          e.getField("url").as("source_url"),
           lit("synthetic_web").as("dataset"),
-          map().cast("map<string,string>").as("payload"))).as("evidence"))
+          map(lit("sentence"), e.getField("ev_sentence")).as("payload")))
+          .as("evidence"))
   }
 
   /** DRUG_LABEL self-loop edges: one per Drug with ≥1 DRUG_AE claim,

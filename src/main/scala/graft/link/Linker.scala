@@ -22,14 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Linker {
 
-  /** idf table from candidate contexts: (token, idf). */
+  /** idf table from candidate contexts: (token, idf). N (the distinct
+    * entity count) is folded INTO the plan as a 1-row aggregate
+    * cross-joined onto the df aggregation — no driver-side count() job, so
+    * a rank() over this stays a single Spark job. */
   def idf(contexts: DataFrame): DataFrame = {
     val tokens = contexts.select(col("entity_id"),
       explode(split(lower(col("context")), " ")).as("token"))
       .where(length(col("token")) > 0).distinct()
-    val n = contexts.select(col("entity_id")).distinct().count()
+    val n = contexts.select(col("entity_id")).distinct()
+      .agg(count(lit(1)).cast("double").as("_n"))
     tokens.groupBy("token").agg(count(lit(1)).as("df"))
-      .withColumn("idf", log(lit(1.0) + lit(n.toDouble) / col("df")))
+      .crossJoin(n) // 1-row side: AQE broadcasts it, no driver round-trip
+      .withColumn("idf", log(lit(1.0) + col("_n") / col("df")))
       .select("token", "idf")
   }
 

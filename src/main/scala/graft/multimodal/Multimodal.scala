@@ -7,12 +7,19 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed in partition-sized
   * batches.
   *
-  * The decode kernels (JPEG decode, resample, frame sample) are STUBBED
-  * with deterministic fakes — the image/audio codecs are not in this
-  * container — but the Spark-side contract is real and tested: schema,
-  * batch iteration shape (mapPartitions ≈ mapInPandas batches), binary
-  * passthrough, and partition-preserving narrow execution. Swapping the
-  * stub for a real codec changes no plan shape.
+  * The IMAGE leg is REAL: PNG/JPEG encode, decode and bilinear resize run
+  * through JDK `javax.imageio` / `java.awt.image` (no external deps) —
+  * synthetic media rows carry genuine PNG payloads, features come from
+  * decoded pixels, and resize re-encodes a genuinely scaled raster (FunctionsSpec
+  * asserts decoded dimensions and pixel content; q50 oracle-checks
+  * decode-derived values against DuckDB).
+  *
+  * The AUDIO/VIDEO kernels remain STUBBED with deterministic fakes — no
+  * audio/video codec library exists in this container — but the Spark-side
+  * contract is real and tested: schema, batch iteration shape
+  * (mapPartitions ≈ mapInPandas batches), binary passthrough, row
+  * explosion, and partition-preserving narrow execution. Swapping a stub
+  * for a real codec changes no plan shape.
   */
 object Multimodal {
 
@@ -32,15 +39,106 @@ object Multimodal {
       8000 + (id % 3).toInt * 8000)
   }
 
-  /** Deterministic fake media table: payload bytes are a pure function of
-    * id (stand-in for real WARC media payloads). */
+  // ------------------------------------------------------------------
+  // REAL image codec kernels (JDK javax.imageio — zero external deps)
+  // ------------------------------------------------------------------
+
+  /** Deterministic base gray level for an image id — shared by the PNG
+    * synthesizer, the decode specs, and the q50 DuckDB oracle. */
+  def grayOf(id: Long): Int = (id % 256).toInt
+
+  private def rgb(gray: Int): Int = (gray << 16) | (gray << 8) | gray
+
+  /** Real PNG encode of a programmatic raster. */
+  def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, pixel(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real PNG/JPEG/GIF/BMP decode. Fails fast on undecodable payloads —
+    * image rows carry genuine encoded images by contract. */
+  def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"payload (${payload.length} bytes) is not a " +
+      "decodable image — image rows must carry real encoded images")
+    img
+  }
+
+  /** Deterministic synthetic PNG for an id: constant gray `grayOf(id)`
+    * with pixel (0,0) marked `(gray+7)%256` — reading the marker back
+    * proves a decode touched real pixels, not metadata. PNG is lossless,
+    * so the roundtrip values are exact integers (oracle-checkable). */
+  def syntheticPng(id: Long, width: Int, height: Int): Array[Byte] = {
+    val g = grayOf(id)
+    encodePng(width, height,
+      (x, y) => if (x == 0 && y == 0) rgb((g + 7) % 256) else rgb(g))
+  }
+
+  /** Real image feature: decode, then mean gray per horizontal stripe
+    * (dims stripes) over the actual raster. */
+  def imageFeature(payload: Array[Byte], dims: Int = 8): Array[Float] = {
+    val img = decodeImage(payload)
+    val out = new Array[Float](dims)
+    val cnt = new Array[Int](dims)
+    var y = 0
+    while (y < img.getHeight) {
+      val d = math.min(dims - 1, y * dims / img.getHeight)
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        out(d) += (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / (3f * 255f)
+        cnt(d) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < dims) { if (cnt(i) > 0) out(i) /= cnt(i); i += 1 }
+    out
+  }
+
+  /** Real resize: decode → bilinear rescale → PNG re-encode. */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val src = decodeImage(payload)
+    val dst = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = dst.createGraphics()
+    try {
+      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g2.drawImage(src, 0, 0, w, h, null)
+    } finally g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic media table: image rows carry REAL PNG payloads
+    * (decodable, content a pure function of id); audio/video rows keep
+    * deterministic fake bytes (no codec libs in this container — see the
+    * object doc). */
   def syntheticMedia(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { i =>
-      val len = 64 + (i % 128).toInt
-      val payload = Array.tabulate[Byte](len)(j =>
-        (graft.extract.PageSynth.splitmix64(i * 1000 + j) & 0xFF).toByte)
-      mediaRowFor(i, payload)
+      val meta = mediaRowFor(i, Array.emptyByteArray)
+      val payload =
+        if (meta.kind == "image") syntheticPng(i, meta.width, meta.height)
+        else {
+          val len = 64 + (i % 128).toInt
+          Array.tabulate[Byte](len)(j =>
+            (graft.extract.PageSynth.splitmix64(i * 1000 + j) & 0xFF).toByte)
+        }
+      meta.copy(payload = payload)
     }
   }
 
@@ -60,10 +158,10 @@ object Multimodal {
     }
   }
 
-  /** STUB decode: a real implementation would decode the codec here.
-    * The fake derives a fixed-size feature vector deterministically from
-    * payload bytes, so downstream plumbing (schema, batching, similarity)
-    * is fully exercisable. */
+  /** STUB decode for AUDIO/VIDEO payloads (no codec libs in-container):
+    * derives a fixed-size feature vector deterministically from payload
+    * bytes, so downstream plumbing (schema, batching, similarity) is fully
+    * exercisable. Image rows use the real [[imageFeature]] instead. */
   def decodeFeatureStub(payload: Array[Byte], dims: Int = 8): Array[Float] = {
     val out = new Array[Float](dims)
     var i = 0
@@ -75,14 +173,21 @@ object Multimodal {
   }
 
   /** Batched feature extraction: one pass per partition (the Scala analogue
-    * of mapInPandas batch processing) — narrow, no shuffle. */
+    * of mapInPandas batch processing) — narrow, no shuffle. Image rows
+    * genuinely decode via ImageIO ([[imageFeature]]); audio/video use the
+    * deterministic stub. `decodeImages = false` skips the real decode for
+    * media tables whose image payloads are metadata stand-ins rather than
+    * encoded images (e.g. [[fromDocuments]], whose payloads are the
+    * document's text bytes so the driver oracle can recompute sizes). */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow],
-      dims: Int = 8): Dataset[Feature] = {
+      dims: Int = 8, decodeImages: Boolean = true): Dataset[Feature] = {
     import spark.implicits._
     media.mapPartitions { batch =>
       batch.map { m =>
-        Feature(m.media_id, m.kind, m.payload.length,
-          decodeFeatureStub(m.payload, dims))
+        val feat =
+          if (decodeImages && m.kind == "image") imageFeature(m.payload, dims)
+          else decodeFeatureStub(m.payload, dims)
+        Feature(m.media_id, m.kind, m.payload.length, feat)
       }
     }
   }
@@ -91,28 +196,14 @@ object Multimodal {
       payload: Array[Byte])
   case class FrameRow(media_id: Long, frame_idx: Int, payload: Array[Byte])
 
-  /** STUB resize kernel: a real implementation decodes, scales and
-    * re-encodes; the fake derives the output bytes deterministically from
-    * (payload, target dims) so the plumbing — batch iteration, binary
-    * in/out schema, metadata columns — is fully testable in-container. */
-  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val out = new Array[Byte](math.max(1, (w * h) / 64))
-    var i = 0
-    while (i < out.length) {
-      out(i) = (if (payload.isEmpty) (i * 31).toByte
-        else payload(i % payload.length)) ; i += 1
-    }
-    out
-  }
-
-  /** Batched resize over image rows (mapPartitions ≈ mapInPandas batch):
-    * narrow, partition-preserving, non-image kinds pass through untouched
-    * upstream (filter pushes to the scan). */
+  /** Batched REAL resize over image rows (mapPartitions ≈ mapInPandas
+    * batch): decode → bilinear rescale → PNG re-encode per row — narrow,
+    * partition-preserving; non-image kinds are filtered upstream. */
   def resizeImages(spark: SparkSession, media: Dataset[MediaRow],
       w: Int, h: Int): Dataset[ResizedRow] = {
     import spark.implicits._
     media.filter(_.kind == "image").mapPartitions { batch =>
-      batch.map(m => ResizedRow(m.media_id, w, h, resizeStub(m.payload, w, h)))
+      batch.map(m => ResizedRow(m.media_id, w, h, resizeImage(m.payload, w, h)))
     }
   }
 

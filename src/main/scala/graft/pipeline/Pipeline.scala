@@ -98,7 +98,7 @@ object Pipeline {
       .map(m => s"${m.stage}:${m.version}:${m.rows}").getOrElse("?"))
       .mkString("|")
 
-  val CodeVersion = "v2" // bump to invalidate all stages
+  val CodeVersion = "v3" // bump to invalidate all stages (v3: evidence payloads)
 
   /** The full KG pipeline over a synthesized pages corpus:
     * pages → [optional page canonicalization: MinHash+LSH+CC boilerplate

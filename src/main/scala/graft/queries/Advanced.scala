@@ -269,11 +269,13 @@ object Advanced {
       FROM documents""")),
 
     // Multimodal: binary payload plumbing over documents-derived media —
-    // metadata surface (media_id, kind, n_bytes) oracle-checked; the
-    // decode stub stays spec-only.
+    // metadata surface (media_id, kind, n_bytes) oracle-checked.
+    // decodeImages=false: these payloads are text-byte stand-ins (so the
+    // oracle can recompute octet_length), not encoded images; the REAL
+    // decode path is q50.
     QueryDef("q37_multimodal", (s, d) => {
       val media = Multimodal.fromDocuments(s, t(s, d, "documents"))
-      Multimodal.extractFeatures(s, media)
+      Multimodal.extractFeatures(s, media, decodeImages = false)
         .toDF().select(col("media_id"), col("kind"), col("n_bytes"))
     }, Some("""
       SELECT doc_id AS media_id,
@@ -282,6 +284,109 @@ object Advanced {
              ELSE 'video' END AS kind,
         CAST(octet_length(encode(text)) AS INT) AS n_bytes
       FROM documents""")),
+
+    // REAL image decode end-to-end (JDK ImageIO, zero external deps):
+    // synthesize a genuine PNG per document id (constant gray = id%256,
+    // corner marked (gray+7)%256), decode it back, and emit pixel values
+    // READ FROM THE DECODED RASTER plus the dims of a genuinely resized
+    // (bilinear, re-encoded, re-decoded) copy. PNG is lossless, so every
+    // emitted value is an exact integer the DuckDB oracle recomputes from
+    // id arithmetic — the only way Spark gets them is a real decode.
+    QueryDef("q50_image_decode", (s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = 8 + (id % 24).toInt
+        val h = 8 + (id % 16).toInt
+        val png = Multimodal.syntheticPng(id, w, h)
+        val img = Multimodal.decodeImage(png)
+        val corner = img.getRGB(0, 0) & 0xFF
+        val base = img.getRGB(img.getWidth - 1, img.getHeight - 1) & 0xFF
+        val rs = Multimodal.decodeImage(Multimodal.resizeImage(png, 4, 4))
+        (id, img.getWidth, img.getHeight, corner, base,
+          rs.getWidth, rs.getHeight)
+      }.toDF("media_id", "width", "height", "corner_gray", "base_gray",
+        "resized_width", "resized_height")
+    }, Some("""
+      SELECT doc_id AS media_id,
+        CAST(8 + doc_id % 24 AS INT) AS width,
+        CAST(8 + doc_id % 16 AS INT) AS height,
+        CAST((doc_id % 256 + 7) % 256 AS INT) AS corner_gray,
+        CAST(doc_id % 256 AS INT) AS base_gray,
+        CAST(4 AS INT) AS resized_width, CAST(4 AS INT) AS resized_height
+      FROM documents""")),
+
+    // IVF ANN with the coordinate-axis centroid family (dot(v, c) = v[c])
+    // so coarse quantization, probe selection and rerank are ALL
+    // oracle-checkable; the hash-derived centroid family stays the scale
+    // default (recall + determinism in AnnSpec).
+    QueryDef("q51_ann_ivf", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+      Ann.ivfTopK(emb, queries, "vec_id", "embedding", k = 5, nlist = 16,
+        nprobe = 4, dotsFn = Ann.coordDots)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }, Some("""
+      WITH corpus AS (
+        SELECT vec_id, embedding,
+          list_position(embedding[1:16], list_max(embedding[1:16])) - 1
+            AS cluster
+        FROM embeddings),
+      qprobes AS (
+        SELECT vec_id AS query_id, j.j AS cluster
+        FROM embeddings, (SELECT unnest(range(16)) AS j) j
+        WHERE vec_id < 8
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+          ORDER BY embedding[j.j + 1] DESC, j.j) <= 4),
+      cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        FROM qprobes q JOIN corpus c ON c.cluster = q.cluster
+        WHERE c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT cand.query_id, cand.neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY cand.query_id
+            ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                     cand.neighbor_id) AS rank
+        FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+                  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+      SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""")),
+
+    // Pipeline-backed KG materialization, DRIVER-ORACLED end-to-end: run
+    // the full checkpointed pipeline (synth pages → page canonicalization
+    // [minhash dedup ON — the dedupPages stage is continuously exercised
+    // here] → triples → vertices → edges) to a fixed root, then emit the
+    // claim edges. The DuckDB oracle INDEPENDENTLY rebuilds them from the
+    // materialized triples+vertices parquet: claim aggregation (COUNT per
+    // (subj,pred,obj)), dense per-type key assignment (recomputed as a
+    // plain window rank — checking the distributed KeyAssigner), endpoint
+    // resolution drop semantics (inner joins), and the strength formula.
+    // A hash mismatch in ANY of those shows up as a red driver row.
+    QueryDef("q52_kg_pipeline_edges", (s, d) => {
+      val root = "/tmp/graft_kg_oracle"
+      graft.pipeline.Pipeline.run(s, root, nPages = 2000, partitions = 8,
+        dedupPages = true)
+      s.read.parquet(s"$root/edges")
+        .where(col("claim_type") =!= "DRUG_LABEL")
+        .select(col("src_type"), col("src_key"), col("dst_type"),
+          col("dst_key"), col("claim_type"), col("strength_score"),
+          col("frequency"))
+    }, Some("""
+      WITH t AS (
+        SELECT * FROM read_parquet('/tmp/graft_kg_oracle/triples/*.parquet')),
+      v AS (
+        SELECT node_type, label,
+          CAST(row_number() OVER (PARTITION BY node_type ORDER BY label)
+            AS BIGINT) AS key
+        FROM read_parquet('/tmp/graft_kg_oracle/vertices/*.parquet')),
+      claims AS (
+        SELECT subj, pred, obj, COUNT(*) AS frequency FROM t GROUP BY 1, 2, 3)
+      SELECT sv.node_type AS src_type, sv.key AS src_key,
+        dv.node_type AS dst_type, dv.key AS dst_key,
+        c.pred AS claim_type,
+        LEAST(1.0::DOUBLE, c.frequency / 10.0) AS strength_score,
+        CAST(c.frequency AS DOUBLE) AS frequency
+      FROM claims c
+      JOIN v sv ON sv.label = c.subj
+      JOIN v dv ON dv.label = c.obj""")),
 
     // Flagship: the full KG pipeline (synth pages → extract → link →
     // triples) — rows-only here; P/R vs the pure oracle is asserted in

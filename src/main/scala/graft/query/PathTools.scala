@@ -151,6 +151,13 @@ object PathTools {
   // (reference:src/kg_ae/tools/adverse_events.py:117-146)
   // --------------------------------------------------------------------
 
+  /** Reference PRR fallback (adverse_events.py:135-140): `meta["prr"]` when
+    * the edge carries any meta at all (null if the key is absent), falling
+    * back to strength_score ONLY when meta is entirely empty/missing. */
+  private def prrOf: Column =
+    when(size(col("meta")) > 0, element_at(col("meta"), "prr").cast("double"))
+      .otherwise(col("strength_score"))
+
   /** AEs of the combination of two drugs: combos(drugA) ∩ combos(drugB) →
     * combo→AE fan-out, ranked by PRR (meta) else strength, desc. */
   def drugDrugInteractions(edges: DataFrame, vertices: DataFrame,
@@ -162,8 +169,7 @@ object PathTools {
     val comboAe = edges.where(col("src_type") === "DrugCombination"
         && col("dst_type") === "AdverseEvent")
       .select(col("src_key").as("combo_key"), col("dst_key").as("ae_key"),
-        coalesce(element_at(col("meta"), "prr").cast("double"),
-          col("strength_score")).as("prr"),
+        prrOf.as("prr"),
         col("dataset"))
     comboAe.join(shared, "combo_key")
       .join(typed(vertices, "AdverseEvent", "ae_key", "ae_label"), "ae_key")
@@ -190,8 +196,7 @@ object PathTools {
     val comboAe = edges.where(col("src_type") === "DrugCombination"
         && col("dst_type") === "AdverseEvent")
       .select(col("src_key").as("combo_key"), col("dst_key").as("ae_key"),
-        coalesce(element_at(col("meta"), "prr").cast("double"),
-          col("strength_score")).as("prr"))
+        prrOf.as("prr"))
     pairs.join(comboAe, "combo_key")
       .join(typed(vertices, "AdverseEvent", "ae_key", "ae_label"), "ae_key")
       .select(col("drug_a_key"), col("drug_b_key"), col("ae_key"),
@@ -321,10 +326,13 @@ object PathTools {
   }
 
   /** Gene–gene interactors above a confidence gate, score-ranked
-    * (get_gene_interactors, mechanism.py:208-230). */
+    * (get_gene_interactors, mechanism.py:208-230). Default claim type
+    * matches the reference's GENE_GENE_STRING filter — a reference-shaped
+    * graph returns interactors out of the box; synthetic-corpus callers
+    * pass their own claim type explicitly. */
   def geneInteractors(edges: DataFrame, vertices: DataFrame, geneKey: Long,
       minScore: Double = 0.7, limit: Int = 100,
-      claimType: String = "GENE_GENE"): DataFrame = {
+      claimType: String = "GENE_GENE_STRING"): DataFrame = {
     edges.where(col("src_type") === "Gene" && col("src_key") === geneKey
         && col("dst_type") === "Gene" && col("claim_type") === claimType
         && col("strength_score") >= minScore)

@@ -18,9 +18,15 @@ object Tools {
     * store.py:179-192): exact lowercase match wins; else substring scan
     * bounded at `limit` hits, shortest-label-then-alphabetical tie-break.
     * Exact-before-partial precedence is encoded as match_rank.
-    */
+    *
+    * Exact-match TIES follow the reference's `_prefer_richer` rule
+    * (resolve.py:23-52): candidates carrying the canonical-id prop
+    * (`canonicalProp`, reference: drugcentral_id) sort first, then richer
+    * props (more keys), then key. Partial matches keep the pure
+    * shortest-label rule — the reference applies richness only to exact
+    * ties. */
   def resolve(vertices: DataFrame, nodeType: String, name: String,
-      limit: Int = 25): DataFrame = {
+      limit: Int = 25, canonicalProp: String = "drugcentral_id"): DataFrame = {
     val q = name.toLowerCase(java.util.Locale.ROOT).trim
     val base = vertices.where(col("node_type") === nodeType)
       .withColumn("_lbl", lower(col("label")))
@@ -29,8 +35,16 @@ object Tools {
       .withColumn("match_rank", lit(1))
       .orderBy(length(col("label")), col("label"))
       .limit(limit)
+    val richness =
+      if (vertices.columns.contains("props"))
+        when(col("match_rank") === 0,
+          when(element_at(col("props"), canonicalProp).isNotNull,
+            lit(1 << 20)).otherwise(lit(0)) + size(col("props")))
+          .otherwise(lit(0))
+      else lit(0)
     exact.unionByName(partial)
-      .orderBy(col("match_rank"), length(col("label")), col("label"))
+      .orderBy(col("match_rank"), richness.desc, length(col("label")),
+        col("label"), col("key"))
       .drop("_lbl")
   }
 
@@ -132,7 +146,7 @@ object Tools {
         explode(col("evidence")).as("ev"))
       .select(col("claim_key"), col("claim_type"), col("dataset"),
         col("ev.evidence_type"), col("ev.source_record_id"),
-        col("ev.source_url"))
+        col("ev.source_url"), col("ev.payload"))
 
   /** Path re-scoring policy (reference:src/kg_ae/tools/paths.py:182-259 +
     * docs/scoring-policy.md:223-260): base score × source weight ×

@@ -124,9 +124,18 @@ object Ann {
     (xxhash64(lit(0xC3A5), lit(c), d).cast("double")
       / lit(Long.MaxValue.toDouble))
 
+  /** Oracle-computable centroid family: centroid c = the c-th coordinate
+    * axis, so dot(vec, centroid_c) = vec[c] — weaker quantization than the
+    * hash-derived family but exactly reproducible by an external SQL
+    * engine, making the IVF bucketing itself driver-oracle-checkable
+    * (q51; the hash family stays the scale default, recall-measured in
+    * AnnSpec). */
+  def coordDots(vec: Column, nlist: Int): Column =
+    slice(transform(vec, x => x.cast("double")), 1, nlist)
+
   /** Per-row dot products against all `nlist` hash-derived centroids, as an
     * array column (narrow, codegen'd HOFs — one pass per row). */
-  private def centroidDots(vec: Column, nlist: Int): Column =
+  def centroidDots(vec: Column, nlist: Int): Column =
     array((0 until nlist).map { c =>
       aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -143,24 +152,31 @@ object Ann {
     * centroids without changing the plan. Output schema matches
     * [[bruteForceTopK]]. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      dotsFn: (Column, Int) => Column = centroidDots): DataFrame = {
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("_dots", centroidDots(col("cv"), nlist))
+      .withColumn("_dots", dotsFn(col("cv"), nlist))
       .withColumn("cluster",
         expr("array_position(_dots, array_max(_dots))").cast("int") - 1)
       .drop("_dots")
+    // probe ranking tie-breaks on centroid index (deterministic, and what
+    // the q51 oracle's ORDER BY dot DESC, idx mirrors)
     val qProbes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("_dots", centroidDots(col("qv"), nlist))
+      .withColumn("_dots", dotsFn(col("qv"), nlist))
       .withColumn("_ranked", expr(
         s"slice(array_sort(arrays_zip(_dots, sequence(0, ${nlist - 1})), " +
           "(a, b) -> CASE WHEN a._dots > b._dots THEN -1 " +
-          "WHEN a._dots < b._dots THEN 1 ELSE 0 END), " +
+          "WHEN a._dots < b._dots THEN 1 " +
+          "WHEN a.`1` < b.`1` THEN -1 ELSE 1 END), " +
           s"1, $nprobe)"))
       .select(col("query_id"), col("qv"),
         explode(expr("transform(_ranked, r -> CAST(r.`1` AS INT))"))
           .as("cluster"))
-    val cands = cb.join(broadcast(qProbes), Seq("cluster"))
+    // no static broadcast hint: the probe frame is queries × nprobe rows —
+    // unbounded for batched query sets. AQE picks broadcast when it fits
+    // (same policy as KeyAssigner/GraphBuilder).
+    val cands = cb.join(qProbes, Seq("cluster"))
       .where(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cands.withColumn("cosine", cosine(col("qv"), col("cv")))

@@ -61,9 +61,14 @@ object Disproportionality {
     val om = pairs.groupBy(o.as("outcome")).agg(count(lit(1)).as("outcome_n"))
     val n = pairs.count()
 
+    // no static broadcast hints on the margin joins: margins are
+    // vocabulary-proportional, and an open web-scale exposure vocabulary
+    // can exceed broadcast limits. AQE converts to broadcast at runtime
+    // when a margin actually fits (same policy as GraphBuilder /
+    // KeyAssigner; PlanSpec pins the absence of compile-time hints).
     val joined = a
-      .join(broadcast(em), "exposure")
-      .join(broadcast(om), "outcome")
+      .join(em, "exposure")
+      .join(om, "outcome")
       .withColumn("n", lit(n))
     withStats(joined, minA)
   }

@@ -53,14 +53,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(0) > got(1))
   }
 
-  test("multimodal: batched stub decode preserves schema + partitioning") {
+  test("multimodal: batched feature extraction (real image decode + stubs)") {
     val media = Multimodal.syntheticMedia(spark, 50, 4)
     val feats = Multimodal.extractFeatures(spark, media)
     assert(feats.rdd.getNumPartitions == 4) // narrow: no shuffle
     val rows = feats.collect()
     assert(rows.length == 50)
     assert(rows.forall(_.feature.length == 8))
-    // deterministic stub
+    // image features come from REAL ImageIO decode of the PNG payload:
+    // the raster is constant gray g (one marked corner pixel), so every
+    // stripe mean must be ~g/255
+    rows.filter(_.kind == "image").foreach { r =>
+      val g = Multimodal.grayOf(r.media_id) / 255f
+      assert(r.feature.forall(f => math.abs(f - g) < 0.05f),
+        s"media ${r.media_id}: ${r.feature.toSeq} vs $g")
+    }
+    // deterministic (decode + stub alike)
     val again = Multimodal.extractFeatures(spark, media).collect()
     assert(rows.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
     // metadata-only stats never touch payload
@@ -68,14 +76,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(stats.map(_.getAs[String]("kind")).toSet == Set("image", "audio", "video"))
   }
 
-  test("multimodal: resize + frame-sample plumbing (narrow, deterministic)") {
+  test("multimodal: PNG encode/decode roundtrip is pixel-exact") {
+    // gradient raster: every pixel distinct → decode must read real pixels
+    val w = 20; val h = 10
+    def px(x: Int, y: Int): Int = {
+      val g = (x * 12 + y * 3) % 256
+      (g << 16) | (g << 8) | g
+    }
+    val png = Multimodal.encodePng(w, h, px)
+    val img = Multimodal.decodeImage(png)
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) & 0xFFFFFF) == px(x, y), s"pixel ($x,$y)")
+    // undecodable payloads fail fast, not garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(Array[Byte](1, 2, 3, 4))
+    }
+  }
+
+  test("multimodal: real resize + frame-sample plumbing (narrow, deterministic)") {
     val media = Multimodal.syntheticMedia(spark, 60, 4)
     val resized = Multimodal.resizeImages(spark, media, 32, 32)
     assert(resized.rdd.getNumPartitions == 4) // narrow per-batch kernel
     val rr = resized.collect()
     assert(rr.length == 20) // ids % 3 == 0 are images
-    assert(rr.forall(r => r.width == 32 && r.height == 32
-      && r.payload.length == 32 * 32 / 64))
+    // REAL resize: decoding the re-encoded output must yield the target
+    // raster dims, and (the source being constant gray away from the
+    // marked corner) the center pixel must carry the exact source gray
+    rr.foreach { r =>
+      val img = Multimodal.decodeImage(r.payload)
+      assert(img.getWidth == 32 && img.getHeight == 32)
+      val g = Multimodal.grayOf(r.media_id)
+      assert((img.getRGB(16, 16) & 0xFF) == g, s"media ${r.media_id}")
+    }
     val again = Multimodal.resizeImages(spark, media, 32, 32).collect()
     assert(rr.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
     // frame sampling: one video row explodes to every-Nth pseudo-frames

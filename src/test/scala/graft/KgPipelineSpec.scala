@@ -153,18 +153,31 @@ class KgPipelineSpec extends AnyFunSuite {
     val gaz = graft.link.Gazetteer(Seq(
       graft.link.GazEntry("d", "Drug"), graft.link.GazEntry("g", "Gene")))
     // one hot claim with 100 distinct urls (4 dup rows each) + a cold one
+    // (two sentences on the same url — the payload must carry the min)
     val hot = (0 until 100).flatMap(i => Seq.fill(4)(
-      graft.model.RawTriple("d", "X", "g", f"u$i%03d", "s")))
-    val cold = Seq(graft.model.RawTriple("d", "Y", "g", "u9", "s"))
+      graft.model.RawTriple("d", "X", "g", f"u$i%03d", f"sent u$i%03d")))
+    val cold = Seq(
+      graft.model.RawTriple("d", "Y", "g", "u9", "zz later sentence"),
+      graft.model.RawTriple("d", "Y", "g", "u9", "aa first sentence"))
     val v = GraphBuilder.buildVertices(spark, (hot ++ cold).toDS(), gaz)
     val e = GraphBuilder.buildEdges(spark, (hot ++ cold).toDS(), v, gaz)
     val row = e.where(col("claim_type") === "X").head()
-    val urls = row.getSeq[org.apache.spark.sql.Row](
-        row.fieldIndex("evidence"))
-      .map(_.getAs[String]("source_url"))
+    val ev = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("evidence"))
+    val urls = ev.map(_.getAs[String]("source_url"))
     // exactly the first EvidenceCap urls in sorted order, no bucket leakage
     assert(urls == (0 until GraphBuilder.EvidenceCap).map(i => f"u$i%03d"))
     assert(row.getAs[Double]("frequency") == 400.0)
+    // every evidence item carries a payload with its supporting sentence
+    // (reference build.py:121-167: per-evidence payload dicts)
+    ev.foreach { item =>
+      val p = item.getAs[Map[String, String]]("payload")
+      assert(p("sentence") == s"sent ${item.getAs[String]("source_url")}")
+    }
+    val coldRow = e.where(col("claim_type") === "Y").head()
+    val coldPayload = coldRow.getSeq[org.apache.spark.sql.Row](
+        coldRow.fieldIndex("evidence")).head
+      .getAs[Map[String, String]]("payload")
+    assert(coldPayload("sentence") == "aa first sentence") // min per url
   }
 
   test("claim keys: ambiguous concatenations get distinct keys") {

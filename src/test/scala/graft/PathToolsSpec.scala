@@ -168,12 +168,19 @@ class PathToolsSpec extends AnyFunSuite {
 
   test("geneInteractors: confidence gate + ranked") {
     val withGG = edges.unionByName(Seq(
-      e("Gene", 1, "Gene", 2, "GENE_GENE", 1, 0.8)).toDS().toDF())
+      e("Gene", 1, "Gene", 2, "GENE_GENE_STRING", 1, 0.8)).toDS().toDF())
+    // default claim type is the reference's GENE_GENE_STRING
     val r = PathTools.geneInteractors(withGG, vertices, 1).collect()
     assert(r.length == 1
       && r(0).getAs[String]("interactor_symbol") == "PTGS1")
     assert(PathTools.geneInteractors(withGG, vertices, 1, minScore = 0.9)
       .isEmpty)
+    // non-reference claim vocabularies pass theirs explicitly
+    val gg = edges.unionByName(Seq(
+      e("Gene", 1, "Gene", 2, "GENE_GENE", 1, 0.8)).toDS().toDF())
+    assert(PathTools.geneInteractors(gg, vertices, 1).isEmpty)
+    assert(PathTools.geneInteractors(gg, vertices, 1,
+      claimType = "GENE_GENE").count() == 1)
   }
 
   test("entityClaims: per-entity claim filter, strongest first") {

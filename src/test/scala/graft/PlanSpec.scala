@@ -63,6 +63,22 @@ class PlanSpec extends AnyFunSuite {
       s"expected 1 pruned partition, got ${scan.map(_.selectedPartitions.partitionCount)}")
   }
 
+  test("disproportionality margin joins carry no static broadcast hints") {
+    // margins are vocabulary-proportional — an open web-scale exposure
+    // vocabulary can exceed broadcast limits, so the stats path must leave
+    // the join strategy to AQE (no compile-time hint), the same policy the
+    // KG build follows (KgPipelineSpec scale guard).
+    val pairs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_suppkey").as("exposure"),
+        col("l_returnflag").as("outcome"))
+    val sig = graft.stats.Disproportionality.signals(pairs, "exposure",
+      "outcome")
+    val plans = Seq(sig.queryExecution.analyzed.toString,
+      sig.queryExecution.optimizedPlan.toString)
+    plans.foreach(p =>
+      assert(!p.toLowerCase.contains("broadcast"), p.take(500)))
+  }
+
   test("aggregations use partial (map-side) aggregation (q01)") {
     val plan = planOf(SparkEntry.queries("q01_agg_pricing")(spark, sf))
     // HashAggregate appears twice around the exchange: partial + final

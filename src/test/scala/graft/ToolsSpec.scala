@@ -53,6 +53,27 @@ class ToolsSpec extends AnyFunSuite {
     assert(Tools.resolve(vertices, "Drug", "xyz").isEmpty)
   }
 
+  test("resolve: exact ties prefer canonical-id then richer props") {
+    // reference _prefer_richer (resolve.py:23-52): same-label candidates —
+    // the one with a drugcentral_id wins; among the rest, more props wins
+    val dup = Seq(
+      Vertex("Drug", 10, "aspirin", Map("label" -> "aspirin")),
+      Vertex("Drug", 11, "aspirin",
+        Map("label" -> "aspirin", "atc" -> "B01AC06")),
+      Vertex("Drug", 12, "aspirin",
+        Map("label" -> "aspirin", "drugcentral_id" -> "74"))
+    ).toDS().toDF()
+    val r = Tools.resolve(dup, "Drug", "aspirin").collect()
+    assert(r.map(_.getAs[Long]("key")).toSeq == Seq(12L, 11L, 10L))
+    // partial matches keep the shortest-label rule (richness only on exact)
+    val mixed = dup.unionByName(Seq(Vertex("Drug", 13, "aspirin plus",
+      Map("label" -> "aspirin plus", "drugcentral_id" -> "99"))).toDS().toDF())
+    // all partial now ("aspi" matches nothing exactly): richness does NOT
+    // apply — shortest label, then key asc
+    val partial2 = Tools.resolve(mixed, "Drug", "aspi").collect()
+    assert(partial2.map(_.getAs[Long]("key")).toSeq == Seq(10L, 11L, 12L, 13L))
+  }
+
   test("neighbors: dedup-keep-best + ordering (AEs of warfarin)") {
     val r = Tools.neighbors(edges, vertices, "Drug", 1, "AdverseEvent")
       .collect()
