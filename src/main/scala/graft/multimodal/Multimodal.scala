@@ -14,12 +14,18 @@ import org.apache.spark.sql.functions._
   * asserts decoded dimensions and pixel content; q50 oracle-checks
   * decode-derived values against DuckDB).
   *
-  * The AUDIO/VIDEO kernels remain STUBBED with deterministic fakes — no
-  * audio/video codec library exists in this container — but the Spark-side
-  * contract is real and tested: schema, batch iteration shape
+  * The AUDIO leg is REAL too: RIFF/PCM16 WAV encode + decode run through
+  * JDK `javax.sound.sampled` (pure-Java file codec, no audio device
+  * needed) — synthetic audio rows carry genuine WAV payloads and features
+  * come from decoded samples (FunctionsSpec asserts sample-exact
+  * roundtrips; q53 oracle-checks decode-derived values against DuckDB).
+  *
+  * Only the VIDEO kernels remain STUBBED with deterministic fakes — the
+  * JDK has no video codec and none exists in this container — but the
+  * Spark-side contract is real and tested: schema, batch iteration shape
   * (mapPartitions ≈ mapInPandas batches), binary passthrough, row
-  * explosion, and partition-preserving narrow execution. Swapping a stub
-  * for a real codec changes no plan shape.
+  * explosion, and partition-preserving narrow execution. Swapping the
+  * stub for a real codec changes no plan shape.
   */
 object Multimodal {
 
@@ -123,21 +129,113 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Deterministic media table: image rows carry REAL PNG payloads
-    * (decodable, content a pure function of id); audio/video rows keep
-    * deterministic fake bytes (no codec libs in this container — see the
-    * object doc). */
+  // ------------------------------------------------------------------
+  // REAL audio codec kernels (JDK javax.sound.sampled — zero external
+  // deps; the WAV file codec is pure Java and needs no audio device)
+  // ------------------------------------------------------------------
+
+  /** Deterministic peak amplitude for an audio id — shared by the WAV
+    * synthesizer, the decode specs, and the q53 DuckDB oracle.
+    * Bounded well inside Short range so PCM16 never clips. */
+  def ampOf(id: Long): Int = 1000 + (id % 100).toInt * 250
+
+  /** Real RIFF/PCM16-mono WAV encode of programmatic samples. */
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // PCM16 mono signed LE
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xFF).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV decode: (sample rate from the parsed RIFF header, PCM16
+    * samples). Fails fast on undecodable payloads — audio rows carry
+    * genuine encoded audio by contract. */
+  def decodeWav(payload: Array[Byte]): (Int, Array[Short]) = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"payload (${payload.length} bytes) is not a decodable audio " +
+              "file — audio rows must carry real encoded audio", e)
+      }
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"expected PCM16 mono, got $fmt")
+    val bytes = ais.readAllBytes()
+    val out = new Array[Short](bytes.length / 2)
+    var i = 0
+    if (fmt.isBigEndian)
+      while (i < out.length) {
+        out(i) = (((bytes(2 * i) & 0xFF) << 8) | (bytes(2 * i + 1) & 0xFF)).toShort
+        i += 1
+      }
+    else
+      while (i < out.length) {
+        out(i) = (((bytes(2 * i + 1) & 0xFF) << 8) | (bytes(2 * i) & 0xFF)).toShort
+        i += 1
+      }
+    (fmt.getSampleRate.toInt, out)
+  }
+
+  /** Deterministic synthetic WAV for an id: an `ampOf(id)`-amplitude
+    * square wave (alternating +amp/−amp), `32 + id % 64` samples at the
+    * row's metadata sample rate. PCM is lossless, so peak/trough/length
+    * survive the roundtrip as exact integers (oracle-checkable). */
+  def syntheticWav(id: Long, sampleRate: Int): Array[Byte] = {
+    val amp = ampOf(id)
+    val n = 32 + (id % 64).toInt
+    val samples = Array.tabulate[Short](n)(i =>
+      (if (i % 2 == 0) amp else -amp).toShort)
+    encodeWav(samples, sampleRate)
+  }
+
+  /** Real audio feature: decode, then mean |sample|/32768 per time stripe
+    * (dims stripes) over the actual PCM samples. */
+  def audioFeature(payload: Array[Byte], dims: Int = 8): Array[Float] = {
+    val (_, samples) = decodeWav(payload)
+    val out = new Array[Float](dims)
+    val cnt = new Array[Int](dims)
+    var i = 0
+    while (i < samples.length) {
+      val d = math.min(dims - 1, i * dims / samples.length)
+      out(d) += math.abs(samples(i).toInt) / 32768f
+      cnt(d) += 1
+      i += 1
+    }
+    var j = 0
+    while (j < dims) { if (cnt(j) > 0) out(j) /= cnt(j); j += 1 }
+    out
+  }
+
+  /** Deterministic media table: image rows carry REAL PNG payloads and
+    * audio rows REAL RIFF/PCM16 WAV payloads (decodable, content a pure
+    * function of id); video rows keep deterministic fake bytes (no video
+    * codec in the JDK or this container — see the object doc). */
   def syntheticMedia(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { i =>
       val meta = mediaRowFor(i, Array.emptyByteArray)
-      val payload =
-        if (meta.kind == "image") syntheticPng(i, meta.width, meta.height)
-        else {
+      val payload = meta.kind match {
+        case "image" => syntheticPng(i, meta.width, meta.height)
+        case "audio" => syntheticWav(i, meta.sample_rate)
+        case _ =>
           val len = 64 + (i % 128).toInt
           Array.tabulate[Byte](len)(j =>
             (graft.extract.PageSynth.splitmix64(i * 1000 + j) & 0xFF).toByte)
-        }
+      }
       meta.copy(payload = payload)
     }
   }
@@ -158,10 +256,11 @@ object Multimodal {
     }
   }
 
-  /** STUB decode for AUDIO/VIDEO payloads (no codec libs in-container):
-    * derives a fixed-size feature vector deterministically from payload
-    * bytes, so downstream plumbing (schema, batching, similarity) is fully
-    * exercisable. Image rows use the real [[imageFeature]] instead. */
+  /** STUB decode for VIDEO payloads (no video codec in the JDK or this
+    * container): derives a fixed-size feature vector deterministically from
+    * payload bytes, so downstream plumbing (schema, batching, similarity)
+    * is fully exercisable. Image rows use the real [[imageFeature]] and
+    * audio rows the real [[audioFeature]] instead. */
   def decodeFeatureStub(payload: Array[Byte], dims: Int = 8): Array[Float] = {
     val out = new Array[Float](dims)
     var i = 0
@@ -174,11 +273,12 @@ object Multimodal {
 
   /** Batched feature extraction: one pass per partition (the Scala analogue
     * of mapInPandas batch processing) — narrow, no shuffle. Image rows
-    * genuinely decode via ImageIO ([[imageFeature]]); audio/video use the
-    * deterministic stub. `decodeImages = false` skips the real decode for
-    * media tables whose image payloads are metadata stand-ins rather than
-    * encoded images (e.g. [[fromDocuments]], whose payloads are the
-    * document's text bytes so the driver oracle can recompute sizes). */
+    * genuinely decode via ImageIO ([[imageFeature]]), audio rows via the
+    * JDK WAV codec ([[audioFeature]]); video uses the deterministic stub.
+    * `decodeImages = false` skips the real decodes for media tables whose
+    * payloads are metadata stand-ins rather than encoded media (e.g.
+    * [[fromDocuments]], whose payloads are the document's text bytes so
+    * the driver oracle can recompute sizes). */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow],
       dims: Int = 8, decodeImages: Boolean = true): Dataset[Feature] = {
     import spark.implicits._
@@ -186,6 +286,7 @@ object Multimodal {
       batch.map { m =>
         val feat =
           if (decodeImages && m.kind == "image") imageFeature(m.payload, dims)
+          else if (decodeImages && m.kind == "audio") audioFeature(m.payload, dims)
           else decodeFeatureStub(m.payload, dims)
         Feature(m.media_id, m.kind, m.payload.length, feat)
       }

@@ -19,6 +19,9 @@ import graft.model.Page
   * Each stage writes exactly one parquet table via a temp-dir + atomic
   * rename commit (the sandbox stand-in for an Iceberg snapshot commit) plus
   * a manifest recording {stage, version, upstream fingerprints, row count}.
+  * Replaced tables are retained as numbered snapshots with time-travel
+  * reads, rollback and bounded retention (see [[runStage]] — the
+  * snapshot/time-travel half of the Iceberg stand-in).
   * On re-run, a stage whose manifest matches its code version and upstream
   * fingerprints is SKIPPED — so a job killed mid-pipeline resumes from the
   * last committed stage and, because every stage function is deterministic,
@@ -56,7 +59,19 @@ object Pipeline {
   /** Run one stage: skip when committed with matching version+upstream.
     * `partitionCols` hive-partitions the output (downstream point queries
     * prune to matching directories — the sandbox stand-in for Iceberg
-    * partition transforms). */
+    * partition transforms).
+    *
+    * SNAPSHOTS (the time-travel half of the Iceberg stand-in): when a
+    * recompute replaces a previously-committed table, the old table —
+    * data files, its `_MANIFEST` and `_COMMITTED` marker — is archived
+    * whole under `root/_snapshots/<stage>/snap-NNNNN` instead of deleted.
+    * [[readStage]] reads any retained snapshot, [[rollback]] restores one
+    * as current (archiving the replaced table, so rollback itself is in
+    * the history), [[pruneSnapshots]] bounds retention. Snapshot ids are
+    * dense integers, not wall-clock timestamps — deterministic across
+    * reruns. A production implementation would swap a metadata pointer
+    * instead of moving files; the commit protocol (write tmp → atomic
+    * rename → marker) is identical. */
   def runStage(spark: SparkSession, root: String, stage: String,
       version: String, upstream: String, partitionCols: Seq[String] = Nil)
       (body: => DataFrame): StageResult = {
@@ -74,7 +89,8 @@ object Pipeline {
         (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
          else writer).parquet(tmp.toString)
         val rows = spark.read.parquet(tmp.toString).count()
-        deleteRec(dir)
+        archiveIfCommitted(root, stage)
+        deleteRec(dir) // uncommitted leftovers only; committed dirs archived
         Files.createDirectories(dir.getParent)
         Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
         Files.writeString(dir.resolve("_COMMITTED"), "1")
@@ -83,6 +99,82 @@ object Pipeline {
           (System.nanoTime() - t0) / 1e9)
     }
   }
+
+  private def snapRoot(root: String, stage: String) =
+    Paths.get(root, "_snapshots", stage)
+
+  private def snapDir(root: String, stage: String, id: Int) =
+    snapRoot(root, stage).resolve(f"snap-$id%05d")
+
+  /** Retained snapshot ids for a stage, oldest first. */
+  def snapshots(root: String, stage: String): Seq[Int] = {
+    val d = snapRoot(root, stage)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val out = Seq.newBuilder[Int]
+      Files.list(d).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("snap-")) out += n.stripPrefix("snap-").toInt
+      }
+      out.result().sorted
+    }
+  }
+
+  /** Archive the stage's current COMMITTED table (with its manifest +
+    * marker) as the next snapshot; uncommitted/absent dirs archive
+    * nothing. */
+  private def archiveIfCommitted(root: String, stage: String): Unit = {
+    val dir = Paths.get(root, stage)
+    if (Files.exists(dir.resolve("_COMMITTED"))) {
+      val next = snapshots(root, stage).lastOption.getOrElse(0) + 1
+      Files.createDirectories(snapRoot(root, stage))
+      Files.move(dir, snapDir(root, stage, next),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Read a stage table: current by default, or time-travel to a retained
+    * snapshot via `asOf`. */
+  def readStage(spark: SparkSession, root: String, stage: String,
+      asOf: Option[Int] = None): DataFrame = asOf match {
+    case None => spark.read.parquet(s"$root/$stage")
+    case Some(id) =>
+      val d = snapDir(root, stage, id)
+      require(Files.exists(d.resolve("_COMMITTED")),
+        s"stage '$stage' has no retained snapshot $id " +
+          s"(retained: ${snapshots(root, stage).mkString(",")})")
+      spark.read.parquet(d.toString)
+  }
+
+  /** Restore a retained snapshot as the stage's current table. The
+    * replaced current table is archived first, so rollback appears in the
+    * snapshot history and is itself reversible. The restored snapshot's
+    * manifest comes back with it, so downstream stages whose `upstream`
+    * fingerprints no longer match recompute on the next run (fingerprints
+    * include row counts + versions). */
+  def rollback(root: String, stage: String, toSnapshot: Int): Unit = {
+    val src = snapDir(root, stage, toSnapshot)
+    require(Files.exists(src.resolve("_COMMITTED")),
+      s"stage '$stage' has no retained snapshot $toSnapshot")
+    archiveIfCommitted(root, stage)
+    val dir = Paths.get(root, stage)
+    deleteRec(dir)
+    // copy (not move) so the snapshot itself stays retained/immutable
+    Files.walk(src).forEach { p =>
+      val rel = src.relativize(p)
+      val dst = dir.resolve(rel.toString)
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else {
+        Files.createDirectories(dst.getParent)
+        Files.copy(p, dst, StandardCopyOption.COPY_ATTRIBUTES)
+      }
+    }
+  }
+
+  /** Delete the oldest snapshots beyond `keep` (bounded retention). */
+  def pruneSnapshots(root: String, stage: String, keep: Int): Unit =
+    snapshots(root, stage).dropRight(keep)
+      .foreach(id => deleteRec(snapDir(root, stage, id)))
 
   private def deleteRec(p: java.nio.file.Path): Unit = {
     if (Files.exists(p)) {

@@ -315,6 +315,31 @@ object Advanced {
         CAST(4 AS INT) AS resized_width, CAST(4 AS INT) AS resized_height
       FROM documents""")),
 
+    // REAL audio decode end-to-end (JDK javax.sound.sampled WAV codec,
+    // zero external deps): synthesize a genuine RIFF/PCM16 WAV per
+    // document id (square wave, amplitude 1000 + id%100*250, 32 + id%64
+    // samples), decode it back, and emit the sample rate READ FROM THE
+    // PARSED RIFF HEADER plus peak/trough/length READ FROM THE DECODED
+    // SAMPLES. PCM is lossless, so every value is an exact integer the
+    // DuckDB oracle recomputes from id arithmetic — the only way Spark
+    // gets them is a real decode.
+    QueryDef("q53_audio_decode", (s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val rate = 8000 + (id % 3).toInt * 8000
+        val wav = Multimodal.syntheticWav(id, rate)
+        val (decodedRate, samples) = Multimodal.decodeWav(wav)
+        (id, decodedRate, samples.length,
+          samples.max.toInt, samples.min.toInt)
+      }.toDF("media_id", "sample_rate", "n_samples", "peak", "trough")
+    }, Some("""
+      SELECT doc_id AS media_id,
+        CAST(8000 + (doc_id % 3) * 8000 AS INT) AS sample_rate,
+        CAST(32 + doc_id % 64 AS INT) AS n_samples,
+        CAST(1000 + (doc_id % 100) * 250 AS INT) AS peak,
+        CAST(-(1000 + (doc_id % 100) * 250) AS INT) AS trough
+      FROM documents""")),
+
     // IVF ANN with the coordinate-axis centroid family (dot(v, c) = v[c])
     // so coarse quantization, probe selection and rerank are ALL
     // oracle-checkable; the hash-derived centroid family stays the scale

@@ -68,6 +68,14 @@ class FunctionsSpec extends AnyFunSuite {
       assert(r.feature.forall(f => math.abs(f - g) < 0.05f),
         s"media ${r.media_id}: ${r.feature.toSeq} vs $g")
     }
+    // audio features come from REAL WAV decode of the PCM payload: a
+    // square wave of amplitude a has mean |sample| exactly a in every
+    // time stripe, so each stripe mean must be a/32768
+    rows.filter(_.kind == "audio").foreach { r =>
+      val a = Multimodal.ampOf(r.media_id) / 32768f
+      assert(r.feature.forall(f => math.abs(f - a) < 1e-4f),
+        s"media ${r.media_id}: ${r.feature.toSeq} vs $a")
+    }
     // deterministic (decode + stub alike)
     val again = Multimodal.extractFeatures(spark, media).collect()
     assert(rows.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
@@ -91,6 +99,20 @@ class FunctionsSpec extends AnyFunSuite {
     // undecodable payloads fail fast, not garbage
     intercept[IllegalArgumentException] {
       Multimodal.decodeImage(Array[Byte](1, 2, 3, 4))
+    }
+  }
+
+  test("multimodal: WAV encode/decode roundtrip is sample-exact") {
+    // every sample distinct → decode must read real PCM data, and the
+    // sample rate must come from the parsed RIFF header
+    val src = Array.tabulate[Short](100)(i => ((i * 331 - 16000) % 32768).toShort)
+    val wav = Multimodal.encodeWav(src, 16000)
+    val (rate, back) = Multimodal.decodeWav(wav)
+    assert(rate == 16000)
+    assert(back.toSeq == src.toSeq)
+    // undecodable payloads fail fast, not garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(Array[Byte](1, 2, 3, 4))
     }
   }
 

@@ -92,6 +92,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(res2.forall(_.skipped))
   }
 
+  test("snapshots: recompute archives the old table; time-travel reads it") {
+    val root = Files.createTempDirectory("graft_snap").toString
+    def pages(n: Long) = graft.extract.PageSynth.pages(spark, n, 4).toDF()
+    Pipeline.runStage(spark, root, "pages", "v1", "n=50")(pages(50))
+    assert(Pipeline.snapshots(root, "pages").isEmpty) // first commit: no history
+    val cur1 = Pipeline.readStage(spark, root, "pages").count()
+
+    // version bump with different content → recompute archives snap 1
+    Pipeline.runStage(spark, root, "pages", "v2", "n=80")(pages(80))
+    assert(Pipeline.snapshots(root, "pages") == Seq(1))
+    assert(Pipeline.readStage(spark, root, "pages").count() == 80)
+    // time-travel: snapshot 1 is the ORIGINAL table, bit-for-bit readable
+    val snap1 = Pipeline.readStage(spark, root, "pages", asOf = Some(1))
+    assert(snap1.count() == cur1 && cur1 == 50)
+    // unknown snapshot fails fast
+    intercept[IllegalArgumentException] {
+      Pipeline.readStage(spark, root, "pages", asOf = Some(9))
+    }
+  }
+
+  test("rollback restores a snapshot, keeps history, invalidates downstream") {
+    val root = Files.createTempDirectory("graft_rb").toString
+    def pages(n: Long) = graft.extract.PageSynth.pages(spark, n, 4).toDF()
+    Pipeline.runStage(spark, root, "pages", "v1", "n=50")(pages(50))
+    Pipeline.runStage(spark, root, "pages", "v2", "n=80")(pages(80))
+    val fpNew = Pipeline.fingerprint(root, Seq("pages"))
+
+    Pipeline.rollback(root, "pages", toSnapshot = 1)
+    // current is the old 50-page table again; the replaced 80-page table
+    // was archived (rollback is itself in the history and reversible)
+    assert(Pipeline.readStage(spark, root, "pages").count() == 50)
+    assert(Pipeline.snapshots(root, "pages") == Seq(1, 2))
+    assert(Pipeline.readStage(spark, root, "pages", asOf = Some(2)).count() == 80)
+    // the restored manifest changes the fingerprint → downstream stages
+    // keyed on it recompute on the next run
+    assert(Pipeline.fingerprint(root, Seq("pages")) != fpNew)
+    // the rolled-back-to snapshot stays retained (copy, not move)
+    assert(Pipeline.readStage(spark, root, "pages", asOf = Some(1)).count() == 50)
+
+    // bounded retention drops the oldest
+    Pipeline.pruneSnapshots(root, "pages", keep = 1)
+    assert(Pipeline.snapshots(root, "pages") == Seq(2))
+  }
+
   test("counters table records per-stage lineage") {
     val root = Files.createTempDirectory("graft_pipeD").toString
     Pipeline.run(spark, root, nPages = 100, partitions = 4)
