@@ -34,11 +34,18 @@ case class CleanText(child: Expression, maxChars: Int)
   }
 
   override def nullSafeEval(input: Any): Any =
-    CleanText.eval(input.asInstanceOf[UTF8String], maxChars)
+    CleanText.cleanUtf8(input.asInstanceOf[UTF8String], maxChars)
 
+  // NOTE the method name: it must NOT be `eval`. scalac emits static
+  // forwarders for companion-object methods only when the class has no
+  // member of the same NAME — Expression.eval(InternalRow) suppresses a
+  // forwarder for an object method named `eval`, Janino then can't resolve
+  // the static call and EVERY plan containing this expression silently
+  // falls back to interpreted execution (codegen-compile WARN at runtime).
+  // CleanTextExprSpec force-compiles the generated code to pin this.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.CleanText.eval($c, $maxChars)")
+      s"graft.functions.CleanText.cleanUtf8($c, $maxChars)")
 
   override def prettyName: String = "clean_text"
   override protected def withNewChildInternal(newChild: Expression): CleanText =
@@ -46,8 +53,9 @@ case class CleanText(child: Expression, maxChars: Int)
 }
 
 object CleanText {
-  /** Static entry point shared by interpreted + generated code paths. */
-  def eval(s: UTF8String, maxChars: Int): UTF8String = {
+  /** Static entry point shared by interpreted + generated code paths.
+    * (Named `cleanUtf8`, not `eval` — see the doGenCode note.) */
+  def cleanUtf8(s: UTF8String, maxChars: Int): UTF8String = {
     if (s == null) return null
     UTF8String.fromString(cleanJava(s.toString, maxChars))
   }

@@ -78,6 +78,35 @@ object StreamOps {
     q.stop()
   }
 
+  /** Streaming exact dedup: the streaming leg of [[graft.dedup.Dedup.exact]]
+    * — new document files micro-batch in, rows whose content was already
+    * seen inside the watermark horizon are dropped
+    * (`dropDuplicatesWithinWatermark`). The dedup key is a 128-bit content
+    * fingerprint (two independent xxhash64 runs), NOT the text itself:
+    * dedup state holds only the key columns, and holding full documents in
+    * state is exactly what an unbounded stream can't afford. The watermark
+    * EVICTS state as event time passes — the only state-safe dedup shape at
+    * stream scale; an unwatermarked dropDuplicates would accumulate every
+    * fingerprint forever. Collision exposure at 2×64 bits is ~n²/2¹²⁸
+    * within a horizon — negligible; the batch path's collision re-check
+    * (Dedup.exact) has no streaming analogue without keeping text in state,
+    * a documented divergence. */
+  def dedupStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType, queryName: String,
+      horizon: String = "1 hour"): Unit = {
+    val docs = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("_h1", xxhash64(col("text")))
+      .withColumn("_h2", xxhash64(lit("graft-dedup-2"), col("text")))
+    val deduped = docs
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("_h1", "_h2")
+    val q = deduped.drop("_h1", "_h2").writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Custom per-key state: streaming sessionization via
     * flatMapGroupsWithState (the KeyValueGroupedDataset state API the
     * SURVEY maps "custom state" to, §2.8). A new session starts when the

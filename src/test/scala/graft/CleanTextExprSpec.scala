@@ -34,6 +34,26 @@ class CleanTextExprSpec extends AnyFunSuite {
     }
   }
 
+  test("generated code force-compiles (no silent interpreted fallback)") {
+    // A whole-stage codegen compile failure is a WARN + interpreted
+    // fallback at runtime — results stay correct, performance silently
+    // dies. Force Janino compilation of the expression's generated code so
+    // an unresolvable static call (e.g. a companion method whose static
+    // forwarder scalac suppressed because the class has a same-NAME
+    // member, like `eval`) fails THIS test instead.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = CleanText(BoundReference(0, StringType, nullable = true), 5)
+    val proj = GenerateMutableProjection.generate(Seq(expr)) // throws on compile error
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    row.update(0, UTF8String.fromString("  a \t  b  cdefgh "))
+    assert(proj(row).get(0, StringType).toString == "a b c...")
+    row.update(0, null)
+    assert(proj(row).get(0, StringType) == null)
+  }
+
   test("expression (codegen path) == regexp Column pipeline == oracle") {
     GraftFunctions.register(spark)
     val texts = (0L until 400L).map(fuzz)

@@ -168,6 +168,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming exact dedup (watermark-bounded state) == batch distinct") {
+    import spark.implicits._
+    // two micro-batch files with duplicates inside AND across batches;
+    // the streaming dedup must keep exactly one row per distinct text
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    def row(id: Long, text: String) =
+      (id, text, java.sql.Timestamp.valueOf(s"2024-01-01 10:0${id % 10}:00"))
+    val b1 = Seq(row(0, "alpha"), row(1, "beta"), row(2, "alpha"))
+      .toDF("doc_id", "text", "ts")
+    val b2 = Seq(row(3, "beta"), row(4, "gamma"), row(5, "gamma"))
+      .toDF("doc_id", "text", "ts")
+    b1.write.parquet(dir.resolve("b1").toString)
+    b2.write.parquet(dir.resolve("b2").toString)
+    val schema = spark.read.parquet(dir.resolve("b1").toString).schema
+    StreamOps.dedupStream(spark, s"$dir/*", schema, "stream_dedup")
+    val kept = spark.sql("SELECT text FROM stream_dedup")
+      .as[String].collect().toSeq
+    assert(kept.sorted == Seq("alpha", "beta", "gamma")) // one per text
+  }
+
   test("streaming KG triples (incremental claim counts) == batch extraction") {
     import graft.extract.PageSynth
     // two micro-batch files: pages arrive in waves; complete-mode counts
