@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Advanced, GraphQueries, QueryDef, Relational, TextStats}
+import graft.queries.{Advanced, GraphQueries, QueryDef, Relational, Sources, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ import graft.queries.{Advanced, GraphQueries, QueryDef, Relational, TextStats}
 object SparkEntry {
 
   val all: Seq[QueryDef] =
-    Relational.defs ++ TextStats.defs ++ Advanced.defs ++ GraphQueries.defs
+    Relational.defs ++ TextStats.defs ++ Advanced.defs ++ GraphQueries.defs ++
+      Sources.defs
 
   /** Flagship: full KG pipeline (synthesize pages → extract → link →
     * triple-extract → aggregate) on a small corpus; driver smoke-checks

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType, StructField, StructType}
+
+import graft.sources.{Readers, SourceSynth}
+
+/** Driver-oracled queries for the source readers (SURVEY §2.1 S2/S3/S4/S6/
+  * S10/S11): each synthesizes a deterministic fixture file, scans it with
+  * the library reader, and the DuckDB oracle scans the SAME file — reader
+  * semantics (header handling, comment skipping, imposed schemas,
+  * transparent gzip, corrupt-line tolerance, nested-document explosion)
+  * are hash-checked end-to-end, not just spec-asserted.
+  */
+object Sources {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // S2: header TSV scan — schema from the header line, all-string
+    // columns (reference drugcentral/parse.py:59-66).
+    QueryDef("q54_src_header_tsv", (s, _) => {
+      SourceSynth.ensure()
+      Readers.csvWithHeader(s, SourceSynth.peopleTsv)
+    }, Some(s"""
+      SELECT * FROM read_csv('${SourceSynth.peopleTsv}',
+        delim='\t', header=true, all_varchar=true)""")),
+
+    // S3+S4: commented-header TSV with an imposed schema — '#' block
+    // skipped, typed columns (reference ctd/parse.py:76-86). The oracle
+    // skips the same 3 comment lines positionally (DuckDB 1.0 has no
+    // comment option); the engine reader skips them ANYWHERE per the
+    // reference's tolerant contract (spec-tested in SourcesSpec).
+    QueryDef("q55_src_commented_tsv", (s, _) => {
+      SourceSynth.ensure()
+      Readers.csvCommentHeader(s, SourceSynth.factsTsv, StructType(Seq(
+        StructField("id", IntegerType),
+        StructField("label", StringType),
+        StructField("weight", DoubleType))))
+    }, Some(s"""
+      SELECT * FROM read_csv('${SourceSynth.factsTsv}',
+        delim='\t', header=false, skip=3,
+        columns={'id':'INTEGER','label':'VARCHAR','weight':'DOUBLE'})""")),
+
+    // S6: gzipped CSV — transparent decompression on scan.
+    QueryDef("q56_src_gzip_csv", (s, _) => {
+      SourceSynth.ensure()
+      Readers.csvGz(s, SourceSynth.metricsCsvGz)
+    }, Some(s"""
+      SELECT * FROM read_csv('${SourceSynth.metricsCsvGz}',
+        header=true, all_varchar=true)""")),
+
+    // S10: JSONL with corrupt lines — PERMISSIVE scan keeps one all-null
+    // row per bad line instead of failing (reference chembl/parse.py:55-95
+    // skips json.loads errors); DuckDB's ignore_errors yields the same
+    // null rows, so tolerance itself is hash-checked.
+    QueryDef("q57_src_jsonl_corrupt", (s, _) => {
+      SourceSynth.ensure()
+      Readers.jsonl(s, SourceSynth.eventsJsonl)
+        .select(col("id"), col("kind"), col("v"))
+    }, Some(s"""
+      SELECT id, kind, v FROM read_json('${SourceSynth.eventsJsonl}',
+        format='newline_delimited', ignore_errors=true)""")),
+
+    // S11: nested-JSON API document — docs[] explosion + first-of-list
+    // field extraction (reference hgnc/parse.py:52-104).
+    QueryDef("q58_src_nested_json", (s, _) => {
+      SourceSynth.ensure()
+      Readers.nestedJsonDocs(s, SourceSynth.apiJson, "response.docs")
+        .select(col("id"), col("symbol"),
+          element_at(col("alias"), 1).as("first_alias"))
+    }, Some(s"""
+      SELECT d.id AS id, d.symbol AS symbol, d.alias[1] AS first_alias
+      FROM (SELECT unnest(response.docs) AS d
+            FROM read_json('${SourceSynth.apiJson}')) t"""))
+  )
+}

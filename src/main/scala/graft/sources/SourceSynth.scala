@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+/** Deterministic source-file fixtures for the S2–S11 reader operators —
+  * every byte is a pure function of the row index, so the engine reader
+  * and the DuckDB oracle can scan the SAME file and must agree exactly.
+  * Mirrors the reference's ingestion shapes: header TSV
+  * (drugcentral/parse.py:59-66), commented-header TSV (ctd/parse.py:76-86),
+  * gzipped CSV, JSONL with corrupt lines (chembl/parse.py:55-95), and a
+  * nested-JSON API document (hgnc/parse.py:52-104).
+  */
+object SourceSynth {
+
+  val Dir = "/tmp/graft_sources"
+
+  def peopleTsv: String = s"$Dir/people.tsv"
+  def factsTsv: String = s"$Dir/facts.tsv"
+  def metricsCsvGz: String = s"$Dir/metrics.csv.gz"
+  def eventsJsonl: String = s"$Dir/events.jsonl"
+  def apiJson: String = s"$Dir/api.json"
+
+  /** Bump when fixture CONTENT changes — stale files from an older layout
+    * are rewritten, identical ones skipped. */
+  private val Version = "v1"
+
+  /** Write all fixtures (idempotent; tiny files, driver-side by design —
+    * this is test-input synthesis, not a data path). */
+  def ensure(): Unit = synchronized {
+    val marker = Paths.get(Dir, s"_v_$Version")
+    if (Files.exists(marker)) return
+    Files.createDirectories(Paths.get(Dir))
+
+    writeText(peopleTsv) { w =>
+      w.write("pid\tpname\tpscore\n")
+      (0 until 2000).foreach { i =>
+        w.write(s"$i\tname ${(i * 7) % 97}\t${(i * 31) % 1000}\n")
+      }
+    }
+
+    writeText(factsTsv) { w =>
+      w.write("# source: synthetic fixture\n")
+      w.write("# license: none\n")
+      w.write("# fields: id label weight\n")
+      (0 until 1500).foreach { i =>
+        w.write(s"$i\tlab${i % 13}\t${i % 40}.25\n")
+      }
+    }
+
+    val gz = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(metricsCsvGz)),
+      StandardCharsets.UTF_8))
+    try {
+      gz.write("mid,metric,mval\n")
+      (0 until 1000).foreach { i =>
+        gz.write(s"$i,m${i % 7},${(i * 3) % 500}\n")
+      }
+    } finally gz.close()
+
+    writeText(eventsJsonl) { w =>
+      (0 until 1300).foreach { i =>
+        if (i % 13 == 5) w.write(s"""{"id": $i, "kind": BROKEN\n""")
+        else w.write(s"""{"id":$i,"kind":"k${i % 5}","v":${(i * 11) % 400}}\n""")
+      }
+    }
+
+    writeText(apiJson) { w =>
+      val docs = (0 until 300).map { i =>
+        s"""{"id":"d$i","symbol":"SYM${i % 50}","alias":["a${i % 9}","b${i % 4}"]}"""
+      }.mkString(",")
+      w.write(s"""{"response":{"numFound":300,"docs":[$docs]}}""")
+    }
+
+    Files.write(marker, Array.emptyByteArray)
+  }
+
+  private def writeText(path: String)(body: BufferedWriter => Unit): Unit = {
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new FileOutputStream(path), StandardCharsets.UTF_8))
+    try body(w) finally w.close()
+  }
+}
