@@ -413,6 +413,77 @@ object Advanced {
       JOIN v sv ON sv.label = c.subj
       JOIN v dv ON dv.label = c.obj""")),
 
+    // Evidence retrieval over the materialized pipeline graph: explode the
+    // per-claim evidence lists (bounded at EvidenceCap=20, url-sorted) for
+    // a claim-key range. The oracle independently rebuilds claim keys
+    // (dense rank over the \x01-joined claim string — checking KeyAssigner
+    // again from a second angle), endpoint-resolution drops, the per-(claim,
+    // url) min-sentence payload AND the evidence cap from the triples
+    // parquet. Proves the evidence PAYLOADS (reference build.py:121-167),
+    // not just the url lists.
+    QueryDef("q59_claim_evidence", (s, d) => {
+      val root = "/tmp/graft_kg_oracle"
+      graft.pipeline.Pipeline.run(s, root, nPages = 2000, partitions = 8,
+        dedupPages = true)
+      val edges = s.read.parquet(s"$root/edges")
+      graft.query.Tools.claimEvidenceBatch(
+          edges.where(col("claim_key").between(1, 50)))
+        .select(col("claim_key"), col("claim_type"), col("evidence_type"),
+          col("source_record_id"), col("source_url"),
+          element_at(col("payload"), "sentence").as("sentence"))
+    }, Some("""
+      WITH t AS (
+        SELECT * FROM read_parquet('/tmp/graft_kg_oracle/triples/*.parquet')),
+      vlabels AS (
+        SELECT DISTINCT label
+        FROM read_parquet('/tmp/graft_kg_oracle/vertices/*.parquet')),
+      ck AS (
+        SELECT subj, pred, obj,
+          row_number() OVER (ORDER BY subj || chr(1) || pred || chr(1) || obj)
+            AS claim_key
+        FROM (SELECT DISTINCT subj, pred, obj FROM t)),
+      resolved AS (
+        SELECT ck.subj, ck.pred, ck.obj, ck.claim_key FROM ck
+        JOIN vlabels sv ON sv.label = ck.subj
+        JOIN vlabels dv ON dv.label = ck.obj
+        WHERE ck.claim_key BETWEEN 1 AND 50),
+      ev AS (
+        SELECT subj, pred, obj, url, MIN(sentence) AS sentence
+        FROM t GROUP BY 1, 2, 3, 4),
+      capped AS (
+        SELECT *, row_number() OVER (PARTITION BY subj, pred, obj
+          ORDER BY url) AS rn FROM ev)
+      SELECT r.claim_key, r.pred AS claim_type,
+        'page' AS evidence_type, c.url AS source_record_id,
+        c.url AS source_url, c.sentence
+      FROM resolved r
+      JOIN capped c ON c.subj = r.subj AND c.pred = r.pred AND c.obj = r.obj
+      WHERE c.rn <= 20""")),
+
+    // FDA-label-style sections for EVERY drug (batched
+    // get_drug_label_sections): DRUG_LABEL self-loop evidence payload maps
+    // exploded to (section_name, content) rows; the oracle rebuilds the
+    // per-drug min-sentence section text from the triples parquet.
+    QueryDef("q60_label_sections", (s, d) => {
+      val root = "/tmp/graft_kg_oracle"
+      graft.pipeline.Pipeline.run(s, root, nPages = 2000, partitions = 8,
+        dedupPages = true)
+      graft.query.PathTools.allDrugLabelSections(
+        s.read.parquet(s"$root/edges"))
+    }, Some("""
+      WITH t AS (
+        SELECT * FROM read_parquet('/tmp/graft_kg_oracle/triples/*.parquet')),
+      vd AS (
+        SELECT label, key
+        FROM read_parquet('/tmp/graft_kg_oracle/vertices/*.parquet')
+        WHERE node_type = 'Drug'),
+      lab AS (
+        SELECT subj, MIN(sentence) AS section_text
+        FROM t WHERE pred = 'DRUG_AE' GROUP BY subj)
+      SELECT vd.key AS drug_key, l.subj AS brand_name,
+        'adverse_reactions' AS section_name, l.section_text AS content
+      FROM lab l JOIN vd ON vd.label = l.subj""")),
+
     // Flagship: the full KG pipeline (synth pages → extract → link →
     // triples) — rows-only here; P/R vs the pure oracle is asserted in
     // KgPipelineSpec.

@@ -71,6 +71,34 @@ object Sources {
     }, Some(s"""
       SELECT d.id AS id, d.symbol AS symbol, d.alias[1] AS first_alias
       FROM (SELECT unnest(response.docs) AS d
-            FROM read_json('${SourceSynth.apiJson}')) t"""))
+            FROM read_json('${SourceSynth.apiJson}')) t""")),
+
+    // S9: ZIP-of-JSON scan — zip members are walked on the EXECUTOR
+    // (binaryFile + flatMap, never driver-side). DuckDB can't open zips,
+    // so the oracle regenerates entry names + bodies from the same id
+    // arithmetic the fixture writer used — the only way Spark matches is
+    // by genuinely unzipping.
+    QueryDef("q61_src_zip_json", (s, _) => {
+      SourceSynth.ensure()
+      Readers.zipOfJson(s, SourceSynth.docsZip)
+        .select(col("entry"), col("json"))
+    }, Some("""
+      SELECT printf('doc_%03d.json', i) AS entry,
+        '{"k":' || i || ',"w":"z' || (i % 7) || '"}' AS json
+      FROM range(100) t(i)""")),
+
+    // S13: JSON artifact sink ROUNDTRIP — aggregate, write the artifact
+    // (coalesce(1), metadata-scale by contract), read it back; the oracle
+    // recomputes the aggregate from the source table, so the sink must
+    // preserve every value exactly.
+    QueryDef("q62_json_artifact", (s, d) => {
+      val agg = QueryDef.t(s, d, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), max(col("n_chars")).as("max_chars"))
+      val dir = s"${SourceSynth.Dir}/lang_artifact"
+      Readers.writeJsonArtifact(agg, dir)
+      s.read.json(dir).select(col("lang"), col("n"), col("max_chars"))
+    }, Some("""
+      SELECT lang, COUNT(*) AS n, MAX(n_chars) AS max_chars
+      FROM documents GROUP BY lang"""))
   )
 }

@@ -368,16 +368,23 @@ object PathTools {
     * (section_name, content) rows, optionally filtered to named sections. */
   def drugLabelSections(edges: DataFrame, vertices: DataFrame, drugKey: Long,
       sections: Seq[String] = Nil): DataFrame = {
-    val rows = edges.where(col("src_type") === "Drug"
-        && col("src_key") === drugKey && col("claim_type") === "DRUG_LABEL")
+    val rows = allDrugLabelSections(edges)
+      .where(col("drug_key") === drugKey)
+    if (sections.isEmpty) rows
+    else rows.where(col("section_name").isin(sections: _*))
+  }
+
+  /** Batched label-section explosion over EVERY drug's DRUG_LABEL edge —
+    * the set-at-a-time form of [[drugLabelSections]] (the per-drug filter
+    * pushes through the explode into the partition-pruned scan). */
+  def allDrugLabelSections(edges: DataFrame): DataFrame =
+    edges.where(col("src_type") === "Drug"
+        && col("claim_type") === "DRUG_LABEL")
       .select(col("src_key").as("drug_key"),
         element_at(col("meta"), "brand_name").as("brand_name"),
         explode(col("evidence")).as("ev"))
       .select(col("drug_key"), col("brand_name"),
         explode(col("ev.payload")).as(Seq("section_name", "content")))
-    if (sections.isEmpty) rows
-    else rows.where(col("section_name").isin(sections: _*))
-  }
 
   // --------------------------------------------------------------------
   // Subgraph with node props + re-scored weights

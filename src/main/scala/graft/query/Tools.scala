@@ -138,15 +138,22 @@ object Tools {
       .orderBy(col("n_edges").desc, col("dst_key"))
   }
 
-  /** Evidence retrieval by claim (reference evidence tool:
-    * src/kg_ae/tools/ evidence fetch by claim_key; store._claims index). */
-  def evidenceForClaim(edges: DataFrame, claimKey: Long): DataFrame =
-    edges.where(col("claim_key") === claimKey)
+  /** Batched evidence retrieval: one row per (claim, evidence item) for
+    * every edge in the input — the set-at-a-time form of
+    * [[evidenceForClaim]] (filter the edges first; the predicate pushes
+    * into the scan, the explode stays narrow). */
+  def claimEvidenceBatch(edges: DataFrame): DataFrame =
+    edges
       .select(col("claim_key"), col("claim_type"), col("dataset"),
         explode(col("evidence")).as("ev"))
       .select(col("claim_key"), col("claim_type"), col("dataset"),
         col("ev.evidence_type"), col("ev.source_record_id"),
         col("ev.source_url"), col("ev.payload"))
+
+  /** Evidence retrieval by claim (reference evidence tool:
+    * src/kg_ae/tools/ evidence fetch by claim_key; store._claims index). */
+  def evidenceForClaim(edges: DataFrame, claimKey: Long): DataFrame =
+    claimEvidenceBatch(edges.where(col("claim_key") === claimKey))
 
   /** Path re-scoring policy (reference:src/kg_ae/tools/paths.py:182-259 +
     * docs/scoring-policy.md:223-260): base score × source weight ×

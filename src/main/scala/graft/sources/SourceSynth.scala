@@ -22,10 +22,15 @@ object SourceSynth {
   def metricsCsvGz: String = s"$Dir/metrics.csv.gz"
   def eventsJsonl: String = s"$Dir/events.jsonl"
   def apiJson: String = s"$Dir/api.json"
+  def docsZip: String = s"$Dir/docs.zip"
+
+  /** Per-entry JSON body of the zip fixture — shared with the q61 oracle's
+    * string arithmetic. */
+  def zipJsonBody(i: Int): String = s"""{"k":$i,"w":"z${i % 7}"}"""
 
   /** Bump when fixture CONTENT changes — stale files from an older layout
     * are rewritten, identical ones skipped. */
-  private val Version = "v1"
+  private val Version = "v2"
 
   /** Write all fixtures (idempotent; tiny files, driver-side by design —
     * this is test-input synthesis, not a data path). */
@@ -73,6 +78,16 @@ object SourceSynth {
       }.mkString(",")
       w.write(s"""{"response":{"numFound":300,"docs":[$docs]}}""")
     }
+
+    val zip = new java.util.zip.ZipOutputStream(
+      new FileOutputStream(docsZip))
+    try {
+      (0 until 100).foreach { i =>
+        zip.putNextEntry(new java.util.zip.ZipEntry(f"doc_$i%03d.json"))
+        zip.write(zipJsonBody(i).getBytes(StandardCharsets.UTF_8))
+        zip.closeEntry()
+      }
+    } finally zip.close()
 
     Files.write(marker, Array.emptyByteArray)
   }
