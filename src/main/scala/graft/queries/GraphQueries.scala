@@ -125,29 +125,59 @@ object GraphQueries {
       .unionByName(genePathway).unionByName(membership).unionByName(ddiAe)
   }
 
+  /** q42's Drug→AE path set (direct ∪ label-equality two-hop) — shared by
+    * q42 and the q65 policy re-scoring query. */
+  private def labelPathsOf(s: SparkSession, d: String): DataFrame = {
+    val e = tpchEdges(s, d)
+    val v = tpchVertices(s, d)
+    val direct = e.where(col("claim_type") === "DRUG_AE")
+      .select(col("src_key").as("drug_key"), col("dst_key").as("ae_key"),
+        col("frequency").as("direct_score"))
+    val drugGene = e.where(col("claim_type") === "DRUG_TARGET")
+      .select(col("src_key").as("drug_key"), col("dst_key").as("gene_key"))
+      .distinct()
+    val geneDisease = e.where(col("claim_type") === "GENE_DISEASE")
+      .groupBy(col("src_key").as("gene_key"),
+        col("dst_key").as("disease_key"))
+      .agg(max("strength_score").as("score"))
+    val diseases = v.where(col("node_type") === "Disease")
+      .select(col("key").as("disease_key"), col("label").as("disease_label"))
+    val aes = v.where(col("node_type") === "AdverseEvent")
+      .select(col("key").as("ae_key"), col("label").as("ae_label"))
+    PathTools.labelEqualityPaths(direct, drugGene, geneDisease, diseases,
+      aes)
+  }
+
+  /** GENE_GENE_STRING edges for the interactor tool: parts sharing
+    * (p_type, p_brand) interact, smaller key → larger key, strength from
+    * the partner's p_size (so the reference's 0.7 confidence gate bites).
+    * Built separately from [[tpchEdges]] so multi-hop queries (q46
+    * subgraph) keep their edge vocabulary unchanged. */
+  private def tpchGeneGeneEdges(s: SparkSession, d: String): DataFrame = {
+    val p = t(s, d, "part")
+      .select(col("p_partkey"), col("p_type"), col("p_brand"),
+        col("p_size"))
+    p.select(col("p_partkey").as("src_key"), col("p_type"), col("p_brand"))
+      .join(p.select(col("p_partkey").as("dst_key"), col("p_type"),
+        col("p_brand"), col("p_size")), Seq("p_type", "p_brand"))
+      .where(col("src_key") < col("dst_key"))
+      .select(
+        lit("Gene").as("src_type"), col("src_key"),
+        lit("Gene").as("dst_type"), col("dst_key"),
+        lit("GENE_GENE_STRING").as("edge"),
+        xxhash64(col("src_key"), col("dst_key")).as("claim_key"),
+        lit("GENE_GENE_STRING").as("claim_type"),
+        (col("p_size") / lit(50.0)).as("strength_score"),
+        lit(1.0).as("frequency"),
+        lit("interacts_with").as("relation"),
+        lit("tpch").as("dataset"),
+        map().cast("map<string,string>").as("meta"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // J8: batched Drug→AE paths — direct edges ∪ label-equality two-hop.
-    QueryDef("q42_label_paths", (s, d) => {
-      val e = tpchEdges(s, d)
-      val v = tpchVertices(s, d)
-      val direct = e.where(col("claim_type") === "DRUG_AE")
-        .select(col("src_key").as("drug_key"), col("dst_key").as("ae_key"),
-          col("frequency").as("direct_score"))
-      val drugGene = e.where(col("claim_type") === "DRUG_TARGET")
-        .select(col("src_key").as("drug_key"), col("dst_key").as("gene_key"))
-        .distinct()
-      val geneDisease = e.where(col("claim_type") === "GENE_DISEASE")
-        .groupBy(col("src_key").as("gene_key"),
-          col("dst_key").as("disease_key"))
-        .agg(max("strength_score").as("score"))
-      val diseases = v.where(col("node_type") === "Disease")
-        .select(col("key").as("disease_key"), col("label").as("disease_label"))
-      val aes = v.where(col("node_type") === "AdverseEvent")
-        .select(col("key").as("ae_key"), col("label").as("ae_label"))
-      PathTools.labelEqualityPaths(direct, drugGene, geneDisease, diseases,
-        aes)
-    }, Some("""
+    QueryDef("q42_label_paths", (s, d) => labelPathsOf(s, d), Some("""
       WITH dg AS (SELECT DISTINCT l_suppkey AS drug_key,
                     l_partkey AS gene_key FROM lineitem),
       gd AS (SELECT p_partkey AS gene_key,
@@ -338,6 +368,82 @@ object GraphQueries {
               row_number() OVER (PARTITION BY l_orderkey
                 ORDER BY l_linenumber, l_returnflag, l_extendedprice) AS rn
             FROM lineitem WHERE l_returnflag = 'R')
-      WHERE rn = 1"""))
+      WHERE rn = 1""")),
+
+    // get_gene_interactors (mechanism.py:208-230): GENE_GENE_STRING
+    // partners of a gene above the reference's 0.7 confidence gate,
+    // score-ranked.
+    QueryDef("q63_gene_interactors", (s, d) => {
+      PathTools.geneInteractors(tpchGeneGeneEdges(s, d),
+        tpchVertices(s, d), geneKey = 1L)
+    }, Some("""
+      WITH g1 AS (SELECT p_type, p_brand FROM part WHERE p_partkey = 1),
+      inter AS (
+        SELECT CAST(1 AS BIGINT) AS gene_key, p.p_partkey AS interactor_key,
+          p.p_size / 50.0 AS score
+        FROM part p JOIN g1 USING (p_type, p_brand)
+        WHERE p.p_partkey > 1 AND p.p_size / 50.0 >= 0.7)
+      SELECT i.interactor_key, i.gene_key, i.score,
+        p2.p_name AS interactor_symbol
+      FROM inter i JOIN part p2 ON p2.p_partkey = i.interactor_key
+      ORDER BY i.score DESC, i.interactor_key LIMIT 100""")),
+
+    // get_disease_genes (mechanism.py:167-206): incoming Gene→Disease
+    // edges of one disease, source-mapped, min-score gated, score-ranked,
+    // bounded.
+    QueryDef("q64_disease_genes", (s, d) => {
+      PathTools.diseaseGenes(tpchEdges(s, d), tpchVertices(s, d),
+        diseaseKey = 23L, minScore = 0.5)
+    }, Some("""
+      SELECT p_partkey AS gene_key,
+        CAST(substr(p_brand, 7) AS BIGINT) AS disease_key,
+        p_size / 50.0 AS score, 'opentargets' AS source,
+        p_name AS gene_symbol, p_brand AS disease_label
+      FROM part
+      WHERE CAST(substr(p_brand, 7) AS BIGINT) = 23
+        AND p_size / 50.0 >= 0.5
+      ORDER BY score DESC, gene_key LIMIT 100""")),
+
+    // score_paths policy (paths.py:182-259 + docs/scoring-policy.md):
+    // base × source weight × 0.95^hops × 1.2 multi-source bonus, applied
+    // over the q42 path set — both the length penalty (hops 1 vs 3) and
+    // the bonus (evidence_count 1 vs 2) branches are exercised.
+    QueryDef("q65_path_scores", (s, d) => {
+      labelPathsOf(s, d).withColumn("policy_score",
+        graft.query.Tools.policyScore(col("score"), col("hops"),
+          col("evidence_count"), lit(1.0)))
+    }, Some("""
+      WITH dg AS (SELECT DISTINCT l_suppkey AS drug_key,
+                    l_partkey AS gene_key FROM lineitem),
+      gd AS (SELECT p_partkey AS gene_key,
+               CAST(substr(p_brand, 7) AS BIGINT) AS disease_key,
+               p_size / 50.0 AS score FROM part),
+      dis AS (SELECT DISTINCT CAST(substr(p_brand, 7) AS BIGINT)
+                AS disease_key, p_brand AS disease_label FROM part),
+      aes AS (SELECT DISTINCT CAST(substr(p_brand, 7) AS BIGINT) AS ae_key,
+                upper(p_brand) AS ae_label FROM part
+              UNION
+              SELECT DISTINCT CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                + 1000, o_orderpriority FROM orders),
+      direct AS (SELECT l_suppkey AS drug_key,
+                   CAST(substr(p_brand, 7) AS BIGINT) AS ae_key,
+                   CAST(COUNT(*) AS DOUBLE) AS direct_score
+                 FROM lineitem JOIN part ON p_partkey = l_partkey
+                 WHERE l_quantity >= 49 GROUP BY 1, 2),
+      paths AS (
+        SELECT drug_key, ae_key, CAST(NULL AS BIGINT) AS gene_key,
+          1 AS hops, direct_score AS score, 1 AS evidence_count FROM direct
+        UNION ALL
+        SELECT dg.drug_key, a.ae_key, dg.gene_key, 3 AS hops,
+          COALESCE(gd.score, 0.5) * 0.9 AS score, 2 AS evidence_count
+        FROM dg JOIN gd USING (gene_key)
+          JOIN dis USING (disease_key)
+          JOIN aes a
+            ON lower(trim(dis.disease_label)) = lower(trim(a.ae_label)))
+      SELECT drug_key, ae_key, gene_key, hops, score, evidence_count,
+        score * 1.0::DOUBLE * power(0.95::DOUBLE, hops)
+          * (CASE WHEN evidence_count >= 2 THEN 1.2::DOUBLE
+             ELSE 1.0::DOUBLE END) AS policy_score
+      FROM paths"""))
   )
 }
