@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType, StructField, StructType}
 
-import graft.sources.{Readers, SourceSynth}
+import graft.sources.{Readers, SchemaTools, SourceSynth}
 
 /** Driver-oracled queries for the source readers (SURVEY §2.1 S2/S3/S4/S6/
   * S10/S11): each synthesizes a deterministic fixture file, scans it with
@@ -99,6 +99,52 @@ object Sources {
       s.read.json(dir).select(col("lang"), col("n"), col("max_chars"))
     }, Some("""
       SELECT lang, COUNT(*) AS n, MAX(n_chars) AS max_chars
-      FROM documents GROUP BY lang"""))
+      FROM documents GROUP BY lang""")),
+
+    // S5: tolerant big-TSV scan with QUOTING DISABLED — embedded quote
+    // chars stay literal instead of opening a quoted field (the
+    // reference's quote_char=None bindingdb contract). Both engines scan
+    // the same file with quoting off.
+    QueryDef("q68_src_tolerant_tsv", (s, _) => {
+      SourceSynth.ensure()
+      Readers.csvTolerant(s, SourceSynth.tolerantTsv)
+    }, Some(s"""
+      SELECT * FROM read_csv('${SourceSynth.tolerantTsv}',
+        delim='\t', header=true, quote='', all_varchar=true)""")),
+
+    // S7: space-separated scan (reference string/parse.py:143-149).
+    QueryDef("q69_src_space_sep", (s, _) => {
+      SourceSynth.ensure()
+      Readers.spaceSeparated(s, SourceSynth.spacedTxt)
+    }, Some(s"""
+      SELECT * FROM read_csv('${SourceSynth.spacedTxt}',
+        delim=' ', header=true, all_varchar=true)""")),
+
+    // P1 conditional rename + P4 null-safe ci-regex filter + P15 tolerant
+    // cast, over a deliberately "drifty" bronze frame: wrong-case column
+    // renamed (absent rename keys ignored), a nullable name column
+    // ci-regex-filtered (nulls → false, not error), and a string size
+    // column with unparseable values try_cast to null.
+    QueryDef("q67_schema_tolerance", (s, d) => {
+      val raw = QueryDef.t(s, d, "part").select(
+        col("p_partkey"),
+        col("p_brand").as("BRAND"),
+        when(col("p_partkey") % 10 === 0, lit(null).cast("string"))
+          .otherwise(col("p_name")).as("name_nullable"),
+        when(col("p_partkey") % 3 === 0,
+            concat(lit("x"), col("p_size").cast("string")))
+          .otherwise(col("p_size").cast("string")).as("size_str"))
+      val renamed = SchemaTools.renameToCanonical(raw,
+        Map("BRAND" -> "brand", "absent_col" -> "never_applied"))
+      renamed
+        .where(SchemaTools.containsCi(col("name_nullable"), "RED"))
+        .select(col("p_partkey"), col("brand"),
+          SchemaTools.tryCastDouble(col("size_str")).as("size_num"))
+    }, Some("""
+      SELECT p_partkey, p_brand AS brand,
+        CASE WHEN p_partkey % 3 = 0 THEN NULL
+             ELSE p_size::DOUBLE END AS size_num
+      FROM part
+      WHERE p_partkey % 10 != 0 AND lower(p_name) LIKE '%red%'"""))
   )
 }

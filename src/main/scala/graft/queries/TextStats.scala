@@ -231,6 +231,43 @@ object TextStats {
                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
                > 1800
           THEN 1 ELSE 0 END AS new_session
-        FROM events)"""))
+        FROM events)""")),
+
+    // P18 affinity parse + P19 score mappings: Spark must PARSE
+    // relation-prefixed / comma-grouped affinity strings built from part
+    // columns; the oracle constructs the numeric value directly by
+    // arithmetic, so only a correct parse matches. The pX strength
+    // (9 − log10(nM) − 4)/6 clamp is compared in exact integer micro-units
+    // (floor(px·1e6)) — verified bit-stable between Java's and DuckDB's
+    // log10 over the full reachable input set before relying on it.
+    QueryDef("q66_affinity_scores", (s, d) => {
+      val pfx = element_at(array(lit(""), lit(">"), lit("<"), lit("~")),
+        (col("p_partkey") % 4 + 1).cast("int"))
+      val digit = (col("p_partkey") % 10).cast("string")
+      val affStr = concat(pfx, col("p_size").cast("string"), lit("."), digit)
+      val commaStr = concat(lit("1,"), col("p_size").cast("string"),
+        lit("."), digit)
+      val nM = TextFunctions.affinityNm(affStr)
+      t(s, d, "part").select(
+        col("p_partkey"),
+        nM.as("affinity_nm"),
+        TextFunctions.affinityNm(commaStr).as("comma_nm"),
+        floor(TextFunctions.pxStrength(nM) * lit(1e6)).cast("long")
+          .as("px_micro"),
+        TextFunctions.classificationScore(col("p_brand"),
+          Map("brand#11" -> 1.0, "brand#22" -> 0.8))
+          .as("class_score"))
+    }, Some("""
+      SELECT p_partkey,
+        (p_size || '.' || (p_partkey % 10))::DOUBLE AS affinity_nm,
+        ('1' || p_size || '.' || (p_partkey % 10))::DOUBLE AS comma_nm,
+        CAST(floor(greatest(least(
+          (9.0::DOUBLE - log10((p_size || '.' || (p_partkey % 10))::DOUBLE)
+            - 4.0::DOUBLE) / 6.0::DOUBLE,
+          1.0::DOUBLE), 0.0::DOUBLE) * 1e6) AS BIGINT) AS px_micro,
+        CASE WHEN lower(trim(p_brand)) = 'brand#11' THEN 1.0::DOUBLE
+             WHEN lower(trim(p_brand)) = 'brand#22' THEN 0.8::DOUBLE
+             ELSE 0.5::DOUBLE END AS class_score
+      FROM part"""))
   )
 }

@@ -23,6 +23,8 @@ object SourceSynth {
   def eventsJsonl: String = s"$Dir/events.jsonl"
   def apiJson: String = s"$Dir/api.json"
   def docsZip: String = s"$Dir/docs.zip"
+  def tolerantTsv: String = s"$Dir/tolerant.tsv"
+  def spacedTxt: String = s"$Dir/spaced.txt"
 
   /** Per-entry JSON body of the zip fixture — shared with the q61 oracle's
     * string arithmetic. */
@@ -30,7 +32,7 @@ object SourceSynth {
 
   /** Bump when fixture CONTENT changes — stale files from an older layout
     * are rewritten, identical ones skipped. */
-  private val Version = "v2"
+  private val Version = "v3"
 
   /** Write all fixtures (idempotent; tiny files, driver-side by design —
     * this is test-input synthesis, not a data path). */
@@ -77,6 +79,19 @@ object SourceSynth {
         s"""{"id":"d$i","symbol":"SYM${i % 50}","alias":["a${i % 9}","b${i % 4}"]}"""
       }.mkString(",")
       w.write(s"""{"response":{"numFound":300,"docs":[$docs]}}""")
+    }
+
+    writeText(tolerantTsv) { w =>
+      w.write("tid\ttext\n")
+      (0 until 800).foreach { i =>
+        val v = if (i % 3 == 0) s"""val "$i" quoted""" else s"plain $i"
+        w.write(s"$i\t$v\n")
+      }
+    }
+
+    writeText(spacedTxt) { w =>
+      w.write("sa sb sc\n")
+      (0 until 900).foreach(i => w.write(s"$i w${i % 9} ${i * 2}\n"))
     }
 
     val zip = new java.util.zip.ZipOutputStream(
