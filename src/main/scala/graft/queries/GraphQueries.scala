@@ -444,6 +444,45 @@ object GraphQueries {
         score * 1.0::DOUBLE * power(0.95::DOUBLE, hops)
           * (CASE WHEN evidence_count >= 2 THEN 1.2::DOUBLE
              ELSE 1.0::DOUBLE END) AS policy_score
-      FROM paths"""))
+      FROM paths""")),
+
+    // expand_gene_context (mechanism.py:231-268): pathway memberships ∪
+    // score-gated disease links for a gene set, one tagged row stream.
+    QueryDef("q70_gene_context", (s, d) => {
+      PathTools.expandGeneContext(tpchEdges(s, d), tpchVertices(s, d),
+        geneKeys = Seq(1L, 2L, 3L))
+    }, Some("""
+      WITH pk AS (SELECT p_type, row_number() OVER (ORDER BY p_type) AS key
+                  FROM (SELECT DISTINCT p_type FROM part))
+      SELECT p.p_partkey AS gene_key, 'pathway' AS kind,
+        CAST(pk.key AS BIGINT) AS key, p.p_type AS label,
+        CAST(NULL AS DOUBLE) AS score
+      FROM part p JOIN pk USING (p_type) WHERE p.p_partkey IN (1, 2, 3)
+      UNION ALL
+      SELECT p_partkey, 'disease', CAST(substr(p_brand, 7) AS BIGINT),
+        p_brand, p_size / 50.0
+      FROM part
+      WHERE p_partkey IN (1, 2, 3) AND p_size / 50.0 >= 0.3""")),
+
+    // get_entity_claims (evidence.py:77-101): out-edges of one entity,
+    // claim-type filtered, strongest first. The projection drops claim_key
+    // (hash-family-dependent); the DRUG_AE set of one drug is far under
+    // the 100-row bound at every sf, so the emitted SET is
+    // order-independent and exactly reproducible.
+    QueryDef("q71_entity_claims", (s, d) => {
+      PathTools.entityClaims(tpchEdges(s, d), "Drug", 5L,
+          claimTypes = Seq("DRUG_AE"))
+        .select(col("src_type"), col("src_key"), col("dst_type"),
+          col("dst_key"), col("claim_type"), col("strength_score"),
+          col("frequency"))
+    }, Some("""
+      SELECT 'Drug' AS src_type, CAST(5 AS BIGINT) AS src_key,
+        'AdverseEvent' AS dst_type,
+        CAST(substr(p_brand, 7) AS BIGINT) AS dst_key,
+        'DRUG_AE' AS claim_type, 0.7::DOUBLE AS strength_score,
+        CAST(COUNT(*) AS DOUBLE) AS frequency
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_quantity >= 49 AND l_suppkey = 5
+      GROUP BY dst_key"""))
   )
 }
