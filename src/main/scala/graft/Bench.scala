@@ -86,7 +86,8 @@ object Bench {
     // the artifact rather than silently folded away.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passes = // at least one pass: minT must hold every query
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     val minT = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val maxT = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     (1 to passes).foreach { pass =>

@@ -112,10 +112,11 @@ object Pipeline {
     if (!Files.exists(d)) Seq.empty
     else {
       val out = Seq.newBuilder[Int]
-      Files.list(d).forEach { p =>
+      val ls = Files.list(d)
+      try ls.forEach { p =>
         val n = p.getFileName.toString
         if (n.startsWith("snap-")) out += n.stripPrefix("snap-").toInt
-      }
+      } finally ls.close()
       out.result().sorted
     }
   }
@@ -151,24 +152,37 @@ object Pipeline {
     * snapshot history and is itself reversible. The restored snapshot's
     * manifest comes back with it, so downstream stages whose `upstream`
     * fingerprints no longer match recompute on the next run (fingerprints
-    * include row counts + versions). */
+    * include row counts + versions).
+    *
+    * Follows the SAME commit protocol as runStage — copy into a temp dir
+    * (sans marker), atomic rename, then write `_COMMITTED` last — so a
+    * crash mid-rollback leaves either the old table or an uncommitted
+    * partial that the next runStage treats as absent, never a truncated
+    * table marked committed. */
   def rollback(root: String, stage: String, toSnapshot: Int): Unit = {
     val src = snapDir(root, stage, toSnapshot)
     require(Files.exists(src.resolve("_COMMITTED")),
       s"stage '$stage' has no retained snapshot $toSnapshot")
+    val tmp = Paths.get(root, s".tmp_$stage")
+    deleteRec(tmp)
+    // copy (not move) so the snapshot itself stays retained/immutable
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
+      val rel = src.relativize(p).toString
+      if (rel != "_COMMITTED") { // marker is written LAST, post-rename
+        val dst = tmp.resolve(rel)
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else {
+          Files.createDirectories(dst.getParent)
+          Files.copy(p, dst, StandardCopyOption.COPY_ATTRIBUTES)
+        }
+      }
+    } finally walk.close()
     archiveIfCommitted(root, stage)
     val dir = Paths.get(root, stage)
-    deleteRec(dir)
-    // copy (not move) so the snapshot itself stays retained/immutable
-    Files.walk(src).forEach { p =>
-      val rel = src.relativize(p)
-      val dst = dir.resolve(rel.toString)
-      if (Files.isDirectory(p)) Files.createDirectories(dst)
-      else {
-        Files.createDirectories(dst.getParent)
-        Files.copy(p, dst, StandardCopyOption.COPY_ATTRIBUTES)
-      }
-    }
+    deleteRec(dir) // uncommitted leftovers only
+    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    Files.writeString(dir.resolve("_COMMITTED"), "1")
   }
 
   /** Delete the oldest snapshots beyond `keep` (bounded retention). */
@@ -178,8 +192,10 @@ object Pipeline {
 
   private def deleteRec(p: java.nio.file.Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally walk.close()
     }
   }
 
@@ -199,7 +215,8 @@ object Pipeline {
     * (canonicalize+materialize) → validation + counters.
     */
   def run(spark: SparkSession, root: String, nPages: Long,
-      partitions: Int = 32, dedupPages: Boolean = false): Seq[StageResult] = {
+      partitions: Int = 32, dedupPages: Boolean = false,
+      snapshotRetention: Int = 3): Seq[StageResult] = {
     import spark.implicits._
     Files.createDirectories(Paths.get(root))
     val results = Seq.newBuilder[StageResult]
@@ -266,6 +283,12 @@ object Pipeline {
         .unionByName(GraphBuilder.buildLabelEdges(spark, triples, vertices))
     }
     results += s4
+
+    // bounded snapshot retention: every recompute archives the replaced
+    // table, so an unpruned history grows by one full table copy per
+    // version/upstream change — cap it here rather than in callers.
+    Seq("pages", "pages_canonical", "triples", "vertices", "edges")
+      .foreach(st => pruneSnapshots(root, st, snapshotRetention))
 
     // validation gate (fail-fast, reference build.py:849-854)
     val v = spark.read.parquet(s"$root/vertices")

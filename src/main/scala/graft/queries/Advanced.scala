@@ -385,6 +385,11 @@ object Advanced {
     // plain window rank — checking the distributed KeyAssigner), endpoint
     // resolution drop semantics (inner joins), and the strength formula.
     // A hash mismatch in ANY of those shows up as a red driver row.
+    // BENCH NOTE (applies to q52/q59/q60): the pipeline is checkpointed at
+    // a fixed root, so repeated bench passes time the WARM path
+    // (manifest-skip + parquet read + aggregation); cold pipeline
+    // throughput is measured by Bench's dedicated KG-scaling section
+    // (4M docs at 3 parallelism levels), not by these query rows.
     QueryDef("q52_kg_pipeline_edges", (s, d) => {
       val root = "/tmp/graft_kg_oracle"
       graft.pipeline.Pipeline.run(s, root, nPages = 2000, partitions = 8,

@@ -149,10 +149,13 @@ object GraphQueries {
   }
 
   /** GENE_GENE_STRING edges for the interactor tool: parts sharing
-    * (p_type, p_brand) interact, smaller key → larger key, strength from
-    * the partner's p_size (so the reference's 0.7 confidence gate bites).
-    * Built separately from [[tpchEdges]] so multi-hop queries (q46
-    * subgraph) keep their edge vocabulary unchanged. */
+    * (p_type, p_brand) interact. Emitted in BOTH directions (the reference
+    * STRING graph is undirected; geneInteractors scans out-edges only, so
+    * a one-direction encoding would silently drop every lower-keyed
+    * partner). Strength comes from the partner's (dst) p_size, so the
+    * reference's 0.7 confidence gate bites. Built separately from
+    * [[tpchEdges]] so multi-hop queries (q46 subgraph) keep their edge
+    * vocabulary unchanged. */
   private def tpchGeneGeneEdges(s: SparkSession, d: String): DataFrame = {
     val p = t(s, d, "part")
       .select(col("p_partkey"), col("p_type"), col("p_brand"),
@@ -160,7 +163,7 @@ object GraphQueries {
     p.select(col("p_partkey").as("src_key"), col("p_type"), col("p_brand"))
       .join(p.select(col("p_partkey").as("dst_key"), col("p_type"),
         col("p_brand"), col("p_size")), Seq("p_type", "p_brand"))
-      .where(col("src_key") < col("dst_key"))
+      .where(col("src_key") =!= col("dst_key"))
       .select(
         lit("Gene").as("src_type"), col("src_key"),
         lit("Gene").as("dst_type"), col("dst_key"),
@@ -382,7 +385,7 @@ object GraphQueries {
         SELECT CAST(1 AS BIGINT) AS gene_key, p.p_partkey AS interactor_key,
           p.p_size / 50.0 AS score
         FROM part p JOIN g1 USING (p_type, p_brand)
-        WHERE p.p_partkey > 1 AND p.p_size / 50.0 >= 0.7)
+        WHERE p.p_partkey != 1 AND p.p_size / 50.0 >= 0.7)
       SELECT i.interactor_key, i.gene_key, i.score,
         p2.p_name AS interactor_symbol
       FROM inter i JOIN part p2 ON p2.p_partkey = i.interactor_key
