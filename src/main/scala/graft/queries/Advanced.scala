@@ -489,6 +489,38 @@ object Advanced {
         'adverse_reactions' AS section_name, l.section_text AS content
       FROM lab l JOIN vd ON vd.label = l.subj""")),
 
+    // S15 serving layer end-to-end: load the ServingIndex from the
+    // materialized pipeline artifact (cached tables + broadcast label map)
+    // and resolve a drug name through it — exact-before-partial precedence,
+    // substring scan, shortest-label ordering, bounded partials, all
+    // recomputed by the oracle from the vertices parquet. "zorvex1" has one
+    // exact hit and ten zorvex1X partials, so both ranks carry rows.
+    QueryDef("q72_serving_resolve", (s, d) => {
+      val root = "/tmp/graft_kg_oracle"
+      graft.pipeline.Pipeline.run(s, root, nPages = 2000, partitions = 8,
+        dedupPages = true)
+      val idx = graft.query.ServingIndex.load(s, root)
+      // nodeLabel goes through the broadcast map — assert it agrees with
+      // the served frame so the O(1) lookup path is exercised too
+      require(idx.nodeLabel("Drug", 1L).isDefined,
+        "broadcast label map missing Drug key 1")
+      idx.resolve("Drug", "zorvex1")
+        .select(col("node_type"), col("key"), col("label"),
+          col("match_rank"))
+    }, Some("""
+      WITH v AS (
+        SELECT node_type, key, label
+        FROM read_parquet('/tmp/graft_kg_oracle/vertices/*.parquet')
+        WHERE node_type = 'Drug'),
+      partials AS (
+        SELECT *, row_number() OVER (ORDER BY length(label), label) AS rn
+        FROM v
+        WHERE contains(lower(label), 'zorvex1') AND lower(label) != 'zorvex1')
+      SELECT node_type, key, label, 0 AS match_rank FROM v
+      WHERE lower(label) = 'zorvex1'
+      UNION ALL
+      SELECT node_type, key, label, 1 FROM partials WHERE rn <= 25""")),
+
     // Flagship: the full KG pipeline (synth pages → extract → link →
     // triples) — rows-only here; P/R vs the pure oracle is asserted in
     // KgPipelineSpec.
