@@ -63,6 +63,23 @@ class PlanSpec extends AnyFunSuite {
       s"expected 1 pruned partition, got ${scan.map(_.selectedPartitions.partitionCount)}")
   }
 
+  test("label-section explode prunes edge partitions through the tool") {
+    // allDrugLabelSections filters claim_type === DRUG_LABEL before the
+    // double explode — at rest the edges table is hive-partitioned on
+    // claim_type, so the serving-path scan must read exactly one partition
+    // even though the consumer is an explode, not a plain projection.
+    val root = Files.createTempDirectory("graft_prune2").toString
+    graft.pipeline.Pipeline.run(spark, root, nPages = 150, partitions = 4)
+    val sections = graft.query.PathTools.allDrugLabelSections(
+      spark.read.parquet(s"$root/edges"))
+    val scan = sections.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(scan.exists(_.selectedPartitions.partitionCount == 1),
+      s"expected 1 pruned partition, got ${scan.map(_.selectedPartitions.partitionCount)}")
+  }
+
   test("disproportionality margin joins carry no static broadcast hints") {
     // margins are vocabulary-proportional — an open web-scale exposure
     // vocabulary can exceed broadcast limits, so the stats path must leave
