@@ -213,6 +213,51 @@ class FunctionsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming incremental claims (foreachBatch exactly-once) == batch extraction") {
+    import graft.extract.PageSynth
+    val pagesDir = java.nio.file.Files.createTempDirectory("graft_incp")
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_inct").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_incc").toString
+    val p1 = PageSynth.pages(spark, 150).toDF()
+    p1.write.parquet(pagesDir.resolve("b1").toString)
+    val schema = spark.read.parquet(pagesDir.resolve("b1").toString).schema
+
+    def claims() = spark.read.parquet(s"$tableDir/claims")
+      .collect().map(_.toString).sorted.toSeq
+    def batchClaims(n: Long) = {
+      import org.apache.spark.sql.functions._
+      graft.link.TripleExtractor.extract(spark,
+          PageSynth.pages(spark, n), PageSynth.gazetteer,
+          PageSynth.RelationRules.toMap).toDF()
+        .groupBy(col("subj"), col("pred"), col("obj"))
+        .agg(count(lit(1)).as("frequency"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+
+    // wave 1 commits, table == batch job over wave 1
+    StreamOps.incrementalClaims(spark, s"$pagesDir/*", schema, tableDir,
+      ckpt, PageSynth.gazetteer, PageSynth.RelationRules.toMap)
+    assert(claims() == batchClaims(150))
+
+    // wave 2 lands; a RESTARTED job (same checkpoint) merges only the
+    // delta — the final table equals the one-shot batch job over the union
+    spark.range(150, 300).map(i => PageSynth.page(i))(
+        org.apache.spark.sql.Encoders.product[graft.model.Page]).toDF()
+      .write.parquet(pagesDir.resolve("b2").toString)
+    StreamOps.incrementalClaims(spark, s"$pagesDir/*", schema, tableDir,
+      ckpt, PageSynth.gazetteer, PageSynth.RelationRules.toMap)
+    assert(claims() == batchClaims(300))
+
+    // replaying an already-committed batch id is a no-op (idempotent sink)
+    val before = claims()
+    import spark.implicits._
+    StreamOps.mergeClaimsBatch(
+      Seq(("x", "REL", "y", "u", "s")).toDF("subj", "pred", "obj", "url",
+        "sentence"),
+      batchId = 0L, tableDir)
+    assert(claims() == before)
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) == batch window sessionize") {
     val dir = "/root/testdata/sf0.001"
     val events = spark.read.parquet(s"$dir/events.parquet")
