@@ -486,6 +486,25 @@ object GraphQueries {
         CAST(COUNT(*) AS DOUBLE) AS frequency
       FROM lineitem JOIN part ON p_partkey = l_partkey
       WHERE l_quantity >= 49 AND l_suppkey = 5
-      GROUP BY dst_key"""))
+      GROUP BY dst_key""")),
+
+    // T4 dedup-keep-best through the neighbors tool: a drug's DRUG_TARGET
+    // edges carry MULTIPLE claims per gene (one per returnflag variant) —
+    // neighbors collapses to one row per destination keeping max
+    // frequency/strength + the claim count. k chosen non-binding so the
+    // emitted SET is order-independent.
+    QueryDef("q73_neighbors_best", (s, d) => {
+      graft.query.Tools.neighbors(tpchEdges(s, d), tpchVertices(s, d),
+        "Drug", 1L, "Gene", k = 1000000)
+    }, Some("""
+      SELECT 'Gene' AS dst_type, c.l_partkey AS dst_key,
+        CAST(MAX(c.cnt) AS DOUBLE) AS frequency,
+        0.9::DOUBLE AS strength_score,
+        COUNT(*) AS n_claims, p.p_name AS label
+      FROM (SELECT l_partkey, l_returnflag, COUNT(*) AS cnt
+            FROM lineitem WHERE l_suppkey = 1
+            GROUP BY l_partkey, l_returnflag) c
+      JOIN part p ON p.p_partkey = c.l_partkey
+      GROUP BY c.l_partkey, p.p_name"""))
   )
 }
