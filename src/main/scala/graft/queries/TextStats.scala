@@ -145,6 +145,40 @@ object TextStats {
       SELECT exposure, outcome, a, exposure_n, outcome_n, prr, ror, chi2
       FROM st WHERE prr > 1.0 AND chi2 > 3.84""")),
 
+    // A6 salted two-phase aggregation at data scale: same signals, but the
+    // co-occurrence count runs as (exposure, outcome, salt) partials summed
+    // in a second stage — one web-hot pair spreads over 8 reducers instead
+    // of serializing on one. Counts are salt-invariant integers, so the
+    // oracle is IDENTICAL to q19's: a hash mismatch means the salted path
+    // broke determinism.
+    QueryDef("q74_signals_salted", (s, d) => {
+      Disproportionality.signals(pairsDf(s, d), "exposure", "outcome",
+          saltBuckets = 8)
+        .select(col("exposure"), col("outcome"), col("a"),
+          col("exposure_n"), col("outcome_n"),
+          col("prr"), col("ror"), col("chi2"))
+    }, Some(s"""
+      WITH pairs AS ($pairsSql),
+      ag AS (SELECT exposure, outcome, COUNT(*) AS a FROM pairs GROUP BY 1, 2),
+      em AS (SELECT exposure, COUNT(*) AS exposure_n FROM pairs GROUP BY 1),
+      om AS (SELECT outcome, COUNT(*) AS outcome_n FROM pairs GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS n FROM pairs),
+      j AS (SELECT exposure, outcome, a, exposure_n, outcome_n, n,
+              CAST(exposure_n - a AS DOUBLE) AS b,
+              CAST(outcome_n - a AS DOUBLE) AS c,
+              CAST(n - exposure_n - outcome_n + a AS DOUBLE) AS d
+            FROM ag JOIN em USING (exposure) JOIN om USING (outcome)
+            CROSS JOIN nn),
+      st AS (SELECT exposure, outcome, a, exposure_n, outcome_n,
+              (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + b)) / (c / (c + d)) AS prr,
+              (CAST(a AS DOUBLE) * d) / (b * c) AS ror,
+              (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
+                * (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
+                / ((CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE)) AS chi2
+            FROM j WHERE b > 0 AND c > 0 AND d > 0 AND a >= 3)
+      SELECT exposure, outcome, a, exposure_n, outcome_n, prr, ror, chi2
+      FROM st WHERE prr > 1.0 AND chi2 > 3.84""")),
+
     // T2 over signals: top-k outcomes per exposure by chi².
     QueryDef("q20_signal_topk", (s, d) => {
       val sig = Disproportionality.signals(pairsDf(s, d), "exposure", "outcome")
