@@ -34,13 +34,16 @@ object KeyAssigner {
     val localRank = ranged.withColumn(
       "_rn", row_number().over(Window.partitionBy("_pid").orderBy(col(idCol))))
     val counts = ranged.groupBy("_pid").count() // numPartitions rows — tiny
-    val offsets = counts.withColumn(
-      "_offset",
-      coalesce(
-        sum("count").over(Window.orderBy("_pid")
-          .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("_pid"), col("_offset"))
+    // cumulative offsets over the numPartitions-row count vector as a
+    // predecessor self-join (offset(p) = Σ counts of partitions < p): at
+    // P² ≤ ~10⁶ pairs this is trivial, and unlike a global
+    // Window.orderBy it neither funnels rows to one partition nor emits
+    // the scale-relevant "No Partition Defined" warning — which stays
+    // reserved for windows over data-proportional frames
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum(col("b.count")), lit(0L)).as("_offset"))
     // offsets is numPartitions rows — no static broadcast hint on purpose:
     // AQE broadcasts it at runtime from its true size, and keeping the KG
     // build free of compile-time hints lets PlanSpec assert that nothing

@@ -20,12 +20,17 @@ import org.apache.spark.sql.functions._
   * come from decoded samples (FunctionsSpec asserts sample-exact
   * roundtrips; q53 oracle-checks decode-derived values against DuckDB).
   *
-  * Only the VIDEO kernels remain STUBBED with deterministic fakes — the
-  * JDK has no video codec and none exists in this container — but the
-  * Spark-side contract is real and tested: schema, batch iteration shape
-  * (mapPartitions ≈ mapInPandas batches), binary passthrough, row
-  * explosion, and partition-preserving narrow execution. Swapping the
-  * stub for a real codec changes no plan shape.
+  * The VIDEO leg is REAL at the container level: an MJPEG-style format
+  * (magic + frame count + length-prefixed intra-coded frames — see
+  * [[encodeVideo]]) is genuinely DEMUXED frame by frame ([[demuxVideo]],
+  * with magic/length validation), and every demuxed frame decodes through
+  * the real ImageIO kernel ([[decodeImage]]). Frames are stored as PNG
+  * rather than JPEG so decoded pixel values are exact integers an external
+  * oracle can recompute (q75); the demux logic is byte-format-agnostic and
+  * accepts any ImageIO-decodable frame bytes, JPEG included. What this
+  * container is NOT is an inter-frame-predicted codec (H.26x) — the JDK
+  * ships no such codec and none exists in this container; swapping the
+  * frame payload format changes no plan shape and no demux code.
   */
 object Multimodal {
 
@@ -220,10 +225,93 @@ object Multimodal {
     out
   }
 
-  /** Deterministic media table: image rows carry REAL PNG payloads and
-    * audio rows REAL RIFF/PCM16 WAV payloads (decodable, content a pure
-    * function of id); video rows keep deterministic fake bytes (no video
-    * codec in the JDK or this container — see the object doc). */
+  // ------------------------------------------------------------------
+  // REAL video container (MJPEG-style: length-prefixed intra-coded
+  // frames) — genuine demux; per-frame decode rides the ImageIO kernel
+  // ------------------------------------------------------------------
+
+  private val VideoMagic = "GVID1".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Mux encoded frames into the container: magic, int32-BE frame count,
+    * then per frame an int32-BE length prefix + the frame bytes. The same
+    * layout family as MJPEG-in-AVI's frame chunks, minus the RIFF
+    * ceremony. */
+  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(VideoMagic)
+    out.writeInt(frames.length)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Real demux: validates the magic, walks the length-prefixed frames,
+    * fails fast on truncation or corrupt lengths — video rows carry
+    * genuine containers by contract. */
+  def demuxVideo(payload: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    require(payload.length >= VideoMagic.length + 4 &&
+      payload.startsWith(VideoMagic),
+      s"payload (${payload.length} bytes) is not a ${new String(VideoMagic)} " +
+        "container — video rows must carry real muxed video")
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(payload, VideoMagic.length,
+        payload.length - VideoMagic.length))
+    val n = in.readInt()
+    require(n >= 0 && n < (1 << 20), s"corrupt frame count $n")
+    (0 until n).map { i =>
+      val len = in.readInt()
+      require(len > 0 && len <= payload.length, s"corrupt frame $i length $len")
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      buf
+    }
+  }
+
+  /** Deterministic base gray of frame `f` of video `id` — shared by the
+    * synthesizer, the specs and the q75 DuckDB oracle. */
+  def frameGrayOf(id: Long, f: Int): Int = ((id + 11L * f) % 256).toInt
+
+  /** Frame count of the synthetic video for an id (3..6). */
+  def frameCountOf(id: Long): Int = 3 + (id % 4).toInt
+
+  /** Deterministic synthetic video: [[frameCountOf]] genuine 8×6 PNG
+    * frames, frame f constant gray [[frameGrayOf]] with pixel (0,0) marked
+    * `(gray+7)%256` — the q50 oracle trick per frame: reading the values
+    * back requires a real demux AND a real per-frame decode. */
+  def syntheticVideo(id: Long): Array[Byte] =
+    encodeVideo((0 until frameCountOf(id)).map { f =>
+      val g = frameGrayOf(id, f)
+      encodePng(8, 6, (x, y) => if (x == 0 && y == 0) rgb((g + 7) % 256)
+        else rgb(g))
+    })
+
+  /** Real video feature: demux, decode each frame via ImageIO, mean gray
+    * per frame over the actual rasters (first `dims` frames; zero-padded —
+    * temporal profile analogue of [[imageFeature]]'s spatial stripes). */
+  def videoFeature(payload: Array[Byte], dims: Int = 8): Array[Float] = {
+    val out = new Array[Float](dims)
+    demuxVideo(payload).take(dims).zipWithIndex.foreach { case (fb, i) =>
+      val img = decodeImage(fb)
+      var sum = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sum += (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / (3.0 * 255.0)
+          x += 1
+        }
+        y += 1
+      }
+      out(i) = (sum / (img.getWidth * img.getHeight)).toFloat
+    }
+    out
+  }
+
+  /** Deterministic media table: image rows carry REAL PNG payloads, audio
+    * rows REAL RIFF/PCM16 WAV payloads, video rows REAL muxed containers
+    * of PNG frames (all decodable, content a pure function of id). */
   def syntheticMedia(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { i =>
@@ -231,10 +319,7 @@ object Multimodal {
       val payload = meta.kind match {
         case "image" => syntheticPng(i, meta.width, meta.height)
         case "audio" => syntheticWav(i, meta.sample_rate)
-        case _ =>
-          val len = 64 + (i % 128).toInt
-          Array.tabulate[Byte](len)(j =>
-            (graft.extract.PageSynth.splitmix64(i * 1000 + j) & 0xFF).toByte)
+        case _ => syntheticVideo(i)
       }
       meta.copy(payload = payload)
     }
@@ -256,11 +341,12 @@ object Multimodal {
     }
   }
 
-  /** STUB decode for VIDEO payloads (no video codec in the JDK or this
-    * container): derives a fixed-size feature vector deterministically from
-    * payload bytes, so downstream plumbing (schema, batching, similarity)
-    * is fully exercisable. Image rows use the real [[imageFeature]] and
-    * audio rows the real [[audioFeature]] instead. */
+  /** Byte-level feature for payloads that are NOT encoded media — e.g.
+    * [[fromDocuments]] rows, whose payloads are document text bytes so the
+    * driver oracle can recompute sizes. Derives a fixed-size vector
+    * deterministically from raw bytes; the real decode kernels
+    * ([[imageFeature]]/[[audioFeature]]/[[videoFeature]]) are used for
+    * genuine media payloads. */
   def decodeFeatureStub(payload: Array[Byte], dims: Int = 8): Array[Float] = {
     val out = new Array[Float](dims)
     var i = 0
@@ -274,20 +360,26 @@ object Multimodal {
   /** Batched feature extraction: one pass per partition (the Scala analogue
     * of mapInPandas batch processing) — narrow, no shuffle. Image rows
     * genuinely decode via ImageIO ([[imageFeature]]), audio rows via the
-    * JDK WAV codec ([[audioFeature]]); video uses the deterministic stub.
-    * `decodeImages = false` skips the real decodes for media tables whose
+    * JDK WAV codec ([[audioFeature]]), video rows via the container demux
+    * + per-frame ImageIO decode ([[videoFeature]]).
+    * `decodePayloads = false` skips ALL real decodes (every kind falls
+    * back to the byte-level [[decodeFeatureStub]]) for media tables whose
     * payloads are metadata stand-ins rather than encoded media (e.g.
     * [[fromDocuments]], whose payloads are the document's text bytes so
     * the driver oracle can recompute sizes). */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow],
-      dims: Int = 8, decodeImages: Boolean = true): Dataset[Feature] = {
+      dims: Int = 8, decodePayloads: Boolean = true): Dataset[Feature] = {
     import spark.implicits._
     media.mapPartitions { batch =>
       batch.map { m =>
         val feat =
-          if (decodeImages && m.kind == "image") imageFeature(m.payload, dims)
-          else if (decodeImages && m.kind == "audio") audioFeature(m.payload, dims)
-          else decodeFeatureStub(m.payload, dims)
+          if (!decodePayloads) decodeFeatureStub(m.payload, dims)
+          else m.kind match {
+            case "image" => imageFeature(m.payload, dims)
+            case "audio" => audioFeature(m.payload, dims)
+            case "video" => videoFeature(m.payload, dims)
+            case _ => decodeFeatureStub(m.payload, dims)
+          }
         Feature(m.media_id, m.kind, m.payload.length, feat)
       }
     }
@@ -308,15 +400,16 @@ object Multimodal {
     }
   }
 
-  /** STUB frame sampling: a real implementation demuxes the container and
-    * decodes every Nth frame; the fake slices the payload into fixed-size
-    * pseudo-frames and keeps every Nth — the row-explosion shape (one
-    * input row → many frame rows) is the real contract. */
+  /** REAL frame sampling: genuinely demux the container ([[demuxVideo]])
+    * and keep every Nth frame — one input row explodes to many frame rows
+    * (narrow flatMap, partition-preserving); each emitted payload is a
+    * decodable encoded frame ([[decodeImage]] reads it; q75 oracle-checks
+    * decode-derived pixel values). */
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
-      everyN: Int, frameBytes: Int = 16): Dataset[FrameRow] = {
+      everyN: Int): Dataset[FrameRow] = {
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      m.payload.grouped(frameBytes).zipWithIndex
+      demuxVideo(m.payload).zipWithIndex
         .filter { case (_, idx) => idx % everyN == 0 }
         .map { case (bytes, idx) => FrameRow(m.media_id, idx, bytes) }
     }

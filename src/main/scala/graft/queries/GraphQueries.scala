@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.query.PathTools
@@ -62,11 +61,16 @@ object GraphQueries {
       .unionByName(diseases).unionByName(pathways).unionByName(combos)
   }
 
-  /** Dense pathway keys: rank of p_type in sort order (6 values). */
-  private def pathwayKeys(s: SparkSession, d: String): DataFrame =
-    t(s, d, "part").select("p_type").distinct()
-      .withColumn("key",
-        row_number().over(Window.orderBy("p_type")).cast("long"))
+  /** Dense pathway keys: rank of p_type in sort order (6 values), computed
+    * as a ≤-self-join count over the distinct values (6×6 pairs) instead
+    * of a global Window.orderBy — no single-partition funnel and no
+    * "No Partition Defined" log noise burying real scale warnings. */
+  private def pathwayKeys(s: SparkSession, d: String): DataFrame = {
+    val pt = t(s, d, "part").select("p_type").distinct()
+    pt.as("a").join(pt.as("b"), col("b.p_type") <= col("a.p_type"))
+      .groupBy(col("a.p_type").as("p_type"))
+      .agg(count(lit(1)).cast("long").as("key"))
+  }
 
   /** Typed edge table in the GraphBuilder schema (minus evidence). */
   def tpchEdges(s: SparkSession, d: String): DataFrame = {
@@ -505,6 +509,87 @@ object GraphQueries {
             FROM lineitem WHERE l_suppkey = 1
             GROUP BY l_partkey, l_returnflag) c
       JOIN part p ON p.p_partkey = c.l_partkey
-      GROUP BY c.l_partkey, p.p_name"""))
+      GROUP BY c.l_partkey, p.p_name""")),
+
+    // The FULL scoring policy with the reference's per-source trust
+    // weights (paths.py:185-199) — q65 exercises the formula with unit
+    // weight; this row maps each path leg to a reference dataset (direct
+    // DRUG_AE → faers 0.5, gene-mediated → opentargets 0.95) so the ≠1
+    // weight branch of Tools.SourceWeights/sourceWeightFor is
+    // driver-oracled too.
+    QueryDef("q76_path_scores_weighted", (s, d) => {
+      val paths = labelPathsOf(s, d).withColumn("dataset",
+        when(col("hops") === 1, lit("faers")).otherwise(lit("opentargets")))
+      paths
+        .withColumn("source_weight",
+          graft.query.Tools.sourceWeightFor(col("dataset")))
+        .withColumn("policy_score",
+          graft.query.Tools.policyScore(col("score"), col("hops"),
+            col("evidence_count"), col("source_weight")))
+    }, Some("""
+      WITH dg AS (SELECT DISTINCT l_suppkey AS drug_key,
+                    l_partkey AS gene_key FROM lineitem),
+      gd AS (SELECT p_partkey AS gene_key,
+               CAST(substr(p_brand, 7) AS BIGINT) AS disease_key,
+               p_size / 50.0 AS score FROM part),
+      dis AS (SELECT DISTINCT CAST(substr(p_brand, 7) AS BIGINT)
+                AS disease_key, p_brand AS disease_label FROM part),
+      aes AS (SELECT DISTINCT CAST(substr(p_brand, 7) AS BIGINT) AS ae_key,
+                upper(p_brand) AS ae_label FROM part
+              UNION
+              SELECT DISTINCT CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                + 1000, o_orderpriority FROM orders),
+      direct AS (SELECT l_suppkey AS drug_key,
+                   CAST(substr(p_brand, 7) AS BIGINT) AS ae_key,
+                   CAST(COUNT(*) AS DOUBLE) AS direct_score
+                 FROM lineitem JOIN part ON p_partkey = l_partkey
+                 WHERE l_quantity >= 49 GROUP BY 1, 2),
+      paths AS (
+        SELECT drug_key, ae_key, CAST(NULL AS BIGINT) AS gene_key,
+          1 AS hops, direct_score AS score, 1 AS evidence_count FROM direct
+        UNION ALL
+        SELECT dg.drug_key, a.ae_key, dg.gene_key, 3 AS hops,
+          COALESCE(gd.score, 0.5) * 0.9 AS score, 2 AS evidence_count
+        FROM dg JOIN gd USING (gene_key)
+          JOIN dis USING (disease_key)
+          JOIN aes a
+            ON lower(trim(dis.disease_label)) = lower(trim(a.ae_label)))
+      SELECT drug_key, ae_key, gene_key, hops, score, evidence_count,
+        CASE WHEN hops = 1 THEN 'faers' ELSE 'opentargets' END AS dataset,
+        CASE WHEN hops = 1 THEN 0.5::DOUBLE ELSE 0.95::DOUBLE END
+          AS source_weight,
+        score * (CASE WHEN hops = 1 THEN 0.5::DOUBLE ELSE 0.95::DOUBLE END)
+          * power(0.95::DOUBLE, hops)
+          * (CASE WHEN evidence_count >= 2 THEN 1.2::DOUBLE
+             ELSE 1.0::DOUBLE END) AS policy_score
+      FROM paths""")),
+
+    // resolve's exact-tie richness ordering (reference _prefer_richer,
+    // resolve.py:23-52) under the driver: two vertices share the same
+    // lowercase label — one carries the canonical drugcentral_id prop
+    // (fewer total props), the other MORE props but no canonical id. The
+    // canonical-id holder must win the top slot; limit(1) makes the
+    // emitted set order-sensitive, so a wrong tie-break hash-mismatches.
+    QueryDef("q77_resolve_richer", (s, d) => {
+      val sup = t(s, d, "supplier")
+      val twinA = sup.select(lit("Drug").as("node_type"),
+        col("s_suppkey").cast("long").as("key"), col("s_name").as("label"),
+        map(lit("drugcentral_id"),
+            concat(lit("DC"), col("s_suppkey").cast("string")),
+          lit("syn"), lit("x")).as("props"))
+      val twinB = sup.select(lit("Drug").as("node_type"),
+        (col("s_suppkey") + 100000).cast("long").as("key"),
+        upper(col("s_name")).as("label"),
+        map(lit("a"), lit("1"), lit("b"), lit("2"), lit("c"), lit("3"))
+          .as("props"))
+      graft.query.Tools.resolve(twinA.unionByName(twinB), "Drug",
+          "Supplier#000000001")
+        .limit(1)
+        .select(col("node_type"), col("key"), col("label"),
+          col("match_rank"))
+    }, Some("""
+      SELECT 'Drug' AS node_type, CAST(s_suppkey AS BIGINT) AS key,
+        s_name AS label, 0 AS match_rank
+      FROM supplier WHERE s_suppkey = 1"""))
   )
 }

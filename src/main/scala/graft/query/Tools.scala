@@ -155,6 +155,25 @@ object Tools {
   def evidenceForClaim(edges: DataFrame, claimKey: Long): DataFrame =
     claimEvidenceBatch(edges.where(col("claim_key") === claimKey))
 
+  /** The reference ScoringPolicy's per-source trust weights
+    * (reference:src/kg_ae/tools/paths.py:185-199), materialized verbatim.
+    * Applied through [[sourceWeightFor]] → [[policyScore]]; q76 pins the
+    * ≠1 weights against the driver oracle. */
+  val SourceWeights: Map[String, Double] = Map(
+    "drugcentral" -> 1.0, "opentargets" -> 0.95, "chembl" -> 0.9,
+    "reactome" -> 0.9, "gtop" -> 0.85, "sider" -> 0.8, "clingen" -> 0.85,
+    "ctd" -> 0.7, "string" -> 0.6, "faers" -> 0.5, "openfda" -> 0.5,
+    "hpo" -> 0.7)
+
+  /** Weight column for a dataset/source column: the [[SourceWeights]]
+    * lookup as a codegen'd CASE chain (broadcastable-constant semantics —
+    * the map is policy, not data). Unknown sources default to `default`
+    * (conservative: the weight of the least-trusted known sources). */
+  def sourceWeightFor(dataset: Column, default: Double = 0.5): Column =
+    SourceWeights.toSeq.sortBy(_._1).foldRight(lit(default): Column) {
+      case ((name, w), acc) => when(dataset === name, lit(w)).otherwise(acc)
+    }
+
   /** Path re-scoring policy (reference:src/kg_ae/tools/paths.py:182-259 +
     * docs/scoring-policy.md:223-260): base score × source weight ×
     * 0.95^hops length penalty × 1.2 multi-source bonus (≥2 distinct

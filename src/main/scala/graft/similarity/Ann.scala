@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
   *
-  * Baseline: exact brute-force cosine top-k — a broadcast of the query set
-  * against the full corpus, cosine computed with higher-order functions
+  * Baseline: exact brute-force cosine top-k — the query set joined against
+  * the full corpus, cosine computed with higher-order functions
   * (`aggregate`/`zip_with`, fully codegen'd, no UDF), ranked per query with
-  * a window. At 100 TB the corpus side stays partitioned, the query side is
-  * broadcast, so the scan is embarrassingly parallel with zero shuffle
-  * until the final per-query top-k (bounded: queries × k rows).
+  * a window. At 100 TB the corpus side stays partitioned and AQE broadcasts
+  * the query side at runtime when it fits (no compile-time hint — a batched
+  * query set is unbounded), so the scan is embarrassingly parallel with
+  * zero shuffle until the final per-query top-k (bounded: queries × k
+  * rows).
   *
   * Scale path: random-hyperplane LSH — a deterministic hash-derived
   * hyperplane family maps each vector to a compact bit signature; neighbor
@@ -38,7 +40,12 @@ object Ann {
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+    // no static broadcast hint on the query side: a batched query set is
+    // unbounded, and a forced broadcast of a large one OOMs executors. AQE
+    // picks broadcast-nested-loop at runtime when the query frame actually
+    // fits (PlanSpec pins the absence of compile-time hints across all
+    // three ANN paths).
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -106,7 +113,10 @@ object Ann {
     val qb = withBuckets(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "query_id", "qv")
-    val cands = cb.join(broadcast(qb), Seq("band", "bits"))
+    // no static broadcast hint (same policy as bruteForceTopK/ivfTopK):
+    // the bucketed query side is queries × bands rows — unbounded for
+    // batched query sets; AQE broadcasts at runtime when it fits.
+    val cands = cb.join(qb, Seq("band", "bits"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "qv", "neighbor_id", "cv")
       .dropDuplicates("query_id", "neighbor_id")

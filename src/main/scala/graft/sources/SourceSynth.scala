@@ -15,7 +15,11 @@ import java.util.zip.GZIPOutputStream
   */
 object SourceSynth {
 
-  val Dir = "/tmp/graft_sources"
+  /** Per-process fixture root (JVM pid suffix): concurrent driver/bench
+    * runs on the same host must never race on fixture writes. The oracle
+    * SQL strings interpolate this value, so the driver's DuckDB scans
+    * exactly the files this process wrote. */
+  val Dir = s"/tmp/graft_sources_${ProcessHandle.current().pid()}"
 
   def peopleTsv: String = s"$Dir/people.tsv"
   def factsTsv: String = s"$Dir/facts.tsv"

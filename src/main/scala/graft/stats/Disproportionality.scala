@@ -17,14 +17,19 @@ import org.apache.spark.sql.functions._
   * with gates a≥3, PRR>1, chi²>3.84, b,c,d>0 and top-K outcomes per
   * exposure by chi² (parse.py:164-208).
   *
-  * Spark shape (SURVEY A6/A7): three hash aggregations (pair, exposure
-  * margin, outcome margin — each map-side partial, skew-safe) + broadcast
-  * joins of the margins (margins are ≤ |vocabulary| rows, tiny vs pairs) +
-  * pure column arithmetic. Hot-key skew on the PAIR aggregation is handled
-  * natively by Spark's partial aggregation; the optional `saltBuckets`
-  * two-phase path demonstrates explicit salting for extreme skew
-  * (SURVEY.md §7.4): stage 1 groups on (exposure, outcome, salt) — spreading
-  * one hot pair over `saltBuckets` reducers — stage 2 sums the partials.
+  * Spark shape (SURVEY A6/A7): ONE scan of the fact table. The pair
+  * aggregation is the only fact-sized work; the exposure margin, outcome
+  * margin and total N are all derivable FROM the pair-count aggregate
+  * (exposure_n = Σ over outcomes of a, n = Σ a), so they re-aggregate the
+  * distinct-pair-sized persisted frame instead of rescanning facts
+  * (PlanSpec asserts the sharing). N joins in as a 1-row
+  * aggregate cross-join (the Linker.idf pattern), NOT a driver-side
+  * `count()` — building `signals` launches no job. Hot-key skew on the
+  * PAIR aggregation is handled natively by Spark's partial aggregation;
+  * the optional `saltBuckets` two-phase path demonstrates explicit salting
+  * for extreme skew (SURVEY.md §7.4): stage 1 groups on (exposure,
+  * outcome, salt) — spreading one hot pair over `saltBuckets` reducers —
+  * stage 2 sums the partials.
   */
 object Disproportionality {
 
@@ -57,19 +62,39 @@ object Disproportionality {
           .groupBy(col("exposure"), col("outcome"))
           .agg(sum("_partial").as("a"))
       }
-    val em = pairs.groupBy(e.as("exposure")).agg(count(lit(1)).as("exposure_n"))
-    val om = pairs.groupBy(o.as("outcome")).agg(count(lit(1)).as("outcome_n"))
-    val n = pairs.count()
+    // margins + N derive from the pair-count aggregate itself (every fact
+    // row lands in exactly one (exposure, outcome) cell, so the exposure
+    // margin = Σ over outcomes of a): distinct-pair-sized re-aggregations,
+    // never a second fact scan. The pair aggregate is persisted because
+    // its four consumers are NOT identical subplans (each join pushes a
+    // different isnotnull() into its branch, defeating exchange reuse) —
+    // without the cache the FACT TABLE would be scanned four times, the
+    // exact cost this shape exists to avoid at 100 TB. The cached frame is
+    // distinct-pair-sized (≤ vocabulary², ≪ facts); persistence is lazy,
+    // so building `signals` still launches no job (PlanSpec pins this),
+    // and Spark's CacheManager dedupes repeated identical plans. N is a
+    // 1-row aggregate cross-joined into the plan — no eager driver
+    // count().
+    // storageLevel consults the CacheManager by canonicalized plan, so a
+    // repeated identical signals() call reuses the existing cache entry
+    // instead of re-persisting (and logging "already cached") every run
+    val aCached =
+      if (a.storageLevel != org.apache.spark.storage.StorageLevel.NONE) a
+      else a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val em = aCached.groupBy(col("exposure")).agg(sum("a").as("exposure_n"))
+    val om = aCached.groupBy(col("outcome")).agg(sum("a").as("outcome_n"))
+    val nRow = aCached.agg(sum("a").as("n"))
 
     // no static broadcast hints on the margin joins: margins are
     // vocabulary-proportional, and an open web-scale exposure vocabulary
     // can exceed broadcast limits. AQE converts to broadcast at runtime
     // when a margin actually fits (same policy as GraphBuilder /
-    // KeyAssigner; PlanSpec pins the absence of compile-time hints).
-    val joined = a
+    // KeyAssigner; PlanSpec pins the absence of compile-time hints). The
+    // 1-row N side always broadcasts at runtime.
+    val joined = aCached
       .join(em, "exposure")
       .join(om, "outcome")
-      .withColumn("n", lit(n))
+      .crossJoin(nRow)
     withStats(joined, minA)
   }
 

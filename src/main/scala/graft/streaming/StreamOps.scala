@@ -84,11 +84,10 @@ object StreamOps {
     * table via `foreachBatch` — the "pages land continuously in the lake"
     * deployment shape; the batch pipeline is the backfill.
     *
-    * Exactly-once on a non-transactional sink uses the standard recipe:
-    * the sink records the last committed micro-batch id in a `_BATCH`
-    * marker and SKIPS replayed ids, and each commit is a temp-dir +
-    * atomic-rename swap (the Pipeline stage protocol), so a crash between
-    * write and marker leaves the previous committed table. The merge
+    * Exactly-once on a non-transactional sink: the sink embeds the last
+    * committed micro-batch id INSIDE the data directory it publishes with
+    * one atomic rename (see [[mergeClaimsBatch]] for the crash-window
+    * analysis) and SKIPS replayed ids. The merge
     * rewrites the claims table per batch — claims are VOCABULARY-bounded
     * (one row per distinct (subj,pred,obj)), so the rewrite is
     * dimension-sized; at lake scale the same logic is a keyed MERGE INTO
@@ -126,21 +125,37 @@ object StreamOps {
   }
 
   /** One idempotent claims merge (exposed for the replay spec): skips
-    * already-committed batch ids; commits via tmp + atomic rename, marker
-    * written last. */
+    * already-committed batch ids.
+    *
+    * The committed batch id lives in `claims/_BATCH`, INSIDE the data
+    * directory, and the whole directory (data files + id) is swapped in
+    * with ONE atomic rename — so the id can never disagree with the data
+    * it describes. The merge is incremental (re-merging a delta would
+    * double-count frequencies), which is why a marker-written-after-data
+    * protocol is NOT idempotent here and the id must travel with the data.
+    * Crash windows:
+    *   - before the archive move: tmp leftovers only; the committed table
+    *     and its id are untouched, replay re-merges the delta once.
+    *   - between archive and swap: no current `claims` dir — restored from
+    *     the newest snapshot on the next merge ([[restoreClaimsIfMissing]]);
+    *     its embedded id predates the delta, so replay re-merges once.
+    *   - after the swap: data and id committed together; replay is a no-op.
+    *
+    * The replaced table is archived as a numbered snapshot (same
+    * time-travel/rollback story as the batch Pipeline stages —
+    * [[claimsSnapshots]], [[readClaims]], [[rollbackClaims]]), with
+    * retention bounded at `snapshotRetention`. */
   def mergeClaimsBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long,
-      tableDir: String): Unit = {
+      tableDir: String, snapshotRetention: Int = 3): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val spark = batch.sparkSession
     val root = Paths.get(tableDir)
     Files.createDirectories(root)
-    val marker = root.resolve("_BATCH")
-    val last = if (Files.exists(marker)) Files.readString(marker).trim.toLong
-      else -1L
-    if (batchId <= last) return // replayed micro-batch: already committed
+    restoreClaimsIfMissing(root)
+    val dataDir = root.resolve("claims")
+    if (batchId <= committedBatchId(root)) return // replay: already committed
     val delta = batch.groupBy(col("subj"), col("pred"), col("obj"))
       .agg(count(lit(1)).as("frequency"))
-    val dataDir = root.resolve("claims")
     val merged =
       if (Files.exists(dataDir)) spark.read.parquet(dataDir.toString)
         .unionByName(delta)
@@ -149,13 +164,108 @@ object StreamOps {
       else delta
     val tmp = root.resolve(".tmp_claims")
     deleteRec(tmp)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val old = root.resolve(".old_claims")
-    deleteRec(old)
-    if (Files.exists(dataDir)) Files.move(dataDir, old)
+    merged.write.mode("overwrite").parquet(tmp.toString) // reads old table
+    // the id joins the data INSIDE tmp before the single atomic publish
+    // (underscore-prefixed files are invisible to parquet scans)
+    Files.writeString(tmp.resolve("_BATCH"), batchId.toString)
+    archiveClaims(root) // current committed table → next numbered snapshot
     Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
-    deleteRec(old)
-    Files.writeString(marker, batchId.toString)
+    claimsSnapshots(tableDir).dropRight(snapshotRetention)
+      .foreach(id => deleteRec(claimsSnapDir(root, id)))
+  }
+
+  /** Batch id embedded in the committed claims table (-1 when absent). */
+  def committedBatchId(root: java.nio.file.Path): Long = {
+    val f = root.resolve("claims").resolve("_BATCH")
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim.toLong
+    else -1L
+  }
+
+  private def claimsSnapRoot(root: java.nio.file.Path) =
+    root.resolve("_snapshots").resolve("claims")
+
+  private def claimsSnapDir(root: java.nio.file.Path, id: Int) =
+    claimsSnapRoot(root).resolve(f"snap-$id%05d")
+
+  /** Retained claims-table snapshot ids, oldest first. */
+  def claimsSnapshots(tableDir: String): Seq[Int] = {
+    val d = claimsSnapRoot(java.nio.file.Paths.get(tableDir))
+    if (!java.nio.file.Files.exists(d)) Seq.empty
+    else {
+      val out = Seq.newBuilder[Int]
+      val ls = java.nio.file.Files.list(d)
+      try ls.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("snap-")) out += n.stripPrefix("snap-").toInt
+      } finally ls.close()
+      out.result().sorted
+    }
+  }
+
+  /** Read the claims table: current by default, or time-travel to a
+    * retained snapshot. */
+  def readClaims(spark: SparkSession, tableDir: String,
+      asOf: Option[Int] = None): org.apache.spark.sql.DataFrame = asOf match {
+    case None => spark.read.parquet(s"$tableDir/claims")
+    case Some(id) =>
+      val d = claimsSnapDir(java.nio.file.Paths.get(tableDir), id)
+      require(java.nio.file.Files.exists(d),
+        s"claims table has no retained snapshot $id " +
+          s"(retained: ${claimsSnapshots(tableDir).mkString(",")})")
+      spark.read.parquet(d.toString)
+  }
+
+  /** Restore a retained snapshot as the current claims table (the replaced
+    * current is archived first, so rollback is itself in the history and
+    * reversible). The snapshot's embedded `_BATCH` id comes back with it,
+    * so later micro-batches (higher ids) merge normally. */
+  def rollbackClaims(tableDir: String, toSnapshot: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(tableDir)
+    val src = claimsSnapDir(root, toSnapshot)
+    require(Files.exists(src), s"claims table has no snapshot $toSnapshot")
+    val tmp = root.resolve(".tmp_claims")
+    deleteRec(tmp)
+    // copy (not move) so the snapshot itself stays retained/immutable
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
+      val dst = tmp.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else {
+        Files.createDirectories(dst.getParent)
+        Files.copy(p, dst, StandardCopyOption.COPY_ATTRIBUTES)
+      }
+    } finally walk.close()
+    archiveClaims(root)
+    Files.move(tmp, root.resolve("claims"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Archive the current committed claims table as the next snapshot. Any
+    * existing `claims` dir is committed by construction (it only ever
+    * appears via the atomic rename of a fully-written tmp dir). */
+  private def archiveClaims(root: java.nio.file.Path): Unit = {
+    val dataDir = root.resolve("claims")
+    if (java.nio.file.Files.exists(dataDir)) {
+      val next = claimsSnapshots(root.toString).lastOption.getOrElse(0) + 1
+      java.nio.file.Files.createDirectories(claimsSnapRoot(root))
+      java.nio.file.Files.move(dataDir, claimsSnapDir(root, next),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Crash recovery for the window between archive and swap: the current
+    * table is missing but its predecessor is the newest snapshot — restore
+    * it (move back; it was current a moment ago and no new snapshot was
+    * cut in between). */
+  private def restoreClaimsIfMissing(root: java.nio.file.Path): Unit = {
+    val dataDir = root.resolve("claims")
+    if (!java.nio.file.Files.exists(dataDir)) {
+      claimsSnapshots(root.toString).lastOption.foreach { id =>
+        java.nio.file.Files.move(claimsSnapDir(root, id), dataDir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
   }
 
   private def deleteRec(p: java.nio.file.Path): Unit = {

@@ -53,7 +53,7 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(0) > got(1))
   }
 
-  test("multimodal: batched feature extraction (real image decode + stubs)") {
+  test("multimodal: batched feature extraction (real image/audio/video decode)") {
     val media = Multimodal.syntheticMedia(spark, 50, 4)
     val feats = Multimodal.extractFeatures(spark, media)
     assert(feats.rdd.getNumPartitions == 4) // narrow: no shuffle
@@ -76,7 +76,20 @@ class FunctionsSpec extends AnyFunSuite {
       assert(r.feature.forall(f => math.abs(f - a) < 1e-4f),
         s"media ${r.media_id}: ${r.feature.toSeq} vs $a")
     }
-    // deterministic (decode + stub alike)
+    // video features come from REAL container demux + per-frame ImageIO
+    // decode: frame f is constant gray frameGrayOf(id, f) (one marked
+    // corner pixel), so feature slot f must be ~gray/255 for the real
+    // frames and exactly 0 for the zero-padded tail
+    rows.filter(_.kind == "video").foreach { r =>
+      val nf = Multimodal.frameCountOf(r.media_id)
+      (0 until nf).foreach { f =>
+        val g = Multimodal.frameGrayOf(r.media_id, f) / 255f
+        assert(math.abs(r.feature(f) - g) < 0.05f,
+          s"media ${r.media_id} frame $f: ${r.feature(f)} vs $g")
+      }
+      (nf until 8).foreach(f => assert(r.feature(f) == 0f))
+    }
+    // deterministic (all three decode kernels)
     val again = Multimodal.extractFeatures(spark, media).collect()
     assert(rows.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
     // metadata-only stats never touch payload
@@ -133,15 +146,33 @@ class FunctionsSpec extends AnyFunSuite {
     }
     val again = Multimodal.resizeImages(spark, media, 32, 32).collect()
     assert(rr.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
-    // frame sampling: one video row explodes to every-Nth pseudo-frames
+    // frame sampling: one video row explodes to every-Nth REAL frames —
+    // genuinely demuxed from the container, each payload an encoded image
+    // whose decoded pixels carry the per-frame gray
     val frames = Multimodal.sampleFrames(spark, media, everyN = 2).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.frame_idx % 2 == 0))
     val byId = frames.groupBy(_.media_id)
     val vids = media.collect().filter(_.kind == "video")
     vids.foreach { v =>
-      val expect = (0 until (v.payload.length + 15) / 16).count(_ % 2 == 0)
+      val expect =
+        (0 until Multimodal.frameCountOf(v.media_id)).count(_ % 2 == 0)
       assert(byId(v.media_id).length == expect, s"media ${v.media_id}")
+    }
+    frames.foreach { fr =>
+      val img = Multimodal.decodeImage(fr.payload)
+      assert(img.getWidth == 8 && img.getHeight == 6)
+      val g = Multimodal.frameGrayOf(fr.media_id, fr.frame_idx)
+      assert((img.getRGB(7, 5) & 0xFF) == g,
+        s"media ${fr.media_id} frame ${fr.frame_idx}")
+      assert((img.getRGB(0, 0) & 0xFF) == (g + 7) % 256)
+    }
+    // mux/demux roundtrip is byte-exact; corrupt containers fail fast
+    val fb = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5))
+    val demuxed = Multimodal.demuxVideo(Multimodal.encodeVideo(fb))
+    assert(demuxed.map(_.toSeq) == fb.map(_.toSeq))
+    intercept[IllegalArgumentException] {
+      Multimodal.demuxVideo(Array[Byte](9, 9, 9, 9, 9, 9, 9, 9, 9, 9))
     }
   }
 
@@ -256,6 +287,52 @@ class FunctionsSpec extends AnyFunSuite {
         "sentence"),
       batchId = 0L, tableDir)
     assert(claims() == before)
+  }
+
+  test("claims sink: atomic batch-id commit, snapshots, crash restore, rollback") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val tableDir = Files.createTempDirectory("graft_claims_snap").toString
+    def merge(id: Long, rows: Seq[(String, String, String)]): Unit =
+      StreamOps.mergeClaimsBatch(
+        rows.map { case (s1, p1, o1) => (s1, p1, o1, "u", "s") }
+          .toDF("subj", "pred", "obj", "url", "sentence"), id, tableDir)
+    def table() = spark.read.parquet(s"$tableDir/claims")
+      .collect().map(_.toString).sorted.toSeq
+
+    merge(0, Seq(("a", "R", "b"), ("a", "R", "b"), ("c", "R", "d")))
+    val after0 = table()
+    merge(1, Seq(("a", "R", "b")))
+    val after1 = table()
+    assert(after1 != after0) // frequency merged incrementally (a,R,b → 3)
+
+    // the replaced table is retained as a snapshot, time-travel reads it
+    assert(StreamOps.claimsSnapshots(tableDir) == Seq(1))
+    assert(StreamOps.readClaims(spark, tableDir, asOf = Some(1))
+      .collect().map(_.toString).sorted.toSeq == after0)
+    // the batch id travels inside the data dir
+    assert(StreamOps.committedBatchId(Paths.get(tableDir)) == 1L)
+
+    // crash window between archive and swap: current table missing, its
+    // predecessor is the newest snapshot. A replayed merge must restore it
+    // and then SKIP (id is embedded in the restored data — no double count).
+    Files.move(Paths.get(tableDir, "claims"),
+      Paths.get(tableDir, "_snapshots", "claims", "snap-00002"),
+      StandardCopyOption.ATOMIC_MOVE)
+    merge(1, Seq(("a", "R", "b")))
+    assert(table() == after1)
+    assert(StreamOps.claimsSnapshots(tableDir) == Seq(1))
+
+    // rollback restores a snapshot as current (archiving the replaced
+    // table, so rollback is itself in the history) and reverts the id
+    StreamOps.rollbackClaims(tableDir, toSnapshot = 1)
+    assert(table() == after0)
+    assert(StreamOps.committedBatchId(Paths.get(tableDir)) == 0L)
+    assert(StreamOps.claimsSnapshots(tableDir) == Seq(1, 2))
+
+    // post-rollback merges continue from the reverted id
+    merge(2, Seq(("e", "R", "f")))
+    assert(table().exists(_.contains("e")) && table().size == after0.size + 1)
   }
 
   test("streaming sessionization (flatMapGroupsWithState) == batch window sessionize") {

@@ -96,6 +96,64 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.toLowerCase.contains("broadcast"), p.take(500)))
   }
 
+  test("ANN query sides carry no static broadcast hints (all three paths)") {
+    // a batched query set is unbounded — the join strategy must be AQE's
+    // runtime decision, not a compile-time hint (same policy as the stats
+    // margins and the KG build). Guards bruteForce, LSH and IVF together.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 4)
+    val paths = Seq(
+      graft.similarity.Ann.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 3),
+      graft.similarity.Ann.lshTopK(emb, queries, "vec_id", "embedding",
+        k = 3),
+      graft.similarity.Ann.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 3))
+    paths.foreach { df =>
+      val plans = Seq(df.queryExecution.analyzed.toString,
+        df.queryExecution.optimizedPlan.toString)
+      plans.foreach(p =>
+        assert(!p.toLowerCase.contains("broadcast"), p.take(500)))
+    }
+  }
+
+  test("disproportionality: one fact scan, margins from the pair aggregate") {
+    // margins + N must derive from the PERSISTED pair-count aggregate —
+    // its four consumers carry different pushed null-filters, so exchange
+    // reuse can't share them and an uncached plan would scan the fact
+    // table four times. And N must be a cross-joined 1-row aggregate, NOT
+    // an eager driver count(): building the frame must launch no job.
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_suppkey").as("exposure"),
+          col("l_returnflag").as("outcome"))
+      pairs.schema // parquet schema inference may run its own tiny job
+      Thread.sleep(1000)
+      jobs = 0
+      val sig = graft.stats.Disproportionality.signals(pairs, "exposure",
+        "outcome")
+      val physical = planOf(sig) // forces full planning
+      Thread.sleep(1500) // listener bus is async; suites run sequentially
+      assert(jobs == 0,
+        s"constructing signals launched $jobs job(s) — eager driver work")
+      // all four consumers read the cached pair aggregate
+      val cacheReads = "InMemoryTableScan".r.findAllIn(physical).size
+      assert(cacheReads >= 4, s"expected ≥4 cached reads, got $cacheReads\n" +
+        physical.take(1500))
+      // salted two-phase path: same sharing contract
+      val salted = graft.stats.Disproportionality.signals(pairs, "exposure",
+        "outcome", saltBuckets = 8)
+      assert("InMemoryTableScan".r.findAllIn(planOf(salted)).size >= 4)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("aggregations use partial (map-side) aggregation (q01)") {
     val plan = planOf(SparkEntry.queries("q01_agg_pricing")(spark, sf))
     // HashAggregate appears twice around the exchange: partial + final
