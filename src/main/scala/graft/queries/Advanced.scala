@@ -579,6 +579,43 @@ object Advanced {
         CAST(8 AS INT) AS width, CAST(6 AS INT) AS height
       FROM documents,
         UNNEST(generate_series(0, 2 + doc_id % 4)) AS f(i)
-      WHERE f.i % 2 = 0"""))
+      WHERE f.i % 2 = 0""")),
+
+    // §2.8's incremental streaming claims sink under the driver: two
+    // deterministic page-file waves stream through incrementalClaims with
+    // a persistent checkpoint — the second run RESUMES from committed
+    // offsets and merges only wave 2's delta; later invocations replay
+    // nothing (exactly-once). The raw triples of the full corpus are
+    // materialized once as a side output and the DuckDB oracle
+    // re-aggregates them INDEPENDENTLY, so a dropped or double-merged
+    // delta (the crash windows the atomic in-dir batch-id commit closes)
+    // hash-mismatches against the streamed claims table.
+    QueryDef("q78_incremental_claims", (s, d) => {
+      import s.implicits._
+      val root = s"$KgRoot/q78"
+      val pagesDir = s"$root/pages"
+      val ready = java.nio.file.Paths.get(root, "_READY")
+      val schema = PageSynth.pages(s, 1).toDF().schema
+      def drain(): Unit = graft.streaming.StreamOps.incrementalClaims(
+        s, s"$pagesDir/*", schema, s"$root/claims_table", s"$root/ckpt",
+        PageSynth.gazetteer, PageSynth.RelationRules.toMap)
+      if (!java.nio.file.Files.exists(ready)) {
+        PageSynth.pages(s, 250).toDF()
+          .write.mode("overwrite").parquet(s"$pagesDir/b1")
+        drain() // wave 1 commits
+        s.range(250, 400).map(i => PageSynth.page(i))(
+            org.apache.spark.sql.Encoders.product[graft.model.Page]).toDF()
+          .write.mode("overwrite").parquet(s"$pagesDir/b2")
+        drain() // restart: checkpointed offsets → only wave 2 merges
+        TripleExtractor.extract(s, PageSynth.pages(s, 400),
+            PageSynth.gazetteer, PageSynth.RelationRules.toMap).toDF()
+          .write.mode("overwrite").parquet(s"$root/triples")
+        java.nio.file.Files.writeString(ready, "1")
+      } else drain() // no new files: exactly-once replay must be a no-op
+      graft.streaming.StreamOps.readClaims(s, root + "/claims_table")
+    }, Some(s"""
+      SELECT subj, pred, obj, COUNT(*) AS frequency
+      FROM read_parquet('$KgRoot/q78/triples/*.parquet')
+      GROUP BY 1, 2, 3"""))
   )
 }

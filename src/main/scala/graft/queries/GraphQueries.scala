@@ -590,6 +590,35 @@ object GraphQueries {
     }, Some("""
       SELECT 'Drug' AS node_type, CAST(s_suppkey AS BIGINT) AS key,
         s_name AS label, 0 AS match_rank
-      FROM supplier WHERE s_suppkey = 1"""))
+      FROM supplier WHERE s_suppkey = 1""")),
+
+    // explain_paths' condition-relevance boost (paths.py:161-178): drug →
+    // gene → disease paths where diseases {5, 23} are the patient's known
+    // conditions — matched paths score × 1.5 BEFORE the top-k re-rank.
+    // Total ordering (boosted score + every key) makes the limit
+    // deterministic, so the emitted top-100 is exactly reproducible.
+    QueryDef("q79_condition_boost", (s, d) => {
+      val dg = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("drug_key"),
+          col("l_partkey").as("gene_key")).distinct()
+      val gd = t(s, d, "part").select(col("p_partkey").as("gene_key"),
+        brandKey(col("p_brand")).as("disease_key"),
+        (col("p_size") / lit(50.0)).as("score"))
+      PathTools.conditionBoostedPaths(dg.join(gd, "gene_key"),
+        conditionKeys = Seq(5L, 23L), topK = 100)
+    }, Some("""
+      WITH dg AS (SELECT DISTINCT l_suppkey AS drug_key,
+                    l_partkey AS gene_key FROM lineitem),
+      gd AS (SELECT p_partkey AS gene_key,
+               CAST(substr(p_brand, 7) AS BIGINT) AS disease_key,
+               p_size / 50.0 AS score FROM part),
+      paths AS (SELECT gene_key, drug_key, disease_key, score
+                FROM dg JOIN gd USING (gene_key)),
+      b AS (SELECT *, CASE WHEN disease_key IN (5, 23)
+              THEN score * 1.5::DOUBLE ELSE score END AS boosted_score
+            FROM paths)
+      SELECT gene_key, drug_key, disease_key, score, boosted_score FROM b
+      ORDER BY boosted_score DESC, drug_key, gene_key, disease_key
+      LIMIT 100"""))
   )
 }

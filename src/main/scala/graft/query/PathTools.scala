@@ -146,6 +146,23 @@ object PathTools {
         col("base_score") * col("length_factor") * col("multi_source_factor"))
   }
 
+  /** explain_paths' condition-relevance boost
+    * (reference:src/kg_ae/tools/paths.py:161-178): paths whose Disease
+    * step matches one of the patient's `conditionKeys` get score × 1.5
+    * BEFORE the top-k re-rank, so condition-relevant mechanisms displace
+    * higher-raw-score irrelevant ones. Ordering is total (boosted score,
+    * then every key column) so the limit is deterministic; the limit
+    * compiles to TakeOrderedAndProject — per-partition top-k, never a
+    * global sort. */
+  def conditionBoostedPaths(paths: DataFrame, conditionKeys: Seq[Long],
+      topK: Int = 5, diseaseKeyCol: String = "disease_key"): DataFrame =
+    paths.withColumn("boosted_score",
+        when(col(diseaseKeyCol).isin(conditionKeys: _*),
+          col("score") * lit(1.5)).otherwise(col("score")))
+      .orderBy(col("boosted_score").desc, col("drug_key"), col("gene_key"),
+        col(diseaseKeyCol))
+      .limit(topK)
+
   // --------------------------------------------------------------------
   // DDI via DrugCombination intersection
   // (reference:src/kg_ae/tools/adverse_events.py:117-146)

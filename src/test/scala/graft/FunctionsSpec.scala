@@ -174,6 +174,30 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Multimodal.demuxVideo(Array[Byte](9, 9, 9, 9, 9, 9, 9, 9, 9, 9))
     }
+    // the container is frame-format-agnostic: genuine MJPEG (JPEG frames
+    // via the JDK's ImageIO JPEG codec) demuxes and decodes through the
+    // same kernels — dims exact, pixel values within JPEG quantization
+    // error of the source gray
+    val jpegFrames = (0 until 3).map { f =>
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = 40 + 60 * f
+      (0 until 12).foreach(y => (0 until 16).foreach(x =>
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val mjpeg = Multimodal.encodeVideo(jpegFrames)
+    Multimodal.demuxVideo(mjpeg).zipWithIndex.foreach { case (fbytes, f) =>
+      val img = Multimodal.decodeImage(fbytes)
+      assert(img.getWidth == 16 && img.getHeight == 12)
+      assert(math.abs((img.getRGB(8, 6) & 0xFF) - (40 + 60 * f)) <= 4,
+        s"jpeg frame $f center gray")
+    }
+    val mjFeat = Multimodal.videoFeature(mjpeg, dims = 4)
+    (0 until 3).foreach(f =>
+      assert(math.abs(mjFeat(f) - (40 + 60 * f) / 255f) < 0.03f))
   }
 
   test("streaming: windowed counts via memory sink == batch windowed counts") {

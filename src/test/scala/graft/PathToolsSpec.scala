@@ -215,4 +215,18 @@ class PathToolsSpec extends AnyFunSuite {
     // unknown claim type → default 0.5 weight
     assert(byType("DRUG_IN_COMBINATION")._3 == 0.5 * 0.5)
   }
+
+  test("conditionBoostedPaths: matched Disease steps re-rank above higher raw scores") {
+    // reference explain_paths (paths.py:161-178): ×1.5 boost for paths
+    // whose Disease step is in the patient's condition set, THEN top-k —
+    // path via disease 7 (raw 0.6 → 0.9) must displace the raw-0.8 path
+    val paths = Seq(
+      (1L, 10L, 7L, 0.6), (1L, 11L, 8L, 0.8), (1L, 12L, 9L, 0.4))
+      .toDF("drug_key", "gene_key", "disease_key", "score")
+    val top = PathTools.conditionBoostedPaths(paths, Seq(7L), topK = 2)
+      .collect()
+    assert(top.map(_.getAs[Long]("disease_key")).toSeq == Seq(7L, 8L))
+    assert(top(0).getAs[Double]("boosted_score") == 0.6 * 1.5)
+    assert(top(1).getAs[Double]("boosted_score") == 0.8)
+  }
 }
