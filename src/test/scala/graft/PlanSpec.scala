@@ -154,6 +154,13 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("ordered limits compile to TakeOrderedAndProject, not a global sort (q79)") {
+    // orderBy().limit(k) must plan as per-partition top-k + driver merge —
+    // a 100 TB path frame would die on a single-partition global sort
+    val plan = planOf(SparkEntry.queries("q79_condition_boost")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("aggregations use partial (map-side) aggregation (q01)") {
     val plan = planOf(SparkEntry.queries("q01_agg_pricing")(spark, sf))
     // HashAggregate appears twice around the exchange: partial + final
