@@ -119,8 +119,12 @@ object Bench {
       "\"" + k + "\":" + f"${maxT(k)}%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // queries_timed vs queries_total makes an all-passes-failed query
+    // visible in the headline record (its time is absent from `value`, so
+    // the total must not be read as covering the full list)
     val queryFields =
       s""""queries":$qs,"queries_max":$qsMax,"bench_passes":$passes,""" +
+      s""""queries_timed":${results.size},"queries_total":${names.size},""" +
       s""""failed_queries":$failedJson,"sf":"$sfDir""""
     // ---- line 1: the query-pass record, emitted BEFORE scaling starts ----
     println(
@@ -145,10 +149,16 @@ object Bench {
     val rounds = 3
     var runsLeft = rounds * levels.size
     var aborted = false
-    // expected clean-host rate per level (from BASELINE.md history) seeds
-    // the first shrink decision; observed rates replace it immediately
+    // expected clean-host rate per level seeds the first shrink decision;
+    // observed rates replace it immediately. Per-core scaling flattens
+    // past 8 cores on this host (single-JVM memory-bandwidth ceiling —
+    // BASELINE.md), so the seed caps at 8 effective cores: a too-HIGH
+    // seed would size the first big-level run at full kgDocs and defeat
+    // the budget mechanism exactly when steal makes it matter; a too-low
+    // seed merely makes the first run smaller, and the observed rate
+    // corrects the next one.
     def estRate(c: Int): Double =
-      best.getOrElse(c, 25000.0 * c) // ~25k docs/s/core is well below clean
+      best.getOrElse(c, 25000.0 * math.min(c, 8))
     def runLevel(round: Int, c: Int): Unit = {
       val remaining = deadline - elapsed
       if (remaining < 30.0) { aborted = true; runsLeft -= 1; return }

@@ -34,16 +34,23 @@ object KeyAssigner {
     val localRank = ranged.withColumn(
       "_rn", row_number().over(Window.partitionBy("_pid").orderBy(col(idCol))))
     val counts = ranged.groupBy("_pid").count() // numPartitions rows — tiny
-    // cumulative offsets over the numPartitions-row count vector as a
-    // predecessor self-join (offset(p) = Σ counts of partitions < p): at
-    // P² ≤ ~10⁶ pairs this is trivial, and unlike a global
-    // Window.orderBy it neither funnels rows to one partition nor emits
-    // the scale-relevant "No Partition Defined" warning — which stays
-    // reserved for windows over data-proportional frames
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col("b._pid") < col("a._pid"), "left")
-      .groupBy(col("a._pid").as("_pid"))
-      .agg(coalesce(sum(col("b.count")), lit(0L)).as("_offset"))
+    // cumulative offsets over the numPartitions-row count vector: one
+    // narrow O(P) scan pass in an EXPLICIT single partition (a prefix sum
+    // is inherently sequential over P rows; P = shuffle partitions, so
+    // this stays trivial at any realistic cluster size). Equivalent to
+    // the old global Window.orderBy but without the "No Partition
+    // Defined" warning — which stays reserved for windows over
+    // data-proportional frames — and without a quadratic self-join.
+    import spark.implicits._
+    val offsets = counts
+      .select(col("_pid").cast("int").as("_pid"), col("count"))
+      .as[(Int, Long)]
+      .repartition(1).sortWithinPartitions("_pid")
+      .mapPartitions { it =>
+        var acc = 0L
+        it.map { case (pid, c) => val off = acc; acc += c; (pid, off) }
+      }
+      .toDF("_pid", "_offset")
     // offsets is numPartitions rows — no static broadcast hint on purpose:
     // AQE broadcasts it at runtime from its true size, and keeping the KG
     // build free of compile-time hints lets PlanSpec assert that nothing

@@ -275,15 +275,15 @@ object Multimodal {
   /** Frame count of the synthetic video for an id (3..6). */
   def frameCountOf(id: Long): Int = 3 + (id % 4).toInt
 
-  /** Deterministic synthetic video: [[frameCountOf]] genuine 8×6 PNG
-    * frames, frame f constant gray [[frameGrayOf]] with pixel (0,0) marked
-    * `(gray+7)%256` — the q50 oracle trick per frame: reading the values
-    * back requires a real demux AND a real per-frame decode. */
-  def syntheticVideo(id: Long): Array[Byte] =
+  /** Deterministic synthetic video: [[frameCountOf]] genuine width×height
+    * PNG frames, frame f constant gray [[frameGrayOf]] with pixel (0,0)
+    * marked `(gray+7)%256` — the q50 oracle trick per frame: reading the
+    * values back requires a real demux AND a real per-frame decode. */
+  def syntheticVideo(id: Long, width: Int = 8, height: Int = 6): Array[Byte] =
     encodeVideo((0 until frameCountOf(id)).map { f =>
       val g = frameGrayOf(id, f)
-      encodePng(8, 6, (x, y) => if (x == 0 && y == 0) rgb((g + 7) % 256)
-        else rgb(g))
+      encodePng(width, height,
+        (x, y) => if (x == 0 && y == 0) rgb((g + 7) % 256) else rgb(g))
     })
 
   /** Real video feature: demux, decode each frame via ImageIO, mean gray
@@ -319,7 +319,9 @@ object Multimodal {
       val payload = meta.kind match {
         case "image" => syntheticPng(i, meta.width, meta.height)
         case "audio" => syntheticWav(i, meta.sample_rate)
-        case _ => syntheticVideo(i)
+        // frames carry the row's OWN metadata dims, so metadata and
+        // decodable payload never contradict each other
+        case _ => syntheticVideo(i, meta.width, meta.height)
       }
       meta.copy(payload = payload)
     }

@@ -34,8 +34,22 @@ object Advanced {
     * read each other's partially-committed tables; the oracle SQL strings
     * interpolate the same value, and Verify dumps them with the path baked
     * in, so the driver's DuckDB reads exactly the tables this process
-    * materialized. */
-  private val KgRoot = s"/tmp/graft_kg_oracle_${ProcessHandle.current().pid()}"
+    * materialized. Stale roots from earlier processes are janitored
+    * age-based (SourceSynth.cleanStaleRoots — exit hooks would delete the
+    * tables before the driver's DuckDB reads them). */
+  private val KgRoot = {
+    graft.sources.SourceSynth.cleanStaleRoots()
+    s"/tmp/graft_kg_oracle_${ProcessHandle.current().pid()}"
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
 
   /** documents ∪ shifted copy — guaranteed exact-duplicate clusters for the
     * near-dup pipelines (ids i and i+100000 share identical text). */
@@ -600,6 +614,13 @@ object Advanced {
         s, s"$pagesDir/*", schema, s"$root/claims_table", s"$root/ckpt",
         PageSynth.gazetteer, PageSynth.RelationRules.toMap)
       if (!java.nio.file.Files.exists(ready)) {
+        // self-healing: a previous PARTIAL attempt (e.g. killed between
+        // wave 1's commit and the _READY marker) leaves a checkpoint that
+        // tracks the old part-file NAMES — rewriting b1 would stream the
+        // renamed files as a fresh batch and double-merge wave 1. Rebuild
+        // the whole fixture tree from scratch instead; the result is
+        // deterministic, so a clean rebuild always converges.
+        deleteRec(java.nio.file.Paths.get(root))
         PageSynth.pages(s, 250).toDF()
           .write.mode("overwrite").parquet(s"$pagesDir/b1")
         drain() // wave 1 commits

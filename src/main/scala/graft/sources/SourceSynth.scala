@@ -21,6 +21,33 @@ object SourceSynth {
     * exactly the files this process wrote. */
   val Dir = s"/tmp/graft_sources_${ProcessHandle.current().pid()}"
 
+  /** Delete stale per-process fixture roots (ours and the KG oracle's)
+    * left by earlier runs. AGE-based, not exit-hook-based, on purpose:
+    * the driver's DuckDB reads these paths AFTER the writing JVM exits,
+    * so deleting on shutdown would destroy the oracle's inputs; a 6-hour
+    * threshold is far beyond the minutes-scale verify→oracle gap while
+    * still bounding /tmp growth across repeated runs. Best-effort. */
+  def cleanStaleRoots(maxAgeHours: Long = 6): Unit = {
+    val cutoff = System.currentTimeMillis() - maxAgeHours * 3600 * 1000
+    val tmp = Paths.get("/tmp")
+    val prefixes = Seq("graft_sources_", "graft_kg_oracle_")
+    try {
+      val ls = Files.list(tmp)
+      try ls.forEach { p =>
+        val n = p.getFileName.toString
+        val stale = prefixes.exists(n.startsWith) &&
+          !n.endsWith(s"_${ProcessHandle.current().pid()}") &&
+          Files.getLastModifiedTime(p).toMillis < cutoff
+        if (stale) {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+          finally walk.close()
+        }
+      } finally ls.close()
+    } catch { case _: java.io.IOException => () } // best-effort janitor
+  }
+
   def peopleTsv: String = s"$Dir/people.tsv"
   def factsTsv: String = s"$Dir/facts.tsv"
   def metricsCsvGz: String = s"$Dir/metrics.csv.gz"
@@ -43,6 +70,7 @@ object SourceSynth {
   def ensure(): Unit = synchronized {
     val marker = Paths.get(Dir, s"_v_$Version")
     if (Files.exists(marker)) return
+    cleanStaleRoots()
     Files.createDirectories(Paths.get(Dir))
 
     writeText(peopleTsv) { w =>

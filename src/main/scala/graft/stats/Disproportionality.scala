@@ -38,8 +38,14 @@ object Disproportionality {
     * Returns per-(exposure, outcome): a, exposure_n, outcome_n, n, prr,
     * ror, chi2 — gated like the reference.
     */
+  /** `cachePairs = false` opts out of persisting the pair aggregate for
+    * callers that manage their own caching or run once-and-discard (the
+    * cache entry otherwise lives until session end or CacheManager
+    * eviction — Spark dedupes identical plans, so repeated calls over the
+    * same input share one entry rather than accumulating). */
   def signals(pairs: DataFrame, exposureCol: String, outcomeCol: String,
-      minA: Long = 3, saltBuckets: Int = 0): DataFrame = {
+      minA: Long = 3, saltBuckets: Int = 0,
+      cachePairs: Boolean = true): DataFrame = {
     val e = col(exposureCol)
     val o = col(outcomeCol)
 
@@ -79,7 +85,8 @@ object Disproportionality {
     // repeated identical signals() call reuses the existing cache entry
     // instead of re-persisting (and logging "already cached") every run
     val aCached =
-      if (a.storageLevel != org.apache.spark.storage.StorageLevel.NONE) a
+      if (!cachePairs ||
+          a.storageLevel != org.apache.spark.storage.StorageLevel.NONE) a
       else a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val em = aCached.groupBy(col("exposure")).agg(sum("a").as("exposure_n"))
     val om = aCached.groupBy(col("outcome")).agg(sum("a").as("outcome_n"))

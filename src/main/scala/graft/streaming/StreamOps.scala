@@ -255,15 +255,29 @@ object StreamOps {
   }
 
   /** Crash recovery for the window between archive and swap: the current
-    * table is missing but its predecessor is the newest snapshot — restore
-    * it (move back; it was current a moment ago and no new snapshot was
-    * cut in between). */
+    * table is missing but its predecessor is the newest snapshot — COPY it
+    * back as current (copying, not moving, keeps the snapshot id retained:
+    * a reader holding that id from [[claimsSnapshots]] must not see it
+    * vanish), staged through a tmp dir + atomic rename so a crash
+    * mid-restore never yields a half-copied current table. */
   private def restoreClaimsIfMissing(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
     val dataDir = root.resolve("claims")
-    if (!java.nio.file.Files.exists(dataDir)) {
+    if (!Files.exists(dataDir)) {
       claimsSnapshots(root.toString).lastOption.foreach { id =>
-        java.nio.file.Files.move(claimsSnapDir(root, id), dataDir,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val src = claimsSnapDir(root, id)
+        val tmp = root.resolve(".tmp_restore")
+        deleteRec(tmp)
+        val walk = Files.walk(src)
+        try walk.forEach { p =>
+          val dst = tmp.resolve(src.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(dst)
+          else {
+            Files.createDirectories(dst.getParent)
+            Files.copy(p, dst, StandardCopyOption.COPY_ATTRIBUTES)
+          }
+        } finally walk.close()
+        Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
       }
     }
   }

@@ -159,11 +159,13 @@ class FunctionsSpec extends AnyFunSuite {
         (0 until Multimodal.frameCountOf(v.media_id)).count(_ % 2 == 0)
       assert(byId(v.media_id).length == expect, s"media ${v.media_id}")
     }
+    val dims = vids.map(v => v.media_id -> (v.width, v.height)).toMap
     frames.foreach { fr =>
       val img = Multimodal.decodeImage(fr.payload)
-      assert(img.getWidth == 8 && img.getHeight == 6)
+      // frame dims match the ROW's metadata (payload never contradicts it)
+      assert((img.getWidth, img.getHeight) == dims(fr.media_id))
       val g = Multimodal.frameGrayOf(fr.media_id, fr.frame_idx)
-      assert((img.getRGB(7, 5) & 0xFF) == g,
+      assert((img.getRGB(img.getWidth - 1, img.getHeight - 1) & 0xFF) == g,
         s"media ${fr.media_id} frame ${fr.frame_idx}")
       assert((img.getRGB(0, 0) & 0xFF) == (g + 7) % 256)
     }
@@ -338,21 +340,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(StreamOps.committedBatchId(Paths.get(tableDir)) == 1L)
 
     // crash window between archive and swap: current table missing, its
-    // predecessor is the newest snapshot. A replayed merge must restore it
-    // and then SKIP (id is embedded in the restored data — no double count).
+    // predecessor is the newest snapshot. A replayed merge must COPY it
+    // back (the snapshot id stays retained) and then SKIP (id is embedded
+    // in the restored data — no double count).
     Files.move(Paths.get(tableDir, "claims"),
       Paths.get(tableDir, "_snapshots", "claims", "snap-00002"),
       StandardCopyOption.ATOMIC_MOVE)
     merge(1, Seq(("a", "R", "b")))
     assert(table() == after1)
-    assert(StreamOps.claimsSnapshots(tableDir) == Seq(1))
+    assert(StreamOps.claimsSnapshots(tableDir) == Seq(1, 2))
+    assert(StreamOps.readClaims(spark, tableDir, asOf = Some(2))
+      .collect().map(_.toString).sorted.toSeq == after1)
 
     // rollback restores a snapshot as current (archiving the replaced
     // table, so rollback is itself in the history) and reverts the id
     StreamOps.rollbackClaims(tableDir, toSnapshot = 1)
     assert(table() == after0)
     assert(StreamOps.committedBatchId(Paths.get(tableDir)) == 0L)
-    assert(StreamOps.claimsSnapshots(tableDir) == Seq(1, 2))
+    assert(StreamOps.claimsSnapshots(tableDir) == Seq(1, 2, 3))
 
     // post-rollback merges continue from the reverted id
     merge(2, Seq(("e", "R", "f")))
