@@ -83,14 +83,14 @@ object Pipeline {
         StageResult(stage, m.rows, skipped = true, 0.0)
       case _ =>
         val tmp = Paths.get(root, s".tmp_$stage")
-        deleteRec(tmp)
+        graft.util.Fs.deleteRec(tmp)
         val df = body
         val writer = df.write.mode("overwrite")
         (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
          else writer).parquet(tmp.toString)
         val rows = spark.read.parquet(tmp.toString).count()
         archiveIfCommitted(root, stage)
-        deleteRec(dir) // uncommitted leftovers only; committed dirs archived
+        graft.util.Fs.deleteRec(dir) // uncommitted leftovers only; committed dirs archived
         Files.createDirectories(dir.getParent)
         Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
         Files.writeString(dir.resolve("_COMMITTED"), "1")
@@ -164,23 +164,13 @@ object Pipeline {
     require(Files.exists(src.resolve("_COMMITTED")),
       s"stage '$stage' has no retained snapshot $toSnapshot")
     val tmp = Paths.get(root, s".tmp_$stage")
-    deleteRec(tmp)
-    // copy (not move) so the snapshot itself stays retained/immutable
-    val walk = Files.walk(src)
-    try walk.forEach { p =>
-      val rel = src.relativize(p).toString
-      if (rel != "_COMMITTED") { // marker is written LAST, post-rename
-        val dst = tmp.resolve(rel)
-        if (Files.isDirectory(p)) Files.createDirectories(dst)
-        else {
-          Files.createDirectories(dst.getParent)
-          Files.copy(p, dst, StandardCopyOption.COPY_ATTRIBUTES)
-        }
-      }
-    } finally walk.close()
+    graft.util.Fs.deleteRec(tmp)
+    // copy (not move) so the snapshot itself stays retained/immutable;
+    // the marker is excluded because it is written LAST, post-rename
+    graft.util.Fs.copyTree(src, tmp, exclude = Set("_COMMITTED"))
     archiveIfCommitted(root, stage)
     val dir = Paths.get(root, stage)
-    deleteRec(dir) // uncommitted leftovers only
+    graft.util.Fs.deleteRec(dir) // uncommitted leftovers only
     Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
     Files.writeString(dir.resolve("_COMMITTED"), "1")
   }
@@ -188,16 +178,7 @@ object Pipeline {
   /** Delete the oldest snapshots beyond `keep` (bounded retention). */
   def pruneSnapshots(root: String, stage: String, keep: Int): Unit =
     snapshots(root, stage).dropRight(keep)
-      .foreach(id => deleteRec(snapDir(root, stage, id)))
-
-  private def deleteRec(p: java.nio.file.Path): Unit = {
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally walk.close()
-    }
-  }
+      .foreach(id => graft.util.Fs.deleteRec(snapDir(root, stage, id)))
 
   /** Fingerprint of a committed stage output (manifest content) — used as
     * the downstream's `upstream` key so edits invalidate transitively. */

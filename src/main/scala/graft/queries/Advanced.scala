@@ -42,15 +42,6 @@ object Advanced {
     s"/tmp/graft_kg_oracle_${ProcessHandle.current().pid()}"
   }
 
-  private def deleteRec(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
-      finally walk.close()
-    }
-  }
-
   /** documents ∪ shifted copy — guaranteed exact-duplicate clusters for the
     * near-dup pipelines (ids i and i+100000 share identical text). */
   private def dupDocs(s: SparkSession, d: String): DataFrame = {
@@ -620,7 +611,7 @@ object Advanced {
         // renamed files as a fresh batch and double-merge wave 1. Rebuild
         // the whole fixture tree from scratch instead; the result is
         // deterministic, so a clean rebuild always converges.
-        deleteRec(java.nio.file.Paths.get(root))
+        graft.util.Fs.deleteRec(java.nio.file.Paths.get(root))
         PageSynth.pages(s, 250).toDF()
           .write.mode("overwrite").parquet(s"$pagesDir/b1")
         drain() // wave 1 commits

@@ -35,17 +35,23 @@ object Ann {
 
   /** Exact top-k cosine neighbors for each row of `queries` over `corpus`.
     * Output: (query_id, neighbor_id, cosine, rank). Self-matches excluded.
-    * Ties broken by neighbor id (deterministic). */
+    * Ties broken by neighbor id (deterministic).
+    *
+    * BROADCAST CONTRACT: the query side is broadcast-hinted, so `queries`
+    * must be a SMALL batch (brute force over every corpus row is only
+    * sane for small query sets anyway — LSH/IVF are the batched scale
+    * paths). The hint is deliberate and differs from the LSH/IVF policy:
+    * this join is NON-equi (`neighbor_id =!= query_id`), and without the
+    * hint Catalyst's static size estimates can pick CartesianProduct —
+    * which AQE cannot re-plan at runtime (no shuffle stages to
+    * re-optimize), silently re-reading corpus×queries partition pairs.
+    * The equi-joins in lshTopK/ivfTopK have no such trap, so they stay
+    * hint-free. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // no static broadcast hint on the query side: a batched query set is
-    // unbounded, and a forced broadcast of a large one OOMs executors. AQE
-    // picks broadcast-nested-loop at runtime when the query frame actually
-    // fits (PlanSpec pins the absence of compile-time hints across all
-    // three ANN paths).
-    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

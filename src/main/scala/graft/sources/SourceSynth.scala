@@ -28,24 +28,26 @@ object SourceSynth {
     * threshold is far beyond the minutes-scale verify→oracle gap while
     * still bounding /tmp growth across repeated runs. Best-effort. */
   def cleanStaleRoots(maxAgeHours: Long = 6): Unit = {
-    val cutoff = System.currentTimeMillis() - maxAgeHours * 3600 * 1000
-    val tmp = Paths.get("/tmp")
-    val prefixes = Seq("graft_sources_", "graft_kg_oracle_")
+    // best-effort on EVERY failure shape: concurrent janitors racing on
+    // the same stale root surface as UncheckedIOException (a
+    // RuntimeException) out of Files.walk/list stream iteration, and this
+    // is called from a static initializer — an escaping throw would turn
+    // into ExceptionInInitializerError and kill every query in the JVM
+    import scala.util.control.NonFatal
     try {
-      val ls = Files.list(tmp)
+      val cutoff = System.currentTimeMillis() - maxAgeHours * 3600 * 1000
+      val prefixes = Seq("graft_sources_", "graft_kg_oracle_")
+      val ls = Files.list(Paths.get("/tmp"))
       try ls.forEach { p =>
-        val n = p.getFileName.toString
-        val stale = prefixes.exists(n.startsWith) &&
-          !n.endsWith(s"_${ProcessHandle.current().pid()}") &&
-          Files.getLastModifiedTime(p).toMillis < cutoff
-        if (stale) {
-          val walk = Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.delete(f))
-          finally walk.close()
-        }
+        try {
+          val n = p.getFileName.toString
+          val stale = prefixes.exists(n.startsWith) &&
+            !n.endsWith(s"_${ProcessHandle.current().pid()}") &&
+            Files.getLastModifiedTime(p).toMillis < cutoff
+          if (stale) graft.util.Fs.deleteRec(p)
+        } catch { case NonFatal(_) => () } // one root failing ≠ stop others
       } finally ls.close()
-    } catch { case _: java.io.IOException => () } // best-effort janitor
+    } catch { case NonFatal(_) => () }
   }
 
   def peopleTsv: String = s"$Dir/people.tsv"

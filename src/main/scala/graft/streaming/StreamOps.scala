@@ -163,7 +163,7 @@ object StreamOps {
         .agg(sum(col("frequency")).as("frequency"))
       else delta
     val tmp = root.resolve(".tmp_claims")
-    deleteRec(tmp)
+    graft.util.Fs.deleteRec(tmp)
     merged.write.mode("overwrite").parquet(tmp.toString) // reads old table
     // the id joins the data INSIDE tmp before the single atomic publish
     // (underscore-prefixed files are invisible to parquet scans)
@@ -171,14 +171,20 @@ object StreamOps {
     archiveClaims(root) // current committed table → next numbered snapshot
     Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
     claimsSnapshots(tableDir).dropRight(snapshotRetention)
-      .foreach(id => deleteRec(claimsSnapDir(root, id)))
+      .foreach(id => graft.util.Fs.deleteRec(claimsSnapDir(root, id)))
   }
 
-  /** Batch id embedded in the committed claims table (-1 when absent). */
+  /** Batch id embedded in the committed claims table (-1 when absent).
+    * Falls back to the pre-snapshot protocol's root-level `_BATCH` marker
+    * so a table committed by the older code resumes with its real id
+    * instead of -1 (which would re-merge a replayed delta). */
   def committedBatchId(root: java.nio.file.Path): Long = {
-    val f = root.resolve("claims").resolve("_BATCH")
-    if (java.nio.file.Files.exists(f))
-      java.nio.file.Files.readString(f).trim.toLong
+    val embedded = root.resolve("claims").resolve("_BATCH")
+    val legacy = root.resolve("_BATCH")
+    if (java.nio.file.Files.exists(embedded))
+      java.nio.file.Files.readString(embedded).trim.toLong
+    else if (java.nio.file.Files.exists(legacy))
+      java.nio.file.Files.readString(legacy).trim.toLong
     else -1L
   }
 
@@ -226,17 +232,9 @@ object StreamOps {
     val src = claimsSnapDir(root, toSnapshot)
     require(Files.exists(src), s"claims table has no snapshot $toSnapshot")
     val tmp = root.resolve(".tmp_claims")
-    deleteRec(tmp)
+    graft.util.Fs.deleteRec(tmp)
     // copy (not move) so the snapshot itself stays retained/immutable
-    val walk = Files.walk(src)
-    try walk.forEach { p =>
-      val dst = tmp.resolve(src.relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(dst)
-      else {
-        Files.createDirectories(dst.getParent)
-        Files.copy(p, dst, StandardCopyOption.COPY_ATTRIBUTES)
-      }
-    } finally walk.close()
+    graft.util.Fs.copyTree(src, tmp)
     archiveClaims(root)
     Files.move(tmp, root.resolve("claims"), StandardCopyOption.ATOMIC_MOVE)
   }
@@ -265,29 +263,11 @@ object StreamOps {
     val dataDir = root.resolve("claims")
     if (!Files.exists(dataDir)) {
       claimsSnapshots(root.toString).lastOption.foreach { id =>
-        val src = claimsSnapDir(root, id)
         val tmp = root.resolve(".tmp_restore")
-        deleteRec(tmp)
-        val walk = Files.walk(src)
-        try walk.forEach { p =>
-          val dst = tmp.resolve(src.relativize(p).toString)
-          if (Files.isDirectory(p)) Files.createDirectories(dst)
-          else {
-            Files.createDirectories(dst.getParent)
-            Files.copy(p, dst, StandardCopyOption.COPY_ATTRIBUTES)
-          }
-        } finally walk.close()
+        graft.util.Fs.deleteRec(tmp)
+        graft.util.Fs.copyTree(claimsSnapDir(root, id), tmp)
         Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
       }
-    }
-  }
-
-  private def deleteRec(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
-      finally walk.close()
     }
   }
 

@@ -1,0 +1,41 @@
+package graft.util
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+/** Small local-filesystem helpers shared by the pipeline/streaming commit
+  * protocols and the fixture writers (one implementation of recursive
+  * delete and tree copy instead of per-caller variants — the atomic-rename
+  * commit pattern depends on both behaving identically everywhere).
+  *
+  * These touch driver-local paths only (commit markers, snapshots, test
+  * fixtures) — table DATA always moves through Spark writers.
+  */
+object Fs {
+
+  /** Recursive delete, deepest-first. No-op when absent. */
+  def deleteRec(p: Path): Unit = {
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+  }
+
+  /** Copy a directory tree into `dst` (created fresh), skipping any
+    * relative paths in `exclude`. Attributes preserved. */
+  def copyTree(src: Path, dst: Path, exclude: Set[String] = Set.empty): Unit = {
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
+      val rel = src.relativize(p).toString
+      if (!exclude.contains(rel)) {
+        val to = dst.resolve(rel)
+        if (Files.isDirectory(p)) Files.createDirectories(to)
+        else {
+          Files.createDirectories(to.getParent)
+          Files.copy(p, to, StandardCopyOption.COPY_ATTRIBUTES)
+        }
+      }
+    } finally walk.close()
+  }
+}

@@ -96,62 +96,61 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.toLowerCase.contains("broadcast"), p.take(500)))
   }
 
-  test("ANN query sides carry no static broadcast hints (all three paths)") {
-    // a batched query set is unbounded — the join strategy must be AQE's
-    // runtime decision, not a compile-time hint (same policy as the stats
-    // margins and the KG build). Guards bruteForce, LSH and IVF together.
+  test("ANN broadcast policy: equi paths hint-free, non-equi brute force hinted") {
+    // batched-query paths (LSH/IVF) join on EQUI keys — AQE picks
+    // broadcast at runtime when a side fits, so compile-time hints are
+    // banned (same policy as the stats margins and the KG build). Brute
+    // force is the opposite by documented contract: its join is NON-equi,
+    // where a hintless plan can degrade to CartesianProduct that AQE
+    // cannot re-plan — the small-query-set broadcast hint must be there.
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 4)
-    val paths = Seq(
-      graft.similarity.Ann.bruteForceTopK(emb, queries, "vec_id",
-        "embedding", k = 3),
+    Seq(
       graft.similarity.Ann.lshTopK(emb, queries, "vec_id", "embedding",
         k = 3),
       graft.similarity.Ann.ivfTopK(emb, queries, "vec_id", "embedding",
-        k = 3))
-    paths.foreach { df =>
+        k = 3)).foreach { df =>
       val plans = Seq(df.queryExecution.analyzed.toString,
         df.queryExecution.optimizedPlan.toString)
       plans.foreach(p =>
         assert(!p.toLowerCase.contains("broadcast"), p.take(500)))
     }
+    val bf = graft.similarity.Ann.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k = 3)
+    val bfPlan = bf.queryExecution.executedPlan.toString
+    assert(bfPlan.contains("BroadcastNestedLoopJoin"), bfPlan.take(800))
+    assert(!bfPlan.contains("CartesianProduct"), bfPlan.take(800))
   }
 
   test("disproportionality: one fact scan, margins from the pair aggregate") {
     // margins + N must derive from the PERSISTED pair-count aggregate —
     // its four consumers carry different pushed null-filters, so exchange
     // reuse can't share them and an uncached plan would scan the fact
-    // table four times. And N must be a cross-joined 1-row aggregate, NOT
-    // an eager driver count(): building the frame must launch no job.
-    @volatile var jobs = 0
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      val pairs = spark.read.parquet(s"$sf/lineitem.parquet")
-        .select(col("l_suppkey").as("exposure"),
-          col("l_returnflag").as("outcome"))
-      pairs.schema // parquet schema inference may run its own tiny job
-      Thread.sleep(1000)
-      jobs = 0
-      val sig = graft.stats.Disproportionality.signals(pairs, "exposure",
-        "outcome")
-      val physical = planOf(sig) // forces full planning
-      Thread.sleep(1500) // listener bus is async; suites run sequentially
-      assert(jobs == 0,
-        s"constructing signals launched $jobs job(s) — eager driver work")
-      // all four consumers read the cached pair aggregate
-      val cacheReads = "InMemoryTableScan".r.findAllIn(physical).size
-      assert(cacheReads >= 4, s"expected ≥4 cached reads, got $cacheReads\n" +
-        physical.take(1500))
-      // salted two-phase path: same sharing contract
-      val salted = graft.stats.Disproportionality.signals(pairs, "exposure",
-        "outcome", saltBuckets = 8)
-      assert("InMemoryTableScan".r.findAllIn(planOf(salted)).size >= 4)
-    } finally spark.sparkContext.removeSparkListener(listener)
+    // table four times. And N must come from a cross-joined 1-row
+    // aggregate, NOT an eager driver count(): the old count() planted the
+    // materialized total as an integer LITERAL aliased to n, so its
+    // absence from the optimized plan is a deterministic proxy for "no
+    // job at construction time" (listener-based job counting is
+    // async-flaky on a shared session).
+    val pairs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_suppkey").as("exposure"),
+        col("l_returnflag").as("outcome"))
+    val sig = graft.stats.Disproportionality.signals(pairs, "exposure",
+      "outcome")
+    val optimized = sig.queryExecution.optimizedPlan.toString
+    assert(!"\\b\\d+ AS n\\b".r.findFirstIn(optimized).isDefined,
+      "n must be an aggregate output, not an eagerly-counted literal:\n" +
+        optimized.take(1000))
+    assert(optimized.contains("sum(a"), optimized.take(1000))
+    // all four consumers read the cached pair aggregate
+    val physical = planOf(sig)
+    val cacheReads = "InMemoryTableScan".r.findAllIn(physical).size
+    assert(cacheReads >= 4, s"expected ≥4 cached reads, got $cacheReads\n" +
+      physical.take(1500))
+    // salted two-phase path: same sharing contract
+    val salted = graft.stats.Disproportionality.signals(pairs, "exposure",
+      "outcome", saltBuckets = 8)
+    assert("InMemoryTableScan".r.findAllIn(planOf(salted)).size >= 4)
   }
 
   test("ordered limits compile to TakeOrderedAndProject, not a global sort (q79)") {
