@@ -600,7 +600,8 @@ object Advanced {
       val root = s"$KgRoot/q78"
       val pagesDir = s"$root/pages"
       val ready = java.nio.file.Paths.get(root, "_READY")
-      val schema = PageSynth.pages(s, 1).toDF().schema
+      val schema =
+        org.apache.spark.sql.Encoders.product[graft.model.Page].schema
       def drain(): Unit = graft.streaming.StreamOps.incrementalClaims(
         s, s"$pagesDir/*", schema, s"$root/claims_table", s"$root/ckpt",
         PageSynth.gazetteer, PageSynth.RelationRules.toMap)

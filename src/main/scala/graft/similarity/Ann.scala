@@ -7,14 +7,14 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
   *
-  * Baseline: exact brute-force cosine top-k — the query set joined against
-  * the full corpus, cosine computed with higher-order functions
-  * (`aggregate`/`zip_with`, fully codegen'd, no UDF), ranked per query with
-  * a window. At 100 TB the corpus side stays partitioned and AQE broadcasts
-  * the query side at runtime when it fits (no compile-time hint — a batched
-  * query set is unbounded), so the scan is embarrassingly parallel with
-  * zero shuffle until the final per-query top-k (bounded: queries × k
-  * rows).
+  * Baseline: exact brute-force cosine top-k — a broadcast of the (small
+  * by contract — see [[bruteForceTopK]]) query set against the full
+  * corpus, cosine computed with higher-order functions
+  * (`aggregate`/`zip_with`, fully codegen'd, no UDF), ranked per query
+  * with a window; the corpus scan is embarrassingly parallel with zero
+  * shuffle until the final per-query top-k (bounded: queries × k rows).
+  * The batched-query scale paths (LSH/IVF) join on EQUI keys and carry NO
+  * compile-time hints — AQE broadcasts those at runtime when a side fits.
   *
   * Scale path: random-hyperplane LSH — a deterministic hash-derived
   * hyperplane family maps each vector to a compact bit signature; neighbor
@@ -119,9 +119,11 @@ object Ann {
     val qb = withBuckets(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "query_id", "qv")
-    // no static broadcast hint (same policy as bruteForceTopK/ivfTopK):
-    // the bucketed query side is queries × bands rows — unbounded for
-    // batched query sets; AQE broadcasts at runtime when it fits.
+    // no static broadcast hint (same policy as ivfTopK — equi-join, so
+    // AQE converts to broadcast at runtime when a side fits): the
+    // bucketed query side is queries × bands rows, unbounded for batched
+    // query sets. Contrast bruteForceTopK, whose NON-equi join needs its
+    // documented small-query broadcast hint.
     val cands = cb.join(qb, Seq("band", "bits"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "qv", "neighbor_id", "cv")

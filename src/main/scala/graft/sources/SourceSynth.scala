@@ -41,8 +41,18 @@ object SourceSynth {
       try ls.forEach { p =>
         try {
           val n = p.getFileName.toString
+          // a root is reclaimable only when its OWNING PROCESS IS DEAD
+          // (root mtime is set at creation, so age alone would reap the
+          // roots of a >6h still-running soak) AND it has aged past the
+          // cutoff (so a just-exited Verify's tables survive until the
+          // external DuckDB cross-check has long finished). A recycled
+          // pid matching an unrelated live process merely defers cleanup.
+          val ownerAlive = n.split('_').lastOption
+            .flatMap(_.toLongOption)
+            .exists(pid => ProcessHandle.of(pid).isPresent)
           val stale = prefixes.exists(n.startsWith) &&
             !n.endsWith(s"_${ProcessHandle.current().pid()}") &&
+            !ownerAlive &&
             Files.getLastModifiedTime(p).toMillis < cutoff
           if (stale) graft.util.Fs.deleteRec(p)
         } catch { case NonFatal(_) => () } // one root failing ≠ stop others

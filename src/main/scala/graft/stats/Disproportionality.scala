@@ -37,12 +37,13 @@ object Disproportionality {
     * co-occurrence event (already distinct per report if desired).
     * Returns per-(exposure, outcome): a, exposure_n, outcome_n, n, prr,
     * ror, chi2 — gated like the reference.
-    */
-  /** `cachePairs = false` opts out of persisting the pair aggregate for
-    * callers that manage their own caching or run once-and-discard (the
-    * cache entry otherwise lives until session end or CacheManager
-    * eviction — Spark dedupes identical plans, so repeated calls over the
-    * same input share one entry rather than accumulating). */
+    *
+    * `cachePairs = false` opts out of persisting the pair aggregate for
+    * callers that manage their own caching or run once-and-discard — at
+    * the cost of re-scanning the fact table per consumer (the cache entry
+    * otherwise lives until session end or CacheManager eviction; Spark
+    * dedupes identical plans, so repeated calls over the same input share
+    * one entry rather than accumulating). */
   def signals(pairs: DataFrame, exposureCol: String, outcomeCol: String,
       minA: Long = 3, saltBuckets: Int = 0,
       cachePairs: Boolean = true): DataFrame = {

@@ -48,6 +48,15 @@ class StatsSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("cachePairs=false (uncached path) ≡ cached output") {
+    val cached = Disproportionality.signals(pairs, "drug", "ae")
+      .collect().map(_.toString).sorted.toSeq
+    val uncached = Disproportionality.signals(pairs, "drug", "ae",
+        cachePairs = false)
+      .collect().map(_.toString).sorted.toSeq
+    assert(cached == uncached)
+  }
+
   test("topKPerExposure bounds outcomes per exposure deterministically") {
     val sig = Disproportionality.signals(pairs, "drug", "ae", minA = 1)
     val topk = Disproportionality.topKPerExposure(sig, 1).collect()
