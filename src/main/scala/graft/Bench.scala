@@ -8,13 +8,16 @@ import org.apache.spark.sql.SparkSession
   * the north-rule scaling-efficiency criterion (≥0.8 from N to 4N cores —
   * see BASELINE.md).
   *
-  * TIMEOUT-SURVIVABLE OUTPUT: the query-pass record is printed as its own
-  * JSON line the moment the passes finish, BEFORE the KG-scaling section
-  * starts; the final line repeats the same fields plus the scaling numbers.
-  * A driver-side timeout that kills the process mid-scaling therefore still
-  * leaves a parseable record of everything that completed (round 3 lost its
-  * entire official bench to an rc-124 kill because the old Bench printed
-  * one line at process exit).
+  * TIMEOUT-SURVIVABLE OUTPUT — three JSON lines, in order:
+  *   1. the query-pass record, printed the moment the passes finish and
+  *      BEFORE the KG-scaling section starts (a driver-side timeout that
+  *      kills the process mid-scaling still leaves a parseable record —
+  *      round 3 lost its entire official bench to an rc-124 kill);
+  *   2. the full record (queries + per-query min/max maps + scaling);
+  *   3. LAST, a compact headline (totals + scaling only, no per-query
+  *      maps) small enough to fit whole inside the driver's 2000-byte
+  *      stdout tail — the 4.5 KB full record never did, which left four
+  *      rounds of BENCH artifacts with parsed:null.
   *
   * DEADLINE-AWARE SCALING: the KG-scaling section fits itself into
   * SPARK_GRAFT_BENCH_DEADLINE seconds of total bench wall-clock (default
@@ -49,12 +52,19 @@ object Bench {
       .groupBy("subj", "pred", "obj").count()
       .write.mode("overwrite").format("noop").save()
 
-  /** One KG run at a given parallelism: fresh session, identical tiny
-    * warm-up, one timed run of `nDocs`. Returns docs/sec. */
+  /** One KG run at a given parallelism: fresh session, identical warm-up,
+    * one timed run of `nDocs`. Returns docs/sec.
+    *
+    * The warm-up scales with the timed run (1% of nDocs, floor 2000): a
+    * fixed 2k-doc warm-up under heavy CPU steal can leave the extraction
+    * path half-JIT'd at the LOW parallelism level — exactly the
+    * denominator of the north-rule scaling ratio — inflating its variance
+    * across windows. Proportional warm-up keeps the JIT'd fraction of the
+    * timed run comparable across levels. */
   private def kgThroughput(cpus: Int, nDocs: Long): Double = {
     val spark = session(cpus)
     try {
-      kgJob(spark, 2000, cpus) // warm-up, identical job shape
+      kgJob(spark, math.max(2000L, nDocs / 100), cpus) // warm-up, same shape
       val t0 = System.nanoTime()
       kgJob(spark, nDocs, cpus * 4)
       nDocs / ((System.nanoTime() - t0) / 1e9)
@@ -159,50 +169,101 @@ object Bench {
     // corrects the next one.
     def estRate(c: Int): Double =
       best.getOrElse(c, 25000.0 * math.min(c, 8))
-    def runLevel(round: Int, c: Int): Unit = {
+    // ALL levels of a round run the SAME doc count, sized by the SLOWEST
+    // level's estimated rate against the per-run budget share. Sizing each
+    // level independently (estRate(c) * cap) would hand slower levels
+    // proportionally smaller workloads, whose higher fixed-overhead share
+    // deflates the low-cpu rate and INFLATES the north-rule efficiency
+    // ratio — precisely in the steal windows the budget mechanism exists
+    // to survive. Equal workloads keep every within-round ratio a
+    // like-for-like comparison; the fast levels simply finish under their
+    // budget share, which is conservative.
+    def roundDocs(): Long = {
+      val remaining = deadline - elapsed
+      val perRunCap = math.max(20.0, 0.9 * remaining / math.max(1, runsLeft))
+      math.min(kgDocs,
+        math.max(minDocs, (levels.map(estRate).min * perRunCap).toLong))
+    }
+    // per-round rates: the scaling efficiencies are computed WITHIN a
+    // round (equal docs, adjacent wall-clock) — never across rounds whose
+    // doc counts or steal conditions differ
+    val roundRate = scala.collection.mutable.Map.empty[Int, Double]
+    var bestEffLow = 0.0
+    var bestEffHigh = 0.0
+    def runLevel(round: Int, c: Int, n: Long): Unit = {
       val remaining = deadline - elapsed
       if (remaining < 30.0) { aborted = true; runsLeft -= 1; return }
-      val perRunCap = math.max(20.0, 0.9 * remaining / math.max(1, runsLeft))
-      val n = math.min(kgDocs,
-        math.max(minDocs, (estRate(c) * perRunCap).toLong))
       if (n < kgDocs)
         System.err.println(f"[bench] budget ${remaining}%.0f s / $runsLeft " +
-          f"runs — shrinking level $c to $n docs")
+          f"runs — round $round shrunk to $n docs")
       val t = kgThroughput(c, n)
       System.err.println(
         f"[bench] kg scaling round $round cpus=$c%-3d ${t}%.0f docs/s ($n docs)")
+      roundRate(c) = t
       if (t > best.getOrElse(c, 0.0)) { best(c) = t; docsUsed(c) = n }
       runsLeft -= 1
     }
-    (1 to rounds).foreach { round => levels.foreach(c => runLevel(round, c)) }
+    def runRound(round: Int): Unit = {
+      roundRate.clear()
+      val n = roundDocs()
+      levels.foreach(c => runLevel(round, c, n))
+      def eff(a: Int, b: Int): Double =
+        if (roundRate.getOrElse(a, 0.0) <= 0 ||
+            roundRate.getOrElse(b, 0.0) <= 0) 0.0
+        else (roundRate(b) / roundRate(a)) / (b.toDouble / a)
+      val eL = eff(lowCpus, midCpus)
+      val eH = eff(midCpus, cpus)
+      System.err.println(
+        f"[bench] round $round eff ${lowCpus}to$midCpus=$eL%.3f " +
+        f"${midCpus}to$cpus=$eH%.3f")
+      // the reported pair is the best COMPLETE round (both ratios from the
+      // same equal-workload round — eL and eH must travel together or the
+      // record would stitch a chimera round)
+      if (eL > bestEffLow) { bestEffLow = eL; bestEffHigh = eH }
+    }
+    (1 to rounds).foreach(runRound)
     // multi-tenant noise insurance: the north-rule pair (low→mid) must not
-    // fail from one window of CPU steal depressing the mid level — re-time
-    // up to twice if it reads under 0.8 AND budget remains. ALL levels
-    // re-time together (best-of carries over) so both ratios stay
-    // comparable.
-    def effOf(a: Int, b: Int): Double =
-      if (best.getOrElse(a, 0.0) <= 0 || best.getOrElse(b, 0.0) <= 0) 0.0
-      else (best(b) / best(a)) / (b.toDouble / a)
+    // fail from one window of CPU steal depressing the mid level — re-run
+    // a full equal-workload round up to twice if the best round reads
+    // under 0.8 AND budget remains.
     var retries = 0
-    while (!aborted && effOf(lowCpus, midCpus) < 0.8 && retries < 2 &&
+    while (!aborted && bestEffLow < 0.8 && retries < 2 &&
         deadline - elapsed > 60.0) {
       retries += 1
       System.err.println(
-        f"[bench] scaling eff ${effOf(lowCpus, midCpus)}%.3f < 0.8 — retry $retries")
+        f"[bench] scaling eff $bestEffLow%.3f < 0.8 — retry round $retries")
       runsLeft = levels.size
-      levels.foreach(c => runLevel(0, c))
+      runRound(rounds + retries)
     }
-    val effLow = effOf(lowCpus, midCpus)
-    val effHigh = effOf(midCpus, cpus)
+    val effLow = bestEffLow
+    val effHigh = bestEffHigh
     def rate(c: Int): String = f"${best.getOrElse(c, 0.0)}%.1f"
     val docsJson = levels.map(c =>
       "\"" + c + "\":" + docsUsed.getOrElse(c, 0L)).mkString("{", ",", "}")
 
-    // ---- final line: full record (queries + scaling) ----
+    // ---- full record (queries + scaling) ----
     println(
       s"""{"metric":"total","value":$total,"unit":"sec",$queryFields,""" +
       s""""kg_docs":$kgDocs,"kg_docs_used":$docsJson,""" +
       s""""kg_scaling_aborted":$aborted,""" +
+      s""""kg_docs_per_sec_${lowCpus}cores":${rate(lowCpus)},""" +
+      s""""kg_docs_per_sec_${midCpus}cores":${rate(midCpus)},""" +
+      s""""kg_docs_per_sec_${cpus}cores":${rate(cpus)},""" +
+      s""""scaling_efficiency":${f"$effLow%.3f"},""" +
+      s""""scaling_efficiency_pair":"${lowCpus}to$midCpus",""" +
+      s""""scaling_efficiency_${midCpus}to$cpus":${f"$effHigh%.3f"}}""")
+    // ---- LAST line: compact headline, no per-query maps (≤ ~350 bytes).
+    // The driver retains only a 2000-byte stdout TAIL; the full record
+    // above (~4.5 KB of per-query min/max maps) never fits, which left
+    // four rounds of BENCH artifacts with parsed:null. The headline is
+    // printed last so it always lands inside any tail window; the
+    // per-query maps remain available in the full record line for anyone
+    // reading the whole stdout.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries_timed":${results.size},"queries_total":${names.size},""" +
+      s""""failed_queries":$failedJson,"bench_passes":$passes,""" +
+      s""""sf":"$sfDir","kg_scaling_aborted":$aborted,""" +
       s""""kg_docs_per_sec_${lowCpus}cores":${rate(lowCpus)},""" +
       s""""kg_docs_per_sec_${midCpus}cores":${rate(midCpus)},""" +
       s""""kg_docs_per_sec_${cpus}cores":${rate(cpus)},""" +

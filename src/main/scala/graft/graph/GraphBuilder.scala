@@ -116,11 +116,18 @@ object GraphBuilder {
     val claims = stats.join(evidence, Seq("subj", "pred", "obj"))
       .withColumn("strength_score",
         least(lit(1.0), col("frequency").cast("double") / 10.0))
+    // claim-key separator is U+0001 -- written as the ESCAPE \u0001, not a
+    // literal control byte that renders invisibly (one control-stripping
+    // editor/linter pass would silently turn it into concat_ws("") and
+    // break key injectivity). It must be non-empty so keys stay injective,
+    // must sort below every printable char so claim-key RANK order matches
+    // the q59 oracle's chr(1)-separated ordering (DuckDB-verified: the two
+    // orderings diverge at 3385/3758 ranks), and never occurs in page text.
     val claimKeys = KeyAssigner.assign(
-      claims.select(concat_ws("", $"subj", $"pred", $"obj").as("ck")), "ck")
+      claims.select(concat_ws("\u0001", $"subj", $"pred", $"obj").as("ck")), "ck")
       .withColumnRenamed("key", "claim_key")
     val withClaimKey = claims
-      .withColumn("ck", concat_ws("", $"subj", $"pred", $"obj"))
+      .withColumn("ck", concat_ws("\u0001", $"subj", $"pred", $"obj"))
       .join(claimKeys, "ck")
       .drop("ck")
     // endpoint resolution: inner join against per-type key tables (J6 drop

@@ -209,6 +209,43 @@ object TextStats {
         FROM st WHERE prr > 1.0 AND chi2 > 3.84)
       WHERE rank <= 3""")),
 
+    // Named tool parity: per-exposure FAERS signal lookup (reference
+    // get_drug_faers_signals — tools/adverse_events.py:179-216). Same
+    // stats CTE as q19; the tool adds the per-exposure filter, the
+    // count/PRR gates and the PRR-descending top-k (total order within
+    // the exposure via the outcome tie-break, so the LIMIT is
+    // deterministic).
+    QueryDef("q80_faers_tool", (s, d) => {
+      Disproportionality.faersSignals(pairsDf(s, d), "exposure", "outcome",
+          exposure = "error", topK = 3, minCount = 5,
+          minPrr = Some(1.05))
+        .select(col("exposure"), col("outcome"), col("a"),
+          col("prr"), col("ror"), col("chi2"))
+    }, Some(s"""
+      WITH pairs AS ($pairsSql),
+      ag AS (SELECT exposure, outcome, COUNT(*) AS a FROM pairs GROUP BY 1, 2),
+      em AS (SELECT exposure, COUNT(*) AS exposure_n FROM pairs GROUP BY 1),
+      om AS (SELECT outcome, COUNT(*) AS outcome_n FROM pairs GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS n FROM pairs),
+      j AS (SELECT exposure, outcome, a, exposure_n, outcome_n, n,
+              CAST(exposure_n - a AS DOUBLE) AS b,
+              CAST(outcome_n - a AS DOUBLE) AS c,
+              CAST(n - exposure_n - outcome_n + a AS DOUBLE) AS d
+            FROM ag JOIN em USING (exposure) JOIN om USING (outcome)
+            CROSS JOIN nn),
+      st AS (SELECT exposure, outcome, a,
+              (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + b)) / (c / (c + d)) AS prr,
+              (CAST(a AS DOUBLE) * d) / (b * c) AS ror,
+              (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
+                * (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
+                / ((CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE)) AS chi2
+            FROM j WHERE b > 0 AND c > 0 AND d > 0 AND a >= 3)
+      SELECT exposure, outcome, a, prr, ror, chi2
+      FROM st
+      WHERE prr > 1.0 AND chi2 > 3.84
+        AND exposure = 'error' AND a >= 5 AND prr >= 1.05::DOUBLE
+      ORDER BY prr DESC, outcome LIMIT 3""")),
+
     // A10: deterministic dense key assignment (distributed, offset-based).
     QueryDef("q21_dense_keys", (s, d) => {
       KeyAssigner.assign(t(s, d, "documents").select(col("source")), "source")

@@ -37,6 +37,9 @@ object SourceSynth {
     try {
       val cutoff = System.currentTimeMillis() - maxAgeHours * 3600 * 1000
       val prefixes = Seq("graft_sources_", "graft_kg_oracle_")
+      // pre-round-4 builds used FIXED roots (no pid suffix); they carry no
+      // owner pid to liveness-check, so age alone reclaims them
+      val legacyNames = Set("graft_sources", "graft_kg_oracle")
       val ls = Files.list(Paths.get("/tmp"))
       try ls.forEach { p =>
         try {
@@ -50,7 +53,8 @@ object SourceSynth {
           val ownerAlive = n.split('_').lastOption
             .flatMap(_.toLongOption)
             .exists(pid => ProcessHandle.of(pid).isPresent)
-          val stale = prefixes.exists(n.startsWith) &&
+          val matches = prefixes.exists(n.startsWith) || legacyNames(n)
+          val stale = matches &&
             !n.endsWith(s"_${ProcessHandle.current().pid()}") &&
             !ownerAlive &&
             Files.getLastModifiedTime(p).toMillis < cutoff

@@ -46,7 +46,20 @@ object Disproportionality {
     * one entry rather than accumulating). */
   def signals(pairs: DataFrame, exposureCol: String, outcomeCol: String,
       minA: Long = 3, saltBuckets: Int = 0,
-      cachePairs: Boolean = true): DataFrame = {
+      cachePairs: Boolean = true): DataFrame =
+    signalsWithHandle(pairs, exposureCol, outcomeCol, minA, saltBuckets,
+      cachePairs).signals
+
+  /** `signals` plus its cached pair aggregate, so long-lived sessions that
+    * scan MANY DISTINCT fact tables can release each table's cache entry
+    * when done (`result.unpersistPairs()`). Plain `signals` has no handle:
+    * its entry lives until session end or CacheManager eviction — fine for
+    * the common one-fact-table session (identical plans dedupe to one
+    * entry), unbounded for a many-distinct-input session, which should use
+    * this method or pass `cachePairs = false`. */
+  def signalsWithHandle(pairs: DataFrame, exposureCol: String,
+      outcomeCol: String, minA: Long = 3, saltBuckets: Int = 0,
+      cachePairs: Boolean = true): SignalsResult = {
     val e = col(exposureCol)
     val o = col(outcomeCol)
 
@@ -103,7 +116,8 @@ object Disproportionality {
       .join(em, "exposure")
       .join(om, "outcome")
       .crossJoin(nRow)
-    withStats(joined, minA)
+    SignalsResult(withStats(joined, minA),
+      if (cachePairs) Some(aCached) else None)
   }
 
   /** 2×2 stats + gates on a frame carrying (a, exposure_n, outcome_n, n). */
@@ -131,4 +145,40 @@ object Disproportionality {
     signals.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Named per-exposure signal tool — 1:1 with the reference's
+    * `get_drug_faers_signals(drug_key, top_k, min_count, min_prr)`
+    * (reference:src/kg_ae/tools/adverse_events.py:179-216): the standard
+    * build-time gates (a ≥ 3, PRR > 1, chi² > 3.84 — parse.py:164-199)
+    * from [[signals]], then the tool's own filters — one exposure,
+    * count ≥ `minCount`, optional PRR floor — sorted by PRR descending
+    * (the reference's `results.sort(key=prr, reverse=True)`), top `topK`.
+    * The outcome tie-break makes the limit a total order within the
+    * exposure, so the selected SET is deterministic.
+    *
+    * The exposure filter sits ABOVE the aggregation on purpose: the 2×2
+    * margins (exposure_n, outcome_n, N) are corpus-global, so pushing the
+    * predicate below the groupBy would change the statistics. In a real
+    * deployment the signals table is materialized once (it is
+    * vocabulary²-bounded, ≪ facts) and this tool is a pruned point read
+    * over it — exactly how the reference serves it from edge meta. */
+  def faersSignals(pairs: DataFrame, exposureCol: String, outcomeCol: String,
+      exposure: String, topK: Int = 200, minCount: Long = 1,
+      minPrr: Option[Double] = None): DataFrame = {
+    val gated = signals(pairs, exposureCol, outcomeCol)
+      .where(col("exposure") === exposure && col("a") >= minCount)
+    minPrr.fold(gated)(p => gated.where(col("prr") >= p))
+      .orderBy(col("prr").desc, col("outcome").asc)
+      .limit(topK)
+  }
+}
+
+/** [[Disproportionality.signalsWithHandle]] result: the gated signal frame
+  * plus the persisted pair aggregate (None when `cachePairs = false`) so
+  * callers can release the cache entry per input instead of leaving it to
+  * session teardown. */
+final case class SignalsResult(signals: DataFrame,
+    pairAggregate: Option[DataFrame]) {
+  /** Release the pair-aggregate cache entry (no-op when uncached). */
+  def unpersistPairs(): Unit = pairAggregate.foreach(_.unpersist())
 }

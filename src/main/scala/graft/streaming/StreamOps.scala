@@ -15,6 +15,14 @@ case class SessOut(user_id: Long, event_id: Long, session_idx: Int)
   */
 object StreamOps {
 
+  /** Ceiling on claims-table rows before [[mergeClaimsBatch]] refuses to
+    * keep rewriting per micro-batch (the sink's scale contract — see the
+    * guard in mergeClaimsBatch). 50M rows of (subj, pred, obj, frequency)
+    * is a few GB of parquet: a per-batch rewrite is still minutes-cheap
+    * there, while anything growing past it is an open vocabulary that
+    * belongs on a row-level-merge table format. */
+  val DefaultVocabularyBound: Long = 50000000L
+
   /** Tumbling-window counts per event_type — batch form (same plan shape
     * Catalyst produces for the streaming variant). */
   def windowedCountsBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
@@ -146,7 +154,8 @@ object StreamOps {
     * [[claimsSnapshots]], [[readClaims]], [[rollbackClaims]]), with
     * retention bounded at `snapshotRetention`. */
   def mergeClaimsBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long,
-      tableDir: String, snapshotRetention: Int = 3): Unit = {
+      tableDir: String, snapshotRetention: Int = 3,
+      vocabularyBound: Long = DefaultVocabularyBound): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val spark = batch.sparkSession
     val root = Paths.get(tableDir)
@@ -165,6 +174,25 @@ object StreamOps {
     val tmp = root.resolve(".tmp_claims")
     graft.util.Fs.deleteRec(tmp)
     merged.write.mode("overwrite").parquet(tmp.toString) // reads old table
+    // ENFORCED scale contract, not just narrated: the per-batch rewrite is
+    // only correct-cost while the claims table stays vocabulary-bounded
+    // (one row per distinct (subj,pred,obj)). An open web-scale vocabulary
+    // grows the table past any rewrite budget — that deployment must swap
+    // this sink for a keyed MERGE INTO on a row-level-merge table format
+    // (Iceberg/Delta; see the class doc). Fail loudly at the threshold
+    // instead of silently degrading into an O(table) rewrite per batch.
+    // The count reads the just-written parquet footers (metadata-cheap),
+    // and the check runs BEFORE archive/swap, so a rejected batch leaves
+    // only tmp leftovers — the committed table and its id are untouched.
+    val mergedRows = spark.read.parquet(tmp.toString).count()
+    if (mergedRows > vocabularyBound) {
+      graft.util.Fs.deleteRec(tmp)
+      throw new IllegalStateException(
+        s"claims table would reach $mergedRows rows > vocabularyBound " +
+        s"$vocabularyBound: the rewrite-per-batch sink is for " +
+        "vocabulary-bounded claims; an open vocabulary needs a keyed " +
+        "MERGE INTO sink (Iceberg/Delta) — see StreamOps scale notes")
+    }
     // the id joins the data INSIDE tmp before the single atomic publish
     // (underscore-prefixed files are invisible to parquet scans)
     Files.writeString(tmp.resolve("_BATCH"), batchId.toString)

@@ -16,6 +16,9 @@ import org.apache.spark.sql.SparkSession
   */
 object RunPipeline {
   def main(args: Array[String]): Unit = {
+    // opportunistic janitor pass: long-lived hosts running the pipeline
+    // regularly never accumulate dead-owner fixture roots on /tmp
+    graft.sources.SourceSynth.cleanStaleRoots()
     val dedup = args.contains("--dedup-pages")
     val pos = args.filterNot(_.startsWith("--")) // flags are position-free
     val root = pos.headOption.getOrElse("/tmp/graft_pipeline")

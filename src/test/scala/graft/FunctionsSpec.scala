@@ -364,6 +364,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(table().exists(_.contains("e")) && table().size == after0.size + 1)
   }
 
+  test("claims sink: vocabulary bound is ENFORCED, rejected batch leaves table intact") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val tableDir = Files.createTempDirectory("graft_claims_bound").toString
+    def merge(id: Long, rows: Seq[(String, String, String)],
+        bound: Long): Unit =
+      StreamOps.mergeClaimsBatch(
+        rows.map { case (s1, p1, o1) => (s1, p1, o1, "u", "s") }
+          .toDF("subj", "pred", "obj", "url", "sentence"), id, tableDir,
+        vocabularyBound = bound)
+    def table() = spark.read.parquet(s"$tableDir/claims")
+      .collect().map(_.toString).sorted.toSeq
+
+    merge(0, Seq(("a", "R", "b"), ("c", "R", "d")), bound = 10)
+    val committed = table()
+    // a batch that would grow the claims table past the bound fails
+    // LOUDLY (the rewrite-per-batch contract — an open vocabulary needs a
+    // keyed MERGE INTO sink; StreamOps scale notes) ...
+    val grow = (0 until 20).map(i => (s"s$i", "R", s"o$i"))
+    val ex = intercept[IllegalStateException](merge(1, grow, bound = 10))
+    assert(ex.getMessage.contains("MERGE INTO"))
+    // ... and BEFORE the swap: committed table, id, and snapshots untouched
+    assert(table() == committed)
+    assert(StreamOps.committedBatchId(Paths.get(tableDir)) == 0L)
+    assert(!Files.exists(Paths.get(tableDir, ".tmp_claims")))
+    // under the bound the same batch id commits normally afterwards
+    merge(1, grow, bound = 1000)
+    assert(table().size == committed.size + 20)
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) == batch window sessionize") {
     val dir = "/root/testdata/sf0.001"
     val events = spark.read.parquet(s"$dir/events.parquet")

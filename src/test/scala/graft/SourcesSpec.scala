@@ -124,4 +124,37 @@ class SourcesSpec extends AnyFunSuite {
     val back = spark.read.json(dir)
     assert(back.count() == 2)
   }
+
+  test("janitor: reaps dead-owner + legacy roots, keeps live/fresh ones") {
+    import java.nio.file.{Files => NFiles, Paths, attribute}
+    val tmp = Paths.get("/tmp")
+    val old = attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 7L * 3600 * 1000)
+    def mk(name: String, backdate: Boolean): java.nio.file.Path = {
+      val p = tmp.resolve(name)
+      NFiles.createDirectories(p)
+      NFiles.writeString(p.resolve("x"), "fixture")
+      if (backdate) NFiles.setLastModifiedTime(p, old)
+      p
+    }
+    // a pid that is certainly dead (scan down from pid_max territory)
+    val deadPid = Iterator.from(4000000, -7)
+      .find(p => p > 2 && ProcessHandle.of(p.toLong).isEmpty).get
+    val deadOwner = mk(s"graft_sources_$deadPid", backdate = true)
+    val legacy = mk("graft_sources", backdate = true) // pre-round-4 fixed root
+    val fresh = mk(s"graft_kg_oracle_$deadPid-fresh", backdate = false)
+    val ours = mk(s"graft_sources_${ProcessHandle.current().pid()}_t",
+      backdate = true) // suffix avoids clobbering the REAL fixture root
+    try {
+      graft.tools.Sweep.main(Array("6")) // the callable sweep entry point
+      assert(!NFiles.exists(deadOwner), "dead-owner aged root reaped")
+      assert(!NFiles.exists(legacy), "legacy fixed root reaped by age")
+      assert(NFiles.exists(fresh), "fresh root survives the age cutoff")
+      // `ours` has a dead-ish parse ("t" → no pid) but is prefix-matched
+      // and aged: it must be reaped too — only a LIVE owner pid or our own
+      // exact pid suffix protects a root
+      assert(!NFiles.exists(ours))
+    } finally Seq(deadOwner, legacy, fresh, ours)
+      .foreach(p => graft.util.Fs.deleteRec(p))
+  }
 }

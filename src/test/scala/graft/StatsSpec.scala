@@ -63,4 +63,44 @@ class StatsSpec extends AnyFunSuite {
     val perExposure = topk.groupBy(_.getAs[String]("exposure"))
     assert(perExposure.values.forall(_.length == 1))
   }
+
+  test("faersSignals tool: per-exposure filter + gates + prr-desc top-k") {
+    // reference get_drug_faers_signals parity: one exposure, count/prr
+    // gates, sorted by PRR descending, top-k
+    val rows = Disproportionality.faersSignals(pairs, "drug", "ae",
+        exposure = "d1", topK = 5).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("exposure") == "d1"))
+    val prrs = rows.map(_.getAs[Double]("prr")).toSeq
+    assert(prrs == prrs.sorted.reverse, "sorted by PRR descending")
+    // minCount gate excludes the planted 60-count pair
+    val gated = Disproportionality.faersSignals(pairs, "drug", "ae",
+        exposure = "d1", minCount = 61).collect()
+    assert(gated.isEmpty)
+    // minPrr floor excludes everything below an absurd threshold
+    val floored = Disproportionality.faersSignals(pairs, "drug", "ae",
+        exposure = "d1", minPrr = Some(1e9)).collect()
+    assert(floored.isEmpty)
+    // topK truncates deterministically
+    val top1 = Disproportionality.faersSignals(pairs, "drug", "ae",
+        exposure = "d1", topK = 1).collect()
+    assert(top1.length == math.min(1, rows.length))
+    assert(top1.head.getAs[String]("outcome") ==
+      rows.head.getAs[String]("outcome"))
+  }
+
+  test("signalsWithHandle exposes the pair cache for release") {
+    import org.apache.spark.storage.StorageLevel
+    val res = Disproportionality.signalsWithHandle(pairs, "drug", "ae")
+    assert(res.pairAggregate.isDefined)
+    res.signals.count() // materializes the lazy persist
+    assert(res.pairAggregate.get.storageLevel != StorageLevel.NONE)
+    res.unpersistPairs()
+    assert(res.pairAggregate.get.storageLevel == StorageLevel.NONE)
+    // uncached mode returns no handle; unpersistPairs is a safe no-op
+    val un = Disproportionality.signalsWithHandle(pairs, "drug", "ae",
+      cachePairs = false)
+    assert(un.pairAggregate.isEmpty)
+    un.unpersistPairs()
+  }
 }
