@@ -30,6 +30,29 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** The compact headline record — the LAST stdout line the bench prints.
+    * The driver retains only a 2000-byte stdout TAIL, so this line (and
+    * nothing that could push it out of a tail window) is the official
+    * evidence of the round's totals + north-rule scaling pair. Kept a pure
+    * function so BenchSpec can pin the contract: parses as JSON, carries
+    * no per-query maps, stays well under the tail window even with
+    * worst-case field widths. */
+  private[graft] def headlineJson(total: Double, timed: Int, totalQ: Int,
+      failedJson: String, passes: Int, sfDir: String, aborted: Boolean,
+      lowCpus: Int, midCpus: Int, cpus: Int,
+      rateLow: String, rateMid: String, rateHigh: String,
+      effLow: Double, effHigh: Double): String =
+    s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    s""""queries_timed":$timed,"queries_total":$totalQ,""" +
+    s""""failed_queries":$failedJson,"bench_passes":$passes,""" +
+    s""""sf":"$sfDir","kg_scaling_aborted":$aborted,""" +
+    s""""kg_docs_per_sec_${lowCpus}cores":$rateLow,""" +
+    s""""kg_docs_per_sec_${midCpus}cores":$rateMid,""" +
+    s""""kg_docs_per_sec_${cpus}cores":$rateHigh,""" +
+    s""""scaling_efficiency":${f"$effLow%.3f"},""" +
+    s""""scaling_efficiency_pair":"${lowCpus}to$midCpus",""" +
+    s""""scaling_efficiency_${midCpus}to$cpus":${f"$effHigh%.3f"}}"""
+
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -253,22 +276,13 @@ object Bench {
       s""""scaling_efficiency_pair":"${lowCpus}to$midCpus",""" +
       s""""scaling_efficiency_${midCpus}to$cpus":${f"$effHigh%.3f"}}""")
     // ---- LAST line: compact headline, no per-query maps (≤ ~350 bytes).
-    // The driver retains only a 2000-byte stdout TAIL; the full record
-    // above (~4.5 KB of per-query min/max maps) never fits, which left
-    // four rounds of BENCH artifacts with parsed:null. The headline is
-    // printed last so it always lands inside any tail window; the
-    // per-query maps remain available in the full record line for anyone
-    // reading the whole stdout.
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries_timed":${results.size},"queries_total":${names.size},""" +
-      s""""failed_queries":$failedJson,"bench_passes":$passes,""" +
-      s""""sf":"$sfDir","kg_scaling_aborted":$aborted,""" +
-      s""""kg_docs_per_sec_${lowCpus}cores":${rate(lowCpus)},""" +
-      s""""kg_docs_per_sec_${midCpus}cores":${rate(midCpus)},""" +
-      s""""kg_docs_per_sec_${cpus}cores":${rate(cpus)},""" +
-      s""""scaling_efficiency":${f"$effLow%.3f"},""" +
-      s""""scaling_efficiency_pair":"${lowCpus}to$midCpus",""" +
-      s""""scaling_efficiency_${midCpus}to$cpus":${f"$effHigh%.3f"}}""")
+    // The full record above (~4.5 KB of per-query min/max maps) never fit
+    // the driver's 2000-byte tail, which left four rounds of BENCH
+    // artifacts with parsed:null. The headline is printed last so it
+    // always lands inside any tail window; the per-query maps remain
+    // available in the full record line for anyone reading whole stdout.
+    println(headlineJson(total, results.size, names.size, failedJson,
+      passes, sfDir, aborted, lowCpus, midCpus, cpus,
+      rate(lowCpus), rate(midCpus), rate(cpus), effLow, effHigh))
   }
 }

@@ -158,6 +158,9 @@ class PlanSpec extends AnyFunSuite {
     // a 100 TB path frame would die on a single-partition global sort
     val plan = planOf(SparkEntry.queries("q79_condition_boost")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    // the faersSignals tool (q80) ends in the same PRR-desc top-k shape
+    val plan80 = planOf(SparkEntry.queries("q80_faers_tool")(spark, sf))
+    assert(plan80.contains("TakeOrderedAndProject"), plan80.take(800))
   }
 
   test("aggregations use partial (map-side) aggregation (q01)") {
