@@ -35,6 +35,34 @@ object TextStats {
         .otherwise(concat(lit("ok_"), (col("user_id") % 4).cast("string")))
         .as("outcome"))
 
+  /** The 2×2 disproportionality CTE stack SHARED by every signals oracle
+    * (q19/q20/q74/q80): co-occurrence counts, margins, N, the b/c/d cells
+    * and the prr/ror/chi² stats with the reference's positivity + a≥3
+    * gates. `st` carries the SUPERSET of columns any consumer projects —
+    * extra unselected columns cannot change a selected value, and one
+    * shared fragment means a gate or formula fix can never silently
+    * diverge between the oracles. Each query appends only its final
+    * SELECT. */
+  private val signalStatsSql = s"""
+      WITH pairs AS ($pairsSql),
+      ag AS (SELECT exposure, outcome, COUNT(*) AS a FROM pairs GROUP BY 1, 2),
+      em AS (SELECT exposure, COUNT(*) AS exposure_n FROM pairs GROUP BY 1),
+      om AS (SELECT outcome, COUNT(*) AS outcome_n FROM pairs GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS n FROM pairs),
+      j AS (SELECT exposure, outcome, a, exposure_n, outcome_n, n,
+              CAST(exposure_n - a AS DOUBLE) AS b,
+              CAST(outcome_n - a AS DOUBLE) AS c,
+              CAST(n - exposure_n - outcome_n + a AS DOUBLE) AS d
+            FROM ag JOIN em USING (exposure) JOIN om USING (outcome)
+            CROSS JOIN nn),
+      st AS (SELECT exposure, outcome, a, exposure_n, outcome_n,
+              (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + b)) / (c / (c + d)) AS prr,
+              (CAST(a AS DOUBLE) * d) / (b * c) AS ror,
+              (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
+                * (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
+                / ((CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE)) AS chi2
+            FROM j WHERE b > 0 AND c > 0 AND d > 0 AND a >= 3)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // P16: the byte-identity text cleaner (whitespace collapse + trim +
@@ -124,24 +152,7 @@ object TextStats {
           col("exposure_n"), col("outcome_n"),
           col("prr"), col("ror"), col("chi2"))
     }, Some(s"""
-      WITH pairs AS ($pairsSql),
-      ag AS (SELECT exposure, outcome, COUNT(*) AS a FROM pairs GROUP BY 1, 2),
-      em AS (SELECT exposure, COUNT(*) AS exposure_n FROM pairs GROUP BY 1),
-      om AS (SELECT outcome, COUNT(*) AS outcome_n FROM pairs GROUP BY 1),
-      nn AS (SELECT COUNT(*) AS n FROM pairs),
-      j AS (SELECT exposure, outcome, a, exposure_n, outcome_n, n,
-              CAST(exposure_n - a AS DOUBLE) AS b,
-              CAST(outcome_n - a AS DOUBLE) AS c,
-              CAST(n - exposure_n - outcome_n + a AS DOUBLE) AS d
-            FROM ag JOIN em USING (exposure) JOIN om USING (outcome)
-            CROSS JOIN nn),
-      st AS (SELECT exposure, outcome, a, exposure_n, outcome_n,
-              (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + b)) / (c / (c + d)) AS prr,
-              (CAST(a AS DOUBLE) * d) / (b * c) AS ror,
-              (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
-                * (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
-                / ((CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE)) AS chi2
-            FROM j WHERE b > 0 AND c > 0 AND d > 0 AND a >= 3)
+      $signalStatsSql
       SELECT exposure, outcome, a, exposure_n, outcome_n, prr, ror, chi2
       FROM st WHERE prr > 1.0 AND chi2 > 3.84""")),
 
@@ -158,24 +169,7 @@ object TextStats {
           col("exposure_n"), col("outcome_n"),
           col("prr"), col("ror"), col("chi2"))
     }, Some(s"""
-      WITH pairs AS ($pairsSql),
-      ag AS (SELECT exposure, outcome, COUNT(*) AS a FROM pairs GROUP BY 1, 2),
-      em AS (SELECT exposure, COUNT(*) AS exposure_n FROM pairs GROUP BY 1),
-      om AS (SELECT outcome, COUNT(*) AS outcome_n FROM pairs GROUP BY 1),
-      nn AS (SELECT COUNT(*) AS n FROM pairs),
-      j AS (SELECT exposure, outcome, a, exposure_n, outcome_n, n,
-              CAST(exposure_n - a AS DOUBLE) AS b,
-              CAST(outcome_n - a AS DOUBLE) AS c,
-              CAST(n - exposure_n - outcome_n + a AS DOUBLE) AS d
-            FROM ag JOIN em USING (exposure) JOIN om USING (outcome)
-            CROSS JOIN nn),
-      st AS (SELECT exposure, outcome, a, exposure_n, outcome_n,
-              (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + b)) / (c / (c + d)) AS prr,
-              (CAST(a AS DOUBLE) * d) / (b * c) AS ror,
-              (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
-                * (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
-                / ((CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE)) AS chi2
-            FROM j WHERE b > 0 AND c > 0 AND d > 0 AND a >= 3)
+      $signalStatsSql
       SELECT exposure, outcome, a, exposure_n, outcome_n, prr, ror, chi2
       FROM st WHERE prr > 1.0 AND chi2 > 3.84""")),
 
@@ -185,23 +179,7 @@ object TextStats {
       Disproportionality.topKPerExposure(sig, 3)
         .select(col("exposure"), col("outcome"), col("rank"))
     }, Some(s"""
-      WITH pairs AS ($pairsSql),
-      ag AS (SELECT exposure, outcome, COUNT(*) AS a FROM pairs GROUP BY 1, 2),
-      em AS (SELECT exposure, COUNT(*) AS exposure_n FROM pairs GROUP BY 1),
-      om AS (SELECT outcome, COUNT(*) AS outcome_n FROM pairs GROUP BY 1),
-      nn AS (SELECT COUNT(*) AS n FROM pairs),
-      j AS (SELECT exposure, outcome, a, exposure_n, outcome_n, n,
-              CAST(exposure_n - a AS DOUBLE) AS b,
-              CAST(outcome_n - a AS DOUBLE) AS c,
-              CAST(n - exposure_n - outcome_n + a AS DOUBLE) AS d
-            FROM ag JOIN em USING (exposure) JOIN om USING (outcome)
-            CROSS JOIN nn),
-      st AS (SELECT exposure, outcome, a,
-              (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + b)) / (c / (c + d)) AS prr,
-              (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
-                * (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
-                / ((CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE)) AS chi2
-            FROM j WHERE b > 0 AND c > 0 AND d > 0 AND a >= 3)
+      $signalStatsSql
       SELECT exposure, outcome, rank FROM (
         SELECT exposure, outcome,
           ROW_NUMBER() OVER (PARTITION BY exposure
@@ -222,24 +200,7 @@ object TextStats {
         .select(col("exposure"), col("outcome"), col("a"),
           col("prr"), col("ror"), col("chi2"))
     }, Some(s"""
-      WITH pairs AS ($pairsSql),
-      ag AS (SELECT exposure, outcome, COUNT(*) AS a FROM pairs GROUP BY 1, 2),
-      em AS (SELECT exposure, COUNT(*) AS exposure_n FROM pairs GROUP BY 1),
-      om AS (SELECT outcome, COUNT(*) AS outcome_n FROM pairs GROUP BY 1),
-      nn AS (SELECT COUNT(*) AS n FROM pairs),
-      j AS (SELECT exposure, outcome, a, exposure_n, outcome_n, n,
-              CAST(exposure_n - a AS DOUBLE) AS b,
-              CAST(outcome_n - a AS DOUBLE) AS c,
-              CAST(n - exposure_n - outcome_n + a AS DOUBLE) AS d
-            FROM ag JOIN em USING (exposure) JOIN om USING (outcome)
-            CROSS JOIN nn),
-      st AS (SELECT exposure, outcome, a,
-              (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + b)) / (c / (c + d)) AS prr,
-              (CAST(a AS DOUBLE) * d) / (b * c) AS ror,
-              (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
-                * (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE))
-                / ((CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / CAST(n AS DOUBLE)) AS chi2
-            FROM j WHERE b > 0 AND c > 0 AND d > 0 AND a >= 3)
+      $signalStatsSql
       SELECT exposure, outcome, a, prr, ror, chi2
       FROM st
       WHERE prr > 1.0 AND chi2 > 3.84

@@ -11,19 +11,23 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  // worst-plausible field widths: a full double total, every query failed
-  // (longest failed_queries list we could ever emit is bounded by the
-  // compact form dropping it — use a representative non-empty list), long
-  // sf path, 6-digit rates at three levels
-  private val failed = (1 to 5).map(i => "\"q%02d_some_query_name\"".format(i))
-    .mkString("[", ",", "]")
-  private val line = Bench.headlineJson(
-    total = 12345.678901234567, timed = 74, totalQ = 80,
-    failedJson = failed, passes = 3,
+  // THE worst case the headline exists for: every query in the catalog
+  // failed. Without the cap, 80 quoted names (~1.5 KB) would push the
+  // headline's head out of the 2000-byte tail in exactly the mass-failure
+  // session someone needs the record to diagnose — so the headline caps
+  // the list (count + first HeadlineFailedCap names) and the full record
+  // line keeps every name. Names here are sized past any real query name.
+  private val allFailed =
+    (1 to 80).map(i => "q%02d_some_rather_long_query_name".format(i))
+  private def mk(failed: Seq[String]): String = Bench.headlineJson(
+    total = 12345.678901234567, timed = 80 - failed.size, totalQ = 80,
+    failed = failed, passes = 3,
     sfDir = "/root/testdata/sf0.1", aborted = false,
     lowCpus = 2, midCpus = 8, cpus = 32,
     rateLow = "123456.7", rateMid = "1234567.8", rateHigh = "12345678.9",
-    effLow = 0.973, effHigh = 0.68)
+    effLow = 0.973, effMedian = 0.907, effHigh = 0.68)
+  private val line = mk(allFailed.take(5))
+  private val lineAllFailed = mk(allFailed)
 
   test("headline parses as JSON with the fields the driver needs") {
     import spark.implicits._
@@ -31,22 +35,34 @@ class BenchSpec extends AnyFunSuite {
     assert(parsed.count() == 1)
     val cols = parsed.columns.toSet
     for (c <- Seq("metric", "value", "queries_timed", "queries_total",
-        "failed_queries", "scaling_efficiency", "scaling_efficiency_pair",
+        "failed_count", "failed_queries", "scaling_efficiency",
+        "scaling_efficiency_median", "scaling_efficiency_pair",
         "kg_docs_per_sec_2cores", "kg_docs_per_sec_8cores",
         "kg_docs_per_sec_32cores"))
       assert(cols.contains(c), s"missing $c in $line")
     val row = parsed.collect()(0)
     assert(row.getAs[String]("metric") == "total")
     assert(row.getAs[Double]("scaling_efficiency") == 0.973)
+    assert(row.getAs[Long]("failed_count") == 5)
     // _corrupt_record would appear if the line were malformed JSON
     assert(!cols.contains("_corrupt_record"), line)
   }
 
-  test("headline + a trailing sbt epilogue line fit a 2000-byte tail") {
+  test("even an all-queries-failed headline + sbt epilogue fit the tail") {
     val epilogue =
       "[success] Total time: 2110 s (35:10), completed Aug 17, 2026, 10:54:58 AM\n"
-    assert(line.length + 1 + epilogue.length < 1200,
-      s"headline too close to the 2000-byte tail window: ${line.length} bytes")
+    for (l <- Seq(line, lineAllFailed))
+      assert(l.length + 1 + epilogue.length < 1200,
+        s"headline too close to the 2000-byte tail window: ${l.length} bytes")
+  }
+
+  test("all-failed headline caps the name list but keeps the full count") {
+    import spark.implicits._
+    val row = spark.read.json(Seq(lineAllFailed).toDS).collect()(0)
+    assert(row.getAs[Long]("failed_count") == 80)
+    assert(row.getSeq[String](row.fieldIndex("failed_queries")).size ==
+      Bench.HeadlineFailedCap)
+    assert(row.getAs[Long]("queries_timed") == 0)
   }
 
   test("headline carries no per-query maps") {

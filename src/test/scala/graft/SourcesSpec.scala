@@ -125,6 +125,13 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == 2)
   }
 
+  // NOTE: this test touches FIXED shared paths under the real /tmp (the
+  // legacy root names are a fixed set by definition, so they cannot be
+  // made unique per test). It relies on the one-JVM-at-a-time reality of
+  // this repo's test runs: sbt's target-dir lock prevents two concurrent
+  // sbt instances, and suites run sequentially in the single forked test
+  // JVM. If tests are ever parallelized across JVMs, give the janitor an
+  // injectable root dir and point this test at a private one.
   test("janitor: reaps dead-owner + legacy roots, keeps live/fresh ones") {
     import java.nio.file.{Files => NFiles, Paths, attribute}
     val tmp = Paths.get("/tmp")
