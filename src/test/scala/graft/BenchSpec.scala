@@ -68,4 +68,53 @@ class BenchSpec extends AnyFunSuite {
   test("headline carries no per-query maps") {
     assert(!line.contains("\"queries\":") && !line.contains("\"queries_max\":"))
   }
+
+  test("headline escapes hostile sfDir / failed names — stays valid JSON") {
+    import spark.implicits._
+    val evil = Bench.headlineJson(1.0, 1, 1, Seq("q\"x\\y\tz"), 1,
+      "/tmp/we\"ird\\dir", aborted = false, 2, 8, 32,
+      "1.0", "2.0", "3.0", 0.9, 0.9, 0.5)
+    val parsed = spark.read.json(Seq(evil).toDS)
+    assert(!parsed.columns.contains("_corrupt_record"), evil)
+    assert(parsed.collect()(0).getAs[String]("sf") == "/tmp/we\"ird\\dir")
+  }
+
+  // ---- scaling-pair selection (pure helpers) ----
+  private def full(l: Double, h: Double) = (l, Some(h))
+  private def partial(l: Double) = (l, None: Option[Double])
+
+  test("pick: best plausible round wins; steal-inflated >1.0 rounds lose") {
+    // window-A shape: the 1.079 round's 2-core leg absorbed steal — the
+    // physically plausible 0.955 round must be reported instead
+    assert(Bench.pickScalingPair(Seq(
+      full(0.946, 0.5), full(1.079, 0.389), full(0.955, 0.472)))
+      == ((0.955, 0.472)))
+    // all rounds inflated: the least-inflated is the honest fallback
+    assert(Bench.pickScalingPair(Seq(full(1.3, 0.4), full(1.1, 0.5)))
+      == ((1.1, 0.5)))
+  }
+
+  test("pick: pair travels together; partial rounds keep 2to8 evidence") {
+    // full rounds preferred — eH comes from the SAME round as eL
+    assert(Bench.pickScalingPair(Seq(full(0.8, 0.3), full(0.9, 0.6)))
+      == ((0.9, 0.6)))
+    // only-partial pool (32-core legs deadline-skipped): valid 2to8
+    // evidence survives instead of a spurious 0.0 north-rule failure
+    assert(Bench.pickScalingPair(Seq(partial(0.85), partial(0.91)))
+      == ((0.91, 0.0)))
+    // one full + one better partial: the full round wins (complete pair
+    // beats a higher lone ratio)
+    assert(Bench.pickScalingPair(Seq(partial(0.95), full(0.85, 0.5)))
+      == ((0.85, 0.5)))
+    assert(Bench.pickScalingPair(Nil) == ((0.0, 0.0)))
+  }
+
+  test("median: conventional (mean of middles on even pools)") {
+    assert(Bench.medianScalingLow(
+      Seq(full(0.70, 0.0), full(0.75, 0.0), full(0.85, 0.0),
+        full(0.90, 0.0))) == 0.80)
+    assert(Bench.medianScalingLow(
+      Seq(full(0.946, 0.0), full(1.079, 0.0), full(0.955, 0.0))) == 0.955)
+    assert(Bench.medianScalingLow(Nil) == 0.0)
+  }
 }
