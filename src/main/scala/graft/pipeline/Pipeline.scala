@@ -52,8 +52,15 @@ object Pipeline {
   }
 
   private def writeManifest(root: String, m: Manifest): Unit = {
-    Files.writeString(manifestPath(root, m.stage),
-      s"${m.version}\n${m.upstream}\n${m.rows}")
+    // staged + atomic rename: a torn plain write could leave a manifest
+    // that still PARSES but records a truncated row count — the stage
+    // would then be skipped forever with a lying fingerprint. (The
+    // underscore prefix keeps the temp file invisible to parquet scans.)
+    val p = manifestPath(root, m.stage)
+    val tmp = p.resolveSibling("_MANIFEST.tmp")
+    Files.writeString(tmp, s"${m.version}\n${m.upstream}\n${m.rows}")
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Run one stage: skip when committed with matching version+upstream.
@@ -75,6 +82,7 @@ object Pipeline {
   def runStage(spark: SparkSession, root: String, stage: String,
       version: String, upstream: String, partitionCols: Seq[String] = Nil)
       (body: => DataFrame): StageResult = {
+    settleRollbackIntent(root, stage)
     val dir = Paths.get(root, stage)
     val t0 = System.nanoTime()
     readManifest(root, stage) match {
@@ -160,9 +168,18 @@ object Pipeline {
     * partial that the next runStage treats as absent, never a truncated
     * table marked committed. */
   def rollback(root: String, stage: String, toSnapshot: Int): Unit = {
+    settleRollbackIntent(root, stage)
     val src = snapDir(root, stage, toSnapshot)
     require(Files.exists(src.resolve("_COMMITTED")),
       s"stage '$stage' has no retained snapshot $toSnapshot")
+    // intent journal: the destructive window below (current archived away,
+    // restore not yet moved in) would otherwise leave NO current table on
+    // a crash, and the next run would silently RECOMPUTE the latest
+    // version instead of honoring the requested rollback. The intent lets
+    // settleRollbackIntent complete the swap from the staged tmp copy.
+    val intent = intentPath(root, stage)
+    Files.createDirectories(intent.getParent)
+    Files.writeString(intent, toSnapshot.toString)
     val tmp = Paths.get(root, s".tmp_$stage")
     graft.util.Fs.deleteRec(tmp)
     // copy (not move) so the snapshot itself stays retained/immutable;
@@ -173,12 +190,52 @@ object Pipeline {
     graft.util.Fs.deleteRec(dir) // uncommitted leftovers only
     Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
     Files.writeString(dir.resolve("_COMMITTED"), "1")
+    Files.deleteIfExists(intent)
   }
 
-  /** Delete the oldest snapshots beyond `keep` (bounded retention). */
+  private def intentPath(root: String, stage: String) =
+    Paths.get(root, "_intents", stage)
+
+  /** Complete (or loudly abandon) a rollback interrupted mid-swap. Called
+    * on entry to [[runStage]] and [[rollback]]:
+    *  - current table missing but the staged restore copy exists → finish
+    *    the interrupted rollback (atomic move + marker), exactly what the
+    *    crashed call would have done;
+    *  - otherwise the destructive swap either never started or already
+    *    finished — the intent alone can't distinguish "rollback applied"
+    *    from "rollback never applied", so drop the intent and say so on
+    *    stderr instead of guessing (the operator re-runs rollback if they
+    *    still want it; nothing was corrupted either way). */
+  private def settleRollbackIntent(root: String, stage: String): Unit = {
+    val intent = intentPath(root, stage)
+    if (Files.exists(intent)) {
+      val dir = Paths.get(root, stage)
+      val tmp = Paths.get(root, s".tmp_$stage")
+      if (!Files.exists(dir) && Files.exists(tmp)) {
+        Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+        Files.writeString(dir.resolve("_COMMITTED"), "1")
+        System.err.println(
+          s"[pipeline] completed interrupted rollback of '$stage' to " +
+          s"snapshot ${Files.readString(intent).trim}")
+      } else {
+        System.err.println(
+          s"[pipeline] dropping stale rollback intent for '$stage' " +
+          s"(to snapshot ${Files.readString(intent).trim}): the swap " +
+          "did not start or already completed — re-run rollback() if " +
+          "still intended")
+      }
+      Files.deleteIfExists(intent)
+    }
+  }
+
+  /** Delete the oldest snapshots beyond `keep` (bounded retention).
+    * Markers go first (see Fs.deleteCommitted): a crash mid-prune must
+    * leave a visibly-uncommitted partial that readStage(asOf)/rollback
+    * refuse, never a marker-bearing truncated snapshot. */
   def pruneSnapshots(root: String, stage: String, keep: Int): Unit =
     snapshots(root, stage).dropRight(keep)
-      .foreach(id => graft.util.Fs.deleteRec(snapDir(root, stage, id)))
+      .foreach(id => graft.util.Fs.deleteCommitted(
+        snapDir(root, stage, id), Seq("_COMMITTED", "_MANIFEST")))
 
   /** Fingerprint of a committed stage output (manifest content) — used as
     * the downstream's `upstream` key so edits invalidate transitively. */

@@ -34,9 +34,18 @@ object StreamOps {
 
   private def cast2(c: org.apache.spark.sql.Column) = c.cast("double")
 
-  /** Streaming variant: parquet source → watermark → windowed counts →
-    * memory sink, driven synchronously (processAllAvailable) so tests are
-    * deterministic. */
+  /** Streaming variant: parquet source → windowed counts → memory sink,
+    * driven synchronously (processAllAvailable) so tests are
+    * deterministic.
+    *
+    * HONEST MODE NOTE: complete output mode re-emits every window each
+    * trigger, so Spark retains ALL window state and the watermark is
+    * inert here — state is bounded only by the test horizon's window
+    * count, which is what lets the spec compare the full snapshot against
+    * the batch aggregation. The unbounded-stream deployment shape is
+    * [[windowedCountsUpdateStream]]: update mode, where the SAME
+    * watermark evicts closed windows' state and drops later-than-
+    * watermark events (spec-pinned). */
   def windowedCountsStream(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,
       queryName: String): Unit = {
@@ -53,8 +62,30 @@ object StreamOps {
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The scale shape of the windowed count: UPDATE mode + watermark, so
+    * closed windows' aggregation state is EVICTED as event time passes
+    * and events arriving later than the watermark for an evicted window
+    * are dropped — bounded state on an unbounded stream. Returns the
+    * running query so the caller can drive multiple file drops
+    * (processAllAvailable per wave) and must stop() it. */
+  def windowedCountsUpdateStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType, queryName: String,
+      watermark: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val events = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
   }
 
   /** Streaming KG construction: the extract→link→triples stage of the
@@ -74,16 +105,17 @@ object StreamOps {
     val pages = spark.readStream.schema(schema).parquet(pagesDir)
       .withColumn("warc_ts", col("warc_ts").cast("timestamp"))
       .as[graft.model.Page]
-    val triples = pages.filter(_.lang == "en").flatMap { p =>
-      graft.link.TripleExtractor.triplesOf(bGaz.value, bRules.value, p.url,
-        graft.link.MentionDetector.extractText(p))
-    }
-    val claims = triples.groupBy(col("subj"), col("pred"), col("obj"))
-      .agg(count(lit(1)).as("frequency"))
-    val q = claims.writeStream.outputMode("complete")
-      .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try {
+      val triples = pages.filter(_.lang == "en").flatMap { p =>
+        graft.link.TripleExtractor.triplesOf(bGaz.value, bRules.value, p.url,
+          graft.link.MentionDetector.extractText(p))
+      }
+      val claims = triples.groupBy(col("subj"), col("pred"), col("obj"))
+        .agg(count(lit(1)).as("frequency"))
+      val q = claims.writeStream.outputMode("complete")
+        .format("memory").queryName(queryName).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally { bGaz.destroy(); bRules.destroy() }
   }
 
   /** Incremental KG claim materialization: new page files micro-batch in,
@@ -109,27 +141,44 @@ object StreamOps {
       checkpointDir: String, gaz: graft.link.Gazetteer,
       rules: graft.link.TripleExtractor.Rules): Unit = {
     import spark.implicits._
+    // stable identity of THIS checkpoint's batch-id space, written once
+    // on first use and passed to the merge so a deleted/recreated
+    // checkpoint (whose ids restart at 0) fails loudly against a table
+    // committed under the old one instead of silently skipping new waves
+    val idFile = java.nio.file.Paths.get(checkpointDir, "_graft_ckpt_id")
+    java.nio.file.Files.createDirectories(idFile.getParent)
+    if (!java.nio.file.Files.exists(idFile))
+      java.nio.file.Files.writeString(idFile,
+        java.util.UUID.randomUUID().toString)
+    val ckptId = java.nio.file.Files.readString(idFile).trim
     val bGaz = spark.sparkContext.broadcast(gaz)
     val bRules = spark.sparkContext.broadcast(rules)
-    val pages = spark.readStream.schema(schema).parquet(pagesDir)
-      .withColumn("warc_ts", col("warc_ts").cast("timestamp"))
-      .as[graft.model.Page]
-    val triples = pages.filter(_.lang == "en").flatMap { p =>
-      graft.link.TripleExtractor.triplesOf(bGaz.value, bRules.value, p.url,
-        graft.link.MentionDetector.extractText(p))
-    }
-    val q = triples.writeStream.outputMode("append")
-      // source offsets + batch ids persist here, so a restarted job resumes
-      // at the next unread file instead of replaying the whole directory —
-      // checkpointed offsets + the idempotent batch sink = exactly-once
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.RawTriple],
-          batchId: Long) =>
-        mergeClaimsBatch(batch.toDF(), batchId, tableDir)
+    try {
+      val pages = spark.readStream.schema(schema).parquet(pagesDir)
+        .withColumn("warc_ts", col("warc_ts").cast("timestamp"))
+        .as[graft.model.Page]
+      val triples = pages.filter(_.lang == "en").flatMap { p =>
+        graft.link.TripleExtractor.triplesOf(bGaz.value, bRules.value, p.url,
+          graft.link.MentionDetector.extractText(p))
       }
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      val q = triples.writeStream.outputMode("append")
+        // source offsets + batch ids persist here, so a restarted job
+        // resumes at the next unread file instead of replaying the whole
+        // directory — checkpointed offsets + the idempotent batch sink =
+        // exactly-once
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[graft.model.RawTriple],
+            batchId: Long) =>
+          mergeClaimsBatch(batch.toDF(), batchId, tableDir,
+            ckptId = Some(ckptId))
+        }
+        .start()
+      // stop in finally: a throwing batch (e.g. the vocabulary-bound
+      // guard) must not leak an active query holding the checkpoint — a
+      // caller that catches and retries would hit "query already active"
+      try q.processAllAvailable() finally q.stop()
+    } finally { bGaz.destroy(); bRules.destroy() }
   }
 
   /** One idempotent claims merge (exposed for the replay spec): skips
@@ -155,13 +204,34 @@ object StreamOps {
     * retention bounded at `snapshotRetention`. */
   def mergeClaimsBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long,
       tableDir: String, snapshotRetention: Int = 3,
-      vocabularyBound: Long = DefaultVocabularyBound): Unit = {
+      vocabularyBound: Long = DefaultVocabularyBound,
+      ckptId: Option[String] = None): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val spark = batch.sparkSession
     val root = Paths.get(tableDir)
     Files.createDirectories(root)
     restoreClaimsIfMissing(root)
     val dataDir = root.resolve("claims")
+    // checkpoint-identity guard, checked BEFORE the replay skip: batch ids
+    // are only comparable within ONE checkpoint's id-space. A deleted/
+    // recreated checkpoint replays the directory as batch 0,1,... and the
+    // `<=` skip would silently DISCARD genuinely new waves against a table
+    // committed under the old checkpoint. Fail loudly instead — the
+    // operator either restores the original checkpoint or starts a fresh
+    // tableDir. (Tables committed before this guard have no _CKPT and are
+    // adopted by the next commit.)
+    val ckptFile = dataDir.resolve("_CKPT")
+    ckptId.foreach { id =>
+      if (Files.exists(ckptFile)) {
+        val existing = Files.readString(ckptFile).trim
+        if (existing != id) throw new IllegalStateException(
+          s"claims table at $tableDir was committed under checkpoint " +
+          s"identity $existing but this stream runs under $id: batch-id " +
+          "replay protection is invalid across checkpoints — restore the " +
+          "original checkpoint directory or materialize into a fresh " +
+          "tableDir")
+      }
+    }
     if (batchId <= committedBatchId(root)) return // replay: already committed
     val delta = batch.groupBy(col("subj"), col("pred"), col("obj"))
       .agg(count(lit(1)).as("frequency"))
@@ -193,13 +263,19 @@ object StreamOps {
         "vocabulary-bounded claims; an open vocabulary needs a keyed " +
         "MERGE INTO sink (Iceberg/Delta) — see StreamOps scale notes")
     }
-    // the id joins the data INSIDE tmp before the single atomic publish
-    // (underscore-prefixed files are invisible to parquet scans)
+    // the id (and the checkpoint identity it is scoped to) joins the data
+    // INSIDE tmp before the single atomic publish (underscore-prefixed
+    // files are invisible to parquet scans)
     Files.writeString(tmp.resolve("_BATCH"), batchId.toString)
+    ckptId.foreach(id => Files.writeString(tmp.resolve("_CKPT"), id))
     archiveClaims(root) // current committed table → next numbered snapshot
     Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
+    // markers first (Fs.deleteCommitted): a crash mid-prune must leave a
+    // visibly-uncommitted partial, never a _BATCH-bearing truncated
+    // snapshot that readClaims(asOf)/rollbackClaims would trust
     claimsSnapshots(tableDir).dropRight(snapshotRetention)
-      .foreach(id => graft.util.Fs.deleteRec(claimsSnapDir(root, id)))
+      .foreach(id => graft.util.Fs.deleteCommitted(
+        claimsSnapDir(root, id), Seq("_BATCH", "_CKPT")))
   }
 
   /** Batch id embedded in the committed claims table (-1 when absent).
@@ -244,8 +320,11 @@ object StreamOps {
     case None => spark.read.parquet(s"$tableDir/claims")
     case Some(id) =>
       val d = claimsSnapDir(java.nio.file.Paths.get(tableDir), id)
-      require(java.nio.file.Files.exists(d),
-        s"claims table has no retained snapshot $id " +
+      // the embedded _BATCH doubles as the snapshot's commit marker — a
+      // crash mid-prune deletes it FIRST, so requiring it here refuses
+      // data-truncated leftovers instead of silently serving partial rows
+      require(java.nio.file.Files.exists(d.resolve("_BATCH")),
+        s"claims table has no committed snapshot $id " +
           s"(retained: ${claimsSnapshots(tableDir).mkString(",")})")
       spark.read.parquet(d.toString)
   }
@@ -257,14 +336,57 @@ object StreamOps {
   def rollbackClaims(tableDir: String, toSnapshot: Int): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(tableDir)
+    settleClaimsRollbackIntent(root)
     val src = claimsSnapDir(root, toSnapshot)
-    require(Files.exists(src), s"claims table has no snapshot $toSnapshot")
+    // _BATCH doubles as the commit marker (prune deletes it first), so a
+    // crash-truncated snapshot can never be restored as current
+    require(Files.exists(src.resolve("_BATCH")),
+      s"claims table has no committed snapshot $toSnapshot")
+    // intent journal: between archiveClaims and the swap there is NO
+    // current table, and without the intent the next merge's
+    // restoreClaimsIfMissing would resurrect the NEWEST snapshot — the
+    // just-archived PRE-rollback table — silently undoing the rollback.
+    val intent = claimsIntentPath(root)
+    Files.createDirectories(intent.getParent)
+    Files.writeString(intent, toSnapshot.toString)
     val tmp = root.resolve(".tmp_claims")
     graft.util.Fs.deleteRec(tmp)
     // copy (not move) so the snapshot itself stays retained/immutable
     graft.util.Fs.copyTree(src, tmp)
     archiveClaims(root)
     Files.move(tmp, root.resolve("claims"), StandardCopyOption.ATOMIC_MOVE)
+    Files.deleteIfExists(intent)
+  }
+
+  private def claimsIntentPath(root: java.nio.file.Path) =
+    root.resolve("_intents").resolve("claims")
+
+  /** Complete (or loudly abandon) a claims rollback interrupted mid-swap —
+    * same contract as the batch Pipeline's settleRollbackIntent: finish
+    * the swap when the staged copy exists and the current table is gone;
+    * otherwise drop the intent with a stderr note (the swap either never
+    * started or already completed, and the intent alone cannot tell which
+    * — nothing is corrupted either way, the operator re-runs if still
+    * intended). */
+  private def settleClaimsRollbackIntent(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val intent = claimsIntentPath(root)
+    if (Files.exists(intent)) {
+      val dataDir = root.resolve("claims")
+      val tmp = root.resolve(".tmp_claims")
+      if (!Files.exists(dataDir) && Files.exists(tmp)) {
+        Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
+        System.err.println(
+          "[stream] completed interrupted claims rollback to snapshot " +
+          Files.readString(intent).trim)
+      } else {
+        System.err.println(
+          "[stream] dropping stale claims rollback intent (to snapshot " +
+          s"${Files.readString(intent).trim}): the swap did not start or " +
+          "already completed — re-run rollbackClaims if still intended")
+      }
+      Files.deleteIfExists(intent)
+    }
   }
 
   /** Archive the current committed claims table as the next snapshot. Any
@@ -288,14 +410,23 @@ object StreamOps {
     * mid-restore never yields a half-copied current table. */
   private def restoreClaimsIfMissing(root: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
+    // an interrupted ROLLBACK must complete first: its crash window also
+    // leaves the current table missing, and restoring the newest snapshot
+    // here would resurrect the just-archived PRE-rollback table, silently
+    // undoing what the operator asked for
+    settleClaimsRollbackIntent(root)
     val dataDir = root.resolve("claims")
     if (!Files.exists(dataDir)) {
-      claimsSnapshots(root.toString).lastOption.foreach { id =>
-        val tmp = root.resolve(".tmp_restore")
-        graft.util.Fs.deleteRec(tmp)
-        graft.util.Fs.copyTree(claimsSnapDir(root, id), tmp)
-        Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
-      }
+      // newest COMMITTED snapshot only (_BATCH present) — a crash mid-
+      // prune leaves marker-less partials that must never be restored
+      claimsSnapshots(root.toString).reverse
+        .find(id => Files.exists(claimsSnapDir(root, id).resolve("_BATCH")))
+        .foreach { id =>
+          val tmp = root.resolve(".tmp_restore")
+          graft.util.Fs.deleteRec(tmp)
+          graft.util.Fs.copyTree(claimsSnapDir(root, id), tmp)
+          Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
+        }
     }
   }
 
@@ -324,8 +455,7 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("_h1", "_h2")
     val q = deduped.drop("_h1", "_h2").writeStream.outputMode("append")
       .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
   }
 
   /** Custom per-key state: streaming sessionization via
@@ -339,6 +469,10 @@ object StreamOps {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val events = spark.readStream.schema(schema).parquet(dir)
+      // SECOND granularity on purpose: the batch q33 sessionize (and its
+      // DuckDB oracle) compare gaps via unix_timestamp/date_diff('second')
+      // — the stream must truncate identically or the two would split
+      // sub-second-apart events differently at the gap boundary
       .select(col("user_id"), col("event_id"),
         col("ts").cast("timestamp").cast("long").as("ts_sec"))
       .select(col("user_id"), col("event_id"),
@@ -354,7 +488,15 @@ object StreamOps {
           val res = evs.map { e =>
             if (last == Long.MinValue || e.ts_micros - last > gapSec * 1000000L)
               idx += 1
-            last = e.ts_micros
+            // state time is MONOTONE: a cross-batch straggler (file source
+            // gives no cross-batch ordering) joins the current session but
+            // must not rewind lastTs — a rewound clock would wrongly split
+            // the NEXT in-order event into a new session. Within a batch
+            // events are sorted, so this is the batch q33 semantics; under
+            // cross-batch stragglers no append-mode stream can match the
+            // batch's global re-sort (it cannot retract emitted rows) —
+            // the monotone rule is the documented approximation.
+            last = math.max(last, e.ts_micros)
             SessOut(uid, e.event_id, idx)
           }
           if (evs.nonEmpty) state.update(SessState(last, idx))
@@ -362,7 +504,6 @@ object StreamOps {
       }
     val q = out.writeStream.outputMode("append")
       .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
   }
 }

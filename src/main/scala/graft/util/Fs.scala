@@ -22,6 +22,22 @@ object Fs {
     }
   }
 
+  /** Delete a COMMITTED snapshot/table directory safely: remove the named
+    * commit-marker files FIRST, then the rest. `deleteRec` walks
+    * reverse-lexicographic, which deletes `part-*` data files BEFORE
+    * underscore markers — a crash mid-delete would otherwise leave a
+    * data-truncated directory whose surviving marker still vouches for
+    * it, and a marker-trusting reader (readStage/readClaims asOf,
+    * rollback) would silently serve or restore truncated data. With the
+    * marker gone first, any partial leftover is visibly uncommitted and
+    * those readers refuse it. */
+  def deleteCommitted(p: Path, markers: Seq[String]): Unit = {
+    if (Files.exists(p)) {
+      markers.foreach(m => Files.deleteIfExists(p.resolve(m)))
+      deleteRec(p)
+    }
+  }
+
   /** Copy a directory tree into `dst` (created fresh), skipping any
     * relative paths in `exclude`. Attributes preserved. */
   def copyTree(src: Path, dst: Path, exclude: Set[String] = Set.empty): Unit = {

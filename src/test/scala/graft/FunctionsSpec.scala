@@ -394,6 +394,126 @@ class FunctionsSpec extends AnyFunSuite {
     assert(table().size == committed.size + 20)
   }
 
+  test("claims sink: checkpoint-identity guard fails loudly on a reset checkpoint") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val tableDir = Files.createTempDirectory("graft_claims_ckpt").toString
+    def merge(id: Long, rows: Seq[(String, String, String)],
+        ckpt: String): Unit =
+      StreamOps.mergeClaimsBatch(
+        rows.map { case (s1, p1, o1) => (s1, p1, o1, "u", "s") }
+          .toDF("subj", "pred", "obj", "url", "sentence"), id, tableDir,
+        ckptId = Some(ckpt))
+    merge(0, Seq(("a", "R", "b")), ckpt = "ckpt-A")
+    // same checkpoint: replay skips, new ids merge — normal operation
+    merge(0, Seq(("a", "R", "b")), ckpt = "ckpt-A")
+    merge(1, Seq(("c", "R", "d")), ckpt = "ckpt-A")
+    // a RESET checkpoint restarts batch ids at 0; the <= skip would
+    // silently DISCARD this genuinely new wave — the guard throws instead
+    val ex = intercept[IllegalStateException](
+      merge(0, Seq(("e", "R", "f")), ckpt = "ckpt-B"))
+    assert(ex.getMessage.contains("checkpoint"))
+    assert(StreamOps.committedBatchId(Paths.get(tableDir)) == 1L)
+  }
+
+  test("claims sink: crash-truncated snapshot is refused and never restored") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val tableDir = Files.createTempDirectory("graft_claims_trunc").toString
+    def merge(id: Long, rows: Seq[(String, String, String)]): Unit =
+      StreamOps.mergeClaimsBatch(
+        rows.map { case (s1, p1, o1) => (s1, p1, o1, "u", "s") }
+          .toDF("subj", "pred", "obj", "url", "sentence"), id, tableDir)
+    def table() = spark.read.parquet(s"$tableDir/claims")
+      .collect().map(_.toString).sorted.toSeq
+    merge(0, Seq(("a", "R", "b")))
+    val after0 = table()
+    merge(1, Seq(("c", "R", "d")))
+    merge(2, Seq(("e", "R", "f")))
+    assert(StreamOps.claimsSnapshots(tableDir) == Seq(1, 2))
+    // prune crashed mid-delete of snap-00002: _BATCH goes FIRST, so the
+    // leftover is visibly uncommitted — readers refuse it
+    Files.delete(Paths.get(tableDir, "_snapshots", "claims", "snap-00002",
+      "_BATCH"))
+    intercept[IllegalArgumentException](
+      StreamOps.readClaims(spark, tableDir, asOf = Some(2)))
+    intercept[IllegalArgumentException](
+      StreamOps.rollbackClaims(tableDir, toSnapshot = 2))
+    // crash window with the current table missing: restore must skip the
+    // truncated newest snapshot and take the newest COMMITTED one
+    graft.util.Fs.deleteRec(Paths.get(tableDir, "claims"))
+    merge(0, Seq(("a", "R", "b"))) // replay vs restored snap-00001 (id 0)
+    assert(table() == after0)
+  }
+
+  test("claims sink: interrupted rollback completes instead of being undone") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val tableDir = Files.createTempDirectory("graft_claims_rbint").toString
+    val root = Paths.get(tableDir)
+    def merge(id: Long, rows: Seq[(String, String, String)]): Unit =
+      StreamOps.mergeClaimsBatch(
+        rows.map { case (s1, p1, o1) => (s1, p1, o1, "u", "s") }
+          .toDF("subj", "pred", "obj", "url", "sentence"), id, tableDir)
+    def table() = spark.read.parquet(s"$tableDir/claims")
+      .collect().map(_.toString).sorted.toSeq
+    merge(0, Seq(("a", "R", "b")))
+    val after0 = table()
+    merge(1, Seq(("c", "R", "d")))
+    assert(StreamOps.claimsSnapshots(tableDir) == Seq(1))
+    // simulate rollbackClaims(1) crashing in its destructive window:
+    // intent written, restore copy staged, current archived away
+    Files.createDirectories(root.resolve("_intents"))
+    Files.writeString(root.resolve("_intents").resolve("claims"), "1")
+    graft.util.Fs.copyTree(
+      Paths.get(tableDir, "_snapshots", "claims", "snap-00001"),
+      root.resolve(".tmp_claims"))
+    Files.move(root.resolve("claims"),
+      Paths.get(tableDir, "_snapshots", "claims", "snap-00002"),
+      StandardCopyOption.ATOMIC_MOVE)
+    // the next merge settles the intent: the ROLLBACK completes — without
+    // the intent, restore would resurrect snap-00002 (the PRE-rollback
+    // table), silently undoing the operator's rollback
+    merge(0, Seq(("a", "R", "b"))) // replay vs the restored id-0 table
+    assert(table() == after0)
+    assert(!Files.exists(root.resolve("_intents").resolve("claims")))
+    // the pre-rollback table stays in history
+    assert(StreamOps.readClaims(spark, tableDir, asOf = Some(2))
+      .collect().nonEmpty)
+  }
+
+  test("update-mode windowed counts: watermark drops later-than-watermark events") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upd")
+    def write(name: String, rows: Seq[(String, String)]): Unit =
+      rows.toDF("ts_s", "event_type")
+        .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"))
+        .write.parquet(dir.resolve(name).toString)
+    write("b1", Seq(
+      ("2026-01-01 00:30:00", "click"),   // window W1 [00:00, 01:00)
+      ("2026-01-01 05:00:00", "click")))  // advances watermark to 04:00
+    val schema = spark.read.parquet(dir.resolve("b1").toString).schema
+    val q = StreamOps.windowedCountsUpdateStream(
+      spark, s"$dir/*", schema, "upd_counts")
+    try {
+      q.processAllAvailable()
+      // W1's state is evicted once the watermark passed; this event is
+      // older than the watermark → DROPPED, not merged into W1
+      write("b2", Seq(
+        ("2026-01-01 00:40:00", "click"),   // late beyond watermark
+        ("2026-01-01 05:10:00", "click")))  // proves the wave processed
+      q.processAllAvailable()
+      val w1 = spark.sql(
+        "SELECT max(n) FROM upd_counts WHERE " +
+        "date_format(window.start, 'HH:mm') = '00:00'").collect()(0).getLong(0)
+      assert(w1 == 1L, s"late event beyond the watermark must be dropped: $w1")
+      val w5 = spark.sql(
+        "SELECT max(n) FROM upd_counts WHERE " +
+        "date_format(window.start, 'HH:mm') = '05:00'").collect()(0).getLong(0)
+      assert(w5 == 2L, "the second wave's in-time event must count")
+    } finally q.stop()
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) == batch window sessionize") {
     val dir = "/root/testdata/sf0.001"
     val events = spark.read.parquet(s"$dir/events.parquet")

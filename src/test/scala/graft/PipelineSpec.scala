@@ -136,6 +136,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.snapshots(root, "pages") == Seq(2))
   }
 
+  test("crash-truncated snapshot (marker deleted first) is refused, not served") {
+    val root = Files.createTempDirectory("graft_trunc").toString
+    def pages(n: Long) = graft.extract.PageSynth.pages(spark, n, 4).toDF()
+    Pipeline.runStage(spark, root, "pages", "v1", "n=50")(pages(50))
+    Pipeline.runStage(spark, root, "pages", "v2", "n=80")(pages(80))
+    // simulate a prune crash AFTER the markers went (they are deleted
+    // FIRST) but before the data files: snapshot dir still listed, but
+    // visibly uncommitted
+    val snap = java.nio.file.Paths.get(root, "_snapshots", "pages", "snap-00001")
+    java.nio.file.Files.delete(snap.resolve("_COMMITTED"))
+    java.nio.file.Files.delete(snap.resolve("_MANIFEST"))
+    assert(Pipeline.snapshots(root, "pages") == Seq(1)) // still listed...
+    intercept[IllegalArgumentException] { // ...but refused by readers
+      Pipeline.readStage(spark, root, "pages", asOf = Some(1))
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.rollback(root, "pages", toSnapshot = 1)
+    }
+  }
+
+  test("interrupted rollback (no current table) completes from the intent") {
+    val root = Files.createTempDirectory("graft_rbint").toString
+    def pages(n: Long) = graft.extract.PageSynth.pages(spark, n, 4).toDF()
+    Pipeline.runStage(spark, root, "pages", "v1", "n=50")(pages(50))
+    Pipeline.runStage(spark, root, "pages", "v2", "n=80")(pages(80))
+    // simulate rollback crashing in its destructive window: intent
+    // written, restore copy staged (sans marker, as rollback stages it),
+    // current archived away — and no current table exists
+    val snap1 = java.nio.file.Paths.get(root, "_snapshots", "pages", "snap-00001")
+    val tmp = java.nio.file.Paths.get(root, ".tmp_pages")
+    graft.util.Fs.copyTree(snap1, tmp, exclude = Set("_COMMITTED"))
+    val intents = java.nio.file.Paths.get(root, "_intents")
+    java.nio.file.Files.createDirectories(intents)
+    java.nio.file.Files.writeString(intents.resolve("pages"), "1")
+    val cur = java.nio.file.Paths.get(root, "pages")
+    val arch = java.nio.file.Paths.get(root, "_snapshots", "pages", "snap-00002")
+    java.nio.file.Files.move(cur, arch)
+    // next runStage settles the intent: the interrupted rollback COMPLETES
+    // (old behavior recomputed the LATEST version, silently dropping the
+    // operator's rollback)
+    val r = Pipeline.runStage(spark, root, "pages", "v1", "n=50")(pages(50))
+    assert(r.skipped, s"restored v1 table should satisfy the manifest: $r")
+    assert(Pipeline.readStage(spark, root, "pages").count() == 50)
+    assert(!java.nio.file.Files.exists(intents.resolve("pages")))
+  }
+
   test("counters table records per-stage lineage") {
     val root = Files.createTempDirectory("graft_pipeD").toString
     Pipeline.run(spark, root, nPages = 100, partitions = 4)
