@@ -74,8 +74,40 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 25,
       localThreshold: Long = 2000000L): DataFrame = {
     val base = symmetrize(edges).localCheckpoint(true)
-    if (base.count() <= localThreshold) runLocal(base)
-    else loop(base, maxIter) // base already symmetric + lineage-cut
+    val core =
+      if (base.count() <= localThreshold) runLocal(base)
+      else loop(base, maxIter) // base already symmetric + lineage-cut
+    withSelfLoopOnly(edges, core)
+  }
+
+  /** Nodes whose ONLY edges are degenerate (self-loops, or a null partner)
+    * vanish in symmetrize's src=!=dst filter, which would silently break
+    * the documented "every input endpoint appears exactly once" contract —
+    * a caller joining the component map back to its node list would drop
+    * those entities. Add them back as their own singleton components.
+    *
+    * Only endpoints of DEGENERATE edges can be missing (any node with one
+    * real edge survives symmetrize), so the candidate set is built from a
+    * pushed-down `src = dst OR null` filter over the edge scan — near-empty
+    * in practice — rather than a distinct over the full endpoint universe,
+    * which would add an edge-proportional shuffle to every run. The
+    * limit-1 emptiness probe matters at scale too: a LeftAnti join can
+    * only broadcast its RIGHT side, and here the right side is the whole
+    * component map — without the probe, the zero-degenerate common case
+    * (dedup pair graphs) would still pay a full shuffle of `core` just to
+    * anti-join an empty candidate set against it. */
+  private def withSelfLoopOnly(edges: DataFrame, core: DataFrame): DataFrame = {
+    val degenerate = edges.where(
+      col("src") === col("dst") || col("src").isNull || col("dst").isNull)
+    if (degenerate.isEmpty) core
+    else {
+      val ids = degenerate.select(col("src").as("id"))
+        .union(degenerate.select(col("dst").as("id")))
+        .where(col("id").isNotNull).distinct()
+      val missing = ids.join(core, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component"))
+      core.unionByName(missing)
+    }
   }
 
   /** Driver union-find over a (small) symmetric edge list. */
@@ -109,7 +141,8 @@ object ConnectedComponents {
     * Accepts arbitrary (possibly oriented) edges; symmetrizes + cuts
     * lineage once, then iterates. */
   def runDistributed(edges: DataFrame, maxIter: Int = 25): DataFrame =
-    loop(symmetrize(edges).localCheckpoint(true), maxIter)
+    withSelfLoopOnly(edges,
+      loop(symmetrize(edges).localCheckpoint(true), maxIter))
 
   /** Iteration core. `base` MUST be symmetric and lineage-cut — callers
     * guarantee it, so round 1 skips the redundant symmetrize+distinct that
@@ -132,6 +165,15 @@ object ConnectedComponents {
       iter += 1
     }
     lastRounds = iter
+    // Non-convergence must be LOUD: falling through here with a still-
+    // changing edge set would assign nodes to non-root intermediate ids —
+    // two nodes of one component get different values and every
+    // downstream dedup/canonicalization silently splits entities. 25
+    // alternating star rounds converge for any graph of diameter < 2^25;
+    // hitting the cap means something is genuinely wrong.
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge after $maxIter rounds — " +
+      "raise maxIter or inspect the edge set")
     // After convergence every edge points node → component root (min id).
     val members = e.groupBy("src").agg(min(col("dst")).as("component"))
       .select(col("src").as("id"), col("component"))

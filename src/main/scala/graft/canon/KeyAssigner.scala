@@ -31,9 +31,19 @@ object KeyAssigner {
     // ids, so (partition id, local rank) is a global total order.
     val ranged = distinct.repartitionByRange(parts, col(idCol))
       .withColumn("_pid", spark_partition_id())
+    // localCheckpoint: the ranked frame feeds BOTH the output rows and the
+    // per-partition counts below, and key correctness requires the two to
+    // see the SAME range-partition boundaries. Without materialization
+    // that is guaranteed only by exchange reuse — repartitionByRange
+    // SAMPLES its child, so two independent executions of the subtree can
+    // pick different boundaries, and offsets computed against one
+    // partitioning would be applied to rows numbered under another
+    // (duplicate/skipped keys, silent). One eager materialization of the
+    // dimension-sized distinct-id set makes the boundaries a fact.
     val localRank = ranged.withColumn(
       "_rn", row_number().over(Window.partitionBy("_pid").orderBy(col(idCol))))
-    val counts = ranged.groupBy("_pid").count() // numPartitions rows — tiny
+      .localCheckpoint(true)
+    val counts = localRank.groupBy("_pid").count() // numPartitions rows — tiny
     // cumulative offsets over the numPartitions-row count vector: one
     // narrow O(P) scan pass in an EXPLICIT single partition (a prefix sum
     // is inherently sequential over P rows; P = shuffle partitions, so
@@ -60,7 +70,4 @@ object KeyAssigner {
       .select(col(idCol), (col("_rn").cast("long") + col("_offset")).as("key"))
   }
 
-  /** Convenience for a Dataset of strings. */
-  def assignStrings(spark: SparkSession, labels: DataFrame, idCol: String): DataFrame =
-    assign(labels, idCol)
 }

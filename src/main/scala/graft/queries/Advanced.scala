@@ -509,7 +509,10 @@ object Advanced {
     QueryDef("q72_serving_resolve", (s, d) => {
       graft.pipeline.Pipeline.run(s, KgRoot, nPages = 2000, partitions = 8,
         dedupPages = true)
-      val idx = graft.query.ServingIndex.load(s, KgRoot)
+      // loadOrGet: the get_store()-style session singleton — repeated
+      // bench passes reuse ONE cached table pair + broadcast label map
+      // instead of pinning a fresh copy per pass
+      val idx = graft.query.ServingIndex.loadOrGet(s, KgRoot)
       // nodeLabel goes through the broadcast map — assert it agrees with
       // the served frame so the O(1) lookup path is exercised too
       require(idx.nodeLabel("Drug", 1L).isDefined,

@@ -51,10 +51,16 @@ final class ServingIndex private (
 
 object ServingIndex {
 
-  /** Build from already-loaded graph tables. Caches both; collects ONLY the
-    * vertex label triple (bounded by `maxEntries`, fail-fast beyond). */
+  /** Build from already-loaded graph tables. Caches both; collects ONLY
+    * the vertex label triple (bounded by `maxEntries`, fail-fast beyond).
+    *
+    * The 2M default is sized to the DRIVER HEAP the cap exists to protect:
+    * ~2M (type, key) → label entries is a few hundred MB of driver map +
+    * broadcast copy — comfortable on a default driver, where the previous
+    * 10M default could pass the gate and still OOM during the collect.
+    * Raise it only alongside the driver's memory. */
   def build(vertices: DataFrame, edges: DataFrame,
-      maxEntries: Long = 10000000L): ServingIndex = {
+      maxEntries: Long = 2000000L): ServingIndex = {
     val spark = vertices.sparkSession
     // gate BEFORE caching: failing after cache() would leave an oversized
     // table pinned in executor storage for the life of the session
@@ -66,15 +72,51 @@ object ServingIndex {
     val v = vertices.cache()
     val e = edges.cache()
     import spark.implicits._
-    val labels = v.select("node_type", "key", "label")
-      .as[(String, Long, String)].collect()
-      .map { case (t, k, l) => (t, k) -> l }.toMap
-    new ServingIndex(v, e, spark.sparkContext.broadcast(labels))
+    try {
+      val labels = v.select("node_type", "key", "label")
+        .as[(String, Long, String)].collect()
+        .map { case (t, k, l) => (t, k) -> l }.toMap
+      new ServingIndex(v, e, spark.sparkContext.broadcast(labels))
+    } catch { case t: Throwable =>
+      // a failed build must not leave the tables pinned in executor
+      // storage with no handle to release them
+      v.unpersist(); e.unpersist(); throw t
+    }
   }
 
-  /** Load from a Pipeline artifact root (vertices/ + edges/ parquet). */
+  /** Load from a Pipeline artifact root (vertices/ + edges/ parquet).
+    * Refreshes Spark's path caches first: Pipeline commits via a
+    * DRIVER-side atomic rename, which Spark's own write-path cache
+    * invalidation never sees — without the refresh, a second load() in
+    * the same session after a pipeline recompute would canonicalize to
+    * the same cached plan and silently serve the PREVIOUS run's rows. */
   def load(spark: SparkSession, root: String,
-      maxEntries: Long = 10000000L): ServingIndex =
+      maxEntries: Long = 2000000L): ServingIndex = {
+    spark.catalog.refreshByPath(s"$root/vertices")
+    spark.catalog.refreshByPath(s"$root/edges")
     build(spark.read.parquet(s"$root/vertices"),
       spark.read.parquet(s"$root/edges"), maxEntries)
+  }
+
+  private final case class Entry(session: SparkSession, idx: ServingIndex)
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  /** The reference's `get_store()` shape: ONE index per artifact root per
+    * session, built on first use and reused after — repeated tool calls
+    * (or bench passes) must not each pin a fresh cached table pair and
+    * leak a broadcast label map. A superseded entry (new session for the
+    * same root) is unpersisted before being replaced. Within a session
+    * the pipeline's manifest-skip keeps the artifact stable; after an
+    * intentional recompute, call [[load]] directly (snapshot-aware via
+    * refreshByPath) or unpersist() the old index first. */
+  def loadOrGet(spark: SparkSession, root: String,
+      maxEntries: Long = 2000000L): ServingIndex =
+    loaded.compute(root, (_, old) =>
+      if (old != null && (old.session eq spark)) old
+      else {
+        if (old != null)
+          scala.util.Try(old.idx.unpersist()) // stale session: best-effort
+        Entry(spark, load(spark, root, maxEntries))
+      }).idx
 }

@@ -82,7 +82,13 @@ object Readers {
       .select(col("path"), col("content"))
     bin.as[(String, Array[Byte])].flatMap { case (zipPath, bytes) =>
       val zis = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
-      Iterator.continually(zis.getNextEntry)
+      // close in finally: each ZipInputStream holds a native zlib
+      // Inflater (off-heap) reclaimed only by GC finalization otherwise —
+      // thousands of archives per long-lived executor would grow past the
+      // container's memory overhead; a ZipException mid-entry must not
+      // leak it either. The .toList materializes every entry BEFORE the
+      // close, so the laziness of the iterator never outlives the stream.
+      try Iterator.continually(zis.getNextEntry)
         .takeWhile(_ != null)
         .filter(e => !e.isDirectory)
         .map { e =>
@@ -93,6 +99,7 @@ object Readers {
           (zipPath, e.getName,
             new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
         }.toList
+      finally zis.close()
     }.toDF("zip_path", "entry", "json")
   }
 

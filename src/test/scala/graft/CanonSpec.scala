@@ -84,4 +84,31 @@ class CanonSpec extends AnyFunSuite {
     assert(ConnectedComponents.lastRounds <= 10,
       s"chain took ${ConnectedComponents.lastRounds} rounds")
   }
+
+  test("ConnectedComponents: self-loop-only nodes keep their singleton row") {
+    // node 5's ONLY edge is (5,5), node 9's only edge has a null partner;
+    // symmetrize filters both, so without the degenerate-endpoint
+    // completion step they would vanish from the output, breaking the
+    // "every input endpoint appears exactly once" contract for callers
+    // that join components back to their node list
+    val edges = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (5L, 5L), (3L, 3L), (3L, 4L), (9L, null))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 9L -> 9L)
+    assert(ConnectedComponents.run(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap == want)
+    assert(ConnectedComponents.runDistributed(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap == want)
+  }
+
+  test("ConnectedComponents: non-convergence raises instead of returning garbage") {
+    // a 64-node chain cannot converge in 1 round; exhausting maxIter used
+    // to fall through silently, assigning nodes to non-root intermediate
+    // ids — downstream dedup would split entities with no error anywhere
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.runDistributed(edges.toDF("src", "dst"), maxIter = 1)
+        .collect()
+    }
+    assert(ex.getMessage.contains("converge"))
+  }
 }

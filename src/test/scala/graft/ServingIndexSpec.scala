@@ -56,6 +56,22 @@ class ServingIndexSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("loadOrGet: one cached index per artifact root per session") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_serving_once").toString
+    vertices.write.mode("overwrite").parquet(s"$root/vertices")
+    edges.write.mode("overwrite").parquet(s"$root/edges")
+    val a = ServingIndex.loadOrGet(spark, root)
+    val b = ServingIndex.loadOrGet(spark, root)
+    try {
+      // get_store() semantics: the second call must REUSE the first index
+      // (same instance — same cached tables + broadcast), not pin a fresh
+      // copy per call the way repeated load() would
+      assert(a eq b)
+      assert(a.nodeLabel("Drug", 1).contains("warfarin"))
+    } finally a.unpersist()
+  }
+
   test("bounded-vocabulary invariant fails fast, never silently collects") {
     val ex = intercept[IllegalArgumentException] {
       ServingIndex.build(vertices, edges, maxEntries = 2L)
