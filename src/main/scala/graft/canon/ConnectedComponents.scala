@@ -73,11 +73,18 @@ object ConnectedComponents {
     * runs. Both paths produce identical output (CanonSpec pins this). */
   def run(edges: DataFrame, maxIter: Int = 25,
       localThreshold: Long = 2000000L): DataFrame = {
-    val base = symmetrize(edges).localCheckpoint(true)
+    // Materialize the raw pair projection ONCE: symmetrize AND the
+    // degenerate-endpoint probe below both consume it, and callers pass
+    // arbitrarily expensive plans as `edges` (minhash verify joins,
+    // self-join pair graphs) — without the cut each consumer would
+    // re-execute that whole upstream plan. The pair list itself is
+    // sparse-graph-sized, so the extra materialization is cheap.
+    val ein = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val base = symmetrize(ein).localCheckpoint(true)
     val core =
       if (base.count() <= localThreshold) runLocal(base)
       else loop(base, maxIter) // base already symmetric + lineage-cut
-    withSelfLoopOnly(edges, core)
+    withSelfLoopOnly(ein, core)
   }
 
   /** Nodes whose ONLY edges are degenerate (self-loops, or a null partner)
@@ -140,9 +147,12 @@ object ConnectedComponents {
   /** The scale path: alternating star rounds, O(log n) iterations.
     * Accepts arbitrary (possibly oriented) edges; symmetrizes + cuts
     * lineage once, then iterates. */
-  def runDistributed(edges: DataFrame, maxIter: Int = 25): DataFrame =
-    withSelfLoopOnly(edges,
-      loop(symmetrize(edges).localCheckpoint(true), maxIter))
+  def runDistributed(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // same single-execution contract as run(): see the comment there
+    val ein = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    withSelfLoopOnly(ein,
+      loop(symmetrize(ein).localCheckpoint(true), maxIter))
+  }
 
   /** Iteration core. `base` MUST be symmetric and lineage-cut — callers
     * guarantee it, so round 1 skips the redundant symmetrize+distinct that
@@ -154,7 +164,7 @@ object ConnectedComponents {
     var prev = (-1L, -1L)
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    def round(): Unit = {
       val in = if (eIsSymmetric) e else symmetrize(e)
       val next = smallStar(largeStar(in)).localCheckpoint(true)
       eIsSymmetric = false
@@ -164,6 +174,13 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
+    while (!converged && iter < maxIter) round()
+    // The checksum test observes convergence one round AFTER the edge set
+    // stabilizes, so a graph converging exactly on round maxIter is
+    // indistinguishable from genuine non-convergence at the cap. Spend at
+    // most ONE confirming round before declaring failure — otherwise a
+    // correct fixed point would throw.
+    if (!converged) round()
     lastRounds = iter
     // Non-convergence must be LOUD: falling through here with a still-
     // changing edge set would assign nodes to non-root intermediate ids —

@@ -42,7 +42,16 @@ final class ServingIndex private (
   def drugProfile(drugKey: Long): DataFrame =
     PathTools.drugProfile(edges, vertices, drugKey)
 
+  @volatile private var active = true
+
+  /** False once [[unpersist]] has destroyed the broadcast, or the owning
+    * SparkContext has stopped — either way the index can no longer serve
+    * and [[ServingIndex.loadOrGet]] must rebuild instead of returning it. */
+  def isActive: Boolean =
+    active && !vertices.sparkSession.sparkContext.isStopped
+
   def unpersist(): Unit = {
+    active = false
     vertices.unpersist()
     edges.unpersist()
     labelMap.destroy()
@@ -102,21 +111,45 @@ object ServingIndex {
   private val loaded =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
-  /** The reference's `get_store()` shape: ONE index per artifact root per
-    * session, built on first use and reused after — repeated tool calls
-    * (or bench passes) must not each pin a fresh cached table pair and
-    * leak a broadcast label map. A superseded entry (new session for the
-    * same root) is unpersisted before being replaced. Within a session
-    * the pipeline's manifest-skip keeps the artifact stable; after an
-    * intentional recompute, call [[load]] directly (snapshot-aware via
-    * refreshByPath) or unpersist() the old index first. */
+  /** The reference's `get_store()` shape: ONE index per artifact root,
+    * built on first use and reused after — repeated tool calls (or bench
+    * passes) must not each pin a fresh cached table pair and leak a
+    * broadcast label map.
+    *
+    * Reuse rule: an entry is served as long as it is still [[ServingIndex.isActive
+    * alive]] and belongs to the CURRENT SparkContext — caches and
+    * broadcasts live at the context level, so sibling sessions
+    * (`spark.newSession()`) share one index rather than destroying each
+    * other's broadcasts. An entry is replaced only once it is already
+    * unusable (unpersisted, or its context stopped), and the replacement
+    * is built BEFORE the old entry is released so a failed rebuild leaves
+    * the map unchanged. Within a session the pipeline's manifest-skip
+    * keeps the artifact stable; after an intentional recompute, unpersist()
+    * the old index (the next loadOrGet then rebuilds — snapshot-aware via
+    * [[load]]'s refreshByPath) or call [[load]] directly. `maxEntries`
+    * applies when the index is (re)built; a live hit returns the existing
+    * index as-is.
+    *
+    * The slow path holds one coarse companion lock for the build — tool
+    * layers call this once per process, and a coarse lock can't stall
+    * unrelated map bins the way running Spark jobs inside
+    * ConcurrentHashMap.compute would. */
   def loadOrGet(spark: SparkSession, root: String,
-      maxEntries: Long = 2000000L): ServingIndex =
-    loaded.compute(root, (_, old) =>
-      if (old != null && (old.session eq spark)) old
+      maxEntries: Long = 2000000L): ServingIndex = {
+    def usable(e: Entry): Boolean =
+      e != null && e.idx.isActive &&
+        (e.session.sparkContext eq spark.sparkContext)
+    val hit = loaded.get(root)
+    if (usable(hit)) hit.idx
+    else this.synchronized {
+      val cur = loaded.get(root)
+      if (usable(cur)) cur.idx
       else {
-        if (old != null)
-          scala.util.Try(old.idx.unpersist()) // stale session: best-effort
-        Entry(spark, load(spark, root, maxEntries))
-      }).idx
+        val fresh = load(spark, root, maxEntries) // build BEFORE evicting
+        if (cur != null) scala.util.Try(cur.idx.unpersist()) // best-effort
+        loaded.put(root, Entry(spark, fresh))
+        fresh
+      }
+    }
+  }
 }

@@ -100,6 +100,16 @@ class CanonSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap == want)
   }
 
+  test("ConnectedComponents: converging exactly at the cap is NOT an error") {
+    // a single edge stabilizes in round 1, but the checksum test can only
+    // OBSERVE that in round 2 — maxIter=1 must spend the one confirming
+    // round and return the fixed point instead of a false throw
+    val out = ConnectedComponents
+      .runDistributed(Seq((1L, 2L)).toDF("src", "dst"), maxIter = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("ConnectedComponents: non-convergence raises instead of returning garbage") {
     // a 64-node chain cannot converge in 1 round; exhausting maxIter used
     // to fall through silently, assigning nodes to non-root intermediate

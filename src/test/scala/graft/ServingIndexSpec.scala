@@ -70,6 +70,14 @@ class ServingIndexSpec extends AnyFunSuite {
       assert(a eq b)
       assert(a.nodeLabel("Drug", 1).contains("warfarin"))
     } finally a.unpersist()
+    // the unpersisted entry must NOT be served again (its broadcast is
+    // destroyed) — the next loadOrGet rebuilds a live index
+    val c = ServingIndex.loadOrGet(spark, root)
+    try {
+      assert(!(c eq a))
+      assert(c.isActive && !a.isActive)
+      assert(c.nodeLabel("Drug", 1).contains("warfarin"))
+    } finally c.unpersist()
   }
 
   test("bounded-vocabulary invariant fails fast, never silently collects") {
