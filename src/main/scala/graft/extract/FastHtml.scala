@@ -28,7 +28,7 @@ object FastHtml {
     (c >= '0' && c <= '9') || c == '_'
 
   @inline private def isJavaWs(c: Char): Boolean = // java regex \s (ASCII)
-    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** case-insensitive region match of ASCII `pat` at s[idx..) */
   private def matchesCi(s: CharSequence, idx: Int, pat: String): Boolean = {
@@ -134,9 +134,10 @@ object FastHtml {
     true
   }
 
-  private val EntityTable: Array[(String, Char)] = Array(
-    ("&lt;", '<'), ("&gt;", '>'), ("&quot;", '"'), ("&#39;", '\''),
-    ("&apos;", '\''), ("&nbsp;", ' '), ("&amp;", '&'))
+  // derived from the ONE authoritative entity list so the fused automaton
+  // and the regex spec cannot drift apart between fuzz runs
+  private val EntityTable: Array[(String, Char)] =
+    TextExtractor.Entities.map { case (p, r) => (p, r.charAt(0)) }.toArray
 
   /** Passes 3+4 fused: strip `<[^>]*>`, decode entities, collapse/trim
     * whitespace, truncate at max + "...". */
@@ -146,8 +147,7 @@ object FastHtml {
     var pendingSpace = false
     @inline def emit(c: Char): Unit = {
       // the pinned ws class (TextExtractor.WsClass)
-      if (c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' ||
-          c == '\r') {
+      if (isJavaWs(c)) {
         if (sb.length() > 0) pendingSpace = true
       } else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }

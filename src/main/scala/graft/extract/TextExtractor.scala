@@ -67,7 +67,9 @@ object TextExtractor {
   private val Comments = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
   private val Tags = java.util.regex.Pattern.compile("<[^>]*>")
 
-  private val Entities: Seq[(String, String)] = Seq(
+  // private[extract]: FastHtml's fused automaton derives its table from
+  // THIS list so the two byte-identical implementations cannot drift
+  private[extract] val Entities: Seq[(String, String)] = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 

@@ -10,21 +10,31 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace token count. Empty/blank text → 0. */
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "[ ]+")))
+  // the pinned whitespace class (TextExtractor.WsClass): built-in trim()
+  // strips ONLY ' ', so a tab/newline-separated doc would miscount under
+  // the naive trim+split-on-spaces version these replaced
+  private val Ws = graft.extract.TextExtractor.WsClass
+  private def trimWs(c: Column): Column =
+    regexp_replace(regexp_replace(c, "^" + Ws + "+", ""), Ws + "+$", "")
+
+  /** Whitespace token count (runs of the pinned ws class separate tokens).
+    * Empty/blank text → 0. */
+  def tokenCount(text: Column): Column = {
+    val t = trimWs(text)
+    when(length(t) === 0, lit(0)).otherwise(size(split(t, Ws + "+")))
+  }
 
   /** BPE-ish subword count: words + digits runs + punctuation marks counted
     * separately (a cheap, deterministic proxy for tokenizer cost). */
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
 
-  /** Mean token length (0.0 for empty). */
+  /** Mean token length over the same ws-class tokens (0.0 for empty). */
   def meanTokenLen(text: Column): Column = {
-    val toks = split(trim(text), "[ ]+")
-    when(length(trim(text)) === 0, lit(0.0)).otherwise(
-      aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double"))
+    val t = trimWs(text)
+    val toks = split(t, Ws + "+")
+    when(length(t) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0.0), (acc, tk) => acc + length(tk).cast("double"))
         / size(toks).cast("double"))
   }
 

@@ -49,11 +49,17 @@ object GraphBuilder {
   def buildVertices(spark: SparkSession, triples: Dataset[RawTriple], gaz: Gazetteer): DataFrame = {
     import spark.implicits._
     val bGaz = spark.sparkContext.broadcast(gaz)
+    // materialize ONCE: the vocabulary-sized endpoint table is consumed by
+    // the type collect below plus TWO passes per node type inside
+    // KeyAssigner (range-partition sampling + the eager rank checkpoint) —
+    // without the cut, each of those ~2×|types|+1 jobs re-executes the
+    // fact-proportional triples flatMap + distinct shuffle from scratch
     val endpoints = triples.flatMap(t => Seq(t.subj, t.obj))
       .distinct()
       .map(l => (nodeTypeOf(bGaz.value, l), l))
       .toDF("node_type", "label")
       .where($"node_type" =!= "Unknown")
+      .localCheckpoint(true)
     // dense keys PER TYPE (reference keyspaces are per node type)
     val types = endpoints.select("node_type").distinct().as[String].collect().sorted
     val keyed = types.map { t =>
@@ -73,8 +79,12 @@ object GraphBuilder {
   def buildEdges(spark: SparkSession, triples: Dataset[RawTriple],
       vertices: DataFrame, gaz: Gazetteer): DataFrame = {
     import spark.implicits._
-    // one claim row per (subj, pred, obj): frequency = #supporting pages,
-    // evidence = first EvidenceCap urls in url-sorted order.
+    // one claim row per (subj, pred, obj): frequency = #raw triple
+    // OCCURRENCES (a page emitting the same triple from two sentences
+    // counts twice — the reference's merge counts every emission,
+    // build.py:88-119, and the q38/q59 oracles pin COUNT(*); the
+    // distinct-URL support count is what `evidence` carries), evidence =
+    // first EvidenceCap urls in url-sorted order.
     // Two-phase on purpose: a collect_set would buffer EVERY url of a hot
     // claim in one aggregation buffer before capping (OOM at 100 TB for a
     // boilerplate-hot subject). Instead the cap is enforced by a window
@@ -113,9 +123,16 @@ object GraphBuilder {
       .groupBy($"subj", $"pred", $"obj")
       .agg(sort_array(collect_list(struct($"url", $"ev_sentence")))
         .as("evidence_items"))
+    // materialize ONCE: the claim table (one row per DISTINCT claim — the
+    // dimension of everything downstream, far smaller than raw triples) is
+    // consumed by KeyAssigner's eager keying job AND the final edge plan;
+    // without the cut the fact-sized groupBys + window ranks above execute
+    // twice, once per consumer. Same discipline as Disproportionality's
+    // persisted pair aggregate.
     val claims = stats.join(evidence, Seq("subj", "pred", "obj"))
       .withColumn("strength_score",
         least(lit(1.0), col("frequency").cast("double") / 10.0))
+      .localCheckpoint(true)
     // claim-key separator is U+0001 -- written as the ESCAPE \u0001, not a
     // literal control byte that renders invisibly (one control-stripping
     // editor/linter pass would silently turn it into concat_ws("") and

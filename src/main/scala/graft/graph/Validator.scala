@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Structural graph invariants as distributed assertions — the DataFrame
@@ -26,26 +26,40 @@ object Validator {
   }
 
   def validate(vertices: DataFrame, edges: DataFrame): Report = {
-    val badTypes = vertices
-      .where(!col("node_type").isin(AllowedNodeTypes.toSeq: _*)).count()
-    val badKeys = vertices.where(col("key").isNull || col("key") < 1).count()
-    val missing = edges.where(
-      col("src_type").isNull || col("src_key").isNull ||
-      col("dst_type").isNull || col("dst_key").isNull ||
-      col("edge").isNull || col("claim_type").isNull ||
-      col("dataset").isNull).count()
+    // THREE jobs total — one fused aggregation per table plus one fused
+    // orphan anti-join — not one full source scan per invariant (the
+    // naive 8-job version re-executed the uncached vertex/edge plans from
+    // source for every count; this gate runs on every pipeline build).
+    def flag(c: Column): Column = coalesce(sum(when(c, 1L)), lit(0L))
+    val v = vertices.agg(
+      count(lit(1)).as("n"),
+      flag(!col("node_type").isin(AllowedNodeTypes.toSeq: _*)).as("bad_types"),
+      flag(col("key").isNull || col("key") < 1).as("bad_keys"),
+      // duplicates counted as EXTRA rows beyond the distinct (type, key)
+      // set (3 rows sharing one key report 2) — zero iff keys are unique,
+      // which is the invariant; struct() keeps null-keyed rows countable
+      (count(lit(1)) -
+        countDistinct(struct(col("node_type"), col("key")))).as("dups")
+    ).head()
+    val e = edges.agg(
+      count(lit(1)).as("n"),
+      flag(
+        col("src_type").isNull || col("src_key").isNull ||
+        col("dst_type").isNull || col("dst_key").isNull ||
+        col("edge").isNull || col("claim_type").isNull ||
+        col("dataset").isNull).as("missing")
+    ).head()
     val vk = vertices.select(col("node_type"), col("key"))
-    // no orphan edges: both endpoints must exist (left_anti == violations)
-    val orphanSrc = edges.select(
+    // no orphan edges: both endpoints must exist (left_anti == violations);
+    // src and dst endpoint sets validate in ONE union + anti-join, and the
+    // union keeps duplicates so the count still reports every bad endpoint
+    val orphans = edges.select(
         col("src_type").as("node_type"), col("src_key").as("key"))
+      .union(edges.select(
+        col("dst_type").as("node_type"), col("dst_key").as("key")))
       .join(vk, Seq("node_type", "key"), "left_anti").count()
-    val orphanDst = edges.select(
-        col("dst_type").as("node_type"), col("dst_key").as("key"))
-      .join(vk, Seq("node_type", "key"), "left_anti").count()
-    val dupKeys = vertices.groupBy("node_type", "key").count()
-      .where(col("count") > 1).count()
-    Report(vertices.count(), edges.count(), badTypes, badKeys, missing,
-      orphanSrc + orphanDst, dupKeys)
+    Report(v.getLong(0), e.getLong(0), v.getLong(1), v.getLong(2),
+      e.getLong(1), orphans, v.getLong(3))
   }
 
   /** Fail-fast gate (reference build.py:849-854 raises on invalid). */

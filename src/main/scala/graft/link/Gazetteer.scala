@@ -31,6 +31,10 @@ class AhoCorasick private (
     val fail: Array[Int],
     // longest pattern ending at this node (-1 = none); patterns dedup'd
     val out: Array[Int],
+    // nearest proper fail-ancestor carrying an output (0 = none): the
+    // standard AC output link, so the per-char emit walk visits only
+    // states that actually END a pattern instead of the whole fail chain
+    val outLink: Array[Int],
     val patterns: Array[String]) extends Serializable {
 
   /** Dense DFA fast path: next[state*128 + ascii] with goto/fail closure
@@ -90,7 +94,7 @@ class AhoCorasick private (
     * leftmost-longest non-overlap selection. Returns (begin, end, patternIdx).
     */
   def findMentions(text: String): IndexedSeq[(Int, Int, Int)] = {
-    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    val lower = AhoCorasick.lowerPreserving(text)
     val hits = mutable.ArrayBuffer.empty[(Int, Int, Int)] // begin, end, pat
     val d = dfa
     var state = 0
@@ -105,19 +109,19 @@ class AhoCorasick private (
         while (s != 0 && !gotoFn(s).contains(c)) s = fail(s)
         state = gotoFn(s).getOrElse(c, 0)
       }
-      // walk output links (collect every pattern ending here)
-      var t = state
+      // emit patterns ending here: the current state (if it ends one) plus
+      // its output-link chain — every link target ends a pattern, so this
+      // walk is O(matches at i), not O(fail-chain depth) per character
+      var t = if (out(state) >= 0) state else outLink(state)
       while (t != 0) {
         val p = out(t)
-        if (p >= 0) {
-          val pat = patterns(p)
-          val begin = i - pat.length + 1
-          val boundaryOk =
-            (begin == 0 || !isWordChar(lower.charAt(begin - 1))) &&
-            (i == n - 1 || !isWordChar(lower.charAt(i + 1)))
-          if (boundaryOk) hits += ((begin, i + 1, p))
-        }
-        t = fail(t)
+        val pat = patterns(p)
+        val begin = i - pat.length + 1
+        val boundaryOk =
+          (begin == 0 || !isWordChar(lower.charAt(begin - 1))) &&
+          (i == n - 1 || !isWordChar(lower.charAt(i + 1)))
+        if (boundaryOk) hits += ((begin, i + 1, p))
+        t = outLink(t)
       }
       i += 1
     }
@@ -133,7 +137,35 @@ class AhoCorasick private (
 }
 
 object AhoCorasick {
-  /** Build from distinct lowercase patterns (caller lowercases). */
+
+  /** LENGTH-PRESERVING lowercase: per-char 1:1 `Character.toLowerCase`
+    * (UnicodeData simple mappings), never `String.toLowerCase`, whose full
+    * case mappings can CHANGE the string length (U+0130 'İ' → "i"+U+0307,
+    * ß under some locales, …). Mention offsets are computed on the lowered
+    * text and then applied to the ORIGINAL text — a length change would
+    * shift every later span (silently wrong surfaces/gaps) or overflow
+    * `substring` inside a distributed flatMap. The trade: supplementary-
+    * plane and full-mapping-only case pairs don't fold — acceptable,
+    * because offsets stay exact and entry norms fold through THIS same
+    * function, so patterns and scan text always agree. */
+  def lowerPreserving(text: String): String = {
+    var i = 0
+    val n = text.length
+    // common case: already caseless/lowercase — avoid the copy
+    while (i < n && Character.toLowerCase(text.charAt(i)) == text.charAt(i))
+      i += 1
+    if (i == n) text
+    else {
+      val arr = new Array[Char](n)
+      text.getChars(0, n, arr, 0)
+      var j = i
+      while (j < n) { arr(j) = Character.toLowerCase(arr(j)); j += 1 }
+      new String(arr)
+    }
+  }
+
+  /** Build from distinct patterns already folded through
+    * [[lowerPreserving]] (Gazetteer normalizes on construction). */
   def build(pats: Seq[String]): AhoCorasick = {
     val patterns = pats.distinct.toArray
     val gotoFn = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
@@ -156,6 +188,7 @@ object AhoCorasick {
         outB(state) = pi
     }
     val fail = Array.fill(gotoFn.length)(0)
+    val outLink = Array.fill(gotoFn.length)(0)
     val queue = mutable.Queue.empty[Int]
     gotoFn(0).valuesIterator.foreach(queue.enqueue(_))
     while (queue.nonEmpty) {
@@ -166,13 +199,21 @@ object AhoCorasick {
         while (st != 0 && !gotoFn(st).contains(c)) st = fail(st)
         fail(s) = gotoFn(st).getOrElse(c, 0)
         if (fail(s) == s) fail(s) = 0
+        // fail(s) is strictly shallower, so its link is already final (BFS)
+        outLink(s) =
+          if (outB(fail(s)) >= 0) fail(s) else outLink(fail(s))
       }
     }
-    new AhoCorasick(gotoFn.toArray, fail, outB.toArray, patterns)
+    new AhoCorasick(gotoFn.toArray, fail, outB.toArray, outLink, patterns)
   }
 }
 
-/** A gazetteer = entity dictionary (norm surface → node type) + automaton. */
+/** A gazetteer = entity dictionary (norm surface → node type) + automaton.
+  * Construct via [[Gazetteer.apply]], which folds entry norms through the
+  * SAME length-preserving lowercase the scanner applies to the text — a
+  * mixed-case entry handed to the raw constructor would otherwise be
+  * silently unmatchable (the automaton only ever sees lowered text) and
+  * unlookupable (mention norms are lowered before the `nodeType` probe). */
 class Gazetteer(val entries: Map[String, String]) extends Serializable {
   @transient lazy val automaton: AhoCorasick =
     AhoCorasick.build(entries.keys.toSeq.sorted) // sorted → deterministic ids
@@ -181,5 +222,6 @@ class Gazetteer(val entries: Map[String, String]) extends Serializable {
 
 object Gazetteer {
   def apply(es: Seq[GazEntry]): Gazetteer =
-    new Gazetteer(es.map(e => e.norm -> e.nodeType).toMap)
+    new Gazetteer(es.map(e =>
+      AhoCorasick.lowerPreserving(e.norm) -> e.nodeType).toMap)
 }

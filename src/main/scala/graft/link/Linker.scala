@@ -52,11 +52,19 @@ object Linker {
         explode(split(lower(col("context")), " ")).as("token"))
       .where(length(col("token")) > 0).distinct()
       .join(broadcast(idfT), "token")
-    val pageTokens = pages.select(col("url"),
+    // prune BEFORE tokenizing: only pages that actually carry an ambiguous
+    // mention matter, and the token explode + distinct below is the
+    // dominant shuffle — the semi-join shrinks it from corpus-proportional
+    // to mention-page-proportional (at web scale most pages carry no
+    // ambiguous surface at all). Equi-join, hint-free: AQE broadcasts the
+    // url set when it is small.
+    val mentionUrls = mentions.select(col("url")).distinct()
+    val pageTokens = pages
+      .join(mentionUrls, Seq("url"), "left_semi")
+      .select(col("url"),
         explode(split(lower(col("text")), " ")).as("token"))
       .where(length(col("token")) > 0)
       .distinct() // set semantics: a context word counts once per page
-    // only pages that actually carry an ambiguous mention matter
     val mentionCand = mentions.select(col("url"), col("norm")).distinct()
       .join(broadcast(candidates), "norm")
     val scored = mentionCand

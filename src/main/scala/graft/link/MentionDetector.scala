@@ -32,7 +32,9 @@ object MentionDetector {
     if (text == null || text.isEmpty) return Nil
     gaz.automaton.findMentions(text).map { case (b, e, pi) =>
       val surface = text.substring(b, e)
-      Mention(url, surface, surface.toLowerCase(java.util.Locale.ROOT), b, e)
+      // SAME fold as the scanner/entry norms: lowerPreserving(surface) is
+      // exactly the matched pattern, so the nodeType lookup always hits
+      Mention(url, surface, AhoCorasick.lowerPreserving(surface), b, e)
     }
   }
 

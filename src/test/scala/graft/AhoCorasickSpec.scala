@@ -93,4 +93,38 @@ class AhoCorasickSpec extends AnyFunSuite {
     assert(ac.findMentions("ésparké").nonEmpty)  // é is a boundary (RE2 \b)
     assert(ac.findMentions("SPARK!").nonEmpty)
   }
+
+  test("lowerPreserving never changes string length (offset safety)") {
+    // String.toLowerCase would turn U+0130 into "i" + U+0307 (len 1 → 2),
+    // shifting every later mention span; the per-char fold must not
+    val tricky = Seq("İstanbul spark İ", "ẞHARP spark", "ÅNGSTRÖM spark",
+      "ﬁn spark", "ＳＰＡＲＫ spark")
+    tricky.foreach { t =>
+      val low = AhoCorasick.lowerPreserving(t)
+      assert(low.length == t.length, s"<$t>")
+    }
+    // and the spans it yields index the ORIGINAL text correctly
+    val ac = AhoCorasick.build(Seq("spark"))
+    tricky.foreach { t =>
+      val hits = ac.findMentions(t)
+      assert(hits.nonEmpty, s"<$t>")
+      hits.foreach { case (b, e, _) =>
+        assert(t.substring(b, e).equalsIgnoreCase("spark"), s"<$t>")
+      }
+    }
+    // already-lowercase input returns the SAME instance (no copy)
+    val plain = "already lower 123"
+    assert(AhoCorasick.lowerPreserving(plain) eq plain)
+  }
+
+  test("Gazetteer folds mixed-case entry norms (matchable + lookupable)") {
+    val gaz = graft.link.Gazetteer(Seq(
+      graft.link.GazEntry("Aspirin", "Drug"),
+      graft.link.GazEntry("TP53", "Gene")))
+    assert(gaz.nodeType("aspirin").contains("Drug"))
+    val ments = graft.link.MentionDetector
+      .mentionsOf(gaz, "u", "ASPIRIN binds tp53 today")
+    assert(ments.map(_.norm).toSet == Set("aspirin", "tp53"))
+    assert(ments.forall(m => gaz.nodeType(m.norm).nonEmpty))
+  }
 }

@@ -25,6 +25,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(4)._2 == 4) // hello , world 42
   }
 
+  test("tokenCount / meanTokenLen honor the pinned ws class (tabs/newlines)") {
+    // built-in trim() strips only ' ' — these would miscount under the old
+    // trim+split-on-spaces version (TextExtractor.WsClass is the contract)
+    val df = Seq("a\tbb\ncc", "\t \n", "x y\f z\r", " lone\t")
+      .toDF("t")
+    val got = df.select(
+      TextFunctions.tokenCount(col("t")).as("n"),
+      TextFunctions.meanTokenLen(col("t")).as("ml"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(got(0) == ((3, 5.0 / 3)))
+    assert(got(1) == ((0, 0.0)))
+    assert(got(2) == ((3, 1.0)))
+    assert(got(3) == ((1, 4.0)))
+  }
+
   test("langId picks the densest stopword family") {
     val df = Seq(
       "the cat is in the house and that is fine",
