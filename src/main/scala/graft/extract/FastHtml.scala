@@ -135,9 +135,16 @@ object FastHtml {
   }
 
   // derived from the ONE authoritative entity list so the fused automaton
-  // and the regex spec cannot drift apart between fuzz runs
-  private val EntityTable: Array[(String, Char)] =
+  // and the regex spec cannot drift apart between fuzz runs; the fused
+  // decoder emits exactly one char per entity, so the contract is
+  // enforced at init (a multi-char replacement added upstream must fail
+  // HERE, not silently truncate to its first char)
+  private val EntityTable: Array[(String, Char)] = {
+    require(TextExtractor.Entities.forall(_._2.length == 1),
+      "FastHtml fused decoder requires single-char entity replacements; " +
+        "widen emit() before adding multi-char entities")
     TextExtractor.Entities.map { case (p, r) => (p, r.charAt(0)) }.toArray
+  }
 
   /** Passes 3+4 fused: strip `<[^>]*>`, decode entities, collapse/trim
     * whitespace, truncate at max + "...". */

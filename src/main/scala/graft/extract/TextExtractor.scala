@@ -49,12 +49,18 @@ object TextExtractor {
     s.substring(i, j)
   }
 
+  /** Strip leading/trailing runs of the pinned ws class ([[WsClass]]) —
+    * the ONE owner of the column-level strip rule (built-in `trim` strips
+    * only ' '); shared by [[cleanCol]] and the token-stat functions. */
+  def stripCol(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "^" + WsClass + "+", ""),
+      WsClass + "+$", "")
+
   /** Distributed equivalent of [[clean]] as a codegen'd Column pipeline. */
   def cleanCol(text: Column, max: Int = MaxChars): Column = {
     val collapsed = regexp_replace(text, WsClass + "+", " ")
-    val stripped = regexp_replace(
-      regexp_replace(collapsed, "^" + WsClass + "+", ""),
-      WsClass + "+$", "")
+    val stripped = stripCol(collapsed)
     when(length(stripped) > max,
       concat(substring(stripped, 1, max), lit("...")))
       .otherwise(stripped)

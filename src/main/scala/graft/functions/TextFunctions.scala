@@ -15,7 +15,7 @@ object TextFunctions {
   // the naive trim+split-on-spaces version these replaced
   private val Ws = graft.extract.TextExtractor.WsClass
   private def trimWs(c: Column): Column =
-    regexp_replace(regexp_replace(c, "^" + Ws + "+", ""), Ws + "+$", "")
+    graft.extract.TextExtractor.stripCol(c)
 
   /** Whitespace token count (runs of the pinned ws class separate tokens).
     * Empty/blank text → 0. */
@@ -80,7 +80,10 @@ object TextFunctions {
     * pass, fully codegen'd. */
   def fingerprint(text: Column, base: Long = 1000003L): Column = {
     val p = 1000000007L
-    val toks = split(trim(text), "[ ]+")
+    // SAME ws-class tokens as tokenCount/meanTokenLen: docStats columns
+    // must describe one token sequence (space-vs-tab separators would
+    // otherwise fingerprint differently while the stats said identical)
+    val toks = split(trimWs(text), Ws + "+")
     aggregate(toks, lit(0L),
       (acc, t) => pmod(acc * lit(base) + pmod(xxhash64(t), lit(p)), lit(p)))
   }

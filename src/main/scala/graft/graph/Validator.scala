@@ -19,10 +19,13 @@ object Validator {
       badKeys: Long,
       missingEdgeFields: Long,
       orphanEdges: Long,
-      duplicateVertexKeys: Long) {
+      // EXTRA rows beyond the distinct (node_type, key) set — 3 rows
+      // sharing one key report 2 (renamed from duplicateVertexKeys, which
+      // counted duplicated GROUPS; zero iff keys unique either way)
+      duplicateVertexRows: Long) {
     def ok: Boolean =
       badNodeTypes == 0 && badKeys == 0 && missingEdgeFields == 0 &&
-      orphanEdges == 0 && duplicateVertexKeys == 0
+      orphanEdges == 0 && duplicateVertexRows == 0
   }
 
   def validate(vertices: DataFrame, edges: DataFrame): Report = {

@@ -27,7 +27,11 @@ object Tools {
     * ties. */
   def resolve(vertices: DataFrame, nodeType: String, name: String,
       limit: Int = 25, canonicalProp: String = "drugcentral_id"): DataFrame = {
-    val q = name.toLowerCase(java.util.Locale.ROOT).trim
+    // SAME simple fold as the gazetteer/mention pipeline: vertex labels
+    // carry lowerPreserving norms, and full-mapping toLowerCase can change
+    // length ("İstanbul" → 9 chars) and silently miss an entity that
+    // exists in the graph under its 8-char simple-folded label
+    val q = graft.link.AhoCorasick.lowerPreserving(name).trim
     val base = vertices.where(col("node_type") === nodeType)
       .withColumn("_lbl", lower(col("label")))
     val exact = base.where(col("_lbl") === q).withColumn("match_rank", lit(0))

@@ -38,6 +38,12 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(1) == ((0, 0.0)))
     assert(got(2) == ((3, 1.0)))
     assert(got(3) == ((1, 4.0)))
+    // fingerprint hashes the SAME token sequence the stats describe:
+    // space- vs tab-separated docs with identical tokens now agree
+    val fp = Seq("a bb cc", "a\tbb\ncc", "a bbcc")
+      .toDF("t").select(TextFunctions.fingerprint(col("t")))
+      .as[Long].collect()
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
   }
 
   test("langId picks the densest stopword family") {

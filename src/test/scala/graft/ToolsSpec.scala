@@ -53,6 +53,15 @@ class ToolsSpec extends AnyFunSuite {
     assert(Tools.resolve(vertices, "Drug", "xyz").isEmpty)
   }
 
+  test("resolve: query folds like the gazetteer (no full-mapping length drift)") {
+    // label stored as the pipeline's simple fold of "İstanbul" = "istanbul"
+    // (8 chars); String.toLowerCase would turn the query into i+U+0307
+    // (9 chars) and miss it
+    val v = Seq(Vertex("Drug", 1, "istanbul", Map())).toDS().toDF()
+    val r = Tools.resolve(v, "Drug", "İstanbul").collect()
+    assert(r.map(_.getAs[String]("label")).toSeq == Seq("istanbul"))
+  }
+
   test("resolve: exact ties prefer canonical-id then richer props") {
     // reference _prefer_richer (resolve.py:23-52): same-label candidates —
     // the one with a drugcentral_id wins; among the rest, more props wins

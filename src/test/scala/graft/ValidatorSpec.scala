@@ -40,6 +40,6 @@ class ValidatorSpec extends AnyFunSuite {
     val dupV = Seq(Vertex("Drug", 1, "a", Map()),
       Vertex("Drug", 1, "b", Map())).toDS().toDF()
     val r = Validator.validate(dupV, Seq.empty[Edge].toDS().toDF())
-    assert(r.duplicateVertexKeys == 1)
+    assert(r.duplicateVertexRows == 1)
   }
 }
