@@ -526,7 +526,8 @@ object Advanced {
         FROM read_parquet('$KgRoot/vertices/*.parquet')
         WHERE node_type = 'Drug'),
       partials AS (
-        SELECT *, row_number() OVER (ORDER BY length(label), label) AS rn
+        SELECT *, row_number() OVER (ORDER BY length(label), label, key)
+          AS rn
         FROM v
         WHERE contains(lower(label), 'zorvex1') AND lower(label) != 'zorvex1')
       SELECT node_type, key, label, 0 AS match_rank FROM v

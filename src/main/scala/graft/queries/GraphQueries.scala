@@ -64,7 +64,14 @@ object GraphQueries {
   /** Dense pathway keys: rank of p_type in sort order (6 values), computed
     * as a ≤-self-join count over the distinct values (6×6 pairs) instead
     * of a global Window.orderBy — no single-partition funnel and no
-    * "No Partition Defined" log noise burying real scale warnings. */
+    * "No Partition Defined" log noise burying real scale warnings.
+    *
+    * Deliberately NOT KeyAssigner.assign (the general dense-key path,
+    * identical 1..N-in-sort-order semantics): assign eagerly materializes
+    * its range partitioning (localCheckpoint) to make key boundaries a
+    * fact, which would launch a job at query-BUILD time for every
+    * tpch-graph QueryDef. The ≤-join stays lazy and is bounded by the
+    * fixed 6-value p_type domain; use assign for any unbounded domain. */
   private def pathwayKeys(s: SparkSession, d: String): DataFrame = {
     val pt = t(s, d, "part").select("p_type").distinct()
     pt.as("a").join(pt.as("b"), col("b.p_type") <= col("a.p_type"))
@@ -181,10 +188,13 @@ object GraphQueries {
         map().cast("map<string,string>").as("meta"))
   }
 
-  val defs: Seq[QueryDef] = Seq(
-
-    // J8: batched Drug→AE paths — direct edges ∪ label-equality two-hop.
-    QueryDef("q42_label_paths", (s, d) => labelPathsOf(s, d), Some("""
+  /** The drug→AE path-set oracle CTE stack SHARED by q42/q65/q76: the
+    * dg/gd/dis/aes/direct legs and the 1-hop ∪ label-equality 3-hop
+    * `paths` union. One shared fragment means a leg or label-join fix can
+    * never silently diverge between the three path oracles (same
+    * discipline as TextStats.signalStatsSql for the signals oracles).
+    * Each query appends only its final SELECT over `paths`. */
+  private val pathStackSql = """
       WITH dg AS (SELECT DISTINCT l_suppkey AS drug_key,
                     l_partkey AS gene_key FROM lineitem),
       gd AS (SELECT p_partkey AS gene_key,
@@ -201,8 +211,8 @@ object GraphQueries {
                    CAST(substr(p_brand, 7) AS BIGINT) AS ae_key,
                    CAST(COUNT(*) AS DOUBLE) AS direct_score
                  FROM lineitem JOIN part ON p_partkey = l_partkey
-                 WHERE l_quantity >= 49 GROUP BY 1, 2)
-      SELECT drug_key, ae_key, gene_key, hops, score, evidence_count FROM (
+                 WHERE l_quantity >= 49 GROUP BY 1, 2),
+      paths AS (
         SELECT drug_key, ae_key, CAST(NULL AS BIGINT) AS gene_key,
           1 AS hops, direct_score AS score, 1 AS evidence_count FROM direct
         UNION ALL
@@ -211,7 +221,15 @@ object GraphQueries {
         FROM dg JOIN gd USING (gene_key)
           JOIN dis USING (disease_key)
           JOIN aes a
-            ON lower(trim(dis.disease_label)) = lower(trim(a.ae_label)))""")),
+            ON lower(trim(dis.disease_label)) = lower(trim(a.ae_label)))"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J8: batched Drug→AE paths — direct edges ∪ label-equality two-hop.
+    QueryDef("q42_label_paths", (s, d) => labelPathsOf(s, d), Some(s"""
+      $pathStackSql
+      SELECT drug_key, ae_key, gene_key, hops, score, evidence_count
+      FROM paths""")),
 
     // P8 prefix / starts-with filter (reference:src/kg_ae/datasets/hpo/
     // parse.py:186-190, clingen/parse.py:93 shape) + P7 membership isin
@@ -419,34 +437,8 @@ object GraphQueries {
       labelPathsOf(s, d).withColumn("policy_score",
         graft.query.Tools.policyScore(col("score"), col("hops"),
           col("evidence_count"), lit(1.0)))
-    }, Some("""
-      WITH dg AS (SELECT DISTINCT l_suppkey AS drug_key,
-                    l_partkey AS gene_key FROM lineitem),
-      gd AS (SELECT p_partkey AS gene_key,
-               CAST(substr(p_brand, 7) AS BIGINT) AS disease_key,
-               p_size / 50.0 AS score FROM part),
-      dis AS (SELECT DISTINCT CAST(substr(p_brand, 7) AS BIGINT)
-                AS disease_key, p_brand AS disease_label FROM part),
-      aes AS (SELECT DISTINCT CAST(substr(p_brand, 7) AS BIGINT) AS ae_key,
-                upper(p_brand) AS ae_label FROM part
-              UNION
-              SELECT DISTINCT CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
-                + 1000, o_orderpriority FROM orders),
-      direct AS (SELECT l_suppkey AS drug_key,
-                   CAST(substr(p_brand, 7) AS BIGINT) AS ae_key,
-                   CAST(COUNT(*) AS DOUBLE) AS direct_score
-                 FROM lineitem JOIN part ON p_partkey = l_partkey
-                 WHERE l_quantity >= 49 GROUP BY 1, 2),
-      paths AS (
-        SELECT drug_key, ae_key, CAST(NULL AS BIGINT) AS gene_key,
-          1 AS hops, direct_score AS score, 1 AS evidence_count FROM direct
-        UNION ALL
-        SELECT dg.drug_key, a.ae_key, dg.gene_key, 3 AS hops,
-          COALESCE(gd.score, 0.5) * 0.9 AS score, 2 AS evidence_count
-        FROM dg JOIN gd USING (gene_key)
-          JOIN dis USING (disease_key)
-          JOIN aes a
-            ON lower(trim(dis.disease_label)) = lower(trim(a.ae_label)))
+    }, Some(s"""
+      $pathStackSql
       SELECT drug_key, ae_key, gene_key, hops, score, evidence_count,
         score * 1.0::DOUBLE * power(0.95::DOUBLE, hops)
           * (CASE WHEN evidence_count >= 2 THEN 1.2::DOUBLE
@@ -526,34 +518,8 @@ object GraphQueries {
         .withColumn("policy_score",
           graft.query.Tools.policyScore(col("score"), col("hops"),
             col("evidence_count"), col("source_weight")))
-    }, Some("""
-      WITH dg AS (SELECT DISTINCT l_suppkey AS drug_key,
-                    l_partkey AS gene_key FROM lineitem),
-      gd AS (SELECT p_partkey AS gene_key,
-               CAST(substr(p_brand, 7) AS BIGINT) AS disease_key,
-               p_size / 50.0 AS score FROM part),
-      dis AS (SELECT DISTINCT CAST(substr(p_brand, 7) AS BIGINT)
-                AS disease_key, p_brand AS disease_label FROM part),
-      aes AS (SELECT DISTINCT CAST(substr(p_brand, 7) AS BIGINT) AS ae_key,
-                upper(p_brand) AS ae_label FROM part
-              UNION
-              SELECT DISTINCT CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
-                + 1000, o_orderpriority FROM orders),
-      direct AS (SELECT l_suppkey AS drug_key,
-                   CAST(substr(p_brand, 7) AS BIGINT) AS ae_key,
-                   CAST(COUNT(*) AS DOUBLE) AS direct_score
-                 FROM lineitem JOIN part ON p_partkey = l_partkey
-                 WHERE l_quantity >= 49 GROUP BY 1, 2),
-      paths AS (
-        SELECT drug_key, ae_key, CAST(NULL AS BIGINT) AS gene_key,
-          1 AS hops, direct_score AS score, 1 AS evidence_count FROM direct
-        UNION ALL
-        SELECT dg.drug_key, a.ae_key, dg.gene_key, 3 AS hops,
-          COALESCE(gd.score, 0.5) * 0.9 AS score, 2 AS evidence_count
-        FROM dg JOIN gd USING (gene_key)
-          JOIN dis USING (disease_key)
-          JOIN aes a
-            ON lower(trim(dis.disease_label)) = lower(trim(a.ae_label)))
+    }, Some(s"""
+      $pathStackSql
       SELECT drug_key, ae_key, gene_key, hops, score, evidence_count,
         CASE WHEN hops = 1 THEN 'faers' ELSE 'opentargets' END AS dataset,
         CASE WHEN hops = 1 THEN 0.5::DOUBLE ELSE 0.95::DOUBLE END

@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Tools {
 
+  /** The pipeline's length-preserving simple lowercase as a Column — see
+    * [[graft.link.AhoCorasick.lowerPreserving]]. Used ONLY on
+    * vocabulary-sized tool scans (see the note in [[resolve]]). */
+  private val simpleLowerUdf = udf((s: String) =>
+    if (s == null) null else graft.link.AhoCorasick.lowerPreserving(s))
+
   /** Entity resolution (reference:src/kg_ae/tools/resolve.py:23-52 +
     * store.py:179-192): exact lowercase match wins; else substring scan
     * bounded at `limit` hits, shortest-label-then-alphabetical tie-break.
@@ -27,17 +33,25 @@ object Tools {
     * ties. */
   def resolve(vertices: DataFrame, nodeType: String, name: String,
       limit: Int = 25, canonicalProp: String = "drugcentral_id"): DataFrame = {
-    // SAME simple fold as the gazetteer/mention pipeline: vertex labels
-    // carry lowerPreserving norms, and full-mapping toLowerCase can change
-    // length ("İstanbul" → 9 chars) and silently miss an entity that
-    // exists in the graph under its 8-char simple-folded label
+    // ONE fold on BOTH sides — the gazetteer/mention pipeline's
+    // length-preserving simple lowercase. The query side must not use
+    // full-mapping toLowerCase (can change length: "İstanbul" → 9 chars)
+    // and the label side must not use Spark's lower() (same full
+    // mappings), or raw display labels like "İstanbul" silently miss
+    // their own simple-folded query. The UDF is the documented exception
+    // to the no-UDF rule: the built-in lower() is semantically the WRONG
+    // function, and this scan is a vocabulary-sized vertex table on an
+    // interactive tool path, not a fact-table hot path.
     val q = graft.link.AhoCorasick.lowerPreserving(name).trim
     val base = vertices.where(col("node_type") === nodeType)
-      .withColumn("_lbl", lower(col("label")))
+      .withColumn("_lbl", simpleLowerUdf(col("label")))
     val exact = base.where(col("_lbl") === q).withColumn("match_rank", lit(0))
     val partial = base.where(col("_lbl").contains(q) && col("_lbl") =!= q)
       .withColumn("match_rank", lit(1))
-      .orderBy(length(col("label")), col("label"))
+      // key tie-break makes the pre-limit order TOTAL: duplicate labels at
+      // the cut boundary would otherwise keep a partition-order-dependent
+      // candidate set (flaky vs the driver oracle and across runs)
+      .orderBy(length(col("label")), col("label"), col("key"))
       .limit(limit)
     val richness =
       if (vertices.columns.contains("props"))
@@ -110,6 +124,8 @@ object Tools {
     * size). */
   def subgraph(edges: DataFrame, srcType: String, srcKey: Long,
       hops: Int = 2): DataFrame = {
+    require(hops >= 1, s"subgraph needs hops >= 1, got $hops" +
+      " (a 0-hop subgraph has no edges; acc would otherwise be null)")
     var frontier = edges.sparkSession
       .createDataFrame(Seq((srcType, srcKey)))
       .toDF("node_type", "key")

@@ -97,28 +97,12 @@ object Ann {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nBits: Int = 16, bands: Int = 4,
       sigFn: (Column, Int) => Column = rhpSignature): DataFrame = {
-    val r = nBits / bands
-    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame = {
-      // materialize the signature once — band columns referencing the raw
-      // rhpSignature expression would recompute all nBits projections per
-      // band
-      val sigd = df.select(col(id), col(vec),
-        sigFn(col(vec), nBits).as("_sig"))
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("_sig"), b * r).bitwiseAND(lit((1L << r) - 1))
-            .as("bits"))
-      }
-      sigd.select(col(id), col(vec), explode(array(bandCols: _*)).as("bk"))
-        .select(col(id), col(vec), col("bk.band").as("band"),
-          col("bk.bits").as("bits"))
-    }
-    val cb = withBuckets(
+    val cb = bandBuckets(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-      "neighbor_id", "cv")
-    val qb = withBuckets(
+      "neighbor_id", "cv", nBits, bands, sigFn)
+    val qb = bandBuckets(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv")
+      "query_id", "qv", nBits, bands, sigFn)
     // no static broadcast hint (same policy as ivfTopK — equi-join, so
     // AQE converts to broadcast at runtime when a side fits): the
     // bucketed query side is queries × bands rows, unbounded for batched
@@ -205,23 +189,37 @@ object Ann {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold via LSH
-    * buckets (the embedding leg of the dedup suite). */
-  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 16, bands: Int = 4,
-      sigFn: (Column, Int) => Column = rhpSignature): DataFrame = {
+  /** Materialize the `nBits` signature ONCE and explode it into `bands`
+    * (band, bits) bucket rows — the one owner of the LSH bucketing
+    * contract, shared by [[lshTopK]] and [[cosineNearDupPairs]]. Band
+    * columns referencing the raw signature expression would recompute all
+    * nBits projections per band, hence the dedicated projection first. */
+  private def bandBuckets(df: DataFrame, id: String, vec: String,
+      nBits: Int, bands: Int, sigFn: (Column, Int) => Column): DataFrame = {
+    require(bands > 0 && bands <= nBits && nBits % bands == 0,
+      s"bands ($bands) must divide nBits ($nBits): a zero-width band " +
+        "puts EVERY row in one bucket (silent full cross-join), and a " +
+        "non-dividing count silently drops the top signature bits")
     val r = nBits / bands
-    val sigd = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sigFn(col(vecCol), nBits).as("_sig"))
+    val sigd = df.select(col(id), col(vec), sigFn(col(vec), nBits).as("_sig"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("_sig"), b * r).bitwiseAND(lit((1L << r) - 1))
           .as("bits"))
     }
-    val bucketed = sigd
-      .select(col("id"), col("v"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("v"), col("bk.band").as("band"),
+    sigd.select(col(id), col(vec), explode(array(bandCols: _*)).as("bk"))
+      .select(col(id), col(vec), col("bk.band").as("band"),
         col("bk.bits").as("bits"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold via LSH
+    * buckets (the embedding leg of the dedup suite). */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 16, bands: Int = 4,
+      sigFn: (Column, Int) => Column = rhpSignature): DataFrame = {
+    val bucketed = bandBuckets(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+      "id", "v", nBits, bands, sigFn)
     val a = bucketed.select(col("band"), col("bits"), col("id").as("id_a"),
       col("v").as("va"))
     val b = bucketed.select(col("band"), col("bits"), col("id").as("id_b"),

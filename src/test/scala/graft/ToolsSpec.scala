@@ -60,6 +60,24 @@ class ToolsSpec extends AnyFunSuite {
     val v = Seq(Vertex("Drug", 1, "istanbul", Map())).toDS().toDF()
     val r = Tools.resolve(v, "Drug", "İstanbul").collect()
     assert(r.map(_.getAs[String]("label")).toSeq == Seq("istanbul"))
+    // and the label side folds the same way: a RAW display label
+    // ("İstanbul" as stored) must match both its own spelling and the
+    // plain-ascii query — Spark's lower() would produce the 9-char full
+    // mapping on the label side and miss both
+    val raw = Seq(Vertex("Drug", 2, "İstanbul", Map())).toDS().toDF()
+    for (query <- Seq("İstanbul", "istanbul")) {
+      val hits = Tools.resolve(raw, "Drug", query).collect()
+      assert(hits.map(_.getAs[Long]("key")).toSeq == Seq(2L), query)
+    }
+  }
+
+  test("resolve: partial-match cut has a total order (key tie-break)") {
+    // 30 distinct vertices sharing one label, limit 25: without the key
+    // tie-break the kept set at the boundary is partition-order luck
+    val dup = (1 to 30).map(i => Vertex("Drug", i.toLong, "xaspirinx", Map()))
+      .toDS().toDF().repartition(8)
+    val r = Tools.resolve(dup, "Drug", "aspirin").collect()
+    assert(r.map(_.getAs[Long]("key")).toSeq == (1L to 25L))
   }
 
   test("resolve: exact ties prefer canonical-id then richer props") {
