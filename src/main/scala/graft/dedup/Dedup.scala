@@ -88,6 +88,10 @@ object Dedup {
 
   /** (doc_id, band, sig) bucket assignment from a signature frame. */
   def lshBuckets(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(bands > 0 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — trailing " +
+        "hash columns would otherwise be computed but silently ignored, " +
+        "changing the effective S-curve from the requested one")
     val r = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"h$i"))
@@ -151,6 +155,26 @@ object Dedup {
     * broadcast-gated branch — same contract as [[exact]]. */
   private[graft] def exactCollapse(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
+    // LOUD contract check: the near-dup pipelines resolve canonical ids
+    // through ConnectedComponents, whose roots are Long — a string/UUID id
+    // would either throw mid-job (ANSI cast) or silently null out every id
+    // (non-ANSI). Fail at plan build with the remedy instead.
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    // resolve through the analyzer (docs.select honors the session's
+    // case-insensitive column resolver; docs.schema(idCol) would throw a
+    // bare 'does not exist' on a case-mismatched name before the
+    // intended message). Scale-0 decimals up to 18 digits cast to Long
+    // exactly (typical JDBC NUMBER ids), so they pass too.
+    val idType = docs.select(col(idCol)).schema.head.dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0 && d.precision <= 18
+      case _ => false
+    }
+    require(integral,
+      s"near-dup dedup needs an integral id column, got $idType for " +
+        s"'$idCol' — pre-assign dense long ids (KeyAssigner.assign) or " +
+        "xxhash64 the id first (exact() has no such constraint)")
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("_text"))
     val hashed = base
@@ -303,8 +327,14 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
           .orderBy(col("df").asc, col("shingle").asc)))
       .join(sizes, "doc_id")
+      // same 1e-9 IEEE slack as the length/overlap gates below: a
+      // threshold whose double representation sits just above its
+      // rational value can push t·sz over the exact integer, ceil then
+      // shortens the prefix by one and an exactly-at-threshold pair
+      // loses its only candidate-generating shingle
       .where(col("rn") <=
-        col("sz") - ceil(lit(threshold) * col("sz")).cast("long") + 1)
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9))
+          .cast("long") + 1)
       .select(col("doc_id"), col("shingle"), col("rn"), col("sz"))
     val candidates = ranked.select(col("doc_id").as("id_a"), col("shingle"),
         col("rn").as("rn_a"), col("sz").as("sz_a"))
@@ -381,10 +411,18 @@ object Dedup {
     * the exhaustive (and still bucket-bounded) 100 TB shape. */
   def simhashCandidates(sigs: DataFrame, bands: Int = 4,
       bitsPerBand: Int = 16, bucketCap: Int = 50): DataFrame = {
+    require(bands > 0 && bitsPerBand > 0 && bands * bitsPerBand <= 64,
+      s"bands ($bands) × bitsPerBand ($bitsPerBand) must fit in the " +
+        "64-bit simhash — the JVM masks shift counts to 6 bits, so an " +
+        "out-of-range band would silently duplicate band 0's bits")
+    // -1L >>> (64-bits), NOT (1L << bits)-1: at bitsPerBand=64 the latter
+    // is (1L << 64)-1 = 0 via the same 6-bit shift masking — every band
+    // mask would be zero and all docs would share one bucket
+    val mask = -1L >>> (64 - bitsPerBand)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * bitsPerBand)
-          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bits"))
+          .bitwiseAND(lit(mask)).as("bits"))
     }
     val buckets = sigs.select(col("doc_id"),
         explode(array(bandCols: _*)).as("bk"))

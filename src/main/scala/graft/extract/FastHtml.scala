@@ -107,8 +107,8 @@ object FastHtml {
         // find -->
         var j = i + 4
         var end = -1
-        while (end < 0 && j + 2 < n + 1 && j + 2 <= n) {
-          if (j + 3 <= n && s.charAt(j) == '-' && s.charAt(j + 1) == '-'
+        while (end < 0 && j + 3 <= n) {
+          if (s.charAt(j) == '-' && s.charAt(j + 1) == '-'
               && s.charAt(j + 2) == '>') end = j + 3
           j += 1
         }
@@ -184,7 +184,7 @@ object FastHtml {
         if (!matched) { emit(c); i += 1 }
       } else { emit(c); i += 1 }
     }
-    if (sb.length() > max) { sb.setLength(max); sb.append("...") }
+    TextExtractor.truncateCp(sb, max) // code points, one shared rule
     sb.toString
   }
 

@@ -31,12 +31,50 @@ object TextExtractor {
 
   private val WsRun = java.util.regex.Pattern.compile(WsClass + "+")
 
-  /** Pure oracle: collapse whitespace, trim, truncate at `max` + "...". */
+  /** Truncate `sb` to `max` CODE POINTS + "..." if it exceeds them — the
+    * ONE owner of the truncation rule, shared by every implementation of
+    * the extraction spec (clean / CleanText.cleanJava / FastHtml).
+    * Code points, not UTF-16 units: the reference truncates by Python
+    * `len` (code points), and Spark's `length`/`substring` and DuckDB's
+    * `length`/`substr` count code points too — a UTF-16 cut would both
+    * diverge from the distributed/oracle mirrors on astral characters
+    * AND split a surrogate pair into an invalid lone surrogate.
+    * `offsetByCodePoints` lands on a code-point boundary by construction.
+    * Fast path: UTF-16 length ≤ max implies code points ≤ max. */
+  private[graft] def truncateCp(sb: java.lang.StringBuilder, max: Int): Unit = {
+    val units = sb.length()
+    if (units <= max) return // ≤ max UTF-16 units ⇒ ≤ max code points
+    // bounded walk to the offset of code point `max`: O(max) regardless of
+    // document length (a full codePointCount would re-scan the whole
+    // multi-MB builder on this hot extraction path)
+    var cp = 0
+    var i = 0
+    while (cp < max && i < units) {
+      i += Character.charCount(sb.codePointAt(i))
+      cp += 1
+    }
+    if (i < units) { sb.setLength(i); sb.append("...") }
+  }
+
+  /** String variant of [[truncateCp]]: returns `s` itself when no cut is
+    * needed (no copy). */
+  private[graft] def truncateCp(s: String, max: Int): String = {
+    if (s.length <= max) return s
+    var cp = 0
+    var i = 0
+    while (cp < max && i < s.length) {
+      i += Character.charCount(s.codePointAt(i))
+      cp += 1
+    }
+    if (i < s.length) s.substring(0, i) + "..." else s
+  }
+
+  /** Pure oracle: collapse whitespace, trim, truncate at `max` code
+    * points + "..." (see [[truncateCp]]). */
   def clean(text: String, max: Int = MaxChars): String = {
     if (text == null) return null
     val collapsed = WsRun.matcher(text).replaceAll(" ")
-    val stripped = stripWs(collapsed)
-    if (stripped.length > max) stripped.substring(0, max) + "..." else stripped
+    truncateCp(stripWs(collapsed), max)
   }
 
   private def stripWs(s: String): String = {

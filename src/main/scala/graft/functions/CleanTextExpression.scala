@@ -62,7 +62,9 @@ object CleanText {
 
   /** Single-pass clean: identical output to TextExtractor.clean —
     * collapse whitespace runs to ' ', strip both ends, then truncate to
-    * max + "...". */
+    * max CODE POINTS + "..." (TextExtractor.truncateCp — the shared
+    * rule; a UTF-16 cut would diverge from the Spark/DuckDB mirrors on
+    * astral characters and could split a surrogate pair). */
   def cleanJava(s: String, max: Int): String = {
     val n = s.length
     val sb = new java.lang.StringBuilder(n)
@@ -80,10 +82,7 @@ object CleanText {
       }
       i += 1
     } // trailing ws never emitted: pendingSpace only flushes before non-ws
-    if (sb.length() > max) {
-      sb.setLength(max)
-      sb.append("...")
-    }
+    graft.extract.TextExtractor.truncateCp(sb, max)
     sb.toString
   }
 }

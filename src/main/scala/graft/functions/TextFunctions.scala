@@ -25,9 +25,13 @@ object TextFunctions {
   }
 
   /** BPE-ish subword count: words + digits runs + punctuation marks counted
-    * separately (a cheap, deterministic proxy for tokenizer cost). */
+    * separately (a cheap, deterministic proxy for tokenizer cost). The
+    * punctuation class excludes the WHOLE pinned ws class, not just ' ' —
+    * tabs/newlines must not count as punctuation subwords when the other
+    * docStats columns treat them as token separators. */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9" + Ws.substring(1)), lit(0)))
 
   /** Mean token length over the same ws-class tokens (0.0 for empty). */
   def meanTokenLen(text: Column): Column = {

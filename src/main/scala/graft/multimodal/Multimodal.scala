@@ -409,6 +409,9 @@ object Multimodal {
     * decode-derived pixel values). */
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
       everyN: Int): Dataset[FrameRow] = {
+    require(everyN >= 1, s"sampleFrames needs everyN >= 1, got $everyN" +
+      " (0 would divide-by-zero inside executor tasks; negatives would" +
+      " silently keep only frame 0)")
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       demuxVideo(m.payload).zipWithIndex

@@ -100,7 +100,7 @@ object TextStats {
     }, Some("""
       SELECT doc_id,
         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
-        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]'))
           AS n_subwords,
         len(regexp_extract_all(text, '[a-z]+')) AS n_words
       FROM documents""")),

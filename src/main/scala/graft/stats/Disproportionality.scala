@@ -33,6 +33,10 @@ import org.apache.spark.sql.functions._
   */
 object Disproportionality {
 
+  /** Serializes the check-then-persist in signalsWithHandle so exactly
+    * one concurrent first caller becomes the owning handle. */
+  private val persistLock = new Object
+
   /** pairs: DataFrame with columns (exposure, outcome), one row per
     * co-occurrence event (already distinct per report if desired).
     * Returns per-(exposure, outcome): a, exposure_n, outcome_n, n, prr,
@@ -56,7 +60,11 @@ object Disproportionality {
     * its entry lives until session end or CacheManager eviction — fine for
     * the common one-fact-table session (identical plans dedupe to one
     * entry), unbounded for a many-distinct-input session, which should use
-    * this method or pass `cachePairs = false`. */
+    * this method or pass `cachePairs = false`. The handle is OWNING: it is
+    * returned only when this call performed the persist — a call that
+    * finds the aggregate already cached (repeated identical input) gets
+    * `pairAggregate = None`, so releasing one result can never yank the
+    * shared entry from under an earlier live result. */
   def signalsWithHandle(pairs: DataFrame, exposureCol: String,
       outcomeCol: String, minA: Long = 3, saltBuckets: Int = 0,
       cachePairs: Boolean = true): SignalsResult = {
@@ -98,10 +106,22 @@ object Disproportionality {
     // storageLevel consults the CacheManager by canonicalized plan, so a
     // repeated identical signals() call reuses the existing cache entry
     // instead of re-persisting (and logging "already cached") every run
-    val aCached =
-      if (!cachePairs ||
-          a.storageLevel != org.apache.spark.storage.StorageLevel.NONE) a
-      else a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `owns` = THIS call performed the persist. A handle is only returned
+    // for owned entries: when an earlier caller's cache is found (already
+    // non-NONE), handing out a second owning handle would let one
+    // result's unpersistPairs() yank the shared CacheManager entry from
+    // under the other live result — re-opening the four-fact-scan cost.
+    // check+persist under one lock: two concurrent first calls would
+    // otherwise BOTH observe NONE and both receive owning handles
+    // (the guarantee only covers persists routed through this method).
+    val (aCached, owns) = Disproportionality.persistLock.synchronized {
+      val alreadyCached =
+        a.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      if (cachePairs && !alreadyCached)
+        (a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          true)
+      else (a, false)
+    }
     val em = aCached.groupBy(col("exposure")).agg(sum("a").as("exposure_n"))
     val om = aCached.groupBy(col("outcome")).agg(sum("a").as("outcome_n"))
     val nRow = aCached.agg(sum("a").as("n"))
@@ -117,7 +137,7 @@ object Disproportionality {
       .join(om, "outcome")
       .crossJoin(nRow)
     SignalsResult(withStats(joined, minA),
-      if (cachePairs) Some(aCached) else None)
+      if (owns) Some(aCached) else None)
   }
 
   /** 2×2 stats + gates on a frame carrying (a, exposure_n, outcome_n, n). */
@@ -174,9 +194,10 @@ object Disproportionality {
 }
 
 /** [[Disproportionality.signalsWithHandle]] result: the gated signal frame
-  * plus the persisted pair aggregate (None when `cachePairs = false`) so
-  * callers can release the cache entry per input instead of leaving it to
-  * session teardown. */
+  * plus the persisted pair aggregate (None when `cachePairs = false` OR
+  * when the entry was already cached by an earlier call — only the call
+  * that persisted owns the release) so callers can free the cache entry
+  * per input instead of leaving it to session teardown. */
 final case class SignalsResult(signals: DataFrame,
     pairAggregate: Option[DataFrame]) {
   /** Release the pair-aggregate cache entry (no-op when uncached). */

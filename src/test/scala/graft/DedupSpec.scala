@@ -137,4 +137,17 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     (0 until 40).foreach(i => assert(cands.contains((i.toLong, 1000L + i))))
   }
+
+  test("simhashCandidates: bitsPerBand=64 means full-signature equality") {
+    // (1L << 64) - 1 would be 0 via JVM shift masking — every doc would
+    // share bucket 0; the -1L >>> (64-bits) mask keeps all 64 bits
+    val sigs = Seq((1L, 42L), (2L, 42L), (3L, 43L))
+      .toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashCandidates(sigs, bands = 1, bitsPerBand = 64)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // only the identical signatures pair
+    intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(sigs, bands = 5, bitsPerBand = 16)
+    }
+  }
 }

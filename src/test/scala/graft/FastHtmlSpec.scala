@@ -14,7 +14,8 @@ class FastHtmlSpec extends AnyFunSuite {
     "<!--", "-->", "<!-- c -->", "<!-->", "<b>", "</b>", "<", ">", "<>",
     "&lt;", "&amp;", "&amp;lt;", "&nbsp;", "&#39;", "&apos;", "&quot;",
     "&", "&am", ";", "text", "a b", "\t", "\n", "", " K ", "İ",
-    "x" * 40, "--", "<tag attr='>'", "</", "word&gt;word", ".")
+    "x" * 40, "--", "<tag attr='>'", "</", "word&gt;word", ".",
+    "\ud83d\ude00", "x\ud835\udd4fy") // astral: truncation counts CODE POINTS
 
   private def fuzz(i: Long): String = {
     val n = (PageSynth.splitmix64(i) & 0x3F).toInt
@@ -62,6 +63,24 @@ class FastHtmlSpec extends AnyFunSuite {
     cases.foreach { s =>
       assert(FastHtml.htmlToText(s, 10000) == TextExtractor.htmlToText(s, 10000),
         s"case: $s")
+    }
+  }
+
+  test("truncation counts CODE POINTS and never splits a surrogate pair") {
+    val astral = "😀" // one code point, two UTF-16 units
+    // max=4 must keep the astral char WHOLE (a UTF-16 cut at 4 units
+    // would split the pair into a lone high surrogate) and max=7 must
+    // not truncate at all (7 code points despite 8 UTF-16 units) — the
+    // counting rule Spark substring/length and DuckDB substr/length use
+    val s = "abc" + astral + "xyz"
+    for (impl <- Seq[(String, Int) => String](
+        TextExtractor.clean(_, _),
+        graft.functions.CleanText.cleanJava(_, _),
+        FastHtml.htmlToText(_: String, _: Int))) {
+      assert(impl(s, 3) == "abc...")
+      assert(impl(s, 4) == "abc" + astral + "...") // pair kept whole
+      assert(impl(s, 7) == s)                      // 7 code points: no cut
+      assert(impl(s, 6) == "abc" + astral + "xy...")
     }
   }
 }

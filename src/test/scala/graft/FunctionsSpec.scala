@@ -44,6 +44,10 @@ class FunctionsSpec extends AnyFunSuite {
       .toDF("t").select(TextFunctions.fingerprint(col("t")))
       .as[Long].collect()
     assert(fp(0) == fp(1) && fp(0) != fp(2))
+    // and subwordCount does not count ws-class chars as punctuation
+    val sw = Seq("a b", "a\tb", "a.b").toDF("t")
+      .select(TextFunctions.subwordCount(col("t"))).as[Int].collect()
+    assert(sw.toSeq == Seq(2, 2, 3))
   }
 
   test("langId picks the densest stopword family") {

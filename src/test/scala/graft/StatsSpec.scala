@@ -91,14 +91,24 @@ class StatsSpec extends AnyFunSuite {
 
   test("signalsWithHandle exposes the pair cache for release") {
     import org.apache.spark.storage.StorageLevel
-    val res = Disproportionality.signalsWithHandle(pairs, "drug", "ae")
+    // a fresh analyzed plan (not shared with other tests' signals calls)
+    // so THIS call performs the persist and owns the handle
+    val fresh = pairs.where(col("drug").isNotNull)
+    val res = Disproportionality.signalsWithHandle(fresh, "drug", "ae")
     assert(res.pairAggregate.isDefined)
     res.signals.count() // materializes the lazy persist
+    assert(res.pairAggregate.get.storageLevel != StorageLevel.NONE)
+    // a SECOND call over the same input finds the entry already cached:
+    // non-owning, no handle — releasing it must not be able to yank the
+    // first result's live cache entry
+    val second = Disproportionality.signalsWithHandle(fresh, "drug", "ae")
+    assert(second.pairAggregate.isEmpty)
+    second.unpersistPairs() // no-op
     assert(res.pairAggregate.get.storageLevel != StorageLevel.NONE)
     res.unpersistPairs()
     assert(res.pairAggregate.get.storageLevel == StorageLevel.NONE)
     // uncached mode returns no handle; unpersistPairs is a safe no-op
-    val un = Disproportionality.signalsWithHandle(pairs, "drug", "ae",
+    val un = Disproportionality.signalsWithHandle(fresh, "drug", "ae",
       cachePairs = false)
     assert(un.pairAggregate.isEmpty)
     un.unpersistPairs()
