@@ -54,16 +54,19 @@ object Bench {
       rounds: Seq[(Double, Option[Double])]): (Double, Double) =
     if (rounds.isEmpty) (0.0, 0.0)
     else {
-      // prefer full rounds so the reported pair is complete; fall back to
-      // partial rounds (eH 0.0 + the aborted flag tell the story) rather
-      // than zeroing valid 2→8 evidence
-      val pool = {
-        val full = rounds.filter(_._2.isDefined)
-        if (full.nonEmpty) full else rounds
-      }
-      val plausible = pool.filter(_._1 <= 1.0)
-      val (eL, eH) =
-        if (plausible.nonEmpty) plausible.maxBy(_._1) else pool.minBy(_._1)
+      // PLAUSIBILITY DOMINATES COMPLETENESS: a physically plausible
+      // (eL ≤ 1.0) partial round beats an inflated full round — the old
+      // full-rounds-first preference could report a steal-inflated 1.3
+      // while discarding honest sub-1.0 partial evidence, the exact
+      // value the guard exists to suppress. Within the same
+      // plausibility class, full rounds win (complete pair, eH from the
+      // same round). Everything inflated → least-inflated, preferring
+      // full pools.
+      val (fullR, partialR) = rounds.partition(_._2.isDefined)
+      val (eL, eH) = Seq(fullR.filter(_._1 <= 1.0),
+          partialR.filter(_._1 <= 1.0))
+        .find(_.nonEmpty).map(_.maxBy(_._1))
+        .getOrElse((if (fullR.nonEmpty) fullR else partialR).minBy(_._1))
       (eL, eH.getOrElse(0.0))
     }
 
@@ -98,18 +101,27 @@ object Bench {
       effLow: Double, effMedian: Double, effHigh: Double): String = {
     val failedJson = failed.take(HeadlineFailedCap)
       .map(jstr).mkString("[", ",", "]")
+    // dedupe by level: at tiny SPARK_GRAFT_CPUS the mid and high levels
+    // coincide (cpus=2 → mid=2) and emitting both would produce a
+    // DUPLICATE JSON key; the vacuous XtoX efficiency is dropped the
+    // same way
+    val rateFields = Seq(lowCpus -> rateLow, midCpus -> rateMid,
+        cpus -> rateHigh).distinctBy(_._1)
+      .map { case (c, r) => s""""kg_docs_per_sec_${c}cores":$r""" }
+      .mkString(",")
+    val effHighField =
+      if (midCpus == cpus) ""
+      else s""","scaling_efficiency_${midCpus}to$cpus":${num(effHigh, 3)}"""
     s"""{"metric":"total","value":$total,"unit":"sec",""" +
     s""""queries_timed":$timed,"queries_total":$totalQ,""" +
     s""""failed_count":${failed.size},""" +
     s""""failed_queries":$failedJson,"bench_passes":$passes,""" +
     s""""sf":${jstr(sfDir)},"kg_scaling_aborted":$aborted,""" +
-    s""""kg_docs_per_sec_${lowCpus}cores":$rateLow,""" +
-    s""""kg_docs_per_sec_${midCpus}cores":$rateMid,""" +
-    s""""kg_docs_per_sec_${cpus}cores":$rateHigh,""" +
+    rateFields + "," +
     s""""scaling_efficiency":${num(effLow, 3)},""" +
     s""""scaling_efficiency_median":${num(effMedian, 3)},""" +
-    s""""scaling_efficiency_pair":"${lowCpus}to$midCpus",""" +
-    s""""scaling_efficiency_${midCpus}to$cpus":${num(effHigh, 3)}}"""
+    s""""scaling_efficiency_pair":"${lowCpus}to$midCpus"""" +
+    effHighField + "}"
   }
 
   private def session(cpus: Int): SparkSession = {
@@ -146,7 +158,11 @@ object Bench {
   private def kgThroughput(cpus: Int, nDocs: Long): Double = {
     val spark = session(cpus)
     try {
-      kgJob(spark, math.max(2000L, nDocs / 100), cpus) // warm-up, same shape
+      // warm-up, same shape INCLUDING the partition count (cpus * 4, as
+      // the timed call below): per-task sizes and codegen paths must
+      // match between warm-up and measurement for the JIT'd-fraction
+      // rationale to hold at every level
+      kgJob(spark, math.max(2000L, nDocs / 100), cpus * 4)
       val t0 = System.nanoTime()
       kgJob(spark, nDocs, cpus * 4)
       nDocs / ((System.nanoTime() - t0) / 1e9)
@@ -163,7 +179,6 @@ object Bench {
     val spark = session(cpus)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
-    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // a pass that fails must NOT fold its (tiny, fail-fast) elapsed time
     // into the per-query minimum — only successful passes are timed
     def timeOnce(name: String,
@@ -174,7 +189,6 @@ object Bench {
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        failed += name // machine-readable: emitted in the JSON, not stderr
         None
       }
     }
@@ -199,10 +213,14 @@ object Bench {
         }
       }
     }
-    // queries that failed EVERY pass have no timing; they appear only in
-    // failed_queries
+    // failed = NO successful pass at all (no timing exists). A query that
+    // failed one pass but succeeded another IS timed — counting it in
+    // both lists would break the timed + failed == total invariant the
+    // headline implies (80 timed + 1 failed > 80 total reads as one
+    // permanently-dead query to the driver).
     val results = names.flatMap { case (name, _) =>
       minT.get(name).map(name -> _) }
+    val failed = names.map(_._1).filterNot(minT.contains)
     spark.stop()
 
     val qs = results.map { case (k, v) => jstr(k) + ":" + num(v, 3) }
@@ -235,9 +253,13 @@ object Bench {
     val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "4000000").toLong
     val minDocs = // floor keeps the per-doc rate meaningful under shrink
       sys.env.getOrElse("SPARK_GRAFT_KG_MIN_DOCS", "250000").toLong
-    val midCpus = math.max(2, cpus / 4)
-    val lowCpus = math.max(1, cpus / 16)
-    val levels = Seq(lowCpus, midCpus, cpus)
+    // clamp to the requested parallelism and dedupe: at tiny CPU counts
+    // the levels coincide (cpus=2 → mid=2) — without distinct each round
+    // would run the same level twice and the records would emit duplicate
+    // JSON keys (headlineJson dedupes its fields the same way)
+    val midCpus = math.min(math.max(2, cpus / 4), cpus)
+    val lowCpus = math.min(math.max(1, cpus / 16), midCpus)
+    val levels = Seq(lowCpus, midCpus, cpus).distinct
     val best = scala.collection.mutable.Map.empty[Int, Double]
     val docsUsed = scala.collection.mutable.Map.empty[Int, Long]
     val rounds = 3
@@ -325,21 +347,31 @@ object Bench {
       val full = levels.distinct.forall(roundRate.contains)
       if (lmComplete) roundEffs += ((eL, if (full) Some(eH) else None))
     }
-    (1 to rounds).foreach(runRound)
-    // multi-tenant noise insurance: the north-rule pair (low→mid) must not
-    // fail from windows of CPU steal depressing the mid level — re-run a
-    // full equal-workload round up to twice if even the reported
-    // (plausibility-guarded best) round reads under 0.8 AND budget
-    // remains.
-    var retries = 0
-    while (pickScalingPair(roundEffs.toSeq)._1 < 0.8 && retries < 2 &&
-        deadline - elapsed > 60.0) {
-      retries += 1
+    // a targeted SPARK_GRAFT_ONLY run wants ONE query's timing, not the
+    // multi-minute KG-scaling section — skip it (aborted flags the record
+    // so the zero rates read as "not run", not "measured zero")
+    if (only.nonEmpty) {
+      aborted = true
       System.err.println(
-        f"[bench] best scaling eff ${pickScalingPair(roundEffs.toSeq)._1}%.3f" +
-        f" < 0.8 — retry round $retries")
-      runsLeft = levels.size
-      runRound(rounds + retries)
+        "[bench] SPARK_GRAFT_ONLY set — skipping KG scaling section")
+    } else {
+      (1 to rounds).foreach(runRound)
+      // multi-tenant noise insurance: the north-rule pair (low→mid) must
+      // not fail from windows of CPU steal depressing the mid level —
+      // re-run a full equal-workload round up to twice if even the
+      // reported (plausibility-guarded best) round reads under 0.8 AND
+      // budget remains.
+      var retries = 0
+      while (pickScalingPair(roundEffs.toSeq)._1 < 0.8 && retries < 2 &&
+          deadline - elapsed > 60.0) {
+        retries += 1
+        System.err.println(
+          f"[bench] best scaling eff " +
+          f"${pickScalingPair(roundEffs.toSeq)._1}%.3f < 0.8 — retry " +
+          f"round $retries")
+        runsLeft = levels.size
+        runRound(rounds + retries)
+      }
     }
     val (effLow, effHigh) = pickScalingPair(roundEffs.toSeq)
     val medianEffLow = medianScalingLow(roundEffs.toSeq)
@@ -352,18 +384,23 @@ object Bench {
         s"[${num(l, 3)},${h.map(num(_, 3)).getOrElse("null")}]" }
       .mkString("[", ",", "]")
     // ---- full record (queries + scaling) ----
+    // levels is distinct, so these field names can never collide even at
+    // tiny CPU counts; the vacuous XtoX high-pair field is dropped then
+    val rateFields = levels.map(c =>
+      s""""kg_docs_per_sec_${c}cores":${rate(c)}""").mkString(",")
+    val effHighField =
+      if (midCpus == cpus) ""
+      else s""","scaling_efficiency_${midCpus}to$cpus":${num(effHigh, 3)}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec",$queryFields,""" +
       s""""kg_docs":$kgDocs,"kg_docs_used":$docsJson,""" +
       s""""kg_scaling_rounds":$roundsJson,""" +
       s""""kg_scaling_aborted":$aborted,""" +
-      s""""kg_docs_per_sec_${lowCpus}cores":${rate(lowCpus)},""" +
-      s""""kg_docs_per_sec_${midCpus}cores":${rate(midCpus)},""" +
-      s""""kg_docs_per_sec_${cpus}cores":${rate(cpus)},""" +
+      rateFields + "," +
       s""""scaling_efficiency":${num(effLow, 3)},""" +
       s""""scaling_efficiency_median":${num(medianEffLow, 3)},""" +
-      s""""scaling_efficiency_pair":"${lowCpus}to$midCpus",""" +
-      s""""scaling_efficiency_${midCpus}to$cpus":${num(effHigh, 3)}}""")
+      s""""scaling_efficiency_pair":"${lowCpus}to$midCpus"""" +
+      effHighField + "}")
     // ---- LAST line: compact headline, no per-query maps (≤ ~350 bytes).
     // The full record above (~4.5 KB of per-query min/max maps) never fit
     // the driver's 2000-byte tail, which left four rounds of BENCH

@@ -50,10 +50,13 @@ object SourceSynth {
           // cutoff (so a just-exited Verify's tables survive until the
           // external DuckDB cross-check has long finished). A recycled
           // pid matching an unrelated live process merely defers cleanup.
-          val ownerAlive = n.split('_').lastOption
+          // cheap name match FIRST: /tmp on a busy host holds thousands
+          // of unrelated entries, and the process-table probe below
+          // should run only for our own roots
+          val matches = prefixes.exists(n.startsWith) || legacyNames(n)
+          def ownerAlive = n.split('_').lastOption
             .flatMap(_.toLongOption)
             .exists(pid => ProcessHandle.of(pid).isPresent)
-          val matches = prefixes.exists(n.startsWith) || legacyNames(n)
           val stale = matches &&
             !n.endsWith(s"_${ProcessHandle.current().pid()}") &&
             !ownerAlive &&

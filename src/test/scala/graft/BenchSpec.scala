@@ -109,6 +109,34 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.pickScalingPair(Nil) == ((0.0, 0.0)))
   }
 
+  test("pick: plausibility dominates completeness") {
+    // a steal-inflated FULL round must not beat honest partial evidence:
+    // reporting 1.3 here is the exact physically-impossible value the
+    // guard exists to suppress
+    assert(Bench.pickScalingPair(Seq(partial(0.85), full(1.3, 0.9)))
+      == ((0.85, 0.0)))
+    // everything inflated: least-inflated, full pools preferred
+    assert(Bench.pickScalingPair(Seq(partial(1.05), full(1.3, 0.9)))
+      == ((1.3, 0.9)))
+    assert(Bench.pickScalingPair(Seq(partial(1.05), partial(1.2)))
+      == ((1.05, 0.0)))
+  }
+
+  test("headline dedupes coinciding levels (tiny SPARK_GRAFT_CPUS)") {
+    import spark.implicits._
+    // cpus=2 → midCpus=2: the mid and high rate fields would collide
+    val l = Bench.headlineJson(1.0, 10, 10, Nil, 1, "/x", aborted = false,
+      lowCpus = 1, midCpus = 2, cpus = 2,
+      rateLow = "100.0", rateMid = "180.0", rateHigh = "999.0",
+      effLow = 0.9, effMedian = 0.9, effHigh = 1.0)
+    assert("\"kg_docs_per_sec_2cores\"".r.findAllIn(l).size == 1, l)
+    assert(!l.contains("scaling_efficiency_2to2"), l)
+    val parsed = spark.read.json(Seq(l).toDS)
+    assert(!parsed.columns.contains("_corrupt_record"), l)
+    assert(parsed.collect()(0)
+      .getAs[String]("scaling_efficiency_pair") == "1to2")
+  }
+
   test("median: conventional (mean of middles on even pools)") {
     assert(Bench.medianScalingLow(
       Seq(full(0.70, 0.0), full(0.75, 0.0), full(0.85, 0.0),
