@@ -58,4 +58,30 @@ class ExtractSpec extends AnyFunSuite {
       "<!-- note --><p>A &amp; B&nbsp;&lt;ok&gt;</p></html>"
     assert(TextExtractor.htmlToText(h, 10000) == "A & B <ok>")
   }
+
+  test("truncateCp fuzz: bounded walk == naive code-point reference") {
+    // the naive spec: cut at code point `max` iff the string has more
+    // than `max` code points; offsetByCodePoints handles malformed
+    // (lone-surrogate) input the same way codePointAt/charCount do
+    def naive(s: String, max: Int): String =
+      if (s.codePointCount(0, s.length) <= max) s
+      else s.substring(0, s.offsetByCodePoints(0, max)) + "..."
+    // alphabet includes astral pairs AND lone surrogates (malformed
+    // UTF-16 appears in real crawl data after byte-level truncation)
+    val alphabet = "ab 😀𝕏" + '\uD83D' + '\uDE00' + "é"
+    val rnd = new scala.util.Random(11)
+    (0 until 4000).foreach { _ =>
+      val s = (0 until rnd.nextInt(30))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val max = rnd.nextInt(12)
+      val viaSb = {
+        val sb = new java.lang.StringBuilder(s)
+        TextExtractor.truncateCp(sb, max)
+        sb.toString
+      }
+      assert(viaSb == naive(s, max), s"sb <$s> max=$max")
+      assert(TextExtractor.truncateCp(s, max) == naive(s, max),
+        s"str <$s> max=$max")
+    }
+  }
 }
