@@ -633,6 +633,47 @@ object Advanced {
     }, Some(s"""
       SELECT subj, pred, obj, COUNT(*) AS frequency
       FROM read_parquet('$KgRoot/q78/triples/*.parquet')
+      GROUP BY 1, 2, 3""")),
+
+    // The KEYED claims sink (open-vocabulary scale path) under the driver:
+    // same two-wave resume/replay protocol as q78, but each micro-batch
+    // merges via KeyedClaims — bucket-level rewrites published by manifest
+    // + _HEAD pointer swap instead of a whole-table rewrite. The oracle
+    // re-aggregates the independently-materialized raw triples, so a
+    // dropped delta, a double merge, OR a bucket the manifest lost/kept
+    // stale (the failure modes specific to partial rewrites) all
+    // hash-mismatch. KeyedClaimsSpec additionally pins on the manifest
+    // that wave 2 rewrote ONLY its touched buckets.
+    QueryDef("q81_keyed_claims", (s, d) => {
+      import s.implicits._
+      val root = s"$KgRoot/q81"
+      val pagesDir = s"$root/pages"
+      val ready = java.nio.file.Paths.get(root, "_READY")
+      val schema =
+        org.apache.spark.sql.Encoders.product[graft.model.Page].schema
+      def drain(): Unit = graft.streaming.KeyedClaims.incrementalClaimsKeyed(
+        s, s"$pagesDir/*", schema, s"$root/claims_table", s"$root/ckpt",
+        PageSynth.gazetteer, PageSynth.RelationRules.toMap)
+      if (!java.nio.file.Files.exists(ready)) {
+        // same self-healing rebuild as q78: a partial fixture's checkpoint
+        // tracks old part-file names, so always rebuild from scratch
+        graft.util.Fs.deleteRec(java.nio.file.Paths.get(root))
+        PageSynth.pages(s, 250).toDF()
+          .write.mode("overwrite").parquet(s"$pagesDir/b1")
+        drain() // wave 1 commits
+        s.range(250, 400).map(i => PageSynth.page(i))(
+            org.apache.spark.sql.Encoders.product[graft.model.Page]).toDF()
+          .write.mode("overwrite").parquet(s"$pagesDir/b2")
+        drain() // restart: checkpointed offsets → only wave 2 merges
+        TripleExtractor.extract(s, PageSynth.pages(s, 400),
+            PageSynth.gazetteer, PageSynth.RelationRules.toMap).toDF()
+          .write.mode("overwrite").parquet(s"$root/triples")
+        java.nio.file.Files.writeString(ready, "1")
+      } else drain() // no new files: exactly-once replay must be a no-op
+      graft.streaming.KeyedClaims.read(s, root + "/claims_table")
+    }, Some(s"""
+      SELECT subj, pred, obj, COUNT(*) AS frequency
+      FROM read_parquet('$KgRoot/q81/triples/*.parquet')
       GROUP BY 1, 2, 3"""))
   )
 }

@@ -130,8 +130,9 @@ object StreamOps {
     * analysis) and SKIPS replayed ids. The merge
     * rewrites the claims table per batch — claims are VOCABULARY-bounded
     * (one row per distinct (subj,pred,obj)), so the rewrite is
-    * dimension-sized; at lake scale the same logic is a keyed MERGE INTO
-    * on an Iceberg/Delta table, not a rewrite.
+    * dimension-sized; for an OPEN vocabulary use [[KeyedClaims]], the
+    * keyed-merge sink that rewrites only delta-touched buckets (the
+    * in-repo expression of Iceberg/Delta MERGE INTO).
     *
     * FunctionsSpec drives two waves of page files and pins (a) the final
     * table equals the one-shot batch extraction over the union and (b)
@@ -248,8 +249,8 @@ object StreamOps {
     // only correct-cost while the claims table stays vocabulary-bounded
     // (one row per distinct (subj,pred,obj)). An open web-scale vocabulary
     // grows the table past any rewrite budget — that deployment must swap
-    // this sink for a keyed MERGE INTO on a row-level-merge table format
-    // (Iceberg/Delta; see the class doc). Fail loudly at the threshold
+    // this sink for the keyed bucket-merge sink ([[KeyedClaims]]; Iceberg/
+    // Delta MERGE INTO at lake scale). Fail loudly at the threshold
     // instead of silently degrading into an O(table) rewrite per batch.
     // The count reads the just-written parquet footers (metadata-cheap),
     // and the check runs BEFORE archive/swap, so a rejected batch leaves
@@ -260,8 +261,9 @@ object StreamOps {
       throw new IllegalStateException(
         s"claims table would reach $mergedRows rows > vocabularyBound " +
         s"$vocabularyBound: the rewrite-per-batch sink is for " +
-        "vocabulary-bounded claims; an open vocabulary needs a keyed " +
-        "MERGE INTO sink (Iceberg/Delta) — see StreamOps scale notes")
+        "vocabulary-bounded claims; an open vocabulary needs the keyed " +
+        "merge sink (KeyedClaims.incrementalClaimsKeyed, or Iceberg/" +
+        "Delta MERGE INTO at lake scale) — see StreamOps scale notes")
     }
     // the id (and the checkpoint identity it is scoped to) joins the data
     // INSIDE tmp before the single atomic publish (underscore-prefixed

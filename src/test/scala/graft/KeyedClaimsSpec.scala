@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.KeyedClaims
+
+class KeyedClaimsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def triples(rows: Seq[(String, String, String)]) =
+    rows.map { case (s, p, o) => (s, p, o, "u", "s") }
+      .toDF("subj", "pred", "obj", "url", "sentence")
+
+  private def table(dir: String, asOf: Option[Int] = None) =
+    KeyedClaims.read(spark, dir, asOf)
+      .collect().map(_.toString).sorted.toSeq
+
+  test("keyed merge: frequencies accumulate, replay is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kc1").toString
+    KeyedClaims.merge(triples(Seq(("a", "R", "b"), ("a", "R", "b"),
+      ("c", "R", "d"))), 0L, dir)
+    KeyedClaims.merge(triples(Seq(("a", "R", "b"))), 1L, dir)
+    val got = KeyedClaims.read(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(got == Map("a" -> 3L, "c" -> 1L))
+    val before = table(dir)
+    KeyedClaims.merge(triples(Seq(("a", "R", "b"))), 1L, dir) // replay
+    assert(table(dir) == before)
+    KeyedClaims.merge(triples(Seq(("a", "R", "b"))), 0L, dir) // older id
+    assert(table(dir) == before)
+  }
+
+  test("a delta rewrites ONLY the buckets it touches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kc2").toString
+    // batch 0 spreads keys over many buckets; batch 1 touches one key
+    val keys = (0 until 200).map(i => (s"s$i", "R", s"o$i"))
+    KeyedClaims.merge(triples(keys), 0L, dir)
+    val m0 = KeyedClaims.head(dir).get
+    assert(m0.buckets.nonEmpty && m0.buckets.values.forall(_.startsWith("files/m0/")))
+    KeyedClaims.merge(triples(Seq(("s7", "R", "o7"))), 1L, dir)
+    val m1 = KeyedClaims.head(dir).get
+    val touched = m1.buckets.filter(_._2.startsWith("files/m1/")).keySet
+    // exactly the one bucket s7's key hashes to was rewritten; every other
+    // bucket entry still points byte-for-byte at batch 0's data dirs —
+    // the keyed-merge scale contract, asserted on the manifest itself
+    assert(touched.size == 1)
+    assert(m1.buckets.filterNot(kv => touched(kv._1)) ==
+      m0.buckets.filterNot(kv => touched(kv._1)))
+    assert((m1.buckets.keySet -- touched) == (m0.buckets.keySet -- touched))
+    // and the merged table is still exactly right
+    val got = KeyedClaims.read(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(got("s7") == 2L && got("s8") == 1L && got.size == 200)
+  }
+
+  test("time-travel, rollback as pointer swap, retention prune") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kc3").toString
+    KeyedClaims.merge(triples(Seq(("a", "R", "b"))), 0L, dir)
+    val snap0 = table(dir)
+    KeyedClaims.merge(triples(Seq(("a", "R", "b"), ("e", "R", "f"))), 1L, dir)
+    val snap1 = table(dir)
+    assert(snap1 != snap0)
+    // time-travel reads the retained manifest
+    assert(table(dir, asOf = Some(0)) == snap0)
+    // rollback = a NEW manifest with the old map; history preserved
+    KeyedClaims.rollback(dir, toSeq = 0)
+    assert(table(dir) == snap0)
+    assert(KeyedClaims.head(dir).get.seq == 2)
+    assert(KeyedClaims.head(dir).get.batchId == 0L)
+    // later (higher-id) merges continue normally after rollback
+    KeyedClaims.merge(triples(Seq(("g", "R", "h"))), 2L, dir)
+    assert(table(dir).exists(_.contains("g")))
+    // drive past retention: oldest manifests pruned, their unshared dirs
+    // reclaimed, a dropped seq refuses loudly
+    (3L to 6L).foreach(i =>
+      KeyedClaims.merge(triples(Seq((s"k$i", "R", "v"))), i, dir))
+    val retained = KeyedClaims.manifests(dir)
+    assert(retained.size == 3)
+    intercept[IllegalArgumentException] { KeyedClaims.read(spark, dir,
+      asOf = Some(0)) }
+    assert(table(dir, asOf = Some(retained.head)).nonEmpty)
+  }
+
+  test("retention reclaims crash-orphaned data dirs (no manifest ever)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kc4").toString
+    val root = java.nio.file.Paths.get(dir)
+    // simulate a crash mid data write: a bucket dir exists, no manifest
+    // references it, _HEAD never advanced
+    val orphan = root.resolve("files/m99/b=7")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("part-0.parquet"), "junk")
+    (0L to 4L).foreach(i =>
+      KeyedClaims.merge(triples(Seq((s"k$i", "R", "v"))), 100L + i, dir))
+    assert(!java.nio.file.Files.exists(orphan),
+      "orphaned bucket dir should be reclaimed once retention prunes")
+    assert(table(dir).size == 5)
+  }
+
+  test("checkpoint-identity and bucket-function guards fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kc5").toString
+    KeyedClaims.merge(triples(Seq(("a", "R", "b"))), 0L, dir,
+      ckptId = Some("ckpt-A"))
+    val e1 = intercept[IllegalStateException] {
+      KeyedClaims.merge(triples(Seq(("c", "R", "d"))), 0L, dir,
+        ckptId = Some("ckpt-B"))
+    }
+    assert(e1.getMessage.contains("checkpoint identity"))
+    val e2 = intercept[IllegalArgumentException] {
+      KeyedClaims.merge(triples(Seq(("c", "R", "d"))), 1L, dir,
+        nBuckets = 16, ckptId = Some("ckpt-A"))
+    }
+    assert(e2.getMessage.contains("nBuckets"))
+    // same identity proceeds
+    KeyedClaims.merge(triples(Seq(("c", "R", "d"))), 1L, dir,
+      ckptId = Some("ckpt-A"))
+    assert(table(dir).size == 2)
+  }
+
+  test("streaming incrementalClaimsKeyed == batch extraction, resume + replay") {
+    import graft.extract.PageSynth
+    val pagesDir = java.nio.file.Files.createTempDirectory("graft_kcp")
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_kct").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kcc").toString
+    val p1 = PageSynth.pages(spark, 150).toDF()
+    p1.write.parquet(pagesDir.resolve("b1").toString)
+    val schema = spark.read.parquet(pagesDir.resolve("b1").toString).schema
+    def batchClaims(n: Long) =
+      graft.link.TripleExtractor.extract(spark,
+          PageSynth.pages(spark, n), PageSynth.gazetteer,
+          PageSynth.RelationRules.toMap).toDF()
+        .groupBy(col("subj"), col("pred"), col("obj"))
+        .agg(count(lit(1)).as("frequency"))
+        .collect().map(_.toString).sorted.toSeq
+    def drain(): Unit = KeyedClaims.incrementalClaimsKeyed(spark,
+      s"$pagesDir/*", schema, tableDir, ckpt,
+      PageSynth.gazetteer, PageSynth.RelationRules.toMap)
+
+    drain() // wave 1
+    assert(table(tableDir) == batchClaims(150))
+    spark.range(150, 300).map(i => PageSynth.page(i))(
+        org.apache.spark.sql.Encoders.product[graft.model.Page]).toDF()
+      .write.parquet(pagesDir.resolve("b2").toString)
+    drain() // restart: checkpointed offsets, only wave 2 merges
+    assert(table(tableDir) == batchClaims(300))
+    val before = table(tableDir)
+    drain() // no new files: replay must be a no-op
+    assert(table(tableDir) == before)
+  }
+}
