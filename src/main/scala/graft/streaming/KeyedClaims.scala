@@ -253,7 +253,8 @@ object KeyedClaims {
     val dirs = m.map(_.buckets.values.toSeq.sorted).getOrElse(Seq.empty)
       .map(rel => root.resolve(rel).toString)
     if (dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(
           "subj STRING, pred STRING, obj STRING, frequency BIGINT"))
     else spark.read.parquet(dirs: _*)

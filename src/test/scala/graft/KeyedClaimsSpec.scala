@@ -17,6 +17,20 @@ class KeyedClaimsSpec extends AnyFunSuite {
     KeyedClaims.read(spark, dir, asOf)
       .collect().map(_.toString).sorted.toSeq
 
+  test("read before any commit (and after an empty-delta commit) has the claims schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kc0").toString
+    val pre = KeyedClaims.read(spark, dir)
+    assert(pre.columns.toSeq == Seq("subj", "pred", "obj", "frequency"))
+    assert(pre.count() == 0)
+    // an empty batch still commits (advances the batch-id watermark) and
+    // the table stays empty-with-schema
+    KeyedClaims.merge(triples(Seq.empty), 0L, dir)
+    assert(KeyedClaims.committedBatchId(dir) == 0L)
+    val post = KeyedClaims.read(spark, dir)
+    assert(post.columns.toSeq == Seq("subj", "pred", "obj", "frequency"))
+    assert(post.count() == 0)
+  }
+
   test("keyed merge: frequencies accumulate, replay is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kc1").toString
     KeyedClaims.merge(triples(Seq(("a", "R", "b"), ("a", "R", "b"),
