@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * Table layout under `tableDir` (an Iceberg-style pointer table — data
   * files are immutable once written, commits are manifest swaps):
   * {{{
-  *   files/m<batchId>/b=<bucket>/part-*.parquet   bucket data, write-once
+  *   files/c<seq>/b=<bucket>/part-*.parquet       bucket data, write-once
   *   manifests/manifest-<seq>                     full bucket→dir map +
   *                                                batchId + ckptId + nBuckets
   *   _HEAD                                        current manifest seq
@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   *
   * Crash windows (single writer — the streaming query — as with the
   * rewrite sink):
-  *   - mid data write: orphan dirs under `files/m<batchId>`; `_HEAD` is
+  *   - mid data write: orphan dirs under `files/c<seq>`; `_HEAD` is
   *     untouched, replay re-merges the delta and overwrites them.
   *   - between manifest write and `_HEAD` swap: an unreferenced manifest;
   *     replay re-merges and REPLACES it (staged + atomic rename).
@@ -202,6 +202,13 @@ object KeyedClaims {
             "materialize into a fresh tableDir")
     }
     if (batchId <= cur.map(_.batchId).getOrElse(-1L)) return // replay
+    // the commit seq names the data dir, NOT the batch id: seq is unique
+    // and monotonic across the table's whole history (rollbacks included)
+    // and deterministic across a crash-replay boundary (head unchanged →
+    // same seq, so the replay overwrites its own leftovers). A batch-id
+    // name would let a post-rollback merge that reuses a pre-rollback id
+    // deleteRec a dir retained manifests still reference.
+    val seq = cur.map(_.seq + 1).getOrElse(0)
     val delta = batch
       .groupBy(col("subj"), col("pred"), col("obj"))
       .agg(count(lit(1)).as("frequency"))
@@ -212,7 +219,7 @@ object KeyedClaims {
       val touched = delta.select("b").distinct()
         .collect().map(_.getInt(0)).sorted
       val oldMap = cur.map(_.buckets).getOrElse(Map.empty[Int, String])
-      val mDirRel = s"files/m$batchId"
+      val mDirRel = s"files/c$seq"
       if (touched.nonEmpty) {
         val oldDirs = touched.toSeq.flatMap(oldMap.get)
           .map(rel => root.resolve(rel).toString)
@@ -232,7 +239,7 @@ object KeyedClaims {
         merged.write.partitionBy("b").mode("overwrite").parquet(mDir.toString)
       }
       val newMap = oldMap ++ touched.map(b => b -> s"$mDirRel/b=$b")
-      val m = Manifest(cur.map(_.seq + 1).getOrElse(0), batchId, nBuckets,
+      val m = Manifest(seq, batchId, nBuckets,
         ckptId.orElse(cur.flatMap(_.ckptId)), newMap)
       writeManifest(root, m)
       swapHead(root, m.seq)
@@ -281,7 +288,13 @@ object KeyedClaims {
 
   /** Retain the newest `retention` manifests; delete older manifest files
     * FIRST, then any bucket dir no retained manifest references (which
-    * also reclaims crash-orphaned dirs that never got a manifest). */
+    * also reclaims crash-orphaned dirs that never got a manifest).
+    *
+    * Concurrent readers: a time-travel read that STARTS after its seq is
+    * pruned refuses loudly ([[loadManifest]]'s require); a scan already in
+    * flight when its files are reclaimed can fail mid-read — the same
+    * contract as Iceberg's expire_snapshots, and the reason `retention`
+    * should exceed the longest reader's horizon in a shared deployment. */
   private def pruneRetention(root: Path, retention: Int): Unit = {
     val all = manifests(root.toString)
     val (drop, keep) = all.splitAt(math.max(0, all.size - retention))

@@ -52,10 +52,10 @@ class KeyedClaimsSpec extends AnyFunSuite {
     val keys = (0 until 200).map(i => (s"s$i", "R", s"o$i"))
     KeyedClaims.merge(triples(keys), 0L, dir)
     val m0 = KeyedClaims.head(dir).get
-    assert(m0.buckets.nonEmpty && m0.buckets.values.forall(_.startsWith("files/m0/")))
+    assert(m0.buckets.nonEmpty && m0.buckets.values.forall(_.startsWith("files/c0/")))
     KeyedClaims.merge(triples(Seq(("s7", "R", "o7"))), 1L, dir)
     val m1 = KeyedClaims.head(dir).get
-    val touched = m1.buckets.filter(_._2.startsWith("files/m1/")).keySet
+    val touched = m1.buckets.filter(_._2.startsWith("files/c1/")).keySet
     // exactly the one bucket s7's key hashes to was rewritten; every other
     // bucket entry still points byte-for-byte at batch 0's data dirs —
     // the keyed-merge scale contract, asserted on the manifest itself
@@ -102,7 +102,7 @@ class KeyedClaimsSpec extends AnyFunSuite {
     val root = java.nio.file.Paths.get(dir)
     // simulate a crash mid data write: a bucket dir exists, no manifest
     // references it, _HEAD never advanced
-    val orphan = root.resolve("files/m99/b=7")
+    val orphan = root.resolve("files/c99/b=7")
     java.nio.file.Files.createDirectories(orphan)
     java.nio.file.Files.writeString(orphan.resolve("part-0.parquet"), "junk")
     (0L to 4L).foreach(i =>
