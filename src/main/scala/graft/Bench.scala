@@ -36,7 +36,9 @@ import org.apache.spark.sql.SparkSession
   * least-inflated one is reported. Both ratios of the pair come from
   * that same round (never a stitched "chimera" round); a round whose
   * 32-core leg was deadline-skipped or crashed still contributes its
-  * valid 2→8 evidence, with the 8→32 slot null in kg_scaling_rounds. To
+  * valid 2→8 evidence, with the 8→32 slot null in kg_scaling_rounds AND
+  * in the records' scaling_efficiency_NtoM field when that round is the
+  * one reported (null = never measured; 0.0 would read as measured). To
   * keep the best-of bias inspectable instead of hidden, the record also
   * carries scaling_efficiency_median (median round by the north-rule
   * ratio; mean-of-middles for even pools) and kg_scaling_rounds (every
@@ -49,10 +51,13 @@ object Bench {
 
   /** Scaling rounds: (eL, Some(eH)) for a full 3-level round, (eL, None)
     * when only the low+mid legs completed (the 2→8 evidence is valid on
-    * its own; the 8→32 ratio simply doesn't exist for that round). */
+    * its own; the 8→32 ratio simply doesn't exist for that round). The
+    * returned eH stays an Option for the same reason: when the selected
+    * round is partial, the high pair was NEVER MEASURED — the records
+    * print it as JSON null, not as a fake measured 0.0. */
   private[graft] def pickScalingPair(
-      rounds: Seq[(Double, Option[Double])]): (Double, Double) =
-    if (rounds.isEmpty) (0.0, 0.0)
+      rounds: Seq[(Double, Option[Double])]): (Double, Option[Double]) =
+    if (rounds.isEmpty) (0.0, None)
     else {
       // PLAUSIBILITY DOMINATES COMPLETENESS: a physically plausible
       // (eL ≤ 1.0) partial round beats an inflated full round — the old
@@ -63,11 +68,9 @@ object Bench {
       // same round). Everything inflated → least-inflated, preferring
       // full pools.
       val (fullR, partialR) = rounds.partition(_._2.isDefined)
-      val (eL, eH) = Seq(fullR.filter(_._1 <= 1.0),
-          partialR.filter(_._1 <= 1.0))
+      Seq(fullR.filter(_._1 <= 1.0), partialR.filter(_._1 <= 1.0))
         .find(_.nonEmpty).map(_.maxBy(_._1))
         .getOrElse((if (fullR.nonEmpty) fullR else partialR).minBy(_._1))
-      (eL, eH.getOrElse(0.0))
     }
 
   /** Median of the rounds' north-rule ratios (mean of the two middle
@@ -94,34 +97,45 @@ object Bench {
     * and push the headline's head out of the tail window in exactly the
     * mass-failure case the headline exists to diagnose. */
   private[graft] val HeadlineFailedCap = 8
-  private[graft] def headlineJson(total: Double, timed: Int, totalQ: Int,
-      failed: Seq[String], passes: Int, sfDir: String, aborted: Boolean,
-      lowCpus: Int, midCpus: Int, cpus: Int,
-      rateLow: String, rateMid: String, rateHigh: String,
-      effLow: Double, effMedian: Double, effHigh: Double): String = {
-    val failedJson = failed.take(HeadlineFailedCap)
-      .map(jstr).mkString("[", ",", "]")
-    // dedupe by level: at tiny SPARK_GRAFT_CPUS the mid and high levels
-    // coincide (cpus=2 → mid=2) and emitting both would produce a
-    // DUPLICATE JSON key; the vacuous XtoX efficiency is dropped the
-    // same way
-    val rateFields = Seq(lowCpus -> rateLow, midCpus -> rateMid,
-        cpus -> rateHigh).distinctBy(_._1)
+
+  /** The scaling suffix shared VERBATIM by the full record and the
+    * headline — one assembly, so the two lines can never disagree about
+    * which levels/fields exist. Dedupe by level: at tiny SPARK_GRAFT_CPUS
+    * the mid and high levels coincide (cpus=2 → mid=2) and emitting both
+    * would produce a DUPLICATE JSON key; the vacuous XtoX efficiency is
+    * dropped the same way. A None effHigh (the selected round's 32-core
+    * leg was skipped/crashed) prints as JSON null — "not measured", never
+    * a fake measured 0.0. */
+  private[graft] def scalingFields(rates: Seq[(Int, String)], lowCpus: Int,
+      midCpus: Int, cpus: Int, effLow: Double, effMedian: Double,
+      effHigh: Option[Double]): String = {
+    val rateFields = rates.distinctBy(_._1)
       .map { case (c, r) => s""""kg_docs_per_sec_${c}cores":$r""" }
       .mkString(",")
     val effHighField =
       if (midCpus == cpus) ""
-      else s""","scaling_efficiency_${midCpus}to$cpus":${num(effHigh, 3)}"""
+      else s""","scaling_efficiency_${midCpus}to$cpus":""" +
+        effHigh.map(num(_, 3)).getOrElse("null")
+    rateFields + "," +
+    s""""scaling_efficiency":${num(effLow, 3)},""" +
+    s""""scaling_efficiency_median":${num(effMedian, 3)},""" +
+    s""""scaling_efficiency_pair":"${lowCpus}to$midCpus"""" +
+    effHighField
+  }
+
+  private[graft] def headlineJson(total: Double, timed: Int, totalQ: Int,
+      failed: Seq[String], passes: Int, sfDir: String, aborted: Boolean,
+      lowCpus: Int, midCpus: Int, cpus: Int, rates: Seq[(Int, String)],
+      effLow: Double, effMedian: Double, effHigh: Option[Double]): String = {
+    val failedJson = failed.take(HeadlineFailedCap)
+      .map(jstr).mkString("[", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec",""" +
     s""""queries_timed":$timed,"queries_total":$totalQ,""" +
     s""""failed_count":${failed.size},""" +
     s""""failed_queries":$failedJson,"bench_passes":$passes,""" +
     s""""sf":${jstr(sfDir)},"kg_scaling_aborted":$aborted,""" +
-    rateFields + "," +
-    s""""scaling_efficiency":${num(effLow, 3)},""" +
-    s""""scaling_efficiency_median":${num(effMedian, 3)},""" +
-    s""""scaling_efficiency_pair":"${lowCpus}to$midCpus"""" +
-    effHighField + "}"
+    scalingFields(rates, lowCpus, midCpus, cpus, effLow, effMedian,
+      effHigh) + "}"
   }
 
   private def session(cpus: Int): SparkSession = {
@@ -384,23 +398,17 @@ object Bench {
         s"[${num(l, 3)},${h.map(num(_, 3)).getOrElse("null")}]" }
       .mkString("[", ",", "]")
     // ---- full record (queries + scaling) ----
-    // levels is distinct, so these field names can never collide even at
-    // tiny CPU counts; the vacuous XtoX high-pair field is dropped then
-    val rateFields = levels.map(c =>
-      s""""kg_docs_per_sec_${c}cores":${rate(c)}""").mkString(",")
-    val effHighField =
-      if (midCpus == cpus) ""
-      else s""","scaling_efficiency_${midCpus}to$cpus":${num(effHigh, 3)}"""
+    // both record lines share ONE scaling-field assembly (scalingFields):
+    // they can never disagree about which levels/fields exist
+    val rates = levels.map(c => c -> rate(c))
+    val scaling = scalingFields(rates, lowCpus, midCpus, cpus, effLow,
+      medianEffLow, effHigh)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec",$queryFields,""" +
       s""""kg_docs":$kgDocs,"kg_docs_used":$docsJson,""" +
       s""""kg_scaling_rounds":$roundsJson,""" +
       s""""kg_scaling_aborted":$aborted,""" +
-      rateFields + "," +
-      s""""scaling_efficiency":${num(effLow, 3)},""" +
-      s""""scaling_efficiency_median":${num(medianEffLow, 3)},""" +
-      s""""scaling_efficiency_pair":"${lowCpus}to$midCpus"""" +
-      effHighField + "}")
+      scaling + "}")
     // ---- LAST line: compact headline, no per-query maps (≤ ~350 bytes).
     // The full record above (~4.5 KB of per-query min/max maps) never fit
     // the driver's 2000-byte tail, which left four rounds of BENCH
@@ -408,8 +416,7 @@ object Bench {
     // always lands inside any tail window; the per-query maps remain
     // available in the full record line for anyone reading whole stdout.
     println(headlineJson(total, results.size, names.size, failed.toSeq,
-      passes, sfDir, aborted, lowCpus, midCpus, cpus,
-      rate(lowCpus), rate(midCpus), rate(cpus), effLow, medianEffLow,
-      effHigh))
+      passes, sfDir, aborted, lowCpus, midCpus, cpus, rates,
+      effLow, medianEffLow, effHigh))
   }
 }

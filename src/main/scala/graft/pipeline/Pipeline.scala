@@ -162,11 +162,19 @@ object Pipeline {
     * fingerprints no longer match recompute on the next run (fingerprints
     * include row counts + versions).
     *
-    * Follows the SAME commit protocol as runStage — copy into a temp dir
-    * (sans marker), atomic rename, then write `_COMMITTED` last — so a
-    * crash mid-rollback leaves either the old table or an uncommitted
-    * partial that the next runStage treats as absent, never a truncated
-    * table marked committed. */
+    * Unlike runStage (which writes FRESH data and must therefore write
+    * `_COMMITTED` last, post-rename), the rollback source is already a
+    * complete committed snapshot — so the marker is copied INTO the
+    * staged tmp dir and the atomic rename is the single commit point. A
+    * marker-last protocol here would reopen the window it closes
+    * elsewhere: a crash between the rename and the marker write leaves
+    * the restored table unmarked, the intent's settle path sees "current
+    * table exists" and drops the intent, and the next runStage deletes
+    * the restore as uncommitted leftovers — silently undoing the
+    * rollback. With the marker inside the rename there is no such state:
+    * either the old table is still current, or the restore is current
+    * AND committed. (The tmp dir briefly carries a marker pre-rename,
+    * which is harmless — `.tmp_*` paths are never read as tables.) */
   def rollback(root: String, stage: String, toSnapshot: Int): Unit = {
     settleRollbackIntent(root, stage)
     val src = snapDir(root, stage, toSnapshot)
@@ -183,13 +191,13 @@ object Pipeline {
     val tmp = Paths.get(root, s".tmp_$stage")
     graft.util.Fs.deleteRec(tmp)
     // copy (not move) so the snapshot itself stays retained/immutable;
-    // the marker is excluded because it is written LAST, post-rename
-    graft.util.Fs.copyTree(src, tmp, exclude = Set("_COMMITTED"))
+    // the source is committed, so its marker travels WITH the copy and
+    // the atomic rename below is the single commit point (see scaladoc)
+    graft.util.Fs.copyTree(src, tmp)
     archiveIfCommitted(root, stage)
     val dir = Paths.get(root, stage)
     graft.util.Fs.deleteRec(dir) // uncommitted leftovers only
     Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-    Files.writeString(dir.resolve("_COMMITTED"), "1")
     Files.deleteIfExists(intent)
   }
 

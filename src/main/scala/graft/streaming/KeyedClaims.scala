@@ -179,6 +179,10 @@ object KeyedClaims {
       nBuckets: Int = DefaultBuckets, retention: Int = 3,
       ckptId: Option[String] = None): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    // retention = 0 would prune the manifest the _HEAD swap just
+    // published and reclaim every data dir it references — the commit
+    // would destroy its own table
+    require(retention >= 1, s"retention must be >= 1, got $retention")
     val spark = batch.sparkSession
     val root = Paths.get(tableDir)
     Files.createDirectories(root)

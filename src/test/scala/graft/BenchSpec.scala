@@ -24,8 +24,8 @@ class BenchSpec extends AnyFunSuite {
     failed = failed, passes = 3,
     sfDir = "/root/testdata/sf0.1", aborted = false,
     lowCpus = 2, midCpus = 8, cpus = 32,
-    rateLow = "123456.7", rateMid = "1234567.8", rateHigh = "12345678.9",
-    effLow = 0.973, effMedian = 0.907, effHigh = 0.68)
+    rates = Seq(2 -> "123456.7", 8 -> "1234567.8", 32 -> "12345678.9"),
+    effLow = 0.973, effMedian = 0.907, effHigh = Some(0.68))
   private val line = mk(allFailed.take(5))
   private val lineAllFailed = mk(allFailed)
 
@@ -73,7 +73,7 @@ class BenchSpec extends AnyFunSuite {
     import spark.implicits._
     val evil = Bench.headlineJson(1.0, 1, 1, Seq("q\"x\\y\tz"), 1,
       "/tmp/we\"ird\\dir", aborted = false, 2, 8, 32,
-      "1.0", "2.0", "3.0", 0.9, 0.9, 0.5)
+      Seq(2 -> "1.0", 8 -> "2.0", 32 -> "3.0"), 0.9, 0.9, Some(0.5))
     val parsed = spark.read.json(Seq(evil).toDS)
     assert(!parsed.columns.contains("_corrupt_record"), evil)
     assert(parsed.collect()(0).getAs[String]("sf") == "/tmp/we\"ird\\dir")
@@ -88,25 +88,25 @@ class BenchSpec extends AnyFunSuite {
     // physically plausible 0.955 round must be reported instead
     assert(Bench.pickScalingPair(Seq(
       full(0.946, 0.5), full(1.079, 0.389), full(0.955, 0.472)))
-      == ((0.955, 0.472)))
+      == ((0.955, Some(0.472))))
     // all rounds inflated: the least-inflated is the honest fallback
     assert(Bench.pickScalingPair(Seq(full(1.3, 0.4), full(1.1, 0.5)))
-      == ((1.1, 0.5)))
+      == ((1.1, Some(0.5))))
   }
 
   test("pick: pair travels together; partial rounds keep 2to8 evidence") {
     // full rounds preferred — eH comes from the SAME round as eL
     assert(Bench.pickScalingPair(Seq(full(0.8, 0.3), full(0.9, 0.6)))
-      == ((0.9, 0.6)))
+      == ((0.9, Some(0.6))))
     // only-partial pool (32-core legs deadline-skipped): valid 2to8
     // evidence survives instead of a spurious 0.0 north-rule failure
     assert(Bench.pickScalingPair(Seq(partial(0.85), partial(0.91)))
-      == ((0.91, 0.0)))
+      == ((0.91, None)))
     // one full + one better partial: the full round wins (complete pair
     // beats a higher lone ratio)
     assert(Bench.pickScalingPair(Seq(partial(0.95), full(0.85, 0.5)))
-      == ((0.85, 0.5)))
-    assert(Bench.pickScalingPair(Nil) == ((0.0, 0.0)))
+      == ((0.85, Some(0.5))))
+    assert(Bench.pickScalingPair(Nil) == ((0.0, None)))
   }
 
   test("pick: plausibility dominates completeness") {
@@ -114,12 +114,12 @@ class BenchSpec extends AnyFunSuite {
     // reporting 1.3 here is the exact physically-impossible value the
     // guard exists to suppress
     assert(Bench.pickScalingPair(Seq(partial(0.85), full(1.3, 0.9)))
-      == ((0.85, 0.0)))
+      == ((0.85, None)))
     // everything inflated: least-inflated, full pools preferred
     assert(Bench.pickScalingPair(Seq(partial(1.05), full(1.3, 0.9)))
-      == ((1.3, 0.9)))
+      == ((1.3, Some(0.9))))
     assert(Bench.pickScalingPair(Seq(partial(1.05), partial(1.2)))
-      == ((1.05, 0.0)))
+      == ((1.05, None)))
   }
 
   test("headline dedupes coinciding levels (tiny SPARK_GRAFT_CPUS)") {
@@ -127,14 +127,28 @@ class BenchSpec extends AnyFunSuite {
     // cpus=2 → midCpus=2: the mid and high rate fields would collide
     val l = Bench.headlineJson(1.0, 10, 10, Nil, 1, "/x", aborted = false,
       lowCpus = 1, midCpus = 2, cpus = 2,
-      rateLow = "100.0", rateMid = "180.0", rateHigh = "999.0",
-      effLow = 0.9, effMedian = 0.9, effHigh = 1.0)
+      rates = Seq(1 -> "100.0", 2 -> "180.0", 2 -> "999.0"),
+      effLow = 0.9, effMedian = 0.9, effHigh = Some(1.0))
     assert("\"kg_docs_per_sec_2cores\"".r.findAllIn(l).size == 1, l)
     assert(!l.contains("scaling_efficiency_2to2"), l)
     val parsed = spark.read.json(Seq(l).toDS)
     assert(!parsed.columns.contains("_corrupt_record"), l)
     assert(parsed.collect()(0)
       .getAs[String]("scaling_efficiency_pair") == "1to2")
+  }
+
+  test("a partial selected round prints the high pair as null, not 0.0") {
+    import spark.implicits._
+    // the selected round's 32-core leg never ran: the ratio was never
+    // measured, and the records must say so (a fake measured 0.000 in the
+    // official evidence line reads as a catastrophic scaling failure)
+    val l = Bench.headlineJson(1.0, 10, 10, Nil, 1, "/x", aborted = false,
+      lowCpus = 2, midCpus = 8, cpus = 32,
+      rates = Seq(2 -> "100.0", 8 -> "390.0", 32 -> "0.0"),
+      effLow = 0.95, effMedian = 0.95, effHigh = None)
+    assert(l.contains("\"scaling_efficiency_8to32\":null"), l)
+    assert(!spark.read.json(Seq(l).toDS).columns.contains("_corrupt_record"),
+      l)
   }
 
   test("median: conventional (mean of middles on even pools)") {

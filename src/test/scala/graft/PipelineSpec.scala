@@ -162,8 +162,11 @@ class PipelineSpec extends AnyFunSuite {
     Pipeline.runStage(spark, root, "pages", "v1", "n=50")(pages(50))
     Pipeline.runStage(spark, root, "pages", "v2", "n=80")(pages(80))
     // simulate rollback crashing in its destructive window: intent
-    // written, restore copy staged (sans marker, as rollback stages it),
-    // current archived away — and no current table exists
+    // written, restore copy staged, current archived away — and no
+    // current table exists. The copy is staged SANS marker here, the way
+    // the legacy (pre marker-inside-rename) protocol staged it — settle
+    // must complete either format, since an upgrade can inherit a legacy
+    // in-flight tmp
     val snap1 = java.nio.file.Paths.get(root, "_snapshots", "pages", "snap-00001")
     val tmp = java.nio.file.Paths.get(root, ".tmp_pages")
     graft.util.Fs.copyTree(snap1, tmp, exclude = Set("_COMMITTED"))
@@ -180,6 +183,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.skipped, s"restored v1 table should satisfy the manifest: $r")
     assert(Pipeline.readStage(spark, root, "pages").count() == 50)
     assert(!java.nio.file.Files.exists(intents.resolve("pages")))
+  }
+
+  test("rollback commits atomically: a crash after the rename cannot undo it") {
+    val root = Files.createTempDirectory("graft_rbatomic").toString
+    def pages(n: Long) = graft.extract.PageSynth.pages(spark, n, 4).toDF()
+    // two snapshots of the SAME stage spec (the realistic rollback-after-
+    // bad-data case: spec unchanged, content rolled back)
+    Pipeline.runStage(spark, root, "pages", "v1", "n=50")(pages(50))
+    Pipeline.runStage(spark, root, "pages", "v1", "n=80")(pages(80))
+    Pipeline.rollback(root, "pages", toSnapshot = 1)
+    // a COMPLETED rollback differs from the crash-right-after-the-rename
+    // state only by the intent file (its delete is rollback's last
+    // statement) — recreate it to simulate that exact window. Under the
+    // old marker-written-last protocol the restored table sat here
+    // UNmarked: settle saw "current exists", dropped the intent, and the
+    // next runStage deleted the restore as uncommitted leftovers and
+    // recomputed — silently undoing the operator's rollback. With the
+    // marker inside the rename there is no unmarked state to mishandle.
+    val intents = java.nio.file.Paths.get(root, "_intents")
+    java.nio.file.Files.createDirectories(intents)
+    java.nio.file.Files.writeString(intents.resolve("pages"), "1")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "pages", "_COMMITTED")),
+      "rollback must publish the marker atomically with the data")
+    val r = Pipeline.runStage(spark, root, "pages", "v1", "n=50")(pages(50))
+    assert(r.skipped, s"the restored table must satisfy the manifest: $r")
+    assert(Pipeline.readStage(spark, root, "pages").count() == 50)
   }
 
   test("counters table records per-stage lineage") {
