@@ -338,32 +338,10 @@ object KeyedClaims {
       checkpointDir: String, gaz: graft.link.Gazetteer,
       rules: graft.link.TripleExtractor.Rules,
       nBuckets: Int = DefaultBuckets): Unit = {
-    import spark.implicits._
-    val idFile = Paths.get(checkpointDir, "_graft_ckpt_id")
-    Files.createDirectories(idFile.getParent)
-    if (!Files.exists(idFile))
-      Files.writeString(idFile, java.util.UUID.randomUUID().toString)
-    val ckptId = Files.readString(idFile).trim
-    val bGaz = spark.sparkContext.broadcast(gaz)
-    val bRules = spark.sparkContext.broadcast(rules)
-    try {
-      val pages = spark.readStream.schema(schema).parquet(pagesDir)
-        .withColumn("warc_ts", col("warc_ts").cast("timestamp"))
-        .as[graft.model.Page]
-      val triples = pages.filter(_.lang == "en").flatMap { p =>
-        graft.link.TripleExtractor.triplesOf(bGaz.value, bRules.value, p.url,
-          graft.link.MentionDetector.extractText(p))
-      }
-      val q = triples.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpointDir)
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[graft.model.RawTriple],
-            batchId: Long) =>
-          merge(batch.toDF(), batchId, tableDir, nBuckets,
-            ckptId = Some(ckptId))
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    } finally { bGaz.destroy(); bRules.destroy() }
+    val ckptId = StreamOps.checkpointIdentity(checkpointDir)
+    StreamOps.driveClaimsStream(spark, pagesDir, schema, checkpointDir,
+      gaz, rules) { (batch, batchId) =>
+      merge(batch, batchId, tableDir, nBuckets, ckptId = Some(ckptId))
+    }
   }
 }

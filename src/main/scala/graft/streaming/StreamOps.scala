@@ -88,6 +88,70 @@ object StreamOps {
       .start()
   }
 
+  /** The shared front half of every triple-extraction stream: broadcast
+    * the gazetteer + rules, stream page files, run the SAME narrow
+    * per-row extraction as the batch pipeline, hand the triple stream to
+    * `f`, and destroy the broadcasts after the query `f` drives
+    * finishes. */
+  private def withTripleStream[A](spark: SparkSession, pagesDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      gaz: graft.link.Gazetteer, rules: graft.link.TripleExtractor.Rules)(
+      f: org.apache.spark.sql.Dataset[graft.model.RawTriple] => A): A = {
+    import spark.implicits._
+    val bGaz = spark.sparkContext.broadcast(gaz)
+    val bRules = spark.sparkContext.broadcast(rules)
+    try {
+      val pages = spark.readStream.schema(schema).parquet(pagesDir)
+        .withColumn("warc_ts", col("warc_ts").cast("timestamp"))
+        .as[graft.model.Page]
+      f(pages.filter(_.lang == "en").flatMap { p =>
+        graft.link.TripleExtractor.triplesOf(bGaz.value, bRules.value, p.url,
+          graft.link.MentionDetector.extractText(p))
+      })
+    } finally { bGaz.destroy(); bRules.destroy() }
+  }
+
+  /** Stable identity of a checkpoint's batch-id space, written once on
+    * first use: batch ids are only comparable within ONE checkpoint, so
+    * the claims sinks pin the table to this identity and a deleted/
+    * recreated checkpoint (whose ids restart at 0) fails loudly against a
+    * table committed under the old one instead of silently skipping new
+    * waves. */
+  def checkpointIdentity(checkpointDir: String): String = {
+    val idFile = java.nio.file.Paths.get(checkpointDir, "_graft_ckpt_id")
+    java.nio.file.Files.createDirectories(idFile.getParent)
+    if (!java.nio.file.Files.exists(idFile))
+      java.nio.file.Files.writeString(idFile,
+        java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.readString(idFile).trim
+  }
+
+  /** Drive one checkpointed foreachBatch pass over the page stream — the
+    * shared driver of [[incrementalClaims]] and
+    * [[KeyedClaims.incrementalClaimsKeyed]], which differ only in the
+    * merge their `onBatch` performs. Source offsets + batch ids persist
+    * in `checkpointDir`, so a restarted job resumes at the next unread
+    * file instead of replaying the whole directory — checkpointed offsets
+    * + an idempotent batch sink = exactly-once. */
+  private[streaming] def driveClaimsStream(spark: SparkSession,
+      pagesDir: String, schema: org.apache.spark.sql.types.StructType,
+      checkpointDir: String, gaz: graft.link.Gazetteer,
+      rules: graft.link.TripleExtractor.Rules)(
+      onBatch: (DataFrame, Long) => Unit): Unit =
+    withTripleStream(spark, pagesDir, schema, gaz, rules) { triples =>
+      val q = triples.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[graft.model.RawTriple],
+            batchId: Long) => onBatch(batch.toDF(), batchId)
+        }
+        .start()
+      // stop in finally: a throwing batch (e.g. the vocabulary-bound
+      // guard) must not leak an active query holding the checkpoint — a
+      // caller that catches and retries would hit "query already active"
+      try q.processAllAvailable() finally q.stop()
+    }
+
   /** Streaming KG construction: the extract→link→triples stage of the
     * pipeline as a Structured Streaming job — new page files micro-batch
     * into claim counts incrementally. The extraction flatMap is the SAME
@@ -98,25 +162,14 @@ object StreamOps {
   def tripleStream(spark: SparkSession, pagesDir: String,
       schema: org.apache.spark.sql.types.StructType, queryName: String,
       gaz: graft.link.Gazetteer,
-      rules: graft.link.TripleExtractor.Rules): Unit = {
-    import spark.implicits._
-    val bGaz = spark.sparkContext.broadcast(gaz)
-    val bRules = spark.sparkContext.broadcast(rules)
-    val pages = spark.readStream.schema(schema).parquet(pagesDir)
-      .withColumn("warc_ts", col("warc_ts").cast("timestamp"))
-      .as[graft.model.Page]
-    try {
-      val triples = pages.filter(_.lang == "en").flatMap { p =>
-        graft.link.TripleExtractor.triplesOf(bGaz.value, bRules.value, p.url,
-          graft.link.MentionDetector.extractText(p))
-      }
+      rules: graft.link.TripleExtractor.Rules): Unit =
+    withTripleStream(spark, pagesDir, schema, gaz, rules) { triples =>
       val claims = triples.groupBy(col("subj"), col("pred"), col("obj"))
         .agg(count(lit(1)).as("frequency"))
       val q = claims.writeStream.outputMode("complete")
         .format("memory").queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
-    } finally { bGaz.destroy(); bRules.destroy() }
-  }
+    }
 
   /** Incremental KG claim materialization: new page files micro-batch in,
     * each batch extracts triples (same narrow per-row code as the batch
@@ -141,45 +194,11 @@ object StreamOps {
       schema: org.apache.spark.sql.types.StructType, tableDir: String,
       checkpointDir: String, gaz: graft.link.Gazetteer,
       rules: graft.link.TripleExtractor.Rules): Unit = {
-    import spark.implicits._
-    // stable identity of THIS checkpoint's batch-id space, written once
-    // on first use and passed to the merge so a deleted/recreated
-    // checkpoint (whose ids restart at 0) fails loudly against a table
-    // committed under the old one instead of silently skipping new waves
-    val idFile = java.nio.file.Paths.get(checkpointDir, "_graft_ckpt_id")
-    java.nio.file.Files.createDirectories(idFile.getParent)
-    if (!java.nio.file.Files.exists(idFile))
-      java.nio.file.Files.writeString(idFile,
-        java.util.UUID.randomUUID().toString)
-    val ckptId = java.nio.file.Files.readString(idFile).trim
-    val bGaz = spark.sparkContext.broadcast(gaz)
-    val bRules = spark.sparkContext.broadcast(rules)
-    try {
-      val pages = spark.readStream.schema(schema).parquet(pagesDir)
-        .withColumn("warc_ts", col("warc_ts").cast("timestamp"))
-        .as[graft.model.Page]
-      val triples = pages.filter(_.lang == "en").flatMap { p =>
-        graft.link.TripleExtractor.triplesOf(bGaz.value, bRules.value, p.url,
-          graft.link.MentionDetector.extractText(p))
-      }
-      val q = triples.writeStream.outputMode("append")
-        // source offsets + batch ids persist here, so a restarted job
-        // resumes at the next unread file instead of replaying the whole
-        // directory — checkpointed offsets + the idempotent batch sink =
-        // exactly-once
-        .option("checkpointLocation", checkpointDir)
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[graft.model.RawTriple],
-            batchId: Long) =>
-          mergeClaimsBatch(batch.toDF(), batchId, tableDir,
-            ckptId = Some(ckptId))
-        }
-        .start()
-      // stop in finally: a throwing batch (e.g. the vocabulary-bound
-      // guard) must not leak an active query holding the checkpoint — a
-      // caller that catches and retries would hit "query already active"
-      try q.processAllAvailable() finally q.stop()
-    } finally { bGaz.destroy(); bRules.destroy() }
+    val ckptId = checkpointIdentity(checkpointDir)
+    driveClaimsStream(spark, pagesDir, schema, checkpointDir, gaz, rules) {
+      (batch, batchId) =>
+        mergeClaimsBatch(batch, batchId, tableDir, ckptId = Some(ckptId))
+    }
   }
 
   /** One idempotent claims merge (exposed for the replay spec): skips
