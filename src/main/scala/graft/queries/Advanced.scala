@@ -645,35 +645,73 @@ object Advanced {
     // hash-mismatch. KeyedClaimsSpec additionally pins on the manifest
     // that wave 2 rewrote ONLY its touched buckets.
     QueryDef("q81_keyed_claims", (s, d) => {
-      import s.implicits._
-      val root = s"$KgRoot/q81"
-      val pagesDir = s"$root/pages"
-      val ready = java.nio.file.Paths.get(root, "_READY")
-      val schema =
-        org.apache.spark.sql.Encoders.product[graft.model.Page].schema
-      def drain(): Unit = graft.streaming.KeyedClaims.incrementalClaimsKeyed(
-        s, s"$pagesDir/*", schema, s"$root/claims_table", s"$root/ckpt",
-        PageSynth.gazetteer, PageSynth.RelationRules.toMap)
-      if (!java.nio.file.Files.exists(ready)) {
-        // same self-healing rebuild as q78: a partial fixture's checkpoint
-        // tracks old part-file names, so always rebuild from scratch
-        graft.util.Fs.deleteRec(java.nio.file.Paths.get(root))
-        PageSynth.pages(s, 250).toDF()
-          .write.mode("overwrite").parquet(s"$pagesDir/b1")
-        drain() // wave 1 commits
-        s.range(250, 400).map(i => PageSynth.page(i))(
-            org.apache.spark.sql.Encoders.product[graft.model.Page]).toDF()
-          .write.mode("overwrite").parquet(s"$pagesDir/b2")
-        drain() // restart: checkpointed offsets → only wave 2 merges
-        TripleExtractor.extract(s, PageSynth.pages(s, 400),
-            PageSynth.gazetteer, PageSynth.RelationRules.toMap).toDF()
-          .write.mode("overwrite").parquet(s"$root/triples")
-        java.nio.file.Files.writeString(ready, "1")
-      } else drain() // no new files: exactly-once replay must be a no-op
+      val root = ensureKeyedClaimsFixture(s)
+      drainKeyed(s, root) // no new files: exactly-once replay = no-op
       graft.streaming.KeyedClaims.read(s, root + "/claims_table")
     }, Some(s"""
       SELECT subj, pred, obj, COUNT(*) AS frequency
       FROM read_parquet('$KgRoot/q81/triples/*.parquet')
+      GROUP BY 1, 2, 3""")),
+
+    // Point lookup against the keyed claims table: the read-side payoff
+    // of the bucketed layout — the key's bucket is computed DRIVER-side
+    // with the table's pinned bucket function and only that bucket's data
+    // dir is scanned (Iceberg-style bucket-partition pruning on plain
+    // parquet; KeyedClaimsSpec pins via inputFiles that exactly one
+    // bucket dir is read). The key is derived deterministically from the
+    // fixture (lexicographic min triple) in BOTH engines, so nothing is
+    // hardcoded; the oracle aggregates the raw triples full-scan, so a
+    // lookup routed to the wrong bucket returns zero rows and mismatches.
+    QueryDef("q82_keyed_lookup", (s, d) => {
+      val root = ensureKeyedClaimsFixture(s)
+      val k = s.read.parquet(s"$root/triples")
+        .select(col("subj"), col("pred"), col("obj"))
+        .orderBy("subj", "pred", "obj").limit(1).collect()(0)
+      graft.streaming.KeyedClaims.lookup(s, s"$root/claims_table",
+        k.getString(0), k.getString(1), k.getString(2))
+    }, Some(s"""
+      WITH k AS (
+        SELECT subj, pred, obj
+        FROM read_parquet('$KgRoot/q81/triples/*.parquet')
+        ORDER BY subj, pred, obj LIMIT 1)
+      SELECT t.subj, t.pred, t.obj, COUNT(*) AS frequency
+      FROM read_parquet('$KgRoot/q81/triples/*.parquet') t
+      JOIN k USING (subj, pred, obj)
       GROUP BY 1, 2, 3"""))
   )
+
+  private def drainKeyed(s: SparkSession, root: String): Unit =
+    graft.streaming.KeyedClaims.incrementalClaimsKeyed(
+      s, s"$root/pages/*",
+      org.apache.spark.sql.Encoders.product[graft.model.Page].schema,
+      s"$root/claims_table", s"$root/ckpt",
+      PageSynth.gazetteer, PageSynth.RelationRules.toMap)
+
+  /** Build (or self-heal) the shared q81/q82 keyed-claims fixture: two
+    * page waves streamed through the keyed sink with a persistent
+    * checkpoint (the second drain RESUMES from committed offsets), plus
+    * the full corpus's raw triples materialized once for the DuckDB
+    * oracle. Same self-healing rebuild as q78: a partial fixture's
+    * checkpoint tracks old part-file names, so always rebuild from
+    * scratch. Returns the fixture root. */
+  private def ensureKeyedClaimsFixture(s: SparkSession): String = {
+    import s.implicits._
+    val root = s"$KgRoot/q81"
+    val ready = java.nio.file.Paths.get(root, "_READY")
+    if (!java.nio.file.Files.exists(ready)) {
+      graft.util.Fs.deleteRec(java.nio.file.Paths.get(root))
+      PageSynth.pages(s, 250).toDF()
+        .write.mode("overwrite").parquet(s"$root/pages/b1")
+      drainKeyed(s, root) // wave 1 commits
+      s.range(250, 400).map(i => PageSynth.page(i))(
+          org.apache.spark.sql.Encoders.product[graft.model.Page]).toDF()
+        .write.mode("overwrite").parquet(s"$root/pages/b2")
+      drainKeyed(s, root) // restart: checkpointed offsets → only wave 2
+      TripleExtractor.extract(s, PageSynth.pages(s, 400),
+          PageSynth.gazetteer, PageSynth.RelationRules.toMap).toDF()
+        .write.mode("overwrite").parquet(s"$root/triples")
+      java.nio.file.Files.writeString(ready, "1")
+    }
+    root
+  }
 }

@@ -84,6 +84,22 @@ object KeyedClaims {
     pmod(xxhash64(col("subj"), col("pred"), col("obj")), lit(nBuckets))
       .cast("int").as("b")
 
+  /** Driver-side bucket of one claim key under the table's pinned bucket
+    * function — the same fold `xxhash64(subj, pred, obj)` evaluates (seed
+    * 42, each column's hash seeding the next) followed by pmod, computed
+    * without launching a job so a point lookup costs zero cluster work
+    * before its single-bucket scan. Spec-pinned equal to [[bucketCol]]
+    * over fuzzed keys. */
+  private[graft] def bucketOf(subj: String, pred: String, obj: String,
+      nBuckets: Int): Int = {
+    val h = Seq(subj, pred, obj).foldLeft(42L) { (seed, s) =>
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType, seed)
+    }
+    (((h % nBuckets) + nBuckets) % nBuckets).toInt
+  }
+
   /** Retained manifest seqs, oldest first. */
   def manifests(tableDir: String): Seq[Int] = {
     val d = manifestsDir(Paths.get(tableDir))
@@ -263,12 +279,40 @@ object KeyedClaims {
     }
     val dirs = m.map(_.buckets.values.toSeq.sorted).getOrElse(Seq.empty)
       .map(rel => root.resolve(rel).toString)
-    if (dirs.isEmpty)
-      spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "subj STRING, pred STRING, obj STRING, frequency BIGINT"))
+    if (dirs.isEmpty) emptyClaims(spark)
     else spark.read.parquet(dirs: _*)
+  }
+
+  private def emptyClaims(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "subj STRING, pred STRING, obj STRING, frequency BIGINT"))
+
+  /** Point lookup of one claim key: resolve the key's bucket driver-side
+    * with the table's pinned bucket function and scan ONLY that bucket's
+    * data dir — the read-side payoff of the keyed layout (Iceberg-style
+    * bucket-partition pruning on plain parquet): O(table/nBuckets) bytes
+    * touched per lookup, never a full-table scan, and a key whose bucket
+    * was never written answers empty with ZERO files read. Honors
+    * time-travel through `asOf` like [[read]]. */
+  def lookup(spark: SparkSession, tableDir: String, subj: String,
+      pred: String, obj: String, asOf: Option[Int] = None): DataFrame = {
+    val root = Paths.get(tableDir)
+    val m = asOf match {
+      case Some(seq) => Some(loadManifest(root, seq))
+      case None => head(tableDir)
+    }
+    val dir = for {
+      man <- m
+      rel <- man.buckets.get(bucketOf(subj, pred, obj, man.nBuckets))
+    } yield root.resolve(rel).toString
+    dir match {
+      case Some(d) => spark.read.parquet(d)
+        .where(col("subj") === subj && col("pred") === pred &&
+          col("obj") === obj)
+      case None => emptyClaims(spark)
+    }
   }
 
   /** Roll the table back to a retained manifest: commits a NEW manifest

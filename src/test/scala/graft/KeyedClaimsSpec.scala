@@ -197,6 +197,65 @@ class KeyedClaimsSpec extends AnyFunSuite {
     assert(keyed == rewrite && keyed.nonEmpty)
   }
 
+  test("bucketOf matches the table's bucket function over fuzzed keys") {
+    // the driver-side fold must route every key to the SAME bucket as the
+    // xxhash64+pmod Column the merge partitions by — a divergence would
+    // send lookups to the wrong bucket dir (empty answers for live keys)
+    val rnd = new scala.util.Random(7L)
+    val keys = Seq.fill(60)((rnd.nextString(1 + rnd.nextInt(12)),
+      s"P${rnd.nextInt(5)}",
+      rnd.alphanumeric.take(1 + rnd.nextInt(10)).mkString))
+    Seq(4, 64, 1000).foreach { n =>
+      keys.toDF("subj", "pred", "obj")
+        .select(col("subj"), col("pred"), col("obj"),
+          pmod(xxhash64(col("subj"), col("pred"), col("obj")), lit(n))
+            .cast("int").as("b"))
+        .collect().foreach { r =>
+          assert(KeyedClaims.bucketOf(r.getString(0), r.getString(1),
+            r.getString(2), n) == r.getInt(3), s"n=$n key=${r.getString(0)}")
+        }
+    }
+  }
+
+  test("lookup: single-bucket scan, absent keys, time-travel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kcl").toString
+    val keys = (0 until 300).map(i => (s"s$i", "R", s"o${i % 7}"))
+    KeyedClaims.merge(triples(keys ++ keys.take(50)), 0L, dir)
+    val hit = KeyedClaims.lookup(spark, dir, "s7", "R", "o0")
+    assert(hit.collect().map(r => (r.getString(0), r.getLong(3))).toSeq
+      == Seq(("s7", 2L)))
+    // the pruning contract itself: every file the lookup reads lives under
+    // the ONE bucket dir the key hashes to
+    val b = KeyedClaims.bucketOf("s7", "R", "o0", KeyedClaims.DefaultBuckets)
+    assert(hit.inputFiles.nonEmpty && hit.inputFiles.forall(_.contains(s"/b=$b/")),
+      hit.inputFiles.mkString(","))
+    // agreement with a full-scan filter across a key sample
+    keys.take(20).foreach { case (s0, p, o) =>
+      val viaLookup = KeyedClaims.lookup(spark, dir, s0, p, o)
+        .collect().map(_.toString).toSeq
+      val viaScan = KeyedClaims.read(spark, dir)
+        .where(col("subj") === s0 && col("pred") === p && col("obj") === o)
+        .collect().map(_.toString).toSeq
+      assert(viaLookup == viaScan, s"key=($s0,$p,$o)")
+    }
+    // a key whose bucket was never written answers empty with ZERO files
+    val small = java.nio.file.Files.createTempDirectory("graft_kcl2").toString
+    KeyedClaims.merge(triples(Seq(("a", "R", "b"))), 0L, small,
+      nBuckets = 4096)
+    val occupied = KeyedClaims.head(small).get.buckets.keySet
+    val miss = (0 until 10000).map(i => s"m$i")
+      .find(s => !occupied(KeyedClaims.bucketOf(s, "R", "x", 4096))).get
+    val missDf = KeyedClaims.lookup(spark, small, miss, "R", "x")
+    assert(missDf.count() == 0 && missDf.inputFiles.isEmpty)
+    assert(missDf.columns.toSeq == Seq("subj", "pred", "obj", "frequency"))
+    // time-travel: a lookup against an older manifest serves that version
+    KeyedClaims.merge(triples(Seq(("s7", "R", "o0"))), 1L, dir)
+    assert(KeyedClaims.lookup(spark, dir, "s7", "R", "o0")
+      .collect()(0).getLong(3) == 3L)
+    assert(KeyedClaims.lookup(spark, dir, "s7", "R", "o0", asOf = Some(0))
+      .collect()(0).getLong(3) == 2L)
+  }
+
   test("streaming incrementalClaimsKeyed == batch extraction, resume + replay") {
     import graft.extract.PageSynth
     val pagesDir = java.nio.file.Files.createTempDirectory("graft_kcp")
