@@ -115,19 +115,8 @@ object Pipeline {
     snapRoot(root, stage).resolve(f"snap-$id%05d")
 
   /** Retained snapshot ids for a stage, oldest first. */
-  def snapshots(root: String, stage: String): Seq[Int] = {
-    val d = snapRoot(root, stage)
-    if (!Files.exists(d)) Seq.empty
-    else {
-      val out = Seq.newBuilder[Int]
-      val ls = Files.list(d)
-      try ls.forEach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("snap-")) out += n.stripPrefix("snap-").toInt
-      } finally ls.close()
-      out.result().sorted
-    }
-  }
+  def snapshots(root: String, stage: String): Seq[Int] =
+    graft.util.Fs.numberedEntries(snapRoot(root, stage), "snap-")
 
   /** Archive the stage's current COMMITTED table (with its manifest +
     * marker) as the next snapshot; uncommitted/absent dirs archive
@@ -186,14 +175,26 @@ object Pipeline {
     // version instead of honoring the requested rollback. The intent lets
     // settleRollbackIntent complete the swap from the staged tmp copy.
     val intent = intentPath(root, stage)
+    val tmp = Paths.get(root, s".tmp_$stage")
+    val staging = Paths.get(root, s".copying_$stage")
+    // the tmp delete happens BEFORE the intent write: settleRollbackIntent
+    // trusts any .tmp_<stage> that coexists with an intent as a COMPLETE
+    // restore, so a stale partial tmp (a runStage killed mid-parquet-write
+    // can leave one) must be gone before the intent exists
+    graft.util.Fs.deleteRec(tmp)
+    graft.util.Fs.deleteRec(staging)
     Files.createDirectories(intent.getParent)
     Files.writeString(intent, toSnapshot.toString)
-    val tmp = Paths.get(root, s".tmp_$stage")
-    graft.util.Fs.deleteRec(tmp)
     // copy (not move) so the snapshot itself stays retained/immutable;
     // the source is committed, so its marker travels WITH the copy and
-    // the atomic rename below is the single commit point (see scaladoc)
-    graft.util.Fs.copyTree(src, tmp)
+    // the atomic rename below is the single commit point (see scaladoc).
+    // The copy is staged under a DIFFERENT name and renamed to
+    // .tmp_<stage> only once complete: Files.walk order is unspecified,
+    // so a crash mid-copy could otherwise leave a marker-bearing partial
+    // tree under the name settleRollbackIntent would restore and mark
+    // committed — a data-truncated table served as committed.
+    graft.util.Fs.copyTree(src, staging)
+    Files.move(staging, tmp, StandardCopyOption.ATOMIC_MOVE)
     archiveIfCommitted(root, stage)
     val dir = Paths.get(root, stage)
     graft.util.Fs.deleteRec(dir) // uncommitted leftovers only
@@ -208,13 +209,20 @@ object Pipeline {
     * on entry to [[runStage]] and [[rollback]]:
     *  - current table missing but the staged restore copy exists → finish
     *    the interrupted rollback (atomic move + marker), exactly what the
-    *    crashed call would have done;
+    *    crashed call would have done. The copy is COMPLETE by
+    *    construction: rollback() renames it to `.tmp_<stage>` atomically
+    *    only after copyTree finishes, and deletes any stale tmp before
+    *    writing the intent — so an intent can never coexist with a
+    *    partial tree under that name;
     *  - otherwise the destructive swap either never started or already
     *    finished — the intent alone can't distinguish "rollback applied"
     *    from "rollback never applied", so drop the intent and say so on
     *    stderr instead of guessing (the operator re-runs rollback if they
-    *    still want it; nothing was corrupted either way). */
+    *    still want it; nothing was corrupted either way). A crash
+    *    mid-copy leaves only the `.copying_<stage>` staging dir, which is
+    *    garbage in every state and reclaimed here. */
   private def settleRollbackIntent(root: String, stage: String): Unit = {
+    graft.util.Fs.deleteRec(Paths.get(root, s".copying_$stage"))
     val intent = intentPath(root, stage)
     if (Files.exists(intent)) {
       val dir = Paths.get(root, stage)

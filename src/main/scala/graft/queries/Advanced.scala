@@ -600,35 +600,14 @@ object Advanced {
     // delta (the crash windows the atomic in-dir batch-id commit closes)
     // hash-mismatches against the streamed claims table.
     QueryDef("q78_incremental_claims", (s, d) => {
-      import s.implicits._
       val root = s"$KgRoot/q78"
-      val pagesDir = s"$root/pages"
-      val ready = java.nio.file.Paths.get(root, "_READY")
-      val schema =
-        org.apache.spark.sql.Encoders.product[graft.model.Page].schema
       def drain(): Unit = graft.streaming.StreamOps.incrementalClaims(
-        s, s"$pagesDir/*", schema, s"$root/claims_table", s"$root/ckpt",
+        s, s"$root/pages/*",
+        org.apache.spark.sql.Encoders.product[graft.model.Page].schema,
+        s"$root/claims_table", s"$root/ckpt",
         PageSynth.gazetteer, PageSynth.RelationRules.toMap)
-      if (!java.nio.file.Files.exists(ready)) {
-        // self-healing: a previous PARTIAL attempt (e.g. killed between
-        // wave 1's commit and the _READY marker) leaves a checkpoint that
-        // tracks the old part-file NAMES — rewriting b1 would stream the
-        // renamed files as a fresh batch and double-merge wave 1. Rebuild
-        // the whole fixture tree from scratch instead; the result is
-        // deterministic, so a clean rebuild always converges.
-        graft.util.Fs.deleteRec(java.nio.file.Paths.get(root))
-        PageSynth.pages(s, 250).toDF()
-          .write.mode("overwrite").parquet(s"$pagesDir/b1")
-        drain() // wave 1 commits
-        s.range(250, 400).map(i => PageSynth.page(i))(
-            org.apache.spark.sql.Encoders.product[graft.model.Page]).toDF()
-          .write.mode("overwrite").parquet(s"$pagesDir/b2")
-        drain() // restart: checkpointed offsets → only wave 2 merges
-        TripleExtractor.extract(s, PageSynth.pages(s, 400),
-            PageSynth.gazetteer, PageSynth.RelationRules.toMap).toDF()
-          .write.mode("overwrite").parquet(s"$root/triples")
-        java.nio.file.Files.writeString(ready, "1")
-      } else drain() // no new files: exactly-once replay must be a no-op
+      ensureTwoWaveClaimsFixture(s, root)(() => drain())
+      drain() // no new files: exactly-once replay must be a no-op
       graft.streaming.StreamOps.readClaims(s, root + "/claims_table")
     }, Some(s"""
       SELECT subj, pred, obj, COUNT(*) AS frequency
@@ -687,31 +666,45 @@ object Advanced {
       s"$root/claims_table", s"$root/ckpt",
       PageSynth.gazetteer, PageSynth.RelationRules.toMap)
 
-  /** Build (or self-heal) the shared q81/q82 keyed-claims fixture: two
-    * page waves streamed through the keyed sink with a persistent
-    * checkpoint (the second drain RESUMES from committed offsets), plus
-    * the full corpus's raw triples materialized once for the DuckDB
-    * oracle. Same self-healing rebuild as q78: a partial fixture's
-    * checkpoint tracks old part-file names, so always rebuild from
-    * scratch. Returns the fixture root. */
+  /** The shared q81/q82 keyed-claims fixture root (built on demand). */
   private def ensureKeyedClaimsFixture(s: SparkSession): String = {
-    import s.implicits._
     val root = s"$KgRoot/q81"
+    ensureTwoWaveClaimsFixture(s, root)(() => drainKeyed(s, root))
+    root
+  }
+
+  /** Build (or self-heal) a two-wave incremental-claims fixture at
+    * `root`: wave 1 (pages 0–249) written under `root/pages` and streamed
+    * through `drain`, wave 2 (pages 250–399) appended and drained again
+    * (the drain RESUMES from the checkpoint's committed offsets), plus
+    * the full corpus's raw triples materialized once for the DuckDB
+    * oracle. ONE builder shared by the rewrite (q78) and keyed (q81/q82)
+    * sinks, so the two oracled sinks can never diverge in fixture
+    * semantics.
+    *
+    * Self-healing: a previous PARTIAL attempt (e.g. killed between
+    * wave 1's commit and the _READY marker) leaves a checkpoint that
+    * tracks the old part-file NAMES — rewriting wave 1 would stream the
+    * renamed files as a fresh batch and double-merge it. Rebuild the
+    * whole fixture tree from scratch instead; the result is
+    * deterministic, so a clean rebuild always converges. */
+  private def ensureTwoWaveClaimsFixture(s: SparkSession, root: String)(
+      drain: () => Unit): Unit = {
+    import s.implicits._
     val ready = java.nio.file.Paths.get(root, "_READY")
     if (!java.nio.file.Files.exists(ready)) {
       graft.util.Fs.deleteRec(java.nio.file.Paths.get(root))
       PageSynth.pages(s, 250).toDF()
         .write.mode("overwrite").parquet(s"$root/pages/b1")
-      drainKeyed(s, root) // wave 1 commits
+      drain() // wave 1 commits
       s.range(250, 400).map(i => PageSynth.page(i))(
           org.apache.spark.sql.Encoders.product[graft.model.Page]).toDF()
         .write.mode("overwrite").parquet(s"$root/pages/b2")
-      drainKeyed(s, root) // restart: checkpointed offsets → only wave 2
+      drain() // restart: checkpointed offsets → only wave 2 merges
       TripleExtractor.extract(s, PageSynth.pages(s, 400),
           PageSynth.gazetteer, PageSynth.RelationRules.toMap).toDF()
         .write.mode("overwrite").parquet(s"$root/triples")
       java.nio.file.Files.writeString(ready, "1")
     }
-    root
   }
 }

@@ -101,19 +101,9 @@ object KeyedClaims {
   }
 
   /** Retained manifest seqs, oldest first. */
-  def manifests(tableDir: String): Seq[Int] = {
-    val d = manifestsDir(Paths.get(tableDir))
-    if (!Files.exists(d)) Seq.empty
-    else {
-      val out = Seq.newBuilder[Int]
-      val ls = Files.list(d)
-      try ls.forEach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("manifest-")) out += n.stripPrefix("manifest-").toInt
-      } finally ls.close()
-      out.result().sorted
-    }
-  }
+  def manifests(tableDir: String): Seq[Int] =
+    graft.util.Fs.numberedEntries(manifestsDir(Paths.get(tableDir)),
+      "manifest-")
 
   /** The current committed manifest (None before the first commit). */
   def head(tableDir: String): Option[Manifest] = {
@@ -152,6 +142,8 @@ object KeyedClaims {
           case "ckptId" => ckptId = Some(v)
           case "bucket" =>
             val t = v.indexOf('\t')
+            require(t > 0, s"corrupt keyed-claims manifest $p: bucket " +
+              s"line '$line' has no tab separator")
             buckets += v.substring(0, t).toInt -> v.substring(t + 1)
           case _ => // forward-compatible: unknown keys ignored
         }
@@ -241,16 +233,26 @@ object KeyedClaims {
       val oldMap = cur.map(_.buckets).getOrElse(Map.empty[Int, String])
       val mDirRel = s"files/c$seq"
       if (touched.nonEmpty) {
-        val oldDirs = touched.toSeq.flatMap(oldMap.get)
-          .map(rel => root.resolve(rel).toString)
         // only the touched buckets are ever read or shuffled: the union is
-        // O(touched rows + delta), grouped on the claim key (b is
-        // functionally dependent on the key, so carrying it through the
-        // groupBy costs nothing and skips a post-agg re-hash)
+        // O(touched rows + delta), grouped on the claim key. Every row in
+        // a bucket dir has the bucket id the manifest filed it under, so
+        // `b` comes back FREE via partition discovery of the `b=<n>` dir
+        // names (basePath = the dir's commit root; old dirs can span
+        // several commits) — zero per-row re-hashing, and no silent
+        // dependency on a re-hash agreeing with the function that
+        // originally placed the rows.
+        val oldByCommit = touched.toSeq.flatMap(b => oldMap.get(b))
+          .groupBy(rel => rel.substring(0, rel.lastIndexOf('/')))
+        val oldFrames = oldByCommit.toSeq.sortBy(_._1).map {
+          case (commitRel, rels) =>
+            spark.read
+              .option("basePath", root.resolve(commitRel).toString)
+              .parquet(rels.map(rel => root.resolve(rel).toString): _*)
+              .withColumn("b", col("b").cast("int"))
+        }
         val merged =
-          if (oldDirs.isEmpty) delta
-          else spark.read.parquet(oldDirs: _*)
-            .withColumn("b", bucketCol(nBuckets))
+          if (oldFrames.isEmpty) delta
+          else oldFrames.reduce(_.unionByName(_))
             .unionByName(delta)
             .groupBy(col("b"), col("subj"), col("pred"), col("obj"))
             .agg(sum(col("frequency")).as("frequency"))

@@ -320,19 +320,9 @@ object StreamOps {
     claimsSnapRoot(root).resolve(f"snap-$id%05d")
 
   /** Retained claims-table snapshot ids, oldest first. */
-  def claimsSnapshots(tableDir: String): Seq[Int] = {
-    val d = claimsSnapRoot(java.nio.file.Paths.get(tableDir))
-    if (!java.nio.file.Files.exists(d)) Seq.empty
-    else {
-      val out = Seq.newBuilder[Int]
-      val ls = java.nio.file.Files.list(d)
-      try ls.forEach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("snap-")) out += n.stripPrefix("snap-").toInt
-      } finally ls.close()
-      out.result().sorted
-    }
-  }
+  def claimsSnapshots(tableDir: String): Seq[Int] =
+    graft.util.Fs.numberedEntries(
+      claimsSnapRoot(java.nio.file.Paths.get(tableDir)), "snap-")
 
   /** Read the claims table: current by default, or time-travel to a
     * retained snapshot. */

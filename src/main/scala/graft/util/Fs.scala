@@ -38,6 +38,26 @@ object Fs {
     }
   }
 
+  /** Ids of `<prefix><N>`-named entries directly under `dir`, sorted
+    * ascending; empty when `dir` is absent. The shared listing step of
+    * the three numbered-commit protocols (stage snapshots, claims-table
+    * snapshots, keyed-claims manifests) — one implementation so their
+    * listing semantics can never diverge. Non-numeric suffixes on a
+    * matching prefix fail loudly: nothing but the protocols' own writers
+    * may name entries under these roots. */
+  def numberedEntries(dir: Path, prefix: String): Seq[Int] = {
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val out = Seq.newBuilder[Int]
+      val ls = Files.list(dir)
+      try ls.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(prefix)) out += n.stripPrefix(prefix).toInt
+      } finally ls.close()
+      out.result().sorted
+    }
+  }
+
   /** Copy a directory tree into `dst` (created fresh), skipping any
     * relative paths in `exclude`. Attributes preserved. */
   def copyTree(src: Path, dst: Path, exclude: Set[String] = Set.empty): Unit = {

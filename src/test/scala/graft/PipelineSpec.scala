@@ -212,6 +212,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.readStage(spark, root, "pages").count() == 50)
   }
 
+  test("crash mid-rollback-copy cannot commit a truncated restore") {
+    val root = Files.createTempDirectory("graft_rbcopy").toString
+    def pages(n: Long) = graft.extract.PageSynth.pages(spark, n, 4).toDF()
+    Pipeline.runStage(spark, root, "pages", "v1", "n=50")(pages(50))
+    Pipeline.runStage(spark, root, "pages", "v2", "n=80")(pages(80))
+    // simulate rollback() dying MID copyTree while no current table exists
+    // (a prior runStage crash had left the stage dir absent): intent
+    // present, the staging dir carrying the marker + manifest but NOT the
+    // data files (Files.walk order is unspecified — the marker can land
+    // before the part files). Under the pre-staging protocol the copy
+    // went straight to .tmp_pages, and settle moved this truncated tree
+    // into place and marked it committed.
+    val snap1 = java.nio.file.Paths.get(root, "_snapshots", "pages",
+      "snap-00001")
+    val staging = java.nio.file.Paths.get(root, ".copying_pages")
+    graft.util.Fs.copyTree(snap1, staging)
+    val ls = java.nio.file.Files.list(staging)
+    try ls.forEach { p => // drop the data files, keep the markers
+      if (!p.getFileName.toString.startsWith("_")) graft.util.Fs.deleteRec(p)
+    } finally ls.close()
+    val intents = java.nio.file.Paths.get(root, "_intents")
+    java.nio.file.Files.createDirectories(intents)
+    java.nio.file.Files.writeString(intents.resolve("pages"), "1")
+    graft.util.Fs.deleteRec(java.nio.file.Paths.get(root, "pages"))
+    // next runStage: settle reclaims the partial staging and drops the
+    // intent (the swap never started — nothing destructive happened),
+    // then recomputes. It must NEVER serve the truncated tree.
+    val r = Pipeline.runStage(spark, root, "pages", "v2", "n=80")(pages(80))
+    assert(!r.skipped, s"a truncated staging copy must not satisfy a manifest: $r")
+    assert(Pipeline.readStage(spark, root, "pages").count() == 80)
+    assert(!java.nio.file.Files.exists(staging))
+    assert(!java.nio.file.Files.exists(intents.resolve("pages")))
+  }
+
   test("counters table records per-stage lineage") {
     val root = Files.createTempDirectory("graft_pipeD").toString
     Pipeline.run(spark, root, nPages = 100, partitions = 4)
