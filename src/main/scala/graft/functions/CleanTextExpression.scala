@@ -99,8 +99,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   private def build(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(c) => CleanText(c, TextExtractor.MaxChars)
-    case Seq(c, m) => CleanText(c,
-      m.eval().asInstanceOf[Number].intValue())
+    case Seq(c, m) =>
+      // maxChars is baked into the expression at plan-build time, so it
+      // must be a foldable integer literal; anything else would die here
+      // with an opaque UnsupportedOperation/ClassCast/NPE instead of a
+      // diagnosis the SQL author can act on
+      val v = if (m.foldable) m.eval() else null
+      v match {
+        case n: Number => CleanText(c, n.intValue())
+        case _ => throw new IllegalArgumentException(
+          "clean_text(col, maxChars): maxChars must be a non-null " +
+            s"integer literal, got ${m.sql}")
+      }
     case _ => throw new IllegalArgumentException(
       "clean_text(col[, maxChars])")
   }

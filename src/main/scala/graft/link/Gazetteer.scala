@@ -221,7 +221,24 @@ class Gazetteer(val entries: Map[String, String]) extends Serializable {
 }
 
 object Gazetteer {
-  def apply(es: Seq[GazEntry]): Gazetteer =
-    new Gazetteer(es.map(e =>
-      AhoCorasick.lowerPreserving(e.norm) -> e.nodeType).toMap)
+  /** One node type per folded norm is part of the matching contract (the
+    * triple rules and vertex typing both key on it). Entries whose norms
+    * case-fold to the same key with DIFFERENT types would otherwise
+    * collapse last-wins — every mention of the losing entry silently
+    * mistyped, its triples silently dropped by the claim-shape checks.
+    * Fail loudly at construction instead. (The reference's per-type name
+    * index tolerates cross-type duplicates, reference:src/kg_ae/graph/
+    * store.py:96-104 — a caller with such a dictionary must disambiguate
+    * the norms before construction.) */
+  def apply(es: Seq[GazEntry]): Gazetteer = {
+    val folded = es.map(e =>
+      AhoCorasick.lowerPreserving(e.norm) -> e.nodeType).distinct
+    val collisions = folded.groupBy(_._1)
+      .collect { case (n, ts) if ts.size > 1 => n }
+    require(collisions.isEmpty,
+      "gazetteer norms map to multiple node types after case folding: " +
+        collisions.toSeq.sorted.take(5).mkString(", ") +
+        " — one node type per norm; disambiguate before construction")
+    new Gazetteer(folded.toMap)
+  }
 }

@@ -52,21 +52,31 @@ object Linker {
         explode(split(lower(col("context")), " ")).as("token"))
       .where(length(col("token")) > 0).distinct()
       .join(broadcast(idfT), "token")
+    // ONE scan of the mentions input: both consumers below (the semi-join
+    // url set and the candidate expansion) read this deduplicated
+    // projection, materialized once (localCheckpoint — the CC pattern).
+    // `mentions` is typically the UNmaterialized MentionDetector.detect
+    // plan over the full corpus; two independent consumers would run the
+    // whole broadcast-AC scan twice, and the candidate join's null-filter
+    // pushdown defeats plain exchange reuse between them. The
+    // checkpointed frame is mention-key-sized (distinct url×norm), tiny
+    // next to the scan it saves.
+    val mentionKeys = mentions.select(col("url"), col("norm")).distinct()
+      .localCheckpoint()
     // prune BEFORE tokenizing: only pages that actually carry an ambiguous
     // mention matter, and the token explode + distinct below is the
     // dominant shuffle — the semi-join shrinks it from corpus-proportional
     // to mention-page-proportional (at web scale most pages carry no
     // ambiguous surface at all). Equi-join, hint-free: AQE broadcasts the
     // url set when it is small.
-    val mentionUrls = mentions.select(col("url")).distinct()
+    val mentionUrls = mentionKeys.select(col("url")).distinct()
     val pageTokens = pages
       .join(mentionUrls, Seq("url"), "left_semi")
       .select(col("url"),
         explode(split(lower(col("text")), " ")).as("token"))
       .where(length(col("token")) > 0)
       .distinct() // set semantics: a context word counts once per page
-    val mentionCand = mentions.select(col("url"), col("norm")).distinct()
-      .join(broadcast(candidates), "norm")
+    val mentionCand = mentionKeys.join(broadcast(candidates), "norm")
     val scored = mentionCand
       .join(pageTokens, "url")
       .join(broadcast(ctxTokens), Seq("entity_id", "token"))

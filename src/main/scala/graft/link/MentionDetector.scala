@@ -79,6 +79,17 @@ object TripleExtractor {
   def comboLabel(a: String, b: String): String =
     if (a <= b) s"$a + $b" else s"$b + $a"
 
+  /** Evidence-sentence end: one code point past the final mention
+    * (captures trailing punctuation), never past the string. Code-point
+    * aware — `end + 1` on a char index would split a surrogate pair when
+    * an astral character follows the mention, emitting a lone surrogate
+    * that UTF-8-encodes as U+FFFD on write and breaks byte-identity
+    * against any oracle (same rule as TextExtractor's code-point
+    * truncation). For BMP text this is exactly `end + 1`. */
+  private def sentenceEnd(text: String, end: Int): Int =
+    if (end >= text.length) text.length
+    else end + Character.charCount(text.codePointAt(end))
+
   def triplesOf(gaz: Gazetteer, rules: Rules, url: String, text: String,
       ternary: Option[TernaryRule] = Some(DdiRule)): Seq[RawTriple] = {
     val ms = MentionDetector.mentionsOf(gaz, url, text)
@@ -94,7 +105,7 @@ object TripleExtractor {
           val t1 = gaz.nodeType(m1.norm)
           val t2 = gaz.nodeType(m2.norm)
           if (t1.contains(st) && t2.contains(ot)) {
-            val sentence = text.substring(m1.begin, math.min(text.length, m2.end + 1))
+            val sentence = text.substring(m1.begin, sentenceEnd(text, m2.end))
             out += RawTriple(m1.norm, claim, m2.norm, url, sentence)
           }
         }
@@ -115,8 +126,7 @@ object TripleExtractor {
             gaz.nodeType(m2.norm).contains(r.t2) &&
             gaz.nodeType(m3.norm).contains(r.t3)) {
           val combo = comboLabel(m1.norm, m2.norm)
-          val sentence =
-            text.substring(m1.begin, math.min(text.length, m3.end + 1))
+          val sentence = text.substring(m1.begin, sentenceEnd(text, m3.end))
           out += RawTriple(m1.norm, r.memberClaim, combo, url, sentence)
           out += RawTriple(m2.norm, r.memberClaim, combo, url, sentence)
           out += RawTriple(combo, r.tailClaim, m3.norm, url, sentence)

@@ -207,7 +207,16 @@ object Tools {
     * one reducer. Level 1 ranks within (group, hash-bucket of the tiebreak
     * column) and keeps ≤k per bucket — a superset of the global top-k
     * (top-k is bucket-decomposable) — level 2 ranks the ≤64k survivors.
-    * Output identical to a single window (spec-pinned). */
+    * Output identical to a single window (spec-pinned).
+    *
+    * PRECONDITION: `orderCols` must be a TOTAL order within each group
+    * (append a unique tiebreak column if the natural key admits ties).
+    * With ties, row_number breaks them arbitrarily at level 1, so the
+    * two-level form can keep a DIFFERENT physical row than the
+    * single-window reference would — nondeterministic payload columns
+    * across runs/plans. Callers here either order by a unique key
+    * ([[topKNeighborsAll]]: dst_key after per-destination dedup) or
+    * dedup-keep-best first (T4). */
   def boundedTopK(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[Column], k: Int, bucketCol: Column): DataFrame = {
     val g = groupCols.map(col)
@@ -222,7 +231,10 @@ object Tools {
   /** Window top-k per source — batched variant of per-key limits
     * (SURVEY T2/T3): for EVERY source at once, top-k destinations. A
     * web-scale hot source (millions of out-edges) would straggle a single
-    * per-source window partition, so this rides [[boundedTopK]]. */
+    * per-source window partition, so this rides [[boundedTopK]]. Expects
+    * one row per (source, dst_key) — dedup-keep-best per destination
+    * first (as [[neighbors]] does), or the (frequency, dst_key) order is
+    * not total and tie selection is arbitrary (see [[boundedTopK]]). */
   def topKNeighborsAll(edges: DataFrame, k: Int): DataFrame =
     boundedTopK(edges, Seq("src_type", "src_key"),
       Seq(col("frequency").desc, col("dst_key").asc), k, col("dst_key"))

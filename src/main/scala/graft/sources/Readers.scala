@@ -47,7 +47,7 @@ object Readers {
     * a single split, so at 100 TB pre-decompress or convert to
     * parquet/zstd-in-parquet before the heavy lifting. */
   def csvGz(spark: SparkSession, path: String, sep: String = ","): DataFrame =
-    spark.read.option("sep", sep).option("header", "true").csv(path)
+    csvWithHeader(spark, path, sep)
 
   /** S7: space-separated scan (reference:string/parse.py:143-149). */
   def spaceSeparated(spark: SparkSession, path: String): DataFrame =

@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
 object SchemaTools {
 
   /** Case-insensitive column resolution with fallback candidates; None if
-    * absent (caller decides whether that is fatal). */
+    * absent (caller decides whether that is fatal). When several columns
+    * case-fold to the same name (a tolerated-but-degenerate bronze input
+    * like "ID" and "id"), the FIRST in schema order wins — deterministic,
+    * where a last-wins map would bind whichever column happened to be
+    * declared last. */
   def resolveColumn(df: DataFrame, candidates: String*): Option[String] = {
-    val byLower = df.columns.map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
+    val byLower = df.columns.reverseIterator
+      .map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
     candidates.iterator
       .map(_.toLowerCase(java.util.Locale.ROOT))
       .collectFirst { case c if byLower.contains(c) => byLower(c) }

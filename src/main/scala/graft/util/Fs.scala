@@ -59,12 +59,17 @@ object Fs {
   }
 
   /** Copy a directory tree into `dst` (created fresh), skipping any
-    * relative paths in `exclude`. Attributes preserved. */
+    * relative paths in `exclude` — an excluded DIRECTORY excludes its
+    * whole subtree (walk visits children with rel "x/child", which a
+    * plain set-membership check would miss, silently copying everything
+    * under an "excluded" dir). Attributes preserved. */
   def copyTree(src: Path, dst: Path, exclude: Set[String] = Set.empty): Unit = {
     val walk = Files.walk(src)
     try walk.forEach { p =>
       val rel = src.relativize(p).toString
-      if (!exclude.contains(rel)) {
+      val excluded = exclude.contains(rel) ||
+        exclude.exists(e => rel.startsWith(e + "/"))
+      if (!excluded) {
         val to = dst.resolve(rel)
         if (Files.isDirectory(p)) Files.createDirectories(to)
         else {

@@ -23,7 +23,12 @@ object Jsons {
     case c => c.toString
   } + "\""
 
-  /** Fixed-decimal number, always '.'-separated regardless of locale. */
+  /** Fixed-decimal number, always '.'-separated regardless of locale.
+    * Non-finite values print as JSON null — a bare NaN/Infinity token is
+    * invalid JSON and would break the driver's parse of the whole record
+    * line, the exact corruption class this module exists to preclude. */
   def num(d: Double, digits: Int): String =
-    String.format(Locale.ROOT, s"%.${digits}f", Double.box(d))
+    if (java.lang.Double.isFinite(d))
+      String.format(Locale.ROOT, s"%.${digits}f", Double.box(d))
+    else "null"
 }

@@ -117,6 +117,39 @@ class AhoCorasickSpec extends AnyFunSuite {
     assert(AhoCorasick.lowerPreserving(plain) eq plain)
   }
 
+  test("Gazetteer refuses cross-type norm collisions, tolerates same-type dups") {
+    // last-wins collapse would silently mistype every mention of the
+    // losing entry (its triples then dropped by the claim-shape checks)
+    intercept[IllegalArgumentException] {
+      graft.link.Gazetteer(Seq(
+        graft.link.GazEntry("ACHE", "Gene"),
+        graft.link.GazEntry("ache", "AdverseEvent")))
+    }
+    // same type after folding is a plain duplicate — fine
+    val gaz = graft.link.Gazetteer(Seq(
+      graft.link.GazEntry("Aspirin", "Drug"),
+      graft.link.GazEntry("ASPIRIN", "Drug")))
+    assert(gaz.nodeType("aspirin").contains("Drug"))
+  }
+
+  test("evidence sentence never splits a surrogate pair") {
+    val gaz = graft.link.Gazetteer(Seq(
+      graft.link.GazEntry("aspirin", "Drug"),
+      graft.link.GazEntry("tp53", "Gene")))
+    val rules = Map("binds" -> ("DRUG_TARGET", "Drug", "Gene"))
+    // an astral char (U+1F600, a surrogate PAIR) directly after the object
+    // mention: its high surrogate is a boundary (non-word), and a char
+    // end+1 cut would keep only that lone surrogate in the sentence
+    val text = "aspirin binds tp53😀 trailing"
+    val ts = graft.link.TripleExtractor.triplesOf(gaz, rules, "u", text)
+    assert(ts.size == 1)
+    val s = ts.head.sentence
+    assert(s == "aspirin binds tp53😀", s"got <$s>")
+    // no lone surrogates anywhere (round-trips through UTF-8 unchanged)
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(new String(bytes, java.nio.charset.StandardCharsets.UTF_8) == s)
+  }
+
   test("Gazetteer folds mixed-case entry norms (matchable + lookupable)") {
     val gaz = graft.link.Gazetteer(Seq(
       graft.link.GazEntry("Aspirin", "Drug"),

@@ -29,6 +29,14 @@ class BenchSpec extends AnyFunSuite {
   private val line = mk(allFailed.take(5))
   private val lineAllFailed = mk(allFailed)
 
+  test("Jsons.num prints non-finite values as JSON null, never a bare token") {
+    import graft.util.Jsons
+    assert(Jsons.num(Double.NaN, 3) == "null")
+    assert(Jsons.num(Double.PositiveInfinity, 3) == "null")
+    assert(Jsons.num(Double.NegativeInfinity, 1) == "null")
+    assert(Jsons.num(0.973, 3) == "0.973")
+  }
+
   test("headline parses as JSON with the fields the driver needs") {
     import spark.implicits._
     val parsed = spark.read.json(Seq(line).toDS)

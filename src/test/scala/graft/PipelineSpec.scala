@@ -246,6 +246,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(intents.resolve("pages")))
   }
 
+  test("copyTree excludes a directory's whole subtree, not just the entry") {
+    val src = Files.createTempDirectory("graft_ct_src")
+    Files.createDirectories(src.resolve("logs"))
+    Files.writeString(src.resolve("logs").resolve("x"), "1")
+    Files.writeString(src.resolve("keep"), "2")
+    val dst = Files.createTempDirectory("graft_ct").resolve("out")
+    graft.util.Fs.copyTree(src, dst, exclude = Set("logs"))
+    assert(java.nio.file.Files.exists(dst.resolve("keep")))
+    assert(!java.nio.file.Files.exists(dst.resolve("logs")),
+      "excluded dir must not be recreated via its children")
+  }
+
   test("counters table records per-stage lineage") {
     val root = Files.createTempDirectory("graft_pipeD").toString
     Pipeline.run(spark, root, nPages = 100, partitions = 4)

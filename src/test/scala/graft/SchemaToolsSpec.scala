@@ -19,6 +19,14 @@ class SchemaToolsSpec extends AnyFunSuite {
     assert(SchemaTools.resolveColumn(df, "nope").isEmpty)
   }
 
+  test("resolveColumn: first column in schema order wins on case-duplicates") {
+    // a degenerate-but-tolerated bronze input carrying both "ID" and "id":
+    // resolution must bind deterministically (schema order), not whichever
+    // column a last-wins map happened to keep
+    val dup = Seq((1L, 9L)).toDF("ID", "id")
+    assert(SchemaTools.resolveColumn(dup, "Id").contains("ID"))
+  }
+
   test("renameToCanonical applies only present renames") {
     val out = SchemaTools.renameToCanonical(df,
       Map("Name" -> "preferred_name", "ghost" -> "nope"))
