@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.canon.ConnectedComponents
@@ -102,29 +103,63 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
   }
 
+  /** Σ max(0, bucketSize − cap) over (band, sig) buckets — the candidate
+    * slots a `bucketCap` drops (recall exposure). 0 for capless runs. One
+    * partial-aggregated pass over the bucket rows; launched only when a
+    * cap is actually in force. */
+  def bucketOverflowCount(buckets: DataFrame, bucketCap: Int): Long =
+    if (bucketCap <= 0) 0L
+    else buckets.groupBy("band", "sig").count()
+      .where(col("count") > bucketCap)
+      .agg(coalesce(sum(col("count") - bucketCap), lit(0L)))
+      .head().getLong(0)
+
+  /** Surface a cap's dropped-slot count on stderr — capped candidate
+    * generation must never truncate silently. No-op (and no job) when
+    * `bucketCap <= 0`. */
+  private def logBucketOverflow(buckets: DataFrame, bucketCap: Int,
+      what: String): Unit = {
+    val dropped = bucketOverflowCount(buckets, bucketCap)
+    if (dropped > 0) System.err.println(
+      s"[dedup] $what dropped $dropped bucket slots over cap=$bucketCap " +
+        "(recall exposure — raise bucketCap or pre-collapse more)")
+  }
+
   /** Distinct candidate pairs (i < j) within each bucket. `bucketCap > 0`
     * truncates hot buckets to the cap lowest doc ids (deterministic) —
-    * callers must surface the drop (see minhashDedup's logged counter);
-    * `bucketCap <= 0` uses a capless self-join (no truncation). */
+    * callers must surface the drop via [[bucketOverflowCount]];
+    * `bucketCap <= 0` generates pairs capless (no truncation). */
   def pairsFromBuckets(buckets: DataFrame, bucketCap: Int): DataFrame = {
-    if (bucketCap <= 0) {
-      val a = buckets.select(col("band"), col("sig"), col("doc_id").as("id_a"))
-      val b = buckets.select(col("band"), col("sig"), col("doc_id").as("id_b"))
-      return a.join(b, Seq("band", "sig")).where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-    }
-    val capped = buckets
-      .groupBy("band", "sig")
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, bucketCap)
-        .as("ids"))
-      .where(size(col("ids")) > 1)
-    // pairs within bucket (i < j), distinct across bands
-    capped
-      .select(explode(expr(
-        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))
-        .as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .distinct()
+    // Two-LEVEL rank for the cap (the GraphBuilder evidence-cap shape): a
+    // collect_list-then-slice would buffer a hot bucket's ENTIRE member
+    // list in one aggregation buffer before truncating — exactly the
+    // boilerplate-cluster OOM this cap exists to bound. Level 1 ranks
+    // inside (bucket, id-hash salt) and keeps each salt's first cap ids — a
+    // guaranteed superset of the bucket's global first cap (min-k is
+    // salt-decomposable); level 2 ranks the ≤ 64×cap survivors. Kept set
+    // is identical to the unsalted slice; per-group state is bounded.
+    val capped =
+      if (bucketCap <= 0) buckets
+      else {
+        val w1 = Window
+          .partitionBy(col("band"), col("sig"),
+            pmod(xxhash64(col("doc_id")), lit(64L)))
+          .orderBy(col("doc_id"))
+        val w2 = Window.partitionBy(col("band"), col("sig"))
+          .orderBy(col("doc_id"))
+        buckets
+          .withColumn("_rn1", row_number().over(w1))
+          .where(col("_rn1") <= bucketCap)
+          .withColumn("_rn2", row_number().over(w2))
+          .where(col("_rn2") <= bucketCap)
+          .select("band", "sig", "doc_id")
+      }
+    // pairs within bucket (i < j), distinct across bands; the self-join is
+    // bounded at cap² rows per bucket when capped
+    val a = capped.select(col("band"), col("sig"), col("doc_id").as("id_a"))
+    val b = capped.select(col("band"), col("sig"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band", "sig")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
   }
 
   /** MinHash near-dup end-to-end: exact-duplicate pre-collapse → signatures
@@ -221,16 +256,7 @@ object Dedup {
     val sigs = minhashSignatures(repDocs, "doc_id", "_text", k, numHashes)
       .localCheckpoint(true)
     val buckets = lshBuckets(sigs, numHashes, bands)
-    // capless runs (bucketCap <= 0) truncate nothing — skip both the
-    // misleading warning and the extra aggregation pass
-    if (bucketCap > 0) {
-      val dropped = buckets.groupBy("band", "sig").count()
-        .where(col("count") > bucketCap)
-        .agg(coalesce(sum(col("count") - bucketCap), lit(0L))).head().getLong(0)
-      if (dropped > 0) System.err.println(
-        s"[dedup] lsh dropped $dropped bucket slots over cap=$bucketCap " +
-          "(recall exposure — raise bucketCap or pre-collapse more)")
-    }
+    logBucketOverflow(buckets, bucketCap, "lsh")
     val cands = pairsFromBuckets(buckets, bucketCap).localCheckpoint(true)
     val verified = jaccardOnPairs(repDocs, cands, "doc_id", "_text", k)
       .where(col("jaccard") >= threshold)
@@ -405,10 +431,11 @@ object Dedup {
   /** SimHash near-dup candidates: docs whose signatures match on any of the
     * `bands` bands of `bitsPerBand` bits. `bucketCap > 0` truncates hot
     * buckets to the first cap doc ids (id-sorted, deterministic) — the
-    * dropped-candidate count is LOGGED by callers via
-    * [[bucketOverflowCount]], never silent. `bucketCap <= 0` switches to a
-    * capless bucket self-join: no truncation, no per-bucket list buffering —
-    * the exhaustive (and still bucket-bounded) 100 TB shape. */
+    * dropped-slot count is logged here via [[bucketOverflowCount]] (one
+    * extra aggregation pass, capped runs only), never silent. `bucketCap
+    * <= 0` switches to a capless bucket self-join: no truncation, no
+    * overflow pass — the exhaustive (and still bucket-bounded) 100 TB
+    * shape. */
   def simhashCandidates(sigs: DataFrame, bands: Int = 4,
       bitsPerBand: Int = 16, bucketCap: Int = 50): DataFrame = {
     require(bands > 0 && bitsPerBand > 0 && bands * bitsPerBand <= 64,
@@ -428,6 +455,7 @@ object Dedup {
         explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.bits").as("sig"))
+    logBucketOverflow(buckets, bucketCap, "simhash")
     pairsFromBuckets(buckets, bucketCap)
   }
 }

@@ -103,7 +103,8 @@ object Multimodal {
     val cnt = new Array[Int](dims)
     var y = 0
     while (y < img.getHeight) {
-      val d = math.min(dims - 1, y * dims / img.getHeight)
+      // long arithmetic for the same overflow reason as audioFeature
+      val d = math.min(dims - 1, (y.toLong * dims / img.getHeight).toInt)
       var x = 0
       while (x < img.getWidth) {
         val p = img.getRGB(x, y)
@@ -215,7 +216,10 @@ object Multimodal {
     val cnt = new Array[Int](dims)
     var i = 0
     while (i < samples.length) {
-      val d = math.min(dims - 1, i * dims / samples.length)
+      // long arithmetic: i * dims overflows Int past 2^31/dims samples
+      // (~537 MB of PCM16 at dims=8 — reachable for long-form audio),
+      // which would index negative and crash the task on every retry
+      val d = math.min(dims - 1, (i.toLong * dims / samples.length).toInt)
       out(d) += math.abs(samples(i).toInt) / 32768f
       cnt(d) += 1
       i += 1

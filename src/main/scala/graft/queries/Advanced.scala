@@ -43,11 +43,19 @@ object Advanced {
   }
 
   /** documents ∪ shifted copy — guaranteed exact-duplicate clusters for the
-    * near-dup pipelines (ids i and i+100000 share identical text). */
+    * near-dup pipelines (ids i and i+max+1 share identical text). The
+    * shift is derived from the data, NOT a constant: a fixed offset
+    * collides with real ids once the table outgrows it, silently merging
+    * two different texts under one id (and diverging from the oracle,
+    * which keys shingle sets per doc_id). max(doc_id)+1 is collision-free
+    * at any sf; the 1-row aggregate rides a broadcast cross-join (no
+    * driver action), and the oracle mirrors it as a scalar subquery. */
   private def dupDocs(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id")).as("_mx"))
     docs.unionByName(
-      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      docs.crossJoin(broadcast(mx))
+        .select((col("doc_id") + col("_mx") + 1L).as("doc_id"), col("text")))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -140,7 +148,8 @@ object Advanced {
     }, Some("""
       WITH RECURSIVE docs AS (
         SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 100000, text FROM documents),
+        UNION ALL SELECT doc_id + 1 + (SELECT max(doc_id) FROM documents),
+                         text FROM documents),
       toks AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM docs),
       sh AS (SELECT DISTINCT doc_id, s FROM (
                SELECT doc_id,
@@ -170,7 +179,8 @@ object Advanced {
     }, Some("""
       WITH docs AS (
         SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 100000, text FROM documents),
+        UNION ALL SELECT doc_id + 1 + (SELECT max(doc_id) FROM documents),
+                         text FROM documents),
       toks AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM docs),
       sh AS (SELECT DISTINCT doc_id, s FROM (
                SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
@@ -245,7 +255,8 @@ object Advanced {
     }, Some("""
       WITH docs AS (
         SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 100000, text FROM documents),
+        UNION ALL SELECT doc_id + 1 + (SELECT max(doc_id) FROM documents),
+                         text FROM documents),
       toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                FROM docs),
       vals AS (SELECT doc_id,

@@ -31,7 +31,18 @@ object Ann {
     sqrt(aggregate(a, lit(0.0),
       (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm vectors (padding rows, failed encoder output) get cosine
+    * 0.0, NOT IEEE NaN: under Spark's ordering NaN sorts ABOVE every real
+    * double and `NaN >= t` is true, so a raw 0/0 division would make a
+    * zero vector the rank-1 "neighbor" of every query and a "near-dup" of
+    * every bucket-mate. 0.0 ranks it below any positive similarity and
+    * fails every positive threshold. (DuckDB's list_cosine_similarity in
+    * the oracle diverges only on zero vectors, which the synth corpus
+    * never emits.) */
+  def cosine(a: Column, b: Column): Column = {
+    val np = norm(a) * norm(b)
+    when(np === 0.0, lit(0.0)).otherwise(dot(a, b) / np)
+  }
 
   /** Exact top-k cosine neighbors for each row of `queries` over `corpus`.
     * Output: (query_id, neighbor_id, cosine, rank). Self-matches excluded.
@@ -66,8 +77,13 @@ object Ann {
   private def planeComponent(p: Int, d: Column): Column =
     (xxhash64(lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** nBits-bit random-hyperplane signature of a vector column. */
+  /** nBits-bit random-hyperplane signature of a vector column. Signatures
+    * pack into one long, so nBits > 64 would silently alias bit p onto
+    * bit p-64 (`1L << 64 == 1L`) — rejected loudly instead. */
   def rhpSignature(vec: Column, nBits: Int): Column = {
+    require(nBits >= 1 && nBits <= 64,
+      s"nBits ($nBits) must be in [1, 64]: signatures pack into one long " +
+        "and 1L << p aliases bit p-64 beyond it")
     val bits = (0 until nBits).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -84,6 +100,9 @@ object Ann {
     * driver's DuckDB oracle recomputes it), so the LSH bucketing itself is
     * oracle-checkable, not just spec-checked. */
   def coordSignSignature(vec: Column, nBits: Int): Column = {
+    require(nBits >= 1 && nBits <= 64,
+      s"nBits ($nBits) must be in [1, 64]: signatures pack into one long " +
+        "and 1L << p aliases bit p-64 beyond it")
     val bits = (0 until nBits).map { p =>
       when(element_at(vec, p + 1) > 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -194,17 +213,22 @@ object Ann {
     * contract, shared by [[lshTopK]] and [[cosineNearDupPairs]]. Band
     * columns referencing the raw signature expression would recompute all
     * nBits projections per band, hence the dedicated projection first. */
-  private def bandBuckets(df: DataFrame, id: String, vec: String,
+  private[similarity] def bandBuckets(df: DataFrame, id: String, vec: String,
       nBits: Int, bands: Int, sigFn: (Column, Int) => Column): DataFrame = {
     require(bands > 0 && bands <= nBits && nBits % bands == 0,
       s"bands ($bands) must divide nBits ($nBits): a zero-width band " +
         "puts EVERY row in one bucket (silent full cross-join), and a " +
         "non-dividing count silently drops the top signature bits")
+    require(nBits <= 64, s"nBits ($nBits) must be <= 64 (one-long signature)")
     val r = nBits / bands
+    // JVM shifts mask the count mod 64, so (1L << 64) - 1 == 0 — a zero
+    // mask would put every row in one bucket (the cross-join the require
+    // above exists to prevent). -1L >>> (64 - r) is exact for r == 64.
+    val bandMask = if (r >= 64) -1L else (1L << r) - 1
     val sigd = df.select(col(id), col(vec), sigFn(col(vec), nBits).as("_sig"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("_sig"), b * r).bitwiseAND(lit((1L << r) - 1))
+        shiftright(col("_sig"), b * r).bitwiseAND(lit(bandMask))
           .as("bits"))
     }
     sigd.select(col(id), col(vec), explode(array(bandCols: _*)).as("bk"))

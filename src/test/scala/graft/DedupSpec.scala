@@ -150,4 +150,32 @@ class DedupSpec extends AnyFunSuite {
       Dedup.simhashCandidates(sigs, bands = 5, bitsPerBand = 16)
     }
   }
+
+  test("pairsFromBuckets capped ≡ pairs among the cap-lowest ids per bucket") {
+    // hot bucket (0, 7): 9 members, cap 4 keeps ids 1..4 → C(4,2) pairs;
+    // the two-level rank must emit exactly the unsalted slice's pairs
+    val buckets = ((1L to 9L).map(i => (0, 7L, i)) ++
+      Seq((1, 8L, 3L), (1, 8L, 5L), (2, 9L, 42L)))
+      .toDF("band", "sig", "doc_id")
+    val got = Dedup.pairsFromBuckets(buckets, 4)
+      .as[(Long, Long)].collect().toSet
+    val want = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)).toSet + ((3L, 5L))
+    assert(got == want)
+    // capless: all C(9,2) pairs from the hot bucket; the (3,5) pair from
+    // bucket (1,8) is already among them and distinct merges it
+    val all = Dedup.pairsFromBuckets(buckets, 0)
+      .as[(Long, Long)].collect().toSet
+    assert(all.size == 36)
+  }
+
+  test("bucketOverflowCount counts dropped slots; 0 when capless") {
+    val buckets = ((1L to 9L).map(i => (0, 7L, i)) ++
+      Seq((1, 8L, 3L), (1, 8L, 5L)))
+      .toDF("band", "sig", "doc_id")
+    assert(Dedup.bucketOverflowCount(buckets, 4) == 5L) // 9 - 4
+    assert(Dedup.bucketOverflowCount(buckets, 9) == 0L)
+    assert(Dedup.bucketOverflowCount(buckets, 0) == 0L)
+  }
 }
