@@ -62,7 +62,7 @@ object Linker {
     // checkpointed frame is mention-key-sized (distinct url×norm), tiny
     // next to the scan it saves.
     val mentionKeys = mentions.select(col("url"), col("norm")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(true)
     // prune BEFORE tokenizing: only pages that actually carry an ambiguous
     // mention matter, and the token explode + distinct below is the
     // dominant shuffle — the semi-join shrinks it from corpus-proportional

@@ -180,9 +180,11 @@ object Pipeline {
     // the tmp delete happens BEFORE the intent write: settleRollbackIntent
     // trusts any .tmp_<stage> that coexists with an intent as a COMPLETE
     // restore, so a stale partial tmp (a runStage killed mid-parquet-write
-    // can leave one) must be gone before the intent exists
+    // can leave one) must be gone before the intent exists. The staging
+    // dir needs no delete here: settleRollbackIntent above owns that
+    // invariant (its first action reclaims .copying_<stage> in every
+    // state).
     graft.util.Fs.deleteRec(tmp)
-    graft.util.Fs.deleteRec(staging)
     Files.createDirectories(intent.getParent)
     Files.writeString(intent, toSnapshot.toString)
     // copy (not move) so the snapshot itself stays retained/immutable;
