@@ -105,6 +105,78 @@ object TextFunctions {
       (acc, v) => pmod(acc * lit(31L) + v, lit(p)))
   }
 
+  /** Bounded token array for the repetition stats: the pinned ws-class
+    * split, capped at `maxTokens` elements. The cap bounds the per-row
+    * cost of the quadratic n-gram counting below against adversarial
+    * megabyte docs — Gopher-style repetition signals saturate long before
+    * 2048 tokens, so the cap changes no filtering decision. Empty/blank
+    * text → empty array (split would yield [""]). */
+  def wsTokens(text: Column, maxTokens: Int = 2048): Column = {
+    val t = trimWs(text)
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(slice(split(t, Ws + "+"), 1, maxTokens))
+  }
+
+  /** Single-space-split token variant of [[wsTokens]] (empty tokens
+    * included) — trivially mirrored by external SQL engines, the same
+    * portability contract as [[fingerprintPortable]]. */
+  def spaceTokens(text: Column, maxTokens: Int = 2048): Column =
+    slice(split(text, " "), 1, maxTokens)
+
+  /** Repeated-token fraction: 1 − distinct/total over the token array
+    * (0.0 for empty). The word-level analogue of Gopher's duplicate-line
+    * fraction for corpora whose docs are single-paragraph streams. */
+  def dupTokenFrac(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      lit(1.0) -
+        size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double"))
+
+  /** Fraction of the doc's token n-grams occupied by its single most
+    * frequent n-gram (the Gopher top-n-gram repetition signal). 0.0 when
+    * the doc has fewer than n tokens. Cost: O(grams × distinct-grams) per
+    * row — bounded by the [[wsTokens]]/[[spaceTokens]] cap, pure HOFs
+    * (codegen, zero shuffle): scan-side work like the rest of docStats.
+    * The `when` guard must short-circuit BEFORE the sequence() below:
+    * sequence(1, size−n+1) with size < n would descend. */
+  def topNgramFrac(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val grams =
+      if (n == 1) toks
+      else transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(k => element_at(toks, i + lit(k))): _*))
+    val maxCnt = array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g))))
+    when(size(toks) < n, lit(0.0))
+      .otherwise(maxCnt.cast("double") / size(grams).cast("double"))
+  }
+
+  /** Portable deterministic hash bucket in [0, nBuckets): the first 8 hex
+    * chars of md5(key) as an integer, mod nBuckets. Recomputable by any
+    * SQL engine (the [[fingerprintPortable]] contract), so held-out
+    * splits derived from it are reproducible OUTSIDE Spark — the property
+    * a training-data split must have. Keyed on a stable id (url/doc key),
+    * never on position: membership survives re-partitioning, re-ordering
+    * and incremental corpus growth. */
+  def hashBucket(key: Column, nBuckets: Int): Column = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(nBuckets.toLong))
+  }
+
+  /** Deterministic train/valid/test assignment by [[hashBucket]] over 100
+    * buckets: [0,trainPct) → train, [trainPct,trainPct+validPct) → valid,
+    * rest → test. */
+  def hashSplit(key: Column, trainPct: Int = 98, validPct: Int = 1): Column = {
+    require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"invalid split percentages: train=$trainPct valid=$validPct")
+    val b = hashBucket(key, 100)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + validPct, lit("valid"))
+      .otherwise(lit("test"))
+  }
+
   /** Affinity string → nM parse (P18, reference:src/kg_ae/datasets/
     * bindingdb/normalize.py:33-44): strip `>`, `<`, `=`, `~` and commas,
     * tolerant float cast, positive-only (null otherwise). */

@@ -138,6 +138,63 @@ object TextStats {
           ELSE 'de' END AS lang_id
       FROM documents""")),
 
+    // Gopher-style repetition signals: repeated-token fraction plus the
+    // top-bigram/-trigram occupancy, all pure HOF column math (codegen,
+    // zero shuffle — scan-side quality filtering at corpus scale). The
+    // space-split token variant keeps the DuckDB mirror exact; the
+    // library default (wsTokens) splits on the pinned ws class.
+    QueryDef("q83_repetition", (s, d) => {
+      val toks = TextFunctions.spaceTokens(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.dupTokenFrac(toks).as("dup_token_frac"),
+        TextFunctions.topNgramFrac(toks, 2).as("top_bigram_frac"),
+        TextFunctions.topNgramFrac(toks, 3).as("top_trigram_frac"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ')[1:2048] AS t FROM documents),
+      g2 AS (SELECT doc_id, t,
+               list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1]) AS g
+             FROM toks),
+      g3 AS (SELECT doc_id, t, g,
+               list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+             FROM g2)
+      SELECT doc_id,
+        CASE WHEN len(t) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                        / CAST(len(t) AS DOUBLE) END AS dup_token_frac,
+        CASE WHEN len(t) < 2 THEN 0.0
+             ELSE CAST(list_max(list_transform(list_distinct(g),
+                    x -> len(list_filter(g, y -> y = x)))) AS DOUBLE)
+                  / CAST(len(g) AS DOUBLE) END AS top_bigram_frac,
+        CASE WHEN len(t) < 3 THEN 0.0
+             ELSE CAST(list_max(list_transform(list_distinct(h),
+                    x -> len(list_filter(h, y -> y = x)))) AS DOUBLE)
+                  / CAST(len(h) AS DOUBLE) END AS top_trigram_frac
+      FROM g3""")),
+
+    // Deterministic held-out split: portable md5-derived bucket, so the
+    // train/valid/test membership is reproducible by ANY engine and
+    // stable under re-partitioning, re-ordering and corpus growth.
+    QueryDef("q84_hash_split", (s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.hashBucket(col("doc_id"), 100).as("bucket"),
+        TextFunctions.hashSplit(col("doc_id")).as("split"))
+    }, Some("""
+      WITH b AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % 100 AS bucket
+        FROM documents)
+      SELECT doc_id, bucket,
+        CASE WHEN bucket < 98 THEN 'train'
+             WHEN bucket < 99 THEN 'valid'
+             ELSE 'test' END AS split
+      FROM b""")),
+
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {
       graft.dedup.Dedup.exact(t(s, d, "documents"), "doc_id", "text")

@@ -555,4 +555,76 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(streamed == batch)
   }
+
+  test("repetition stats: dup-token and top-n-gram fractions (hand-computed)") {
+    val df = Seq("a a a a", "a b c d", "a b a b a", "", "x").toDF("t")
+    val toks = TextFunctions.wsTokens(col("t"))
+    val got = df.select(
+      TextFunctions.dupTokenFrac(toks).as("dup"),
+      TextFunctions.topNgramFrac(toks, 1).as("g1"),
+      TextFunctions.topNgramFrac(toks, 2).as("g2"),
+      TextFunctions.topNgramFrac(toks, 3).as("g3"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    // "a a a a": 4 toks 1 distinct; 3 bigrams all "a a"; 2 trigrams same
+    assert(got(0) == ((0.75, 1.0, 1.0, 1.0)))
+    // "a b c d": all unique; 3 distinct bigrams; 2 distinct trigrams
+    assert(got(1) == ((0.0, 0.25, 1.0 / 3, 0.5)))
+    // "a b a b a": 5 toks 2 distinct; bigrams abab → "a b"×2 of 4;
+    // trigrams "a b a","b a b","a b a" → 2 of 3
+    assert(got(2) == ((1.0 - 2.0 / 5, 3.0 / 5, 0.5, 2.0 / 3)))
+    // empty text → empty token array → all zero (no [""] artifact)
+    assert(got(3) == ((0.0, 1.0, 0.0, 0.0)) ||
+      got(3) == ((0.0, 0.0, 0.0, 0.0)))
+    // single token: nothing repeats, no bigrams/trigrams exist
+    assert(got(4) == ((0.0, 1.0, 0.0, 0.0)))
+  }
+
+  test("repetition tokens: ws-class split, empty-text guard, maxTokens cap") {
+    val df = Seq("a\tb\nc", "", "a b c d e").toDF("t")
+    val got = df.select(
+      size(TextFunctions.wsTokens(col("t"))).as("n"),
+      size(TextFunctions.wsTokens(col("t"), maxTokens = 2)).as("capped"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got(0) == ((3, 2))) // tabs/newlines separate tokens
+    assert(got(1) == ((0, 0))) // empty → empty array, not [""]
+    assert(got(2) == ((5, 2))) // cap bounds the quadratic n-gram cost
+  }
+
+  test("hashBucket/hashSplit: portable (md5-derived), in-range, stable") {
+    val keys = (0L until 1000L).toSeq
+    val got = keys.toDF("k").select(
+      col("k"),
+      TextFunctions.hashBucket(col("k"), 100).as("b"),
+      TextFunctions.hashSplit(col("k")).as("s"),
+      TextFunctions.hashSplit(col("k"), trainPct = 0, validPct = 0)
+        .as("allTest"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+    // mirror the portable definition with the JDK's own md5 — the SAME
+    // recomputation the DuckDB oracle does (q84)
+    def refBucket(k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+    }
+    got.foreach { case (k, b, s, allTest) =>
+      assert(b >= 0 && b < 100)
+      assert(b == refBucket(k), s"bucket mismatch for key $k")
+      val expected =
+        if (b < 98) "train" else if (b < 99) "valid" else "test"
+      assert(s == expected)
+      assert(allTest == "test")
+    }
+    // membership is keyed, not positional: the split must be identical
+    // when computed over a different row order/partitioning
+    val again = keys.reverse.toDF("k").repartition(7)
+      .select(col("k"), TextFunctions.hashSplit(col("k")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (k, _, s, _) => assert(again(k) == s) }
+    // default 98/1/1 split lands near its targets over 1000 keys
+    val frac = got.count(_._3 == "train").toDouble / got.length
+    assert(frac > 0.9 && frac < 1.0)
+  }
 }
