@@ -140,17 +140,46 @@ object TextFunctions {
     * The `when` guard must short-circuit BEFORE the sequence() below:
     * sequence(1, size−n+1) with size < n would descend. */
   def topNgramFrac(toks: Column, n: Int): Column = {
-    require(n >= 1, s"n-gram order must be >= 1, got $n")
-    val grams =
-      if (n == 1) toks
-      else transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ",
-          (0 until n).map(k => element_at(toks, i + lit(k))): _*))
+    val grams = ngrams(toks, n)
     val maxCnt = array_max(transform(array_distinct(grams),
       g => size(filter(grams, x => x === g))))
     when(size(toks) < n, lit(0.0))
       .otherwise(maxCnt.cast("double") / size(grams).cast("double"))
   }
+
+  /** Word n-gram array over a token array: gram i = toks[i..i+n−1] joined
+    * by single spaces; empty array when the doc has fewer than n tokens
+    * (the `when` guard short-circuits before sequence() could descend).
+    * Shared by the repetition stats above and [[graft.dedup.Decontaminate]]. */
+  def ngrams(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    if (n == 1) toks
+    else when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+  }
+
+  // ---- PII scrubbing -------------------------------------------------
+  // Patterns deliberately restricted to syntax shared by Java regex and
+  // RE2-class engines (no lookaround, no backreferences) so the DuckDB
+  // oracle replays them verbatim. Redaction must run emails FIRST: the
+  // local-part/domain swallow digit runs and dotted hosts that the phone
+  // and IPv4 patterns would otherwise half-match.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Redact emails, phone numbers and IPv4 addresses to typed placeholder
+    * tokens. Replace-all, pure codegen'd regexp_replace chain — scan-side
+    * work on the corpus path, no shuffle. Placeholders are single tokens
+    * so downstream token stats stay well-defined on scrubbed text. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
 
   /** Portable deterministic hash bucket in [0, nBuckets): the first 8 hex
     * chars of md5(key) as an integer, mod nBuckets. Recomputable by any

@@ -195,6 +195,103 @@ object TextStats {
              ELSE 'test' END AS split
       FROM b""")),
 
+    // PII scrubbing: emails/phones/IPv4 redacted to typed placeholders,
+    // occurrence counts alongside. The synthetic corpus text is digit-free
+    // word salad, so PII-shaped strings are woven in deterministically
+    // from doc_id (the SAME expression in both engines) — the redaction
+    // regexes are exercised on realistic patterns and the oracle verifies
+    // Java-regex and RE2 semantics agree byte-for-byte. A third of the
+    // docs stay clean to pin the no-op path.
+    QueryDef("q85_pii_redact", (s, d) => {
+      val doc = col("doc_id")
+      val txt = when(doc % 3 =!= 0, concat(
+          col("text"), lit(" contact user"), doc.cast("string"),
+          lit("@example.com or call +1-555-"),
+          lpad((doc % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (doc % 256).cast("string"), lit("."),
+          ((doc * 7) % 256).cast("string"), lit("."),
+          ((doc * 13) % 256).cast("string")))
+        .otherwise(col("text"))
+      t(s, d, "documents").select(doc,
+        TextFunctions.redactPii(txt).as("redacted"),
+        regexp_count(txt, lit(TextFunctions.EmailRe)).as("n_emails"),
+        regexp_count(txt, lit(TextFunctions.PhoneRe)).as("n_phones"),
+        regexp_count(txt, lit(TextFunctions.Ipv4Re)).as("n_ips"))
+    }, Some(s"""
+      WITH p AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 <> 0 THEN
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+          ELSE text END AS txt
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(txt,
+          '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+          '${TextFunctions.PhoneRe}', '<PHONE>', 'g'),
+          '${TextFunctions.Ipv4Re}', '<IP>', 'g') AS redacted,
+        CAST(len(regexp_extract_all(txt, '${TextFunctions.EmailRe}')) AS INT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(txt, '${TextFunctions.PhoneRe}')) AS INT)
+          AS n_phones,
+        CAST(len(regexp_extract_all(txt, '${TextFunctions.Ipv4Re}')) AS INT)
+          AS n_ips
+      FROM p""")),
+
+    // Test-set decontamination: every 50th doc plays the benchmark set;
+    // the rest of the corpus is flagged when it shares ≥3 distinct word
+    // 4-grams with it. Corpus side never shuffles for the join (benchmark
+    // gram set is dimension-sized → AQE broadcast); the per-doc count
+    // partial-aggregates.
+    QueryDef("q86_decontam", (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.dedup.Decontaminate.flag(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 4, minOverlap = 3)
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ')[1:2048] AS t FROM documents),
+      g AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                AS gr
+            FROM toks),
+      cg AS (SELECT doc_id, unnest(gr) AS gram FROM g WHERE doc_id % 50 <> 0),
+      bg AS (SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 50 = 0)
+      SELECT cg.doc_id, COUNT(*) AS overlap_ngrams
+      FROM cg JOIN bg USING (gram)
+      GROUP BY cg.doc_id
+      HAVING COUNT(*) >= 3""")),
+
+    // Sequence packing (concat-then-chunk): per-doc absolute start offset
+    // in the doc_id-ordered token stream plus the 512-token chunk span.
+    // The global prefix sum runs distributed (range partition →
+    // partition-local cumsum → O(P) cross-partition offsets) — never a
+    // single-partition global Window.
+    QueryDef("q87_pack_offsets", (s, d) => {
+      graft.pack.Packing.chunkSpans(t(s, d, "documents"), "doc_id",
+        size(split(col("text"), " ")), 512L)
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_offset
+            FROM t)
+      SELECT doc_id, n_tokens, start_offset,
+        CAST(start_offset // 512 AS BIGINT) AS chunk_first,
+        CAST((start_offset + GREATEST(n_tokens, 1) - 1) // 512 AS BIGINT)
+          AS chunk_last
+      FROM c""")),
+
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {
       graft.dedup.Dedup.exact(t(s, d, "documents"), "doc_id", "text")

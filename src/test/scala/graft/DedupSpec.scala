@@ -178,4 +178,26 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.bucketOverflowCount(buckets, 9) == 0L)
     assert(Dedup.bucketOverflowCount(buckets, 0) == 0L)
   }
+
+  test("decontaminate ≡ naive distinct-n-gram overlap against the benchmark") {
+    // exact copies (1000+i of i) guarantee large overlaps; near-copies
+    // (2000+i) share most but not all grams; unrelated docs share few
+    val bench = docs.where($"doc_id" < 10)
+    val corpus = docs.where($"doc_id" >= 10)
+    val n = 3
+    def gramsOf(text: String): Set[String] =
+      text.split(" ").sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSet
+    val rows = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val benchGrams = rows.filter(_._1 < 10).values.flatMap(gramsOf).toSet
+    val naive = rows.filter(_._1 >= 10)
+      .map { case (id, t) => id -> (gramsOf(t) & benchGrams).size.toLong }
+      .filter(_._2 >= 5L)
+    val got = graft.dedup.Decontaminate
+      .flag(corpus, bench, "doc_id", "text", n = n, minOverlap = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive)
+    // exact copies of benchmark docs MUST be flagged
+    (1000L until 1010L).foreach(id => assert(got.contains(id), s"id $id"))
+  }
 }

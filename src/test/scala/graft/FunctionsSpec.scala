@@ -627,4 +627,39 @@ class FunctionsSpec extends AnyFunSuite {
     val frac = got.count(_._3 == "train").toDouble / got.length
     assert(frac > 0.9 && frac < 1.0)
   }
+
+  test("redactPii: replace-all, email-before-ip/phone ordering, no-op path") {
+    val cases = Seq(
+      // two of each kind → replace-ALL, not replace-first
+      "a@b.com then c.d@e.org call +1-555-0042 and +44-123-4567 " +
+        "from 10.0.0.1 or 192.168.255.3",
+      // the email's digits/dotted host must be swallowed by <EMAIL>,
+      // never half-matched as an IP or phone
+      "user42@10-net.example.com",
+      // boundary: a 5-octet run is not an IPv4 (trailing \b still matches
+      // the leading 4 octets — same in Java and RE2)
+      "1.2.3.4.5",
+      // clean text stays byte-identical
+      "no pii here at all")
+    val got = cases.toDF("t")
+      .select(TextFunctions.redactPii(col("t"))).as[String].collect()
+    assert(got(0) == "<EMAIL> then <EMAIL> call <PHONE> and <PHONE> " +
+      "from <IP> or <IP>")
+    assert(got(1) == "<EMAIL>")
+    assert(got(2) == "<IP>.5")
+    assert(got(3) == "no pii here at all")
+  }
+
+  test("ngrams: order-n windows, short-doc empty, unigram passthrough") {
+    val df = Seq("a b c d", "a b", "").toDF("t")
+    val toks = TextFunctions.wsTokens(col("t"))
+    val got = df.select(
+      TextFunctions.ngrams(toks, 3).as("g3"),
+      TextFunctions.ngrams(toks, 1).as("g1"))
+      .collect().map(r => (r.getSeq[String](0), r.getSeq[String](1)))
+    assert(got(0)._1 == Seq("a b c", "b c d"))
+    assert(got(0)._2 == Seq("a", "b", "c", "d"))
+    assert(got(1)._1 == Seq.empty) // fewer than n tokens → empty, no descend
+    assert(got(2)._1 == Seq.empty)
+  }
 }
