@@ -292,6 +292,77 @@ object TextStats {
           AS chunk_last
       FROM c""")),
 
+    // Cross-doc line-level boilerplate removal (the C4/RefinedWeb pass):
+    // lines in ≥10 distinct docs are stripped, survivor order preserved.
+    // The corpus text is multi-lined deterministically from doc_id (same
+    // expression both engines): a global nav line on even docs, a 5-variant
+    // footer (~n/5 docs each — frequent), a per-doc unique line and the
+    // unique text body (never frequent).
+    QueryDef("q88_line_dedup", (s, d) => {
+      val doc = col("doc_id")
+      val txt = concat(
+        when(doc % 2 === 0, lit("home | about | contact\n")).otherwise(lit("")),
+        col("text"), lit("\ncopyright footer "), (doc % 5).cast("string"),
+        lit("\nrare line "), doc.cast("string"))
+      graft.dedup.Boilerplate.removeFrequentLines(
+        t(s, d, "documents").select(doc, txt.as("text")),
+        "doc_id", "text", minDocFreq = 10)
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'home | about | contact' || chr(10)
+               ELSE '' END
+          || text || chr(10) || 'copyright footer '
+          || CAST(doc_id % 5 AS VARCHAR)
+          || chr(10) || 'rare line ' || CAST(doc_id AS VARCHAR) AS txt
+        FROM documents),
+      s AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM p),
+      l AS (SELECT doc_id, unnest(ls) AS line,
+                   unnest(range(1, len(ls) + 1)) AS pos FROM s),
+      f AS (SELECT line FROM (
+              SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1)
+            WHERE df >= 10)
+      SELECT l.doc_id,
+        coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                   FILTER (WHERE f.line IS NULL), '') AS clean_text,
+        count(*) FILTER (WHERE f.line IS NULL) AS n_kept,
+        count(*) FILTER (WHERE f.line IS NOT NULL) AS n_removed
+      FROM l LEFT JOIN f ON l.line = f.line
+      GROUP BY 1""")),
+
+    // Data-mixture sampling: per-source md5-deterministic down-sampling to
+    // weight-proportional token budgets (weights derived portably from the
+    // source name so the query is self-contained at every SF). Sources
+    // with high weight saturate at rate 1; the rest sample.
+    QueryDef("q89_mixture_sample", (s, d) => {
+      val docs = t(s, d, "documents")
+      val weights = docs.select(col("source")).distinct()
+        .withColumn("weight",
+          (TextFunctions.hashBucket(col("source"), 10) + 1).cast("double"))
+      graft.sample.Mixture.sampleToWeights(docs, "doc_id", "source",
+        size(split(col("text"), " ")), weights, budgetFrac = 0.6)
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      w AS (SELECT source,
+              CAST((CAST('0x' || substr(md5(source), 1, 8) AS BIGINT) % 10)
+                   + 1 AS DOUBLE) AS weight
+            FROM (SELECT DISTINCT source FROM documents)),
+      ps AS (SELECT source, sum(n_tokens) AS tok FROM t GROUP BY 1),
+      tot AS (SELECT sum(n_tokens) AS T FROM t),
+      ws AS (SELECT sum(weight) AS wsum FROM w),
+      r AS (SELECT ps.source,
+              CAST(floor(least(1.0,
+                weight / wsum * 0.6 * CAST(T AS DOUBLE)
+                  / CAST(tok AS DOUBLE)) * 1000000) AS BIGINT) AS thr
+            FROM ps JOIN w USING (source), tot, ws)
+      SELECT t.doc_id, t.source, t.n_tokens
+      FROM t JOIN r USING (source)
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % 1000000 < thr""")),
+
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {
       graft.dedup.Dedup.exact(t(s, d, "documents"), "doc_id", "text")
