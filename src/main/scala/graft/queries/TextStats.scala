@@ -363,6 +363,45 @@ object TextStats {
       WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
               % 1000000 < thr""")),
 
+    // Corpus-trained unigram-LM quality scoring: per-doc mean token
+    // probability + rarity stats, exact-arithmetic only (no ln/exp — see
+    // UnigramLm's exactness contract; DuckDB ln ≠ JVM log bit-for-bit).
+    QueryDef("q90_unigram_lm", (s, d) => {
+      graft.quality.UnigramLm.scoreSelf(
+        t(s, d, "documents"), "doc_id", split(col("text"), " "))
+    }, Some("""
+      WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS T FROM c),
+      d AS (SELECT tk.doc_id,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(cnt) AS BIGINT) AS sum_freq,
+              CAST(min(cnt) AS BIGINT) AS min_freq,
+              CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_hapax
+            FROM tk JOIN c USING (tok) GROUP BY 1)
+      SELECT doc_id, n_tokens, sum_freq, min_freq, n_hapax,
+        CAST(sum_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+          / CAST(T AS DOUBLE) AS mean_prob
+      FROM d, tot""")),
+
+    // Stratified per-group sampling: exactly k docs per source by
+    // deterministic md5 order (hot-group-safe via boundedTopK).
+    QueryDef("q91_stratified_sample", (s, d) => {
+      graft.sample.Mixture.sampleKPerGroup(
+        t(s, d, "documents").select(col("source"), col("doc_id")),
+        "source", "doc_id", k = 50)
+    }, Some("""
+      SELECT source, doc_id, rank FROM (
+        SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source ORDER BY
+            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1000000,
+            doc_id) AS rank
+        FROM documents) WHERE rank <= 50""")),
+
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {
       graft.dedup.Dedup.exact(t(s, d, "documents"), "doc_id", "text")

@@ -64,4 +64,24 @@ object Mixture {
       .where(TextFunctions.hashBucket(col(idCol), RateBuckets) < col("_thr"))
       .select(col(idCol), col(sourceCol), col("n_tokens"))
   }
+
+  /** Stratified fixed-size sample: exactly min(k, |group|) rows per group,
+    * chosen by the md5 hash of the row id — a deterministic uniform draw
+    * with the same engine-portability contract as [[sampleToWeights]]
+    * (recomputable anywhere, stable under re-partitioning; k→k+1 only adds
+    * rows). Order within a group is (hashBucket(id), id): the id tiebreak
+    * makes it total, which [[graft.query.Tools.boundedTopK]] requires.
+    *
+    * Scale shape: rides boundedTopK's two-level rank, so a web-scale hot
+    * group (one source holding most of the corpus) spreads over 64 bucket
+    * partitions at level 1 and only ≤64k pre-ranked survivors reach the
+    * per-group window — never a full group on one reducer. */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    graft.query.Tools.boundedTopK(df, Seq(groupCol),
+      Seq(TextFunctions.hashBucket(col(idCol), RateBuckets).asc,
+        col(idCol).asc),
+      k, col(idCol))
+  }
 }

@@ -119,4 +119,49 @@ class SampleSpec extends AnyFunSuite {
     val small = ids(0.2); val big = ids(0.7)
     assert(small.subsetOf(big) && small.size < big.size)
   }
+
+  // ---- Mixture.sampleKPerGroup --------------------------------------
+
+  /** The engine-portable hash order sampleKPerGroup sorts by: first 8 md5
+    * hex chars of the id string, mod RateBuckets (mirrors
+    * TextFunctions.hashBucket). */
+  private def mdBucket(id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) %
+      Mixture.RateBuckets
+  }
+
+  test("sampleKPerGroup == naive hash-order window; exact sizes; monotone") {
+    val df = mixDocs.select(col("source"), col("doc_id"))
+    val rows = df.as[(String, Long)].collect().toSeq
+    val k = 7
+    val naive = rows.groupBy(_._1).flatMap { case (src, xs) =>
+      xs.map(_._2).sortBy(id => (mdBucket(id), id)).take(k)
+        .zipWithIndex.map { case (id, i) => (src, id, i + 1) }
+    }.toSet
+    val got = Mixture.sampleKPerGroup(df, "source", "doc_id", k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == naive)
+    // exactly min(k, group size) per group
+    val sizes = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes.values.forall(_ == k))
+    // monotone: k=3 sample is a prefix (subset) of k=7
+    val small = Mixture.sampleKPerGroup(df, "source", "doc_id", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(small.subsetOf(got) && small.size == 3 * sizes.size)
+    // determinism under re-partitioning
+    val again = Mixture
+      .sampleKPerGroup(df.repartition(11), "source", "doc_id", k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == got)
+  }
+
+  test("sampleKPerGroup: k larger than a group keeps the whole group") {
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L))
+      .toDF("source", "doc_id")
+    val got = Mixture.sampleKPerGroup(tiny, "source", "doc_id", 10)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 1L), ("a", 2L), ("b", 3L)))
+  }
 }
