@@ -27,6 +27,69 @@ object TextStats {
              ELSE 'ok_' || CAST(user_id % 4 AS VARCHAR) END AS outcome
       FROM events"""
 
+  /** Crawl-style URL synthesized deterministically from (doc_id, source):
+    * mixed-case scheme/host, default and non-default explicit ports,
+    * trailing slashes, utm tracking params, fragments — every branch of
+    * [[graft.web.Urls.normalize]] exercised. Mirrored verbatim by
+    * [[urlNormSql]]. */
+  private def synthUrl(id: org.apache.spark.sql.Column,
+      source: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      when(id % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("http://m.")),
+      source, lit(".Example.COM"),
+      when(id % 5 === 0, lit(":443"))
+        .when(id % 7 === 0, lit(":80")).otherwise(lit("")),
+      lit("/Path/"), id.cast("string"),
+      when(id % 3 === 0, lit("/")).otherwise(lit("")),
+      when(id % 4 === 0,
+        concat(lit("?utm_source=feed&q="), (id % 10).cast("string")))
+        .otherwise(lit("")),
+      when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** DuckDB mirror of [[synthUrl]] + the [[graft.web.Urls.normalize]]
+    * decomposition: yields (doc_id, n_chars, sch, hst, hfull, rest) —
+    * url_norm = sch || '://' || hfull || rest. Plain triple-quoted string:
+    * backslashes are literal, exactly as DuckDB's regex engine needs. */
+  private val urlNormSql = """
+      SELECT doc_id, n_chars, sch, hst,
+        CASE WHEN port <> '' AND NOT ((sch = 'http' AND port = '80')
+                                   OR (sch = 'https' AND port = '443'))
+             THEN hst || ':' || port ELSE hst END AS hfull,
+        CASE WHEN regexp_replace(r3, '/+(\?|$)', '\1', 'g') = '' THEN '/'
+             ELSE regexp_replace(r3, '/+(\?|$)', '\1', 'g') END AS rest
+      FROM (
+        SELECT doc_id, n_chars, sch, hostport,
+          lower(regexp_replace(hostport, ':[0-9]+$', '', 'g')) AS hst,
+          regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+          regexp_replace(regexp_replace(regexp_replace(rest0,
+            '&utm_[A-Za-z0-9_]*=[^&]*', '', 'g'),
+            '\?utm_[A-Za-z0-9_]*=[^&]*&', '?', 'g'),
+            '\?utm_[A-Za-z0-9_]*=[^&]*$', '', 'g') AS r3
+        FROM (
+          SELECT doc_id, n_chars,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+              AS sch,
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+              AS hostport,
+            regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
+          FROM (
+            SELECT doc_id, n_chars,
+              (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+                    ELSE 'http://m.' END)
+              || source || '.Example.COM'
+              || (CASE WHEN doc_id % 5 = 0 THEN ':443'
+                       WHEN doc_id % 7 = 0 THEN ':80' ELSE '' END)
+              || '/Path/' || CAST(doc_id AS VARCHAR)
+              || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+              || (CASE WHEN doc_id % 4 = 0
+                       THEN '?utm_source=feed&q='
+                            || CAST(doc_id % 10 AS VARCHAR)
+                       ELSE '' END)
+              || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)
+                AS url
+            FROM documents)))"""
+
   private def pairsDf(s: org.apache.spark.sql.SparkSession, d: String) =
     t(s, d, "events").select(
       col("event_type").as("exposure"),
@@ -401,6 +464,51 @@ object TextStats {
               AS BIGINT) % 1000000,
             doc_id) AS rank
         FROM documents) WHERE rank <= 50""")),
+
+    // URL canonicalization: crawl-style URLs (mixed-case scheme/host,
+    // default + explicit ports, trailing slashes, utm params, fragments)
+    // synthesized deterministically from doc_id, normalized by the
+    // codegen-only Urls chain (Java-regex/RE2 common subset — see Urls).
+    QueryDef("q92_url_normalize", (s, d) => {
+      import graft.web.Urls
+      val u = synthUrl(col("doc_id"), col("source"))
+      t(s, d, "documents").select(
+        col("doc_id"), Urls.scheme(u).as("scheme"), Urls.host(u).as("host"),
+        Urls.registeredDomain(u).as("domain"),
+        Urls.normalize(u).as("url_norm"))
+    }, Some(s"""
+      WITH n AS ($urlNormSql)
+      SELECT doc_id, sch AS scheme, hst AS host,
+        CASE WHEN regexp_matches(hst, '\\.')
+             THEN regexp_extract(hst, '([^.]+\\.[^.]+)$$', 1)
+             ELSE hst END AS domain,
+        sch || '://' || hfull || rest AS url_norm
+      FROM n""")),
+
+    // Registered-domain rollup: the domain-level curation aggregate every
+    // crawl pipeline runs (docs + distinct canonical URLs + bytes per
+    // domain) — one scan, one dimension-sized groupBy.
+    QueryDef("q93_domain_stats", (s, d) => {
+      import graft.web.Urls
+      val u = synthUrl(col("doc_id"), col("source"))
+      t(s, d, "documents")
+        .select(Urls.registeredDomain(u).as("domain"),
+          Urls.normalize(u).as("url_norm"), col("n_chars"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url_norm")).as("n_urls"),
+          sum("n_chars").as("total_chars"))
+    }, Some(s"""
+      WITH n AS ($urlNormSql)
+      SELECT
+        CASE WHEN regexp_matches(hst, '\\.')
+             THEN regexp_extract(hst, '([^.]+\\.[^.]+)$$', 1)
+             ELSE hst END AS domain,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT sch || '://' || hfull || rest) AS BIGINT)
+          AS n_urls,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM n GROUP BY 1""")),
 
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {
