@@ -36,7 +36,8 @@ object TextStats {
       source: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(
       when(id % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("http://m.")),
-      source, lit(".Example.COM"),
+      source,
+      when(id % 9 === 0, lit(".Example.COM")).otherwise(lit(".COM")),
       when(id % 5 === 0, lit(":443"))
         .when(id % 7 === 0, lit(":80")).otherwise(lit("")),
       lit("/Path/"), id.cast("string"),
@@ -77,7 +78,9 @@ object TextStats {
             SELECT doc_id, n_chars,
               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
                     ELSE 'http://m.' END)
-              || source || '.Example.COM'
+              || source
+              || (CASE WHEN doc_id % 9 = 0 THEN '.Example.COM'
+                       ELSE '.COM' END)
               || (CASE WHEN doc_id % 5 = 0 THEN ':443'
                        WHEN doc_id % 7 = 0 THEN ':80' ELSE '' END)
               || '/Path/' || CAST(doc_id AS VARCHAR)
@@ -509,6 +512,48 @@ object TextStats {
           AS n_urls,
         CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM n GROUP BY 1""")),
+
+    // Link-graph centrality: integer-arithmetic PageRank (3 damped
+    // iterations) over a deterministic synthetic link graph with planted
+    // hubs (dst mod 211 → ~N/211 in-degree hot nodes exercise the
+    // map-side partial-agg skew path). Exact BIGINT math — see PageRank's
+    // portability contract; the oracle unrolls the same three iterations.
+    QueryDef("q94_pagerank", (s, d) => {
+      val id = col("doc_id")
+      val docs = t(s, d, "documents").select(id)
+      val edges = docs
+        .select(id.as("src"), ((id * 17 + 3) % 211).as("dst"))
+        .union(docs.select(id.as("src"), ((id * 31 + 7) % 997).as("dst")))
+      graft.graph.PageRank.run(edges, iters = 3)
+    }, Some("""
+      WITH e AS (
+        SELECT doc_id AS src, (doc_id * 17 + 3) % 211 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, (doc_id * 31 + 7) % 997 AS dst
+        FROM documents),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+      ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+      p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes),
+      c1 AS (SELECT dst, sum(score // outdeg) AS inb
+             FROM ed JOIN p0 ON p0.node = ed.src GROUP BY 1),
+      p1 AS (SELECT node,
+               CAST(150000 + (coalesce(inb, 0) * 85) // 100 AS BIGINT)
+                 AS score
+             FROM nodes LEFT JOIN c1 ON node = dst),
+      c2 AS (SELECT dst, sum(score // outdeg) AS inb
+             FROM ed JOIN p1 ON p1.node = ed.src GROUP BY 1),
+      p2 AS (SELECT node,
+               CAST(150000 + (coalesce(inb, 0) * 85) // 100 AS BIGINT)
+                 AS score
+             FROM nodes LEFT JOIN c2 ON node = dst),
+      c3 AS (SELECT dst, sum(score // outdeg) AS inb
+             FROM ed JOIN p2 ON p2.node = ed.src GROUP BY 1),
+      p3 AS (SELECT node,
+               CAST(150000 + (coalesce(inb, 0) * 85) // 100 AS BIGINT)
+                 AS score
+             FROM nodes LEFT JOIN c3 ON node = dst)
+      SELECT node, score AS pr_score FROM p3""")),
 
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {

@@ -168,4 +168,26 @@ class PlanSpec extends AnyFunSuite {
     // HashAggregate appears twice around the exchange: partial + final
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
   }
+
+  test("unigram-LM scoring: vocab model broadcasts, doc agg is partial (q90)") {
+    val plan = planOf(SparkEntry.queries("q90_unigram_lm")(spark, sf))
+    // the token→count model must attach map-side (vocab is the dimension
+    // side; with it broadcast, a doc's token rows never move before the
+    // per-doc partial aggregation collapses them to one row)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+  }
+
+  test("PageRank iterations stay constant-depth via lineage cuts (q94)") {
+    // each iteration ends in a localCheckpoint: the executed plan of the
+    // final ranks must start from the checkpointed RDD scan, not replay
+    // three joins deep — at web-graph scale an uncut 10-iteration lineage
+    // re-executes every prior shuffle on each action
+    val plan = planOf(SparkEntry.queries("q94_pagerank")(spark, sf))
+    assert(plan.contains("Scan ExistingRDD"), plan.take(800))
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).isEmpty,
+      "the returned ranks must read the checkpointed result, not replay " +
+        "the iteration joins:\n" + plan.take(1200))
+  }
 }
