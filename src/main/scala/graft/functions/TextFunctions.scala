@@ -134,17 +134,39 @@ object TextFunctions {
 
   /** Fraction of the doc's token n-grams occupied by its single most
     * frequent n-gram (the Gopher top-n-gram repetition signal). 0.0 when
-    * the doc has fewer than n tokens. Cost: O(grams × distinct-grams) per
-    * row — bounded by the [[wsTokens]]/[[spaceTokens]] cap, pure HOFs
-    * (codegen, zero shuffle): scan-side work like the rest of docStats.
-    * The `when` guard must short-circuit BEFORE the sequence() below:
-    * sequence(1, size−n+1) with size < n would descend. */
+    * the doc has fewer than n tokens.
+    *
+    * Implemented as sort + longest-equal-run fold: O(g log g) per row with
+    * the gram array built ONCE (inside array_sort). The obvious
+    * distinct×filter nesting is a trap at two levels — it is
+    * O(distinct × g) comparisons, and because higher-order functions are
+    * CodegenFallback, the interpreted inner lambda RE-EVALUATES the whole
+    * gram-construction subtree (split + concat_ws per token) for every
+    * distinct gram, turning a 100-token row into ~10⁶ string builds; a
+    * single bench pass over sf0.1 sat minutes deep in StringSplit before
+    * this rewrite. The `when` guard must short-circuit BEFORE ngrams'
+    * sequence() below: sequence(1, size−n+1) with size < n would descend.
+    */
   def topNgramFrac(toks: Column, n: Int): Column = {
-    val grams = ngrams(toks, n)
-    val maxCnt = array_max(transform(array_distinct(grams),
-      g => size(filter(grams, x => x === g))))
+    val sorted = array_sort(ngrams(toks, n))
+    // fold state: (prev gram, current run, best run). run=0 marks the
+    // initial state so a first gram equal to the "" sentinel still counts
+    // as a fresh run of 1.
+    val best = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev") && acc("run") > 0, acc("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    // gram count is size(toks) − n + 1 by construction — no need to
+    // rebuild the array to measure it
     when(size(toks) < n, lit(0.0))
-      .otherwise(maxCnt.cast("double") / size(grams).cast("double"))
+      .otherwise(best.cast("double") /
+        (size(toks) - lit(n - 1)).cast("double"))
   }
 
   /** Word n-gram array over a token array: gram i = toks[i..i+n−1] joined

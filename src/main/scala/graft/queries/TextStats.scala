@@ -47,34 +47,40 @@ object TextStats {
         .otherwise(lit("")),
       when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
 
-  /** DuckDB mirror of [[synthUrl]] + the [[graft.web.Urls.normalize]]
-    * decomposition: yields (doc_id, n_chars, sch, hst, hfull, rest) —
-    * url_norm = sch || '://' || hfull || rest. Plain triple-quoted string:
-    * backslashes are literal, exactly as DuckDB's regex engine needs. */
-  private val urlNormSql = """
-      SELECT doc_id, n_chars, sch, hst,
+  /** DuckDB decomposition of [[graft.web.Urls.normalize]] applied to
+    * column `url` of subquery `inner` (which must also yield the `carry`
+    * columns): output = carry + (sch, hst, hfull, rest); the canonical
+    * URL is sch || '://' || hfull || rest. s-interpolated, so regex
+    * backslashes are doubled here and single in the emitted SQL. */
+  private def urlStepsSql(inner: String, carry: String): String = s"""
+      SELECT $carry, sch, hst,
         CASE WHEN port <> '' AND NOT ((sch = 'http' AND port = '80')
                                    OR (sch = 'https' AND port = '443'))
              THEN hst || ':' || port ELSE hst END AS hfull,
-        CASE WHEN regexp_replace(r3, '/+(\?|$)', '\1', 'g') = '' THEN '/'
-             ELSE regexp_replace(r3, '/+(\?|$)', '\1', 'g') END AS rest
+        CASE WHEN regexp_replace(r3, '/+(\\?|$$)', '\\1', 'g') = ''
+             THEN '/'
+             ELSE regexp_replace(r3, '/+(\\?|$$)', '\\1', 'g') END AS rest
       FROM (
-        SELECT doc_id, n_chars, sch, hostport,
-          lower(regexp_replace(hostport, ':[0-9]+$', '', 'g')) AS hst,
-          regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        SELECT $carry, sch, hostport,
+          lower(regexp_replace(hostport, ':[0-9]+$$', '', 'g')) AS hst,
+          regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
           regexp_replace(regexp_replace(regexp_replace(rest0,
             '&utm_[A-Za-z0-9_]*=[^&]*', '', 'g'),
-            '\?utm_[A-Za-z0-9_]*=[^&]*&', '?', 'g'),
-            '\?utm_[A-Za-z0-9_]*=[^&]*$', '', 'g') AS r3
+            '\\?utm_[A-Za-z0-9_]*=[^&]*&', '?', 'g'),
+            '\\?utm_[A-Za-z0-9_]*=[^&]*$$', '', 'g') AS r3
         FROM (
-          SELECT doc_id, n_chars,
+          SELECT $carry,
             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
               AS sch,
             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
               AS hostport,
             regexp_extract(url,
               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
-          FROM (
+          FROM ($inner)))"""
+
+  /** DuckDB mirror of [[synthUrl]]: (doc_id, n_chars, url). Plain
+    * triple-quoted string — backslash-free. */
+  private val synthUrlSql = """
             SELECT doc_id, n_chars,
               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
                     ELSE 'http://m.' END)
@@ -91,7 +97,9 @@ object TextStats {
                        ELSE '' END)
               || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)
                 AS url
-            FROM documents)))"""
+            FROM documents"""
+
+  private val urlNormSql = urlStepsSql(synthUrlSql, "doc_id, n_chars")
 
   private def pairsDf(s: org.apache.spark.sql.SparkSession, d: String) =
     t(s, d, "events").select(
@@ -211,7 +219,13 @@ object TextStats {
     // library default (wsTokens) splits on the pinned ws class.
     QueryDef("q83_repetition", (s, d) => {
       val toks = TextFunctions.spaceTokens(col("text"))
-      t(s, d, "documents").select(
+      // HOFs are CodegenFallback (interpreted): real per-row cost. The
+      // sf fixture is ONE parquet split, which would serialize that work
+      // on one core — a 100 TB corpus scan has thousands of natural
+      // splits, so spreading the fixture is the representative shape.
+      t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
         col("doc_id"),
         TextFunctions.dupTokenFrac(toks).as("dup_token_frac"),
         TextFunctions.topNgramFrac(toks, 2).as("top_bigram_frac"),
@@ -554,6 +568,77 @@ object TextStats {
                  AS score
              FROM nodes LEFT JOIN c3 ON node = dst)
       SELECT node, score AS pr_score FROM p3""")),
+
+    // Hyperlink extraction: anchor tags from crawl HTML (synthesized
+    // deterministically per doc: one messy link with tracking params and
+    // a default port, one href-less <a> and one markup-bodied anchor that
+    // the documented regex recall-tail SKIPS in both engines, one plain
+    // link), each extracted href canonicalized + domain-tagged via Urls.
+    QueryDef("q95_link_extract", (s, d) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("""<html><body><p>see also</p><a class="x" href="HTTP://Host-"""),
+        (id * 13 % 97).cast("string"),
+        lit(""".COM:80/x/"""), id.cast("string"),
+        lit("""?utm_a=1&s=2">anchor """), (id % 5).cast("string"),
+        lit("""</a><a name="n">skip</a><div><a href="https://ref-"""),
+        (id % 7).cast("string"),
+        lit(""".org/y/">the <b>ref</b></a></div><a href="https://plain-"""),
+        (id % 3).cast("string"),
+        lit(""".org/z">plain link</a></body></html>"""))
+      graft.web.Links.linkRecords(
+        t(s, d, "documents").select(id, html.as("html")),
+        col("html"), col("doc_id"))
+    }, Some(s"""
+      WITH n AS (${urlStepsSql(
+        """SELECT doc_id, href, href AS url, anchor FROM (
+             SELECT doc_id,
+               unnest(regexp_extract_all(html,
+                 '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href,
+               unnest(regexp_extract_all(html,
+                 '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS anchor
+             FROM (
+               SELECT doc_id,
+                 '<html><body><p>see also</p><a class="x" href="HTTP://Host-'
+                 || CAST(doc_id * 13 % 97 AS VARCHAR)
+                 || '.COM:80/x/' || CAST(doc_id AS VARCHAR)
+                 || '?utm_a=1&s=2">anchor ' || CAST(doc_id % 5 AS VARCHAR)
+                 || '</a><a name="n">skip</a><div><a href="https://ref-'
+                 || CAST(doc_id % 7 AS VARCHAR)
+                 || '.org/y/">the <b>ref</b></a></div><a href="https://plain-'
+                 || CAST(doc_id % 3 AS VARCHAR)
+                 || '.org/z">plain link</a></body></html>' AS html
+               FROM documents))""",
+        "doc_id, href, anchor")})
+      SELECT doc_id, href, anchor,
+        sch || '://' || hfull || rest AS target_url,
+        CASE WHEN regexp_matches(hst, '\\.')
+             THEN regexp_extract(hst, '([^.]+\\.[^.]+)$$', 1)
+             ELSE hst END AS target_domain
+      FROM n""")),
+
+    // Keyword extraction: top-5 terms per doc by the rational tf-idf
+    // surrogate tf*N/df (exact-arithmetic contract — see Keywords).
+    QueryDef("q96_keywords", (s, d) => {
+      graft.quality.Keywords.topTerms(
+        t(s, d, "documents"), "doc_id", split(col("text"), " "), k = 5)
+    }, Some("""
+      WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM tk GROUP BY 1, 2),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             FROM (SELECT DISTINCT doc_id, term FROM tk) GROUP BY 1),
+      nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS N
+             FROM documents),
+      sc AS (SELECT doc_id, term, tf, df,
+               CAST(tf * N AS DOUBLE) / CAST(df AS DOUBLE) AS score
+             FROM tf JOIN df USING (term), nn)
+      SELECT doc_id, term, tf, df, score, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term) AS rank FROM sc)
+      WHERE rank <= 5""")),
 
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {

@@ -58,6 +58,29 @@ class QualitySpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 300L, 100L, 0L, 300.0 / 3.0 / 105.0)))
   }
 
+  test("topTerms == naive tf*N/df ranking, k respected, ties by term") {
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val n = rows.size.toLong
+    val tf = rows.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, xs) =>
+        (id, w, xs.length.toLong) } }
+    val df = rows.flatMap { case (_, t) => t.split(" ", -1).distinct }
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val k = 2
+    val naive = tf.groupBy(_._1).flatMap { case (id, xs) =>
+      xs.map { case (_, w, f) => (w, f, df(w), (f * n).toDouble / df(w).toDouble) }
+        .sortBy { case (w, _, _, s) => (-s, w) }.take(k).zipWithIndex
+        .map { case ((w, f, d, s), i) => (id, w, f, d, s, i + 1) }
+    }.toSet
+    val got = graft.quality.Keywords
+      .topTerms(docs, "doc_id", split(col("text"), " "), k)
+      .as[(Long, String, Long, Long, Double, Int)].collect().toSet
+    assert(got == naive)
+    // doc 3 is all "the": exactly one distinct term, rank 1, tf 3
+    assert(got.count(_._1 == 3L) == 1)
+    assert(got.find(_._1 == 3L).get._3 == 3L)
+  }
+
   test("empty text scores as the single empty token") {
     val d = Seq((1L, ""), (2L, "a b")).toDF("doc_id", "text")
     val got = collectScores(

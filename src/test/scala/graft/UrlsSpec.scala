@@ -79,4 +79,34 @@ class UrlsSpec extends AnyFunSuite {
     val once = norm(raw: _*)
     assert(norm(once: _*) == once)
   }
+
+  // ---- Links ---------------------------------------------------------
+
+  test("anchors: extracts href+text pairs; skips href-less and markup bodies") {
+    val html =
+      """<p>x</p><a class="c" href="http://a.com/1">first</a>
+        |<a name="n">no href</a>
+        |<a href="http://b.com/2">has <b>markup</b></a>
+        |<a href="http://c.com/3"> third link </a>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(explode(graft.web.Links.anchors(col("h"))).as("a"))
+      .select(col("a.href"), col("a.anchor")).as[(String, String)]
+      .collect().toSeq
+    // the markup-bodied anchor is the documented recall tail: skipped
+    assert(got == Seq(("http://a.com/1", "first"),
+      ("http://c.com/3", " third link ")))
+  }
+
+  test("linkRecords: canonical target URL + registered domain per link") {
+    val df = Seq((7L,
+      """<a href="HTTP://WWW.A.COM:80/x/?utm_s=1">one</a>""" +
+        """<a href="https://sub.b.org/y/">two</a>""")).toDF("id", "html")
+    val got = graft.web.Links.linkRecords(df, col("html"), col("id"))
+      .as[(Long, String, String, String, String)].collect().toSeq
+    assert(got == Seq(
+      (7L, "HTTP://WWW.A.COM:80/x/?utm_s=1", "one",
+        "http://www.a.com/x", "a.com"),
+      (7L, "https://sub.b.org/y/", "two",
+        "https://sub.b.org/y", "b.org")))
+  }
 }
