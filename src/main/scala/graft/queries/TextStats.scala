@@ -640,6 +640,30 @@ object TextStats {
           ORDER BY score DESC, term) AS rank FROM sc)
       WHERE rank <= 5""")),
 
+    // Per-group percentile analytics (latency-style p50/p95/p99). Spark's
+    // exact `percentile` interpolates with the same (N−1)·p formula as
+    // DuckDB's quantile_cont — verified bit-identical on this data — so
+    // the oracle is exact. SCALE NOTE: exact percentile buffers each
+    // group's values (ObjectHashAggregate); the 100 TB path is
+    // approx_percentile's mergeable GK sketch (bounded memory, map-side
+    // partials), spec-pinned within tolerance of exact in StatsSpec.
+    QueryDef("q97_percentiles", (s, d) => {
+      t(s, d, "events").groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        min("value").as("min_v"),
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.95)).as("p95"),
+        percentile(col("value"), lit(0.99)).as("p99"),
+        max("value").as("max_v"))
+    }, Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        min(value) AS min_v,
+        quantile_cont(value, 0.5) AS p50,
+        quantile_cont(value, 0.95) AS p95,
+        quantile_cont(value, 0.99) AS p99,
+        max(value) AS max_v
+      FROM events GROUP BY 1""")),
+
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {
       graft.dedup.Dedup.exact(t(s, d, "documents"), "doc_id", "text")

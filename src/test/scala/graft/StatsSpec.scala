@@ -113,4 +113,26 @@ class StatsSpec extends AnyFunSuite {
     assert(un.pairAggregate.isEmpty)
     un.unpersistPairs()
   }
+
+  test("approx_percentile (the 100 TB sketch path) tracks exact percentile") {
+    // q97 oracles the EXACT percentile (which buffers each group's values
+    // — fine at dimension-bounded group counts, wrong at open-ended
+    // ones); the mergeable GK sketch is the scale path. Pin that at
+    // accuracy 10⁴ the sketch lands within 1% of the group's value RANGE
+    // on a skewed distribution, so swapping it in is a measured, bounded
+    // approximation — not a leap.
+    val vals = ((0 until 900).map(i => ("a", (i % 300).toDouble)) ++
+      (0 until 100).map(i => ("a", 1000.0 + i)) ++
+      (0 until 500).map(i => ("b", math.pow(1.01, i) * 10))).toDF("g", "v")
+    val got = vals.groupBy("g").agg(
+      percentile(col("v"), lit(0.95)).as("exact"),
+      approx_percentile(col("v"), lit(0.95), lit(10000)).as("approx"),
+      (max("v") - min("v")).as("range"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    got.values.foreach { case (exact, approx, range) =>
+      assert(math.abs(exact - approx) <= 0.01 * range,
+        s"exact=$exact approx=$approx range=$range")
+    }
+  }
 }
