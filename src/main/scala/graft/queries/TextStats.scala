@@ -664,6 +664,57 @@ object TextStats {
         max(value) AS max_v
       FROM events GROUP BY 1""")),
 
+    // As-of join (click-attribution shape): every purchase matched to the
+    // user's most recent prior click — Spark-side via the sort-merge
+    // union+window operator (see AsOf: no range-join explosion), oracled
+    // against DuckDB's NATIVE ASOF LEFT JOIN, i.e. two independent
+    // implementations of the temporal-join semantics.
+    QueryDef("q98_asof_join", (s, d) => {
+      val ev = t(s, d, "events")
+      val w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select("user_id", "ts", "value")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOf.joinAsOf(purchases, clicks, "user_id", "ts",
+        Seq("value"), prefix = "click_")
+    }, Some("""
+      WITH r AS (
+        SELECT user_id, ts, value FROM (
+          SELECT user_id, ts, value,
+            row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id)
+              AS rn
+          FROM events WHERE event_type = 'click') WHERE rn = 1),
+      l AS (SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase')
+      SELECT l.event_id, l.user_id, l.ts, l.value,
+             r.ts AS click_ts, r.value AS click_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""")),
+
+    // Ordered-step funnel (view → click → purchase): per-user earliest
+    // in-order completion times + deepest stage reached, via the chained
+    // conditional-min operator (key-sized intermediates — see Funnel).
+    QueryDef("q99_funnel", (s, d) => {
+      graft.operators.Funnel.funnel(t(s, d, "events"), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+    }, Some("""
+      WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS click_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.view_ts GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+            GROUP BY 1)
+      SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+        (CASE WHEN v.view_ts IS NOT NULL THEN 1 ELSE 0 END)
+        + (CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END)
+        + (CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS stage
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""")),
+
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {
       graft.dedup.Dedup.exact(t(s, d, "documents"), "doc_id", "text")
