@@ -715,6 +715,34 @@ object TextStats {
         + (CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS stage
       FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""")),
 
+    // Triangle counting over a dense deterministic graph (251 nodes, 3
+    // modular edge families). The Spark side uses the degree-ordered
+    // wedge decomposition (skew-bounded — see Triangles); the oracle
+    // counts id-ordered closed triples — two different single-count
+    // decompositions that must agree exactly.
+    QueryDef("q100_triangles", (s, d) => {
+      val x = col("doc_id") % 251
+      val docs = t(s, d, "documents").select(x.as("x"))
+      val edges = docs.select(col("x").as("src"),
+          ((col("x") * 2 + 1) % 251).as("dst"))
+        .union(docs.select(col("x").as("src"),
+          ((col("x") * 3 + 7) % 251).as("dst")))
+        .union(docs.select(col("x").as("src"),
+          ((col("x") * 5 + 11) % 251).as("dst")))
+      graft.graph.Triangles.count(edges)
+    }, Some("""
+      WITH x AS (SELECT doc_id % 251 AS x FROM documents),
+      e0 AS (
+        SELECT x AS s, (x * 2 + 1) % 251 AS d FROM x
+        UNION ALL SELECT x, (x * 3 + 7) % 251 FROM x
+        UNION ALL SELECT x, (x * 5 + 11) % 251 FROM x),
+      und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM e0 WHERE s <> d)
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""")),
+
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {
       graft.dedup.Dedup.exact(t(s, d, "documents"), "doc_id", "text")
