@@ -328,7 +328,10 @@ object TextStats {
     // gram set is dimension-sized → AQE broadcast); the per-doc count
     // partial-aggregates.
     QueryDef("q86_decontam", (s, d) => {
+      // spread the single-split fixture: the n-gram build is interpreted
+      // HOF work (CodegenFallback) — same rationale as q83
       val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       graft.dedup.Decontaminate.flag(
         docs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0),
