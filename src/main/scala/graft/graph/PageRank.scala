@@ -31,7 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** Fixed-point scale: initial score per node = 1.0 × Scale. */
+  /** Fixed-point scale: initial score per node = 1.0 × Scale.
+    *
+    * OVERFLOW CONTRACT: total rank mass is bounded by |V| × Scale, and the
+    * damping step computes `inbound × dampNum` before dividing, so the
+    * caller must keep |V| × Scale × dampNum < 2⁶³ (ANSI mode makes a
+    * violation a loud ARITHMETIC_OVERFLOW, never silent wraparound). The
+    * default Scale=10⁶ is safe to ~10¹¹ nodes; a 10¹²-page web graph runs
+    * with Scale=10⁴ — still 4 decimal digits of rank resolution. */
   val Scale = 1000000L
 
   /** `edges` needs long-castable (src, dst) columns; multi-edges count
@@ -40,10 +47,12 @@ object PageRank {
     * damped iterations (damping factor dampNum/dampDen, default 85/100).
     */
   def run(edges: DataFrame, iters: Int = 3,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = Scale): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
+    require(scale > 0, s"scale must be positive, got $scale")
     val e0 = edges
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
@@ -54,8 +63,8 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
-    val base = Scale * (dampDen - dampNum) / dampDen // truncating, exact
-    var pr = nodes.withColumn("score", lit(Scale))
+    val base = scale * (dampDen - dampNum) / dampDen // truncating, exact
+    var pr = nodes.withColumn("score", lit(scale))
     (1 to iters).foreach { _ =>
       val in = e.join(pr, col("src") === col("node"))
         .select(col("dst"), expr("score div outdeg").as("c"))

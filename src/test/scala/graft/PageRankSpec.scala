@@ -11,11 +11,12 @@ class PageRankSpec extends AnyFunSuite {
   /** The same integer recurrence, in-memory: pr₀ = Scale; prₖ₊₁(n) =
     * base + (Σ_{s→n} prₖ(s) div outdeg(s)) * 85 div 100. */
   private def naive(edges: Seq[(Long, Long)], iters: Int,
-      dampNum: Long = 85L, dampDen: Long = 100L): Map[Long, Long] = {
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = PageRank.Scale): Map[Long, Long] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-    val base = PageRank.Scale * (dampDen - dampNum) / dampDen
-    var pr = nodes.map(_ -> PageRank.Scale).toMap
+    val base = scale * (dampDen - dampNum) / dampDen
+    var pr = nodes.map(_ -> scale).toMap
     (1 to iters).foreach { _ =>
       val in = edges.groupBy(_._2).view
         .mapValues(_.map { case (s, _) => pr(s) / outdeg(s) }.sum).toMap
@@ -61,5 +62,13 @@ class PageRankSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PageRank.run(g.toDF("src", "dst"), 0))
     intercept[IllegalArgumentException](
       PageRank.run(g.toDF("src", "dst"), 1, dampNum = 3, dampDen = 2))
+  }
+
+  test("reduced fixed-point scale (the overflow-contract knob)") {
+    val got = PageRank.run(g.toDF("src", "dst"), 3, scale = 10000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == naive(g, 3, scale = 10000L))
+    intercept[IllegalArgumentException](
+      PageRank.run(g.toDF("src", "dst"), 1, scale = 0L))
   }
 }
