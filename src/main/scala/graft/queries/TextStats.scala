@@ -746,6 +746,32 @@ object TextStats {
       JOIN und e2 ON e2.a = e1.b
       JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""")),
 
+    // OLAP rollup: region → nation → grand-total customer subtotals in
+    // one pass (Spark `rollup` ≡ GROUP BY ROLLUP), grouping level carried
+    // as the engine-shared grouping_id bitmask. Aggregates are count +
+    // min/max only — a double SUM's addition order is shuffle-dependent
+    // and would break cross-engine hash equality (the [[UnigramLm]]
+    // exactness contract applies to oracles too).
+    QueryDef("q101_rollup", (s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          min("c_acctbal").as("min_bal"),
+          max("c_acctbal").as("max_bal"),
+          grouping_id().as("gid"))
+    }, Some("""
+      SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)""")),
+
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {
       graft.dedup.Dedup.exact(t(s, d, "documents"), "doc_id", "text")
