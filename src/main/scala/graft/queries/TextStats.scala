@@ -772,6 +772,41 @@ object TextStats {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP (r_name, n_name)""")),
 
+    // Inverted-index build (serving artifact): term → document frequency,
+    // total postings, and a CAPPED sorted posting list ("doc:pos", first
+    // 100) — the cap is the scale-honest shape: a hot term's posting list
+    // is unbounded at corpus scale, so per-term state must be bounded
+    // (count stays exact; the stored list is a deterministic prefix).
+    // collect_list is order-nondeterministic → sort_array BEFORE slicing,
+    // mirrored by the oracle's list(... ORDER BY ...).
+    QueryDef("q102_inverted_index", (s, d) => {
+      val posting =
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .groupBy("term").agg(
+          countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("n_postings"),
+          concat_ws(",",
+            slice(sort_array(collect_list(posting)), 1, 100))
+            .as("postings"))
+    }, Some("""
+      WITH tk AS (
+        SELECT doc_id,
+          unnest(string_split(text, ' ')) AS term,
+          unnest(range(0, len(string_split(text, ' ')))) AS pos
+        FROM documents)
+      SELECT term,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        CAST(count(*) AS BIGINT) AS n_postings,
+        array_to_string(
+          (list(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)
+                ORDER BY CAST(doc_id AS VARCHAR) || ':'
+                         || CAST(pos AS VARCHAR)))[1:100], ',') AS postings
+      FROM tk GROUP BY 1""")),
+
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {
       graft.dedup.Dedup.exact(t(s, d, "documents"), "doc_id", "text")
