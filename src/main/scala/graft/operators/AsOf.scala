@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   *
   * PRECONDITION: right must be unique per (key, ts) — dedup-keep-best
   * first (as q98 does) or the carried payload at a tied ts is plan-
-  * dependent. Skew note: one window partition = one key's full history;
+  * dependent. NULL semantics are the WINDOW ones, not SQL-join ones:
+  * null keys group together and null timestamps sort first (they see no
+  * prior payload, and a null-ts right row is visible to every later left
+  * row of its key) — filter nulls upstream when join-style null-dropping
+  * is required. Skew note: one window partition = one key's full history;
   * for open-ended per-key event counts, range-bucket the time axis and
   * carry each bucket's last payload into the next (two passes) — the
   * standard bounded-memory variant; at this engine's key cardinalities
