@@ -4,8 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.{functions}
 import org.apache.spark.sql.functions._
 
-/** Global triangle count over an undirected graph — the standard
-  * web/social-graph cohesion statistic (clustering, spam-farm and
+/** Triangle statistics over an undirected graph — the standard
+  * web/social-graph cohesion signals (clustering, spam-farm and
   * link-ring detection on crawl link graphs).
   *
   * Degree-ordered node-iterator (Suri & Vassilvitskii's "curse of the
@@ -17,18 +17,19 @@ import org.apache.spark.sql.functions._
   * strands a naive implementation on one reducer when a celebrity node
   * shows up — is bounded REGARDLESS of the raw degree distribution;
   * total wedge volume is O(m^1.5) worst case, the provable optimum for
-  * exact counting. Each triangle is counted exactly once (its unique
-  * orientation-minimal apex).
+  * exact counting. Each triangle is materialized exactly once (its
+  * unique orientation-minimal apex).
   *
-  * Exactness: counts are integers; the result is engine-portable (the
-  * DuckDB oracle counts id-ordered closed triples — a DIFFERENT
+  * Exactness: counts are integers and the clustering coefficient is one
+  * final IEEE division of exact integers; results are engine-portable
+  * (the DuckDB oracle counts id-ordered closed triples — a DIFFERENT
   * single-count decomposition — and must agree exactly).
   */
 object Triangles {
 
-  /** 1-row (n_triangles: bigint). `edges` needs long-castable (src, dst);
-    * self-loops, duplicates and orientation are normalized away. */
-  def count(edges: DataFrame): DataFrame = {
+  /** Canonical undirected edges + oriented edges, shared by [[count]] and
+    * [[perNode]]. `triangles` rows are (u, p, q) — each triangle once. */
+  private def triangleRows(edges: DataFrame): (DataFrame, DataFrame) = {
     val e0 = edges.select(col("src").cast("long").as("s"),
       col("dst").cast("long").as("d"))
       .where(col("s").isNotNull && col("d").isNotNull &&
@@ -58,8 +59,37 @@ object Triangles {
       .localCheckpoint(true)
     val wedges = o.as("x").join(o.as("y"),
         col("x.u") === col("y.u") && col("x.vkey") < col("y.vkey"))
-      .select(col("x.v").as("p"), col("y.v").as("q"))
-    wedges.join(o.select(col("u").as("p"), col("v").as("q")), Seq("p", "q"))
+      .select(col("x.u").as("u"), col("x.v").as("p"), col("y.v").as("q"))
+    val tris = wedges
+      .join(o.select(col("u").as("p"), col("v").as("q")), Seq("p", "q"))
+      .select(col("u"), col("p"), col("q"))
+    (und, tris)
+  }
+
+  /** 1-row (n_triangles: bigint). `edges` needs long-castable (src, dst);
+    * self-loops, duplicates and orientation are normalized away. */
+  def count(edges: DataFrame): DataFrame =
+    triangleRows(edges)._2
       .agg(functions.count(lit(1)).as("n_triangles"))
+
+  /** Per-node triangle participation and local clustering coefficient:
+    * (node, degree, n_tri, lcc) for every node, lcc = 2·n_tri /
+    * (degree·(degree−1)) and 0.0 for degree < 2. Each triangle credits
+    * all three corners (one explode over the once-materialized triangle
+    * rows — triangle-volume-sized, not wedge-volume-sized). */
+  def perNode(edges: DataFrame): DataFrame = {
+    val (und, tris) = triangleRows(edges)
+    val corners = tris
+      .select(explode(array(col("u"), col("p"), col("q"))).as("node"))
+      .groupBy("node").agg(functions.count(lit(1)).as("n_tri"))
+    und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(functions.count(lit(1)).as("degree"))
+      .join(corners, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") >= 2,
+          (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("lcc"))
   }
 }

@@ -807,6 +807,45 @@ object TextStats {
                          || CAST(pos AS VARCHAR)))[1:100], ',') AS postings
       FROM tk GROUP BY 1""")),
 
+    // Per-node triangle participation + local clustering coefficient
+    // over the q100 graph — exact integers, one final IEEE division.
+    QueryDef("q103_clustering", (s, d) => {
+      val x = col("doc_id") % 251
+      val docs = t(s, d, "documents").select(x.as("x"))
+      val edges = docs.select(col("x").as("src"),
+          ((col("x") * 2 + 1) % 251).as("dst"))
+        .union(docs.select(col("x").as("src"),
+          ((col("x") * 3 + 7) % 251).as("dst")))
+        .union(docs.select(col("x").as("src"),
+          ((col("x") * 5 + 11) % 251).as("dst")))
+      graft.graph.Triangles.perNode(edges)
+    }, Some("""
+      WITH x AS (SELECT doc_id % 251 AS x FROM documents),
+      e0 AS (
+        SELECT x AS s, (x * 2 + 1) % 251 AS d FROM x
+        UNION ALL SELECT x, (x * 3 + 7) % 251 FROM x
+        UNION ALL SELECT x, (x * 5 + 11) % 251 FROM x),
+      und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM e0 WHERE s <> d),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+              GROUP BY 1),
+      tri AS (SELECT e1.a AS x1, e1.b AS y1, e2.b AS z1
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      corners AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+                    SELECT x1 AS node FROM tri
+                    UNION ALL SELECT y1 FROM tri
+                    UNION ALL SELECT z1 FROM tri) GROUP BY 1)
+      SELECT deg.node, deg.degree,
+        CAST(coalesce(corners.n_tri, 0) AS BIGINT) AS n_tri,
+        CASE WHEN deg.degree >= 2
+             THEN CAST(coalesce(corners.n_tri, 0) * 2 AS DOUBLE)
+                  / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+             ELSE 0.0 END AS lcc
+      FROM deg LEFT JOIN corners ON deg.node = corners.node""")),
+
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {
       graft.dedup.Dedup.exact(t(s, d, "documents"), "doc_id", "text")

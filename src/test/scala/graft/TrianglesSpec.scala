@@ -55,4 +55,32 @@ class TrianglesSpec extends AnyFunSuite {
     }
     assert(run(edges) == naive(edges))
   }
+
+  test("perNode: corner counts, degrees and lcc == brute force") {
+    val n = 12L
+    val edges = (0L until n).flatMap(i =>
+      Seq(i -> (i * 2 + 1) % n, i -> (i * 5 + 3) % n)) :+ (0L -> 1L)
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2))
+    val deg = nodes.map(v => v -> und.count(e => e._1 == v || e._2 == v)).toMap
+    val triPerNode = nodes.map { v =>
+      v -> nodes.toSeq.sorted.combinations(2).count { case Seq(x, y) =>
+        x != v && y != v &&
+          und((x min v, x max v)) && und((y min v, y max v)) && und((x, y))
+      }.toLong
+    }.toMap
+    val expect = nodes.map { v =>
+      val d = deg(v).toLong
+      val lcc = if (d >= 2) (triPerNode(v) * 2).toDouble / (d * (d - 1)).toDouble
+                else 0.0
+      v -> ((d, triPerNode(v), lcc))
+    }.toMap
+    val got = Triangles.perNode(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expect)
+    // global count is consistent with the per-node sum (each tri = 3 corners)
+    assert(got.values.map(_._2).sum == 3 * naive(edges))
+  }
 }
