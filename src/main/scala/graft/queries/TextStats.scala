@@ -774,24 +774,30 @@ object TextStats {
 
     // Inverted-index build (serving artifact): term → document frequency,
     // total postings, and a CAPPED sorted posting list ("doc:pos", first
-    // 100) — the cap is the scale-honest shape: a hot term's posting list
-    // is unbounded at corpus scale, so per-term state must be bounded
-    // (count stays exact; the stored list is a deterministic prefix).
-    // collect_list is order-nondeterministic → sort_array BEFORE slicing,
-    // mirrored by the oracle's list(... ORDER BY ...).
+    // 100). The cap is applied BEFORE any collect_list — the codebase
+    // policy (PLANS.md "no unbounded per-group state"): a hot term's
+    // postings are ranked through the hot-group-safe boundedTopK (two-
+    // level window, never one reducer) and only the ≤100 survivors are
+    // collected; the exact df / posting counts come from a separate
+    // bounded-state aggregation over the full stream. collect_list is
+    // order-nondeterministic → sort_array before joining, mirrored by
+    // the oracle's list(... ORDER BY ...).
     QueryDef("q102_inverted_index", (s, d) => {
-      val posting =
-        concat(col("doc_id").cast("string"), lit(":"),
-          col("pos").cast("string"))
-      t(s, d, "documents")
+      val tk = t(s, d, "documents")
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-        .groupBy("term").agg(
-          countDistinct(col("doc_id")).as("df"),
-          count(lit(1)).as("n_postings"),
-          concat_ws(",",
-            slice(sort_array(collect_list(posting)), 1, 100))
-            .as("postings"))
+        .withColumn("posting",
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("pos").cast("string")))
+      val stats = tk.groupBy("term").agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("n_postings"))
+      val top = graft.query.Tools.boundedTopK(tk.select("term", "posting"),
+          Seq("term"), Seq(col("posting").asc), 100, col("posting"))
+        .groupBy("term").agg(concat_ws(",",
+          sort_array(collect_list(col("posting")))).as("postings"))
+      stats.join(top, "term")
+        .select("term", "df", "n_postings", "postings")
     }, Some("""
       WITH tk AS (
         SELECT doc_id,
