@@ -74,4 +74,30 @@ object Packing {
         expr(s"(start_offset + greatest(n_tokens, 1L) - 1) DIV $chunkSize")
           .as("chunk_last"))
   }
+
+  /** Per-document sliding windows with overlap — the long-document
+    * chunking used for embedding indexes and context-window training
+    * samples (window k covers token span [k·stride, k·stride+size),
+    * clamped to the doc; consecutive windows overlap by size − stride).
+    * Returns one row per (doc, window): (idCol, n_tokens, win_id,
+    * win_start, win_end). Every doc gets ≥1 window (a zero-token doc
+    * gets the empty span (0,0) so loaders keep row-level totals).
+    *
+    * Pure per-row integer arithmetic + one explode — scan-side, no
+    * shuffle, no window function, exact at any corpus size (SQL DIV,
+    * never double rounding). */
+  def slidingSpans(docs: DataFrame, idCol: String, lenCol: Column,
+      size: Long, stride: Long): DataFrame = {
+    require(size > 0, s"size must be positive, got $size")
+    require(stride > 0 && stride <= size,
+      s"stride must be in (0, size], got stride=$stride size=$size")
+    docs.select(col(idCol), lenCol.cast("long").as("n_tokens"))
+      .withColumn("_nw", expr(
+        s"(greatest(n_tokens - $size, 0L) + $stride - 1) DIV $stride + 1"))
+      .withColumn("win_id", explode(sequence(lit(0L), col("_nw") - 1)))
+      .select(col(idCol), col("n_tokens"), col("win_id"),
+        (col("win_id") * stride).as("win_start"),
+        least(col("win_id") * stride + size, col("n_tokens"))
+          .as("win_end"))
+  }
 }

@@ -852,6 +852,26 @@ object TextStats {
              ELSE 0.0 END AS lcc
       FROM deg LEFT JOIN corners ON deg.node = corners.node""")),
 
+    // Per-document sliding windows with overlap (size 24, stride 16):
+    // long-doc chunking for embedding/training-sample loaders — pure
+    // integer arithmetic, one explode, scan-side.
+    QueryDef("q104_sliding_windows", (s, d) => {
+      graft.pack.Packing.slidingSpans(t(s, d, "documents"), "doc_id",
+        size(split(col("text"), " ")), size = 24, stride = 16)
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          ((greatest(CAST(len(string_split(text, ' ')) AS BIGINT) - 24, 0)
+            + 15) // 16) + 1 AS nw
+        FROM documents),
+      e AS (SELECT doc_id, n_tokens,
+              unnest(range(0, nw)) AS win_id FROM w)
+      SELECT doc_id, n_tokens, CAST(win_id AS BIGINT) AS win_id,
+        CAST(win_id * 16 AS BIGINT) AS win_start,
+        CAST(least(win_id * 16 + 24, n_tokens) AS BIGINT) AS win_end
+      FROM e""")),
+
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {
       graft.dedup.Dedup.exact(t(s, d, "documents"), "doc_id", "text")
