@@ -872,6 +872,54 @@ object TextStats {
         CAST(least(win_id * 16 + 24, n_tokens) AS BIGINT) AS win_end
       FROM e""")),
 
+    // IQR outlier filter (Tukey fences per group): the standard numeric
+    // data-cleaning gate. The quartile frame is dimension-sized
+    // (AQE-broadcast); one corpus scan. Fence arithmetic is pinned
+    // left-to-right and mirrored verbatim — IEEE ops on the bit-identical
+    // quantile_cont values (q97) stay bit-identical.
+    QueryDef("q105_outliers", (s, d) => {
+      val ev = t(s, d, "events")
+      val q = ev.groupBy("event_type").agg(
+        percentile(col("value"), lit(0.25)).as("q1"),
+        percentile(col("value"), lit(0.75)).as("q3"))
+      ev.join(q, "event_type")
+        .where(col("value") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
+          col("value") > col("q3") + (col("q3") - col("q1")) * 1.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("q1"), col("q3"))
+    }, Some("""
+      WITH q AS (
+        SELECT event_type,
+          quantile_cont(value, 0.25) AS q1,
+          quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY 1)
+      SELECT event_id, event_type, value, q1, q3
+      FROM events JOIN q USING (event_type)
+      WHERE value < q1 - (q3 - q1) * 1.5
+         OR value > q3 + (q3 - q1) * 1.5""")),
+
+    // Per-group min-max feature scaling: value_norm = (v − min)/(max − min)
+    // (0.0 for degenerate single-value groups) — subtraction + one
+    // division, IEEE-exact, dimension-sized stats frame.
+    QueryDef("q106_minmax_norm", (s, d) => {
+      val ev = t(s, d, "events")
+      val stats = ev.groupBy("event_type").agg(
+        min("value").as("v_min"), max("value").as("v_max"))
+      ev.join(stats, "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(col("v_max") > col("v_min"),
+            (col("value") - col("v_min")) / (col("v_max") - col("v_min")))
+            .otherwise(lit(0.0)).as("value_norm"))
+    }, Some("""
+      WITH st AS (
+        SELECT event_type, min(value) AS v_min, max(value) AS v_max
+        FROM events GROUP BY 1)
+      SELECT event_id, event_type, value,
+        CASE WHEN v_max > v_min
+             THEN (value - v_min) / (v_max - v_min)
+             ELSE 0.0 END AS value_norm
+      FROM events JOIN st USING (event_type)""")),
+
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {
       graft.dedup.Dedup.exact(t(s, d, "documents"), "doc_id", "text")
