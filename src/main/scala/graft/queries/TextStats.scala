@@ -27,6 +27,41 @@ object TextStats {
              ELSE 'ok_' || CAST(user_id % 4 AS VARCHAR) END AS outcome
       FROM events"""
 
+  /** DuckDB SQL replicating Spark's EXACT `percentile` over a pre-sorted
+    * list column `vs` (1-based) with non-null count `n`, mirroring
+    * Percentile.getPercentile (spark/sql/catalyst aggregate) op-for-op:
+    * pos = p·(n−1); if pos is integral OR the two bracketing values are
+    * equal (a tie run at the cut), the value is returned with NO
+    * arithmetic; otherwise the weighted two-product form
+    * (ceil(pos)−pos)·lo + (pos−floor(pos))·hi — NOT the algebraically
+    * equivalent lo + (hi−lo)·frac, which differs by 1 ulp on real data
+    * (measured: p95 of the sf0.01 'click' group is 151.7075 under Spark's
+    * form, 151.70749999999998 under the lerp form). DuckDB's own
+    * quantile_cont diverges too (measured at the sf0.1 p70 cut:
+    * 59.239999999999995 vs Spark's exact 59.24 on a tie run — Spark's
+    * equal-keys short-circuit skips interpolation entirely). Every
+    * percentile-based oracle goes through this helper: same IEEE ops in
+    * the same order on the same bits → bit-identical. */
+  private def sparkQuantile(p: String, vs: String = "vs", n: String = "n")
+      : String = {
+    // CAST to DOUBLE is load-bearing: DuckDB types a bare 0.95 literal as
+    // DECIMAL (exact arithmetic), while Spark computes p*(n-1) in IEEE
+    // doubles — without the cast the two engines disagree on pos itself.
+    val pos = s"(CAST($p AS DOUBLE) * ($n - 1))"
+    val lo = s"$vs[CAST(floor($pos) AS BIGINT) + 1]"
+    val hi = s"$vs[CAST(ceil($pos) AS BIGINT) + 1]"
+    s"(CASE WHEN floor($pos) = ceil($pos) OR $lo = $hi THEN $lo " +
+      s"ELSE (ceil($pos) - $pos) * $lo + ($pos - floor($pos)) * $hi END)"
+  }
+
+  /** The sorted-list + count CTE body feeding [[sparkQuantile]]: one row
+    * per `event_type` with `vs` (values sorted ASC, nulls dropped) and `n`. */
+  private val sortedValuesCte = """
+        SELECT event_type,
+          list(value ORDER BY value) FILTER (WHERE value IS NOT NULL) AS vs,
+          CAST(count(value) AS BIGINT) AS n
+        FROM events GROUP BY 1"""
+
   /** Crawl-style URL synthesized deterministically from (doc_id, source):
     * mixed-case scheme/host, default and non-default explicit ports,
     * trailing slashes, utm tracking params, fragments — every branch of
@@ -643,13 +678,13 @@ object TextStats {
           ORDER BY score DESC, term) AS rank FROM sc)
       WHERE rank <= 5""")),
 
-    // Per-group percentile analytics (latency-style p50/p95/p99). Spark's
-    // exact `percentile` interpolates with the same (N−1)·p formula as
-    // DuckDB's quantile_cont — verified bit-identical on this data — so
-    // the oracle is exact. SCALE NOTE: exact percentile buffers each
-    // group's values (ObjectHashAggregate); the 100 TB path is
-    // approx_percentile's mergeable GK sketch (bounded memory, map-side
-    // partials), spec-pinned within tolerance of exact in StatsSpec.
+    // Per-group percentile analytics (latency-style p50/p95/p99). The
+    // oracle replicates Spark's exact interpolation via sparkQuantile
+    // (DuckDB's quantile_cont can differ by 1 ulp — see the helper doc).
+    // SCALE NOTE: exact percentile buffers each group's values
+    // (ObjectHashAggregate); the 100 TB path is approx_percentile's
+    // mergeable GK sketch (bounded memory, map-side partials), spec-pinned
+    // within tolerance of exact in StatsSpec.
     QueryDef("q97_percentiles", (s, d) => {
       t(s, d, "events").groupBy("event_type").agg(
         count(lit(1)).as("n"),
@@ -658,14 +693,18 @@ object TextStats {
         percentile(col("value"), lit(0.95)).as("p95"),
         percentile(col("value"), lit(0.99)).as("p99"),
         max("value").as("max_v"))
-    }, Some("""
-      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        min(value) AS min_v,
-        quantile_cont(value, 0.5) AS p50,
-        quantile_cont(value, 0.95) AS p95,
-        quantile_cont(value, 0.99) AS p99,
-        max(value) AS max_v
-      FROM events GROUP BY 1""")),
+    }, Some(s"""
+      WITH s AS ($sortedValuesCte),
+      agg AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+          min(value) AS min_v, max(value) AS max_v
+        FROM events GROUP BY 1)
+      SELECT agg.event_type, agg.n_rows AS n, agg.min_v,
+        ${sparkQuantile("0.5")} AS p50,
+        ${sparkQuantile("0.95")} AS p95,
+        ${sparkQuantile("0.99")} AS p99,
+        agg.max_v
+      FROM agg JOIN s USING (event_type)""")),
 
     // As-of join (click-attribution shape): every purchase matched to the
     // user's most recent prior click — Spark-side via the sort-merge
@@ -875,8 +914,8 @@ object TextStats {
     // IQR outlier filter (Tukey fences per group): the standard numeric
     // data-cleaning gate. The quartile frame is dimension-sized
     // (AQE-broadcast); one corpus scan. Fence arithmetic is pinned
-    // left-to-right and mirrored verbatim — IEEE ops on the bit-identical
-    // quantile_cont values (q97) stay bit-identical.
+    // left-to-right and mirrored verbatim — IEEE ops on quartiles the
+    // oracle replicates bit-for-bit via sparkQuantile (q97 contract).
     QueryDef("q105_outliers", (s, d) => {
       val ev = t(s, d, "events")
       val q = ev.groupBy("event_type").agg(
@@ -887,12 +926,13 @@ object TextStats {
           col("value") > col("q3") + (col("q3") - col("q1")) * 1.5)
         .select(col("event_id"), col("event_type"), col("value"),
           col("q1"), col("q3"))
-    }, Some("""
-      WITH q AS (
+    }, Some(s"""
+      WITH s AS ($sortedValuesCte),
+      q AS (
         SELECT event_type,
-          quantile_cont(value, 0.25) AS q1,
-          quantile_cont(value, 0.75) AS q3
-        FROM events GROUP BY 1)
+          ${sparkQuantile("0.25")} AS q1,
+          ${sparkQuantile("0.75")} AS q3
+        FROM s)
       SELECT event_id, event_type, value, q1, q3
       FROM events JOIN q USING (event_type)
       WHERE value < q1 - (q3 - q1) * 1.5
@@ -919,6 +959,147 @@ object TextStats {
              THEN (value - v_min) / (v_max - v_min)
              ELSE 0.0 END AS value_norm
       FROM events JOIN st USING (event_type)""")),
+
+    // Cohort retention: users bucketed by first-seen day, distinct-user
+    // counts at each day offset — the standard engagement/retention rollup,
+    // pure integer date arithmetic. The per-user cohort frame comes from a
+    // user-keyed aggregate and rejoins on the same key (co-partitioned
+    // after the groupBy — no second shuffle of the fact side at scale);
+    // countDistinct is exact (two-phase expand).
+    QueryDef("q107_cohort_retention", (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(cohorts, "user_id")
+        .withColumn("day_offset",
+          datediff(col("day"), col("cohort_day")).cast("long"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }, Some("""
+      WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+      SELECT cohort_day,
+        CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM ev JOIN c USING (user_id)
+      GROUP BY 1, 2""")),
+
+    // Exact heavy hitters without shuffling the Zipf tail: per-partition
+    // Misra-Gries candidates (narrow, ≤ k rows per partition) + broadcast
+    // semi-filtered exact recount — output provably identical to the naive
+    // GROUP BY .. HAVING the oracle runs (see HeavyHitters scaladoc for
+    // the pigeonhole superset argument). Integer counts only; the
+    // ceil(frac·N) threshold joins as a 1-row aggregate, no driver job.
+    QueryDef("q108_heavy_hitters", (s, d) => {
+      import s.implicits._
+      graft.stats.HeavyHitters.frequentTokens(
+        t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("token")).as[String],
+        minFrac = 0.001)
+    }, Some("""
+      WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+      SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM toks, n
+      GROUP BY token, n_total
+      HAVING count(*) >= ceil(0.001 * n_total)""")),
+
+    // Equi-depth quantile binning (decile features) the scale-correct way:
+    // per-group cut-points from the bit-identical exact percentile (q97
+    // contract), broadcast-joined back, bin = 1 + Σ [value > c_i] — pure
+    // scan-side comparisons. A within-group ntile would need the whole
+    // group in one WindowExec partition (broken for web-hot groups); the
+    // cut-point form never ranks, so it survives any group size. Ties land
+    // deterministically in the lowest eligible bin in both engines (same
+    // comparisons on the same bits).
+    QueryDef("q109_quantile_bins", (s, d) => {
+      val ev = t(s, d, "events")
+      val cutCols = (1 to 9).map(i =>
+        percentile(col("value"), lit(i / 10.0)).as(s"c$i"))
+      val cuts = ev.groupBy("event_type").agg(cutCols.head, cutCols.tail: _*)
+      ev.join(cuts, "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          (lit(1L) + (1 to 9).map(i => when(col("value") > col(s"c$i"), 1L)
+            .otherwise(0L)).reduce(_ + _)).as("decile"))
+    }, Some(s"""
+      WITH s AS ($sortedValuesCte),
+      q AS (
+        SELECT event_type,
+          ${sparkQuantile("0.1")} AS c1, ${sparkQuantile("0.2")} AS c2,
+          ${sparkQuantile("0.3")} AS c3, ${sparkQuantile("0.4")} AS c4,
+          ${sparkQuantile("0.5")} AS c5, ${sparkQuantile("0.6")} AS c6,
+          ${sparkQuantile("0.7")} AS c7, ${sparkQuantile("0.8")} AS c8,
+          ${sparkQuantile("0.9")} AS c9
+        FROM s)
+      SELECT event_id, event_type, value,
+        CAST(1 + (CASE WHEN value > c1 THEN 1 ELSE 0 END)
+          + (CASE WHEN value > c2 THEN 1 ELSE 0 END)
+          + (CASE WHEN value > c3 THEN 1 ELSE 0 END)
+          + (CASE WHEN value > c4 THEN 1 ELSE 0 END)
+          + (CASE WHEN value > c5 THEN 1 ELSE 0 END)
+          + (CASE WHEN value > c6 THEN 1 ELSE 0 END)
+          + (CASE WHEN value > c7 THEN 1 ELSE 0 END)
+          + (CASE WHEN value > c8 THEN 1 ELSE 0 END)
+          + (CASE WHEN value > c9 THEN 1 ELSE 0 END) AS BIGINT) AS decile
+      FROM events JOIN q USING (event_type)""")),
+
+    // Winsorization: clip to the per-group [p05, p95] band — the standard
+    // tail-taming transform before training-statistics aggregation.
+    // least/greatest over the bit-identical exact percentiles (q97
+    // contract); dimension-sized stats frame, scan-side clip.
+    QueryDef("q110_winsorize", (s, d) => {
+      val ev = t(s, d, "events")
+      val bands = ev.groupBy("event_type").agg(
+        percentile(col("value"), lit(0.05)).as("p05"),
+        percentile(col("value"), lit(0.95)).as("p95"))
+      ev.join(bands, "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          least(greatest(col("value"), col("p05")), col("p95"))
+            .as("value_w"))
+    }, Some(s"""
+      WITH s AS ($sortedValuesCte),
+      b AS (
+        SELECT event_type,
+          ${sparkQuantile("0.05")} AS p05,
+          ${sparkQuantile("0.95")} AS p95
+        FROM s)
+      SELECT event_id, event_type, value,
+        least(greatest(value, p05), p95) AS value_w
+      FROM events JOIN b USING (event_type)""")),
+
+    // MAD robust outliers: |v − median| > 3·MAD, the
+    // breakdown-point-robust sibling of the q105 IQR fence. Two
+    // dimension-sized aggregation passes (median per group, then median
+    // absolute deviation per group — the deviation pass re-scans facts
+    // once, unavoidable for a nested-median statistic); both medians are
+    // the bit-identical exact percentile, abs/×/− are IEEE-exact and
+    // mirrored left-to-right.
+    QueryDef("q111_mad_outliers", (s, d) => {
+      val ev = t(s, d, "events")
+      val med = ev.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val mad = ev.join(med, "event_type")
+        .groupBy("event_type", "med")
+        .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+      ev.join(mad, "event_type")
+        .where(abs(col("value") - col("med")) > col("mad") * 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"))
+    }, Some(s"""
+      WITH s AS ($sortedValuesCte),
+      m AS (SELECT event_type, ${sparkQuantile("0.5")} AS med FROM s),
+      dv AS (
+        SELECT event_type, med,
+          list(abs(value - med) ORDER BY abs(value - med))
+            FILTER (WHERE value IS NOT NULL) AS vs,
+          CAST(count(value) AS BIGINT) AS n
+        FROM events JOIN m USING (event_type) GROUP BY 1, 2),
+      md AS (
+        SELECT event_type, med, ${sparkQuantile("0.5")} AS mad FROM dv)
+      SELECT event_id, event_type, value, med, mad
+      FROM events JOIN md USING (event_type)
+      WHERE abs(value - med) > mad * 3.0""")),
 
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {
