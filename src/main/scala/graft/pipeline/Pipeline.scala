@@ -246,6 +246,50 @@ object Pipeline {
     }
   }
 
+  /** Snapshot-diff (CDC): the changed rows between a retained snapshot and
+    * the CURRENT table of a stage — the "what did this recompute actually
+    * change" question every incremental consumer of a versioned table
+    * asks (Iceberg's changelog scan / Delta CDF, over this module's
+    * numbered snapshots).
+    *
+    * Keyed FULL OUTER JOIN on `keyCols`; a key present only in the
+    * snapshot is `removed`, only in the current table `added`, in both
+    * with any `compareCols` difference `changed` (null-safe comparison);
+    * identical rows are dropped. Output: keyCols, change_type, then
+    * old_<c>/new_<c> for each compare column (null on the absent side).
+    *
+    * Scale shape: one shuffle of each side on the key — the same cost as
+    * any keyed merge; nothing driver-side. Both sides come off parquet
+    * scans with only keyCols+compareCols read (column pruning), so a wide
+    * table diffs at the width of the compared columns, not the full row. */
+  def diffSnapshots(spark: SparkSession, root: String, stage: String,
+      fromSnapshot: Int, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val cols = (keyCols ++ compareCols).map(col)
+    val old = readStage(spark, root, stage, Some(fromSnapshot))
+      .select(cols: _*)
+    val cur = readStage(spark, root, stage).select(cols: _*)
+    val o = old.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"old_$c")): _*)
+    val n = cur.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"new_$c")): _*)
+    // presence flags survive the outer join even when every compare column
+    // is legitimately null on a present side
+    val j = o.withColumn("_in_old", lit(true))
+      .join(n.withColumn("_in_new", lit(true)), keyCols, "full_outer")
+    val same = compareCols
+      .map(c => col(s"old_$c") <=> col(s"new_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    j.withColumn("change_type",
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(!same, lit("changed")))
+      .where(col("change_type").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("change_type")) ++
+        compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
   /** Delete the oldest snapshots beyond `keep` (bounded retention).
     * Markers go first (see Fs.deleteCommitted): a crash mid-prune must
     * leave a visibly-uncommitted partial that readStage(asOf)/rollback

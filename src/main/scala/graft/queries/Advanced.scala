@@ -42,6 +42,12 @@ object Advanced {
     s"/tmp/graft_kg_oracle_${ProcessHandle.current().pid()}"
   }
 
+  /** Separate root for the snapshot-CDC query so its v1→v2 flip-flop never
+    * perturbs q52's checkpointed pipeline. The pid stays the LAST `_`
+    * token — the janitor's owner-liveness check parses it from there. */
+  private val CdcRoot =
+    s"/tmp/graft_kg_oracle_cdc_${ProcessHandle.current().pid()}"
+
   /** documents ∪ shifted copy — guaranteed exact-duplicate clusters for the
     * near-dup pipelines (ids i and i+max+1 share identical text). The
     * shift is derived from the data, NOT a constant: a fixed offset
@@ -667,7 +673,56 @@ object Advanced {
       SELECT t.subj, t.pred, t.obj, COUNT(*) AS frequency
       FROM read_parquet('$KgRoot/q81/triples/*.parquet') t
       JOIN k USING (subj, pred, obj)
-      GROUP BY 1, 2, 3"""))
+      GROUP BY 1, 2, 3""")),
+
+    // Snapshot-diff CDC over the stage-table snapshot machinery: commit a
+    // "v1 crawl" of per-doc stats through runStage, recommit a "v2
+    // re-crawl" (different doc filter AND a changed flag derivation — so
+    // added, removed and changed rows all occur), then diffSnapshots the
+    // archived v1 against current v2. The oracle recomputes BOTH versions
+    // independently from the raw documents table and mirrors the full
+    // outer join — so a snapshot archived non-byte-faithfully, a diff that
+    // misclassifies presence, or a null-safe compare bug all
+    // hash-mismatch. Repeat runs flip v1→v2 through the same commit
+    // protocol every time (versions intentionally never manifest-skip);
+    // retention is pruned so the history stays bounded.
+    QueryDef("q114_snapshot_cdc", (s, d) => {
+      import graft.pipeline.Pipeline
+      val root = CdcRoot
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Pipeline.runStage(s, root, "doc_claims", "cdc-v1", upstream = d) {
+        docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+          .withColumn("flag", pmod(col("n_tokens"), lit(2)))
+      }
+      Pipeline.runStage(s, root, "doc_claims", "cdc-v2", upstream = d) {
+        docs.where(pmod(col("doc_id"), lit(4)) =!= 0)
+          .withColumn("flag",
+            pmod(col("n_tokens") + col("doc_id"), lit(2)))
+      }
+      Pipeline.pruneSnapshots(root, "doc_claims", keep = 2)
+      val v1Snap = Pipeline.snapshots(root, "doc_claims").last
+      Pipeline.diffSnapshots(s, root, "doc_claims", v1Snap,
+        keyCols = Seq("doc_id"), compareCols = Seq("n_tokens", "flag"))
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      v1 AS (SELECT doc_id, n_tokens, n_tokens % 2 AS flag
+             FROM base WHERE doc_id % 3 <> 0),
+      v2 AS (SELECT doc_id, n_tokens, (n_tokens + doc_id) % 2 AS flag
+             FROM base WHERE doc_id % 4 <> 0)
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        CASE WHEN v1.doc_id IS NULL THEN 'added'
+             WHEN v2.doc_id IS NULL THEN 'removed'
+             ELSE 'changed' END AS change_type,
+        v1.n_tokens AS old_n_tokens, v2.n_tokens AS new_n_tokens,
+        v1.flag AS old_flag, v2.flag AS new_flag
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
+         OR v1.n_tokens IS DISTINCT FROM v2.n_tokens
+         OR v1.flag IS DISTINCT FROM v2.flag"""))
   )
 
   private def drainKeyed(s: SparkSession, root: String): Unit =

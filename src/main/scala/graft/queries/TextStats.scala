@@ -1101,6 +1101,64 @@ object TextStats {
       FROM events JOIN md USING (event_type)
       WHERE abs(value - med) > mad * 3.0""")),
 
+    // Rolling 7-day activity per user: pre-aggregate to (user, day) FIRST
+    // — the shuffle is dimension-sized (active user-days), not
+    // event-sized — then a RANGE window over at most one row per day.
+    // Partition key = user_id (high-cardinality, naturally bounded per
+    // user), so no web-hot-group hazard; integer counts only.
+    QueryDef("q112_rolling_window", (s, d) => {
+      val daily = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n_day"))
+      val w = Window.partitionBy("user_id").orderBy("day_i")
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("day_i", datediff(col("day"), to_date(lit("1970-01-01")))
+          .cast("long"))
+        .withColumn("n_7d", sum("n_day").over(w))
+        .select(col("user_id"), col("day"), col("n_day"), col("n_7d"))
+    }, Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS n_day
+        FROM events GROUP BY 1, 2)
+      SELECT user_id, day, n_day,
+        CAST(sum(n_day) OVER (PARTITION BY user_id ORDER BY day
+          RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS n_7d
+      FROM daily""")),
+
+    // Greedy per-source token-budget selection (quota fill): docs taken in
+    // md5-priority order until each source's budget is reached — the
+    // exact-budget sibling of q89's rate sampling. The Spark side NEVER
+    // runs the naive per-source running-sum window (web-hot-source
+    // serialization): an order-aligned 256-bucket priority histogram
+    // locates the boundary bucket per source and only that bucket's docs
+    // (expected 1/256 of the source) enter an exact window — provably the
+    // same output (see Quota scaladoc). The oracle IS the naive window.
+    QueryDef("q113_token_quota", (s, d) => {
+      graft.sample.Quota.selectByTokenBudget(t(s, d, "documents"),
+        "doc_id", "source", size(split(col("text"), " ")),
+        budgetFrac = 0.5)
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            AS pri
+        FROM documents),
+      b AS (SELECT source,
+              CAST(ceil(0.5 * CAST(sum(n_tokens) AS DOUBLE)) AS BIGINT)
+                AS budget
+            FROM t GROUP BY 1),
+      c AS (SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY pri, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+            FROM t)
+      SELECT c.doc_id, c.source, c.n_tokens
+      FROM c JOIN b USING (source)
+      WHERE c.pre < b.budget""")),
+
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {
       graft.dedup.Dedup.exact(t(s, d, "documents"), "doc_id", "text")

@@ -258,6 +258,33 @@ class PipelineSpec extends AnyFunSuite {
       "excluded dir must not be recreated via its children")
   }
 
+  test("diffSnapshots classifies added/removed/changed with null-safe " +
+      "compares and drops identical rows") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cdc").toString
+    // v1: keys 1..4; key 3 carries a NULL value
+    Pipeline.runStage(spark, root, "t", "v1", "u") {
+      Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None), (4L, Some(40L)))
+        .toDF("k", "v")
+    }
+    // v2: key 1 unchanged, 2 changed, 3 null→value, 4 gone, 5 new, 6 new
+    // with NULL value (added must not require a non-null compare column)
+    Pipeline.runStage(spark, root, "t", "v2", "u") {
+      Seq((1L, Some(10L)), (2L, Some(21L)), (3L, Some(30L)), (5L, Some(50L)),
+        (6L, None)).toDF("k", "v")
+    }
+    val got = Pipeline.diffSnapshots(spark, root, "t",
+        Pipeline.snapshots(root, "t").last, Seq("k"), Seq("v"))
+      .as[(Long, String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      2L -> (("changed", Some(20L), Some(21L))),
+      3L -> (("changed", None, Some(30L))),
+      4L -> (("removed", Some(40L), None)),
+      5L -> (("added", None, Some(50L))),
+      6L -> (("added", None, None))))
+  }
+
   test("counters table records per-stage lineage") {
     val root = Files.createTempDirectory("graft_pipeD").toString
     Pipeline.run(spark, root, nPages = 100, partitions = 4)
