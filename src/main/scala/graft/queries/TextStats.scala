@@ -1159,6 +1159,82 @@ object TextStats {
       FROM c JOIN b USING (source)
       WHERE c.pre < b.budget""")),
 
+    // Interval-overlap range join: events (short activity intervals) ×
+    // twice-daily per-type windows, keyed by event_type. The Spark side
+    // NEVER evaluates the range predicate as a nested loop: IntervalJoin
+    // bins the time axis (1h buckets) and equi-joins on (type, bucket)
+    // with first-shared-bucket dedup. All arithmetic in integer epoch
+    // micros (exact in both engines; session TZ is UTC so unix_micros ==
+    // DuckDB epoch_us on the NTZ-loaded parquet timestamps). The oracle
+    // IS the naive inequality join.
+    QueryDef("q115_interval_join", (s, d) => {
+      val ev = t(s, d, "events")
+      val left = ev.select(col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("ls"))
+        .withColumn("le", col("ls") +
+          (lit(60L) + pmod(col("event_id"), lit(540L))) * lit(1000000L))
+      val wins = ev.select(col("event_type"), to_date(col("ts")).as("day"))
+        .distinct()
+        .withColumn("w", explode(array(lit(0L), lit(1L))))
+        .withColumn("rs",
+          datediff(col("day"), to_date(lit("1970-01-01"))).cast("long")
+            * lit(86400000000L) + col("w") * lit(43200000000L)
+            + lit(28800000000L))
+        .withColumn("re", col("rs") + lit(7200000000L))
+      graft.operators.IntervalJoin.overlapJoin(left, wins,
+          Seq("event_type"), "ls", "le", "rs", "re",
+          binWidth = 3600000000L)
+        .select(col("event_id"), col("event_type"), col("day"), col("w"),
+          (least(col("le"), col("re"))
+            - greatest(col("ls"), col("rs"))).as("overlap_us"))
+    }, Some("""
+      WITH l AS (
+        SELECT event_id, event_type, epoch_us(ts) AS ls,
+          epoch_us(ts) + (60 + event_id % 540) * 1000000 AS le
+        FROM events),
+      dd AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day
+             FROM events),
+      r AS (SELECT event_type, day, CAST(t.w AS BIGINT) AS w,
+              CAST(day - DATE '1970-01-01' AS BIGINT) * 86400000000
+                + CAST(t.w AS BIGINT) * 43200000000 + 28800000000 AS rs
+            FROM dd, (VALUES (0), (1)) t(w)),
+      r2 AS (SELECT *, rs + 7200000000 AS re FROM r)
+      SELECT l.event_id, l.event_type, r2.day, r2.w,
+        least(l.le, r2.re) - greatest(l.ls, r2.rs) AS overlap_us
+      FROM l JOIN r2 ON l.event_type = r2.event_type
+        AND l.ls <= r2.re AND r2.rs <= l.le""")),
+
+    // Edit-distance-1 entity-name matching (canonicalization fuzzy join):
+    // supplier labels plus deterministic single-character-deleted variants
+    // (ids offset by 1e6) self-joined within Levenshtein 1 via FastSS
+    // deletion-neighborhood blocking — candidates come from an equi-join
+    // on hashed delete-1 variants, never a cross join; the oracle IS the
+    // (length-banded) cross join.
+    QueryDef("q116_fuzzy_names", (s, d) => {
+      val basis = t(s, d, "supplier")
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+      val pos = pmod(col("id"), lit(7L)) + lit(2L)
+      val extra = basis.where(pmod(col("id"), lit(3L)) === 0)
+        .select((col("id") + lit(1000000L)).as("id"),
+          concat(col("name").substr(lit(1L), pos - 1),
+            col("name").substr(pos + 1, length(col("name")).cast("long")))
+            .as("name"))
+      graft.operators.FuzzyJoin.selfJoinWithin1(
+        basis.unionByName(extra), "id", "name")
+    }, Some("""
+      WITH basis AS (SELECT s_suppkey AS id, s_name AS name FROM supplier),
+      extra AS (
+        SELECT id + 1000000 AS id,
+          substr(name, 1, CAST(id % 7 + 1 AS INT)) ||
+          substr(name, CAST(id % 7 + 3 AS INT), len(name)) AS name
+        FROM basis WHERE id % 3 = 0),
+      n AS (SELECT * FROM basis UNION ALL SELECT * FROM extra)
+      SELECT a.id AS a_id, a.name AS a_name, b.id AS b_id, b.name AS b_name,
+        CAST(levenshtein(a.name, b.name) AS INT) AS dist
+      FROM n a JOIN n b
+        ON a.id < b.id AND abs(len(a.name) - len(b.name)) <= 1
+      WHERE levenshtein(a.name, b.name) <= 1""")),
+
     // Exact dedup: canonical id per identical text.
     QueryDef("q18_exact_dedup", (s, d) => {
       graft.dedup.Dedup.exact(t(s, d, "documents"), "doc_id", "text")
