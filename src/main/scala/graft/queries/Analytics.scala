@@ -1,0 +1,467 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryDef.t
+
+/** OLAP reshaping and sequence/statistics analytics added in round 5 —
+  * pivot/unpivot, exact-moment bivariate statistics, and Markov-style
+  * session transitions. Every operator keeps its arithmetic exact
+  * (integer moments, IEEE-correctly-rounded final ops only) so the DuckDB
+  * oracle hash-matches bit-for-bit.
+  */
+object Analytics {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Pivot (long→wide crosstab) with an EXPLICIT value list: the two-arg
+    // pivot(col) overload first runs a separate distinct-values job and
+    // collects the domain to the driver — an extra scan plus an unbounded
+    // collect at web scale. Pinning the (tiny, enum-like) domain keeps the
+    // plan a single hash aggregate; absent cells coalesce to 0 so the
+    // output is total. Counts only — integer-exact in both engines.
+    QueryDef("q117_pivot", (s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    }, Some("""
+      SELECT o_orderpriority,
+        CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+        CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+      FROM orders GROUP BY 1""")),
+
+    // Unpivot (wide→long melt) of the four lineitem measures: a pure
+    // narrow projection — no shuffle, input partitioning preserved, each
+    // input row expands to exactly 4 output rows scan-side. Values are
+    // copied untouched (no arithmetic), so doubles round-trip exactly.
+    QueryDef("q118_unpivot", (s, d) => {
+      val li = t(s, d, "lineitem")
+      li.unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "val")
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+             l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""")),
+
+    // Per-group Pearson correlation + least-squares slope/intercept from
+    // EXACT integer moments: l_quantity (integral 1–50) and l_linenumber
+    // (1–7) accumulate as BIGINT sums (worst case ≈ 1e15 « 2^63 at sf1),
+    // so the only floating-point steps are the final cast / multiply /
+    // sqrt / divide — each IEEE-correctly-rounded and written in the same
+    // order in both engines, hence bit-identical. The built-in corr()
+    // accumulates doubles in partition order (non-deterministic under
+    // shuffle) — this form is the deterministic, scale-safe alternative:
+    // one scan, one hash aggregate, dimension-sized output.
+    QueryDef("q119_group_corr", (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          col("l_linenumber").cast("long").as("y"))
+      val m = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val covN = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      val varX = (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val varY = (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      m.select(col("l_returnflag"), col("n"),
+        (covN / sqrt(varX * varY)).as("corr_xy"),
+        (covN / varX).as("slope"),
+        ((col("sy").cast("double") - (covN / varX)
+          * col("sx").cast("double")) / col("n").cast("double"))
+          .as("intercept"))
+    }, Some("""
+      WITH m AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+          sum(CAST(l_quantity AS BIGINT)) AS sx,
+          sum(CAST(l_linenumber AS BIGINT)) AS sy,
+          sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+            AS sxx,
+          sum(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT))
+            AS syy,
+          sum(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT))
+            AS sxy
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, n,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_xy,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+          / CAST(n AS DOUBLE) AS intercept
+      FROM m""")),
+
+    // Markov transition matrix over user event sequences: (event_type →
+    // next event_type) counts, the standard path-analysis rollup. The
+    // lead() window partitions on user_id — high-cardinality and bounded
+    // per user by construction (a user emits finitely many events), the
+    // same no-hot-group contract as q112's rolling window; the transition
+    // aggregate itself is dimension-sized (|types|²). (user_id, ts) is
+    // unique in the generator, so the ordering is total without a
+    // tiebreak; event_id is still included to make the contract explicit.
+    QueryDef("q120_transitions", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+    }, Some("""
+      WITH seq AS (
+        SELECT event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS next_type
+        FROM events)
+      SELECT event_type AS from_type, next_type AS to_type,
+        CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2""")),
+
+    // Time-series gap fill: a deterministically thinned daily series
+    // (event_id ≡ 0 mod 701, so sf0.01/sf0.1 genuinely have empty days)
+    // zero-filled over each type's [min_day, max_day] span. The calendar
+    // expansion is DIMENSION-sized (types × days — facts are aggregated
+    // to daily counts first), and the fill is a keyed left join against
+    // that small calendar (broadcastable), never a per-row window. Date
+    // arithmetic is integer-exact in both engines.
+    QueryDef("q121_gap_fill", (s, d) => {
+      val daily = t(s, d, "events")
+        .where(pmod(col("event_id"), lit(701L)) === 0)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val cal = daily.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      cal.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE event_id % 701 = 0 GROUP BY 1, 2),
+      span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+               FROM daily GROUP BY 1),
+      cal AS (
+        SELECT event_type,
+          CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+            CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span)
+      SELECT event_type, day, COALESCE(n, 0) AS n_events
+      FROM cal LEFT JOIN daily USING (event_type, day)""")),
+
+    // SCD type-2 interval build (gaps-and-islands): collapse each user's
+    // event-type history into runs of consecutive equal values and emit
+    // (valid_from, valid_to) intervals — the lakehouse dimension-history
+    // shape. Change flags and run ids come from per-user windows
+    // (bounded per user by construction, q112's no-hot-group contract);
+    // the run collapse is a keyed aggregate, dimension-sized output.
+    // (user_id, ts) is unique so the sequence order is total; valid_to of
+    // the current run is NULL (open interval), timestamps compare exactly
+    // at µs precision in both engines.
+    QueryDef("q122_scd2", (s, d) => {
+      val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = wSeq.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val runs = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("chg",
+          when(lag("event_type", 1).over(wSeq).isNull ||
+            lag("event_type", 1).over(wSeq) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum("chg").over(wRun))
+        .groupBy("user_id", "run_id")
+        .agg(min("event_type").as("event_type"),
+          min("ts").as("valid_from"), count(lit(1)).as("n_in_run"))
+      val wRuns = Window.partitionBy("user_id").orderBy("valid_from")
+      runs.withColumn("valid_to", lead("valid_from", 1).over(wRuns))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("n_in_run"))
+    }, Some("""
+      WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+          CASE WHEN lag(event_type) OVER w IS NULL
+                 OR lag(event_type) OVER w <> event_type
+               THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      flagged AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM seq),
+      runs AS (
+        SELECT user_id, run_id, min(event_type) AS event_type,
+          min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_in_run
+        FROM flagged GROUP BY 1, 2)
+      SELECT user_id, event_type, valid_from,
+        lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+          AS valid_to,
+        n_in_run
+      FROM runs""")),
+
+    // Weighted sampling without replacement: Duffield–Lund–Thorup
+    // priority sampling, k = 50 docs per source weighted by token count
+    // (see PrioritySample scaladoc for the determinism + scale
+    // argument — md5-derived draw, ONE IEEE division, boundedTopK so a
+    // web-hot source never serializes one window partition). The oracle
+    // IS the naive single window.
+    QueryDef("q123_priority_sample", (s, d) => {
+      graft.sample.PrioritySample.sample(
+        t(s, d, "documents"), Seq("source"), "doc_id",
+        size(split(col("text"), " ")).cast("long"), k = 50)
+        .select(col("doc_id"), col("source"), col("w"), col("pri"),
+          col("rank"))
+    }, Some("""
+      WITH tt AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) + 1 AS u1
+        FROM documents),
+      p AS (SELECT doc_id, source, w,
+              CAST(u1 AS DOUBLE) / CAST(w AS DOUBLE) AS pri FROM tt),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+              ORDER BY pri, doc_id) AS INT) AS rank FROM p)
+      SELECT doc_id, source, w, pri, rank FROM r WHERE rank <= 50""")),
+
+    // Bigram language-model counts — the n-gram sibling of q90's unigram
+    // LM. The Spark side NEVER self-joins the token stream: bigrams are
+    // built SCAN-SIDE by zipping each token array with its own tail
+    // (zip_with over two slices — pure narrow HOFs), so the only shuffle
+    // is the final count aggregate with map-side partials. The oracle IS
+    // the naive positional self-join. Threshold n ≥ 3 bounds the output
+    // to the reusable-vocabulary tail.
+    QueryDef("q124_bigrams", (s, d) => {
+      t(s, d, "documents")
+        .select(split(col("text"), " ").as("toks"))
+        .select(explode(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+                      slice(toks, 2, size(toks) - 1),
+                      (a, b) -> struct(a AS w1, b AS w2))""")).as("bg"))
+        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 3)
+    }, Some("""
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+      bg AS (
+        SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+        FROM tk, unnest(range(1, len(toks))) AS t(i))
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+      FROM bg GROUP BY 1, 2 HAVING count(*) >= 3""")),
+
+    // Bounded multi-source BFS (3-hop shortest distances) over the same
+    // deterministic modular edge family as q100's triangle fixture —
+    // frontier-expansion joins with anti-join visited pruning, O(hops)
+    // keyed shuffles (see Bfs scaladoc). Distances are pure graph
+    // properties, so the depth-bounded recursive-CTE oracle's min(dist)
+    // agrees with the assign-once frontier semantics exactly.
+    QueryDef("q125_bfs_hops", (s, d) => {
+      val nodes = t(s, d, "documents")
+        .select((col("doc_id") % 509).as("x")).distinct()
+      val edges = nodes.select(col("x").as("src"),
+          ((col("x") * 2 + 1) % 509).as("dst"))
+        .unionByName(nodes.select(col("x").as("src"),
+          ((col("x") * 7 + 3) % 509).as("dst")))
+        .where(col("src") =!= col("dst")).distinct()
+      graft.graph.Bfs.hops(edges,
+        nodes.where(col("x") < 3).select(col("x").as("node")), maxHops = 3)
+    }, Some("""
+      WITH RECURSIVE nodes AS (
+        SELECT DISTINCT doc_id % 509 AS x FROM documents),
+      e AS (SELECT DISTINCT src, dst FROM (
+        SELECT x AS src, (x * 2 + 1) % 509 AS dst FROM nodes
+        UNION ALL SELECT x, (x * 7 + 3) % 509 FROM nodes)
+        WHERE src <> dst),
+      walk(node, dist) AS (
+        SELECT x, 0 FROM nodes WHERE x < 3
+        UNION ALL
+        SELECT e.dst, walk.dist + 1 FROM walk JOIN e ON e.src = walk.node
+        WHERE walk.dist < 3)
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist
+      FROM walk GROUP BY 1""")),
+
+    // One-pass table profiling (data-quality audit): per-column null and
+    // exact-distinct counts for every orders column in a SINGLE scan —
+    // Spark plans the 6 exact countDistincts as one Expand (each input
+    // row fans out 6× map-side, partially aggregated before the shuffle),
+    // which at 100 TB beats 6 separate scans whenever the scan dominates
+    // (it does: the expanded rows are key-only). The 1-row wide result
+    // melts to long form driver-free via stack. The oracle is the naive
+    // 6-scan union.
+    QueryDef("q126_table_profile", (s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")))
+      val stackExpr = s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ") +
+        ") as (col_name, n_notnull, n_distinct)"
+      t(s, d, "orders")
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n_rows", stackExpr)
+        .select(col("col_name"), col("n_rows"),
+          (col("n_rows") - col("n_notnull")).as("n_nulls"),
+          col("n_distinct"))
+    }, Some("""
+      SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+        CAST(count(*) - count(o_custkey) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+        CAST(count(*) - count(o_totalprice) AS BIGINT),
+        CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+        CAST(count(*) - count(o_orderdate) AS BIGINT),
+        CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        CAST(count(*) - count(o_orderpriority) AS BIGINT),
+        CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders""")),
+
+    // Z-order (Morton) layout clustering key over (p_size, price bucket)
+    // — the multi-dimensional sort key behind lakehouse OPTIMIZE ZORDER:
+    // pure scan-side shift/and/or bit dilation (see ZOrder scaladoc), no
+    // shuffle in the key itself; at write time the key feeds ONE
+    // repartitionByRange so min/max file stats prune on EITHER dimension.
+    // floor(price/100) is one IEEE division + floor on identical bits —
+    // deterministic in both engines.
+    QueryDef("q127_zorder", (s, d) => {
+      import graft.sources.ZOrder
+      val xd = col("p_size").cast("long").bitwiseAND(lit(0xFFFFL))
+      val yd = floor(col("p_retailprice") / lit(100.0)).cast("long")
+        .bitwiseAND(lit(0xFFFFL))
+      t(s, d, "part")
+        .select(col("p_partkey"), xd.as("xd"), yd.as("yd"))
+        .withColumn("z", ZOrder.morton2(col("xd"), col("yd")))
+        .withColumn("z_bucket", shiftright(col("z"), 6))
+    }, Some("""
+      WITH dims AS (
+        SELECT p_partkey, CAST(p_size AS BIGINT) & 65535 AS xd,
+          CAST(floor(p_retailprice / 100.0) AS BIGINT) & 65535 AS yd
+        FROM part),
+      a AS (SELECT *, ((xd | (xd << 8)) & 16711935) AS x1,
+                      ((yd | (yd << 8)) & 16711935) AS y1 FROM dims),
+      b AS (SELECT *, ((x1 | (x1 << 4)) & 252645135) AS x2,
+                      ((y1 | (y1 << 4)) & 252645135) AS y2 FROM a),
+      c AS (SELECT *, ((x2 | (x2 << 2)) & 858993459) AS x3,
+                      ((y2 | (y2 << 2)) & 858993459) AS y3 FROM b),
+      e AS (SELECT *, ((x3 | (x3 << 1)) & 1431655765) AS x4,
+                      ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM c)
+      SELECT p_partkey, xd, yd, (x4 | (y4 << 1)) AS z,
+        (x4 | (y4 << 1)) >> 6 AS z_bucket
+      FROM e""")),
+
+    // Frequent 2-itemsets (market-basket pairs, support ≥ 3 orders) with
+    // A-priori semi-join pruning before the quadratic pair expansion —
+    // see Itemsets scaladoc for why the prune is output-lossless. The
+    // oracle is the UNpruned naive pair join, so a prune that drops a
+    // qualifying pair hash-mismatches.
+    QueryDef("q128_frequent_pairs", (s, d) => {
+      graft.stats.Itemsets.frequentPairs(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 3L)
+    }, Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                 FROM lineitem)
+      SELECT a.item AS item_a, bb.item AS item_b,
+        CAST(count(*) AS BIGINT) AS support
+      FROM b a JOIN b bb
+        ON a.basket = bb.basket AND a.item < bb.item
+      GROUP BY 1, 2 HAVING count(*) >= 3""")),
+
+    // Deterministic HyperLogLog register sketch over the document token
+    // vocabulary — approximate COUNT DISTINCT whose state is a
+    // CONSTANT-size mergeable aggregate (max(rho) per register,
+    // map-side-combinable) instead of a full key shuffle. The sketch
+    // itself is pure integer arithmetic on md5 bits (register routing +
+    // a generated comparison-ladder clz — see Hll scaladoc), so the
+    // oracle reproduces every register bit-for-bit; the float estimate
+    // folds on the driver and is spec-checked against exact distinct.
+    QueryDef("q129_hll_registers", (s, d) => {
+      graft.stats.Hll.registers(t(s, d, "lineitem"), col("l_partkey"))
+    }, Some(s"""
+      WITH h AS (
+        SELECT CAST('0x' ||
+          substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        FROM lineitem)
+      SELECT h % 256 AS register,
+        max(${graft.stats.Hll.rhoLadderSql("(h >> 8)", 52)}) AS rho_max
+      FROM h GROUP BY 1""")),
+
+    // Z-order stats pruning, end to end: per-z_bucket min/max column
+    // stats (the metadata a lakehouse keeps per file) select candidate
+    // buckets for a 2-D box predicate BEFORE the exact filter touches
+    // rows — at rest, `cands` is the file-skipping list and only those
+    // files are scanned. Pruning on min/max is conservative (a superset),
+    // so the output provably equals the plain filter the oracle runs;
+    // because q127's key interleaves BOTH dimensions, buckets are tight
+    // in xd AND yd and the candidate list stays small (a single-column
+    // sort would prune only its leading dimension).
+    QueryDef("q130_zorder_prune", (s, d) => {
+      import graft.sources.ZOrder
+      val xd = col("p_size").cast("long").bitwiseAND(lit(0xFFFFL))
+      val yd = floor(col("p_retailprice") / lit(100.0)).cast("long")
+        .bitwiseAND(lit(0xFFFFL))
+      val parts = t(s, d, "part")
+        .select(col("p_partkey"), xd.as("xd"), yd.as("yd"))
+        .withColumn("z_bucket",
+          shiftright(ZOrder.morton2(col("xd"), col("yd")), 6))
+      val stats = parts.groupBy("z_bucket").agg(
+        min("xd").as("x_min"), max("xd").as("x_max"),
+        min("yd").as("y_min"), max("yd").as("y_max"))
+      val cands = stats
+        .where(col("x_max") >= 10 && col("x_min") <= 20 &&
+          col("y_max") >= 5 && col("y_min") <= 12)
+        .select("z_bucket")
+      parts.join(cands, Seq("z_bucket"), "left_semi")
+        .where(col("xd").between(10, 20) && col("yd").between(5, 12))
+        .select("p_partkey", "xd", "yd")
+    }, Some("""
+      SELECT p_partkey, CAST(p_size AS BIGINT) & 65535 AS xd,
+        CAST(floor(p_retailprice / 100.0) AS BIGINT) & 65535 AS yd
+      FROM part
+      WHERE (CAST(p_size AS BIGINT) & 65535) BETWEEN 10 AND 20
+        AND (CAST(floor(p_retailprice / 100.0) AS BIGINT) & 65535)
+          BETWEEN 5 AND 12"""))
+  )
+}

@@ -1,0 +1,58 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frequent 2-itemset mining (market-basket co-occurrence with a support
+  * threshold) — the A-priori first rung: a pair can only reach support s
+  * if BOTH items individually reach s, so the basket table is semi-join
+  * pruned by the frequent-item set BEFORE the quadratic per-basket pair
+  * expansion. On Zipf-shaped web data that prune removes the long item
+  * tail (most of the table) while provably not changing the output —
+  * the oracle runs the UNpruned naive pair join.
+  *
+  * Shuffle shape: distinct (basket, item) → one keyed aggregate for item
+  * support (dimension-sized) → semi join (broadcastable when the
+  * frequent-item set is small) → self equi-join on basket (pairs expand
+  * quadratically in PER-BASKET size, which real baskets bound; a
+  * web-scale guard would cap basket size with counted drops, the q26 LSH
+  * pattern) → one pair aggregate with map-side partials.
+  */
+object Itemsets {
+
+  /** Pairs of items co-occurring in ≥ `minSupport` distinct baskets.
+    * Output: (item_a, item_b, support) with item_a < item_b.
+    *
+    * The deduped basket frame feeds THREE consumers (the support
+    * aggregate and both self-join sides), whose subplans are not
+    * identical after per-branch filter pushdown — without the persist the
+    * fact table is scanned four times, the Disproportionality.signals
+    * four-scan cost. It is persisted lazily (building the frame launches
+    * no job) when `cacheBaskets`; the entry is deduped by the
+    * CacheManager for repeated identical inputs. Long-lived sessions
+    * mining MANY distinct basket tables should pass `cacheBaskets =
+    * false` (or adopt the owning-handle pattern of
+    * [[Disproportionality.signalsWithHandle]]) to bound cache
+    * residency. */
+  def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, cacheBaskets: Boolean = true): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be ≥ 1, got $minSupport")
+    val b0 = baskets
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val b =
+      if (cacheBaskets &&
+        b0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        b0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else b0
+    val frequent = b.groupBy("item").agg(count(lit(1)).as("sup"))
+      .where(col("sup") >= minSupport).select("item")
+    val pruned = b.join(frequent, Seq("item"), "left_semi")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.basket") === col("b.basket") &&
+          col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+  }
+}

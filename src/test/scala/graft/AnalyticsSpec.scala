@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-5 analytics batch (q117–q126) that the
+  * DuckDB hash gate can't express directly: BFS vs a naive in-memory
+  * reference, the bounded priority sample vs the single-window form, the
+  * exact-moment correlation vs Spark's built-in, and gap-fill calendar
+  * completeness. */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("Bfs.hops matches naive in-memory BFS on a cyclic graph") {
+    import spark.implicits._
+    // 0→1→2→3→0 cycle, 2→4, 5→6 unreachable from seed {0}
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (2L, 4L),
+      (5L, 6L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = graft.graph.Bfs.hops(edges, seeds, maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // wider bound reaches 3 and 4; the cycle back-edge must NOT relabel 0,
+    // and the frontier must drain (empty-frontier early exit) before 10
+    val got4 = graft.graph.Bfs.hops(edges, seeds, maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got4 === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("priority sample equals the single-window reference") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = size(split(col("text"), " ")).cast("long")
+    val got = graft.sample.PrioritySample
+      .sample(docs, Seq("source"), "doc_id", w, k = 7)
+      .select("doc_id", "source", "rank")
+    val win = Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))
+    val ref = docs
+      .withColumn("pri",
+        graft.sample.PrioritySample.uniformDraw(col("doc_id"))
+          .cast("double") / w.cast("double"))
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= 7)
+      .select("doc_id", "source", "rank")
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
+  test("exact-moment corr matches Spark's built-in corr to 1e-12") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val builtin = li.groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_linenumber").cast("double"))
+        .as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    q("q119_group_corr").collect().foreach { r =>
+      val flag = r.getString(r.fieldIndex("l_returnflag"))
+      val got = r.getDouble(r.fieldIndex("corr_xy"))
+      assert(math.abs(got - builtin(flag)) < 1e-12, flag)
+    }
+  }
+
+  test("gap fill emits one row per day of each type's span") {
+    val rows = q("q121_gap_fill")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("day").as("d0"), max("day").as("d1"))
+      .withColumn("span", datediff(col("d1"), col("d0")) + 1)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getLong(r.fieldIndex("n")) ===
+        r.getInt(r.fieldIndex("span")).toLong))
+  }
+
+  test("morton2 matches a bit-by-bit reference interleave") {
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16)
+        z |= (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 1L), (257L, 511L))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.sources.ZOrder.morton2(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z === ref(x & 0xFFFFL, y & 0xFFFFL), s"($x,$y)")
+    }
+  }
+
+  test("A-priori prune is output-lossless vs the unpruned pair join") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val got = graft.stats.Itemsets.frequentPairs(
+      li, "l_orderkey", "l_partkey", minSupport = 2L)
+    val b = li.select(col("l_orderkey").as("basket"),
+      col("l_partkey").as("item")).distinct()
+    val naive = b.as("a").join(b.as("b"),
+        col("a.basket") === col("b.basket") &&
+          col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("HLL estimate lands within theoretical error of exact distinct") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val exact = li.select("l_partkey").distinct().count().toDouble
+    val regs = graft.stats.Hll.registers(li, col("l_partkey"))
+      .as[(Long, Long)].collect().toSeq
+    val est = graft.stats.Hll.estimate(regs)
+    // m=256 → σ ≈ 6.5%; allow 4σ
+    assert(math.abs(est - exact) / exact < 0.26, s"est=$est exact=$exact")
+    // sketches merge by register-wise max: split the stream, merge, same
+    val a = graft.stats.Hll.registers(
+      li.where(col("l_orderkey") % 2 === 0), col("l_partkey"))
+      .as[(Long, Long)].collect().toMap
+    val b = graft.stats.Hll.registers(
+      li.where(col("l_orderkey") % 2 === 1), col("l_partkey"))
+      .as[(Long, Long)].collect().toMap
+    val merged = (a.keySet ++ b.keySet).map(r =>
+      r -> math.max(a.getOrElse(r, 0L), b.getOrElse(r, 0L))).toMap
+    assert(merged === regs.toMap)
+  }
+
+  test("zorder prune bites (fewer candidate buckets) and stays lossless") {
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+    val xd = col("p_size").cast("long").bitwiseAND(lit(0xFFFFL))
+    val yd = floor(col("p_retailprice") / lit(100.0)).cast("long")
+      .bitwiseAND(lit(0xFFFFL))
+    val keyed = parts.select(col("p_partkey"), xd.as("xd"), yd.as("yd"))
+      .withColumn("z_bucket",
+        shiftright(graft.sources.ZOrder.morton2(col("xd"), col("yd")), 6))
+    val nBuckets = keyed.select("z_bucket").distinct().count()
+    val stats = keyed.groupBy("z_bucket").agg(
+      min("xd").as("x_min"), max("xd").as("x_max"),
+      min("yd").as("y_min"), max("yd").as("y_max"))
+    val nCands = stats.where(col("x_max") >= 10 && col("x_min") <= 20 &&
+      col("y_max") >= 5 && col("y_min") <= 12).count()
+    assert(nCands < nBuckets, s"prune did not bite: $nCands/$nBuckets")
+    val got = SparkEntry.queries("q130_zorder_prune")(spark, sf)
+    val plain = keyed.where(col("xd").between(10, 20) &&
+      col("yd").between(5, 12)).select("p_partkey", "xd", "yd")
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+  }
+
+  test("table profile distinct counts are exact") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val prof = q("q126_table_profile").collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("n_distinct")))
+      .toMap
+    assert(prof("o_orderstatus") ===
+      orders.select("o_orderstatus").distinct().count())
+    assert(prof("o_orderkey") ===
+      orders.select("o_orderkey").distinct().count())
+  }
+}
