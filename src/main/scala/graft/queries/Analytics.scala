@@ -462,6 +462,103 @@ object Analytics {
       FROM part
       WHERE (CAST(p_size AS BIGINT) & 65535) BETWEEN 10 AND 20
         AND (CAST(floor(p_retailprice / 100.0) AS BIGINT) & 65535)
-          BETWEEN 5 AND 12"""))
+          BETWEEN 5 AND 12""")),
+
+    // Basket drift between a customer's consecutive orders: per-order
+    // product-family sets (partkey mod 97 — the category rollup proxy)
+    // compared set-wise via array_intersect — collection-function
+    // analytics over sorted set columns. Baskets are bounded by order
+    // size and the lag window by orders-per-customer (both small by
+    // construction — the q112 bounded-partition contract); set sizes are
+    // integers, the Jaccard is ONE IEEE division. Sets are SORTED on both
+    // sides so the lag'd arrays are deterministic values, not
+    // collect-order artifacts.
+    QueryDef("q131_basket_drift", (s, d) => {
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val baskets = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_custkey").as("custkey"),
+          col("o_orderkey").as("orderkey"),
+          col("o_orderdate").as("odate"))
+        .agg(sort_array(collect_set(pmod(col("l_partkey"), lit(97L))))
+          .as("basket"))
+      val w = Window.partitionBy("custkey").orderBy("odate", "orderkey")
+      val common = size(array_intersect(col("basket"), col("prev")))
+      baskets.withColumn("prev", lag("basket", 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("custkey"), col("orderkey"),
+          common.cast("long").as("n_common"),
+          (size(col("basket")) + size(col("prev")) - common).cast("long")
+            .as("n_union"))
+        .withColumn("jaccard",
+          col("n_common").cast("double") / col("n_union").cast("double"))
+    }, Some("""
+      WITH b AS (
+        SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+          o.o_orderdate AS odate,
+          list_sort(list(DISTINCT l.l_partkey % 97)) AS basket
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3),
+      lagged AS (
+        SELECT custkey, orderkey, basket,
+          lag(basket) OVER (PARTITION BY custkey ORDER BY odate, orderkey)
+            AS prev
+        FROM b)
+      SELECT custkey, orderkey,
+        CAST(len(list_intersect(basket, prev)) AS BIGINT) AS n_common,
+        CAST(len(basket) + len(prev) - len(list_intersect(basket, prev))
+          AS BIGINT) AS n_union,
+        CAST(len(list_intersect(basket, prev)) AS DOUBLE)
+          / CAST(len(basket) + len(prev) - len(list_intersect(basket, prev))
+                 AS DOUBLE) AS jaccard
+      FROM lagged WHERE prev IS NOT NULL""")),
+
+    // CUBE subtotals — all four grouping combinations of (returnflag,
+    // linestatus) in ONE pass (Spark plans cube as a single Expand +
+    // aggregate, not 4 scans), grouping level carried as the
+    // engine-shared grouping_id bitmask (q101's rollup convention).
+    // Counts + min/max only — exact under any shuffle order.
+    QueryDef("q132_cube", (s, d) => {
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          grouping_id().as("gid"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    // Cross-engine table checksum (migration/replication audit): per
+    // group, row count + the BIGINT sum of a portable md5 row hash over a
+    // canonical '|'-joined serialization of the key columns. Order-
+    // insensitive (integer addition commutes, and 600k × 2^32 ≪ 2^63 —
+    // overflow-free at any realistic partition size), ONE scan,
+    // map-side-combinable — two engines holding the same rows produce the
+    // same checksum, which is exactly what this query demonstrates by
+    // having DuckDB recompute it. Only integer/string columns enter the
+    // hash (float formatting is engine-specific).
+    QueryDef("q133_table_checksum", (s, d) => {
+      val rowKey = concat_ws("|",
+        col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"),
+        col("l_returnflag"), col("l_linestatus"))
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          conv(substring(md5(rowKey), 1, 8), 16, 10).cast("long")
+            .as("row_hash"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), sum("row_hash").as("checksum"))
+    }, Some("""
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CAST('0x' || substr(md5(
+          CAST(l_orderkey AS VARCHAR) || '|' ||
+          CAST(l_linenumber AS VARCHAR) || '|' ||
+          l_returnflag || '|' || l_linestatus), 1, 8) AS BIGINT))
+          AS BIGINT) AS checksum
+      FROM lineitem GROUP BY 1"""))
   )
 }
