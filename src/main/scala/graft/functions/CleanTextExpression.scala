@@ -93,6 +93,7 @@ object CleanText {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cleanTextDescriptor)
+    ext.injectFunction(PortableLn.descriptor)
   }
 }
 
@@ -122,7 +123,10 @@ object GraftFunctions {
     build _)
 
   /** Register on an already-built session (tests, Verify, Bench). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "clean_text", build, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "portable_ln", PortableLn.build, "scala_udf")
+  }
 }

@@ -559,6 +559,256 @@ object Analytics {
           CAST(l_linenumber AS VARCHAR) || '|' ||
           l_returnflag || '|' || l_linestatus), 1, 8) AS BIGINT))
           AS BIGINT) AS checksum
-      FROM lineitem GROUP BY 1"""))
+      FROM lineitem GROUP BY 1""")),
+
+    // Bloom-pruned semi-join — the runtime-filter pattern made portable
+    // and oracle-checkable (module doc: operators/BloomSemiJoin.scala).
+    // The urgent-order key set folds into a word-partitioned ~64 KiB
+    // bitmap (ONE dimension-sized groupBy, no distinct — bit_or is
+    // idempotent, so duplicate keys cost nothing); the lineitem probe
+    // passes two broadcast bit-tests and never shuffles; the final exact
+    // left join only sees Bloom survivors. The output pins BOTH layers:
+    // n_bloom_pass counts the survivors (so the oracle re-derives the
+    // exact same bitmap, false positives included) and n_exact/qty_exact
+    // pin the restored exact semi-join.
+    QueryDef("q134_bloom_semijoin", (s, d) => {
+      import graft.operators.BloomSemiJoin
+      val keys = t(s, d, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("k"))
+      val bloom = BloomSemiJoin.build(keys, "k")
+      val pruned = BloomSemiJoin.prune(
+        t(s, d, "lineitem").select(col("l_returnflag"), col("l_orderkey"),
+          col("l_quantity").cast("long").as("qty")),
+        col("l_orderkey"), bloom)
+      pruned.join(broadcast(keys), col("l_orderkey") === col("k"), "left")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_bloom_pass"),
+          count(col("k")).as("n_exact"),
+          sum(when(col("k").isNotNull, col("qty"))).as("qty_exact"))
+    }, Some("""
+      WITH keys AS (
+        SELECT o_orderkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'),
+      hs AS (
+        SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)
+          AS BIGINT) AS h
+        FROM keys),
+      pos AS (
+        SELECT h % 262144 AS p FROM hs
+        UNION ALL SELECT (h >> 30) % 262144 FROM hs),
+      bloom AS (
+        SELECT p >> 5 AS word,
+          bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+        FROM pos GROUP BY 1),
+      probe AS (
+        SELECT l_returnflag, l_orderkey, CAST(l_quantity AS BIGINT) AS qty,
+          CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+            AS BIGINT) AS h
+        FROM lineitem),
+      pass AS (
+        SELECT p.l_returnflag, p.l_orderkey, p.qty FROM probe p
+        JOIN bloom b1 ON (p.h % 262144) >> 5 = b1.word
+          AND (b1.bits & (1::BIGINT << CAST((p.h % 262144) % 32 AS INT)))
+              != 0
+        JOIN bloom b2 ON ((p.h >> 30) % 262144) >> 5 = b2.word
+          AND (b2.bits
+               & (1::BIGINT << CAST(((p.h >> 30) % 262144) % 32 AS INT)))
+              != 0)
+      SELECT l_returnflag,
+        CAST(count(*) AS BIGINT) AS n_bloom_pass,
+        CAST(count(k.k) AS BIGINT) AS n_exact,
+        CAST(sum(CASE WHEN k.k IS NOT NULL THEN qty END) AS BIGINT)
+          AS qty_exact
+      FROM pass LEFT JOIN keys k ON pass.l_orderkey = k.k
+      GROUP BY 1""")),
+
+    // Market-concentration audit: per-nation Gini coefficient + HHI over
+    // supplier quantity share — the mixture-balance metrics a training-
+    // data curator runs per source/domain. Everything is integer moments
+    // (q ≤ 50·rows-per-supplier, i ≤ suppliers-per-nation — both « 2^63):
+    // HHI = Σq²/ (Σq)² and Gini = (2·Σi·qᵢ − (n+1)·Σq) / (n·Σq) with
+    // ranks i over q ascending; only the final divisions are floating
+    // point, each IEEE-correctly-rounded. Σi·qᵢ is invariant under tie
+    // permutations (equal q ⇒ equal contribution), so the value is
+    // deterministic; the rank window partitions by nation and suppliers-
+    // per-nation is dimension-bounded, never a hot group.
+    QueryDef("q135_concentration", (s, d) => {
+      val sq = t(s, d, "lineitem")
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nationkey"), col("s_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val w = Window.partitionBy("nationkey").orderBy("q", "s_suppkey")
+      val m = sq.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum("q").as("total_qty"),
+          sum(col("q") * col("q")).as("ssq"),
+          sum(col("i") * col("q")).as("siq"))
+      m.select(col("nationkey"), col("n_suppliers"), col("total_qty"),
+        (col("ssq").cast("double")
+          / (col("total_qty").cast("double")
+             * col("total_qty").cast("double"))).as("hhi"),
+        ((lit(2L) * col("siq")
+          - (col("n_suppliers") + lit(1L)) * col("total_qty"))
+          .cast("double")
+          / (col("n_suppliers") * col("total_qty")).cast("double"))
+          .as("gini"))
+    }, Some("""
+      WITH sq AS (
+        SELECT s.s_nationkey AS nationkey, s.s_suppkey,
+          sum(CAST(l_quantity AS BIGINT)) AS q
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      r AS (
+        SELECT nationkey, q,
+          CAST(row_number() OVER (PARTITION BY nationkey
+            ORDER BY q, s_suppkey) AS BIGINT) AS i
+        FROM sq)
+      SELECT nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        CAST(sum(q) AS BIGINT) AS total_qty,
+        CAST(sum(q * q) AS DOUBLE)
+          / (CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE)) AS hhi,
+        CAST(2 * sum(i * q) - (count(*) + 1) * sum(q) AS DOUBLE)
+          / CAST(count(*) * sum(q) AS DOUBLE) AS gini
+      FROM r GROUP BY 1""")),
+
+    // 2-D skyline (Pareto frontier): parts not dominated on (cheaper
+    // retail price, larger size) — module doc: operators/Skyline.scala.
+    // Two-phase: band-prune (narrow + dimension-sized band table) then an
+    // exact join-based sweep over the frontier-sized survivors; provably
+    // equal to the quadratic NOT EXISTS the oracle runs, for any input.
+    // Raw doubles are only COMPARED, never operated on, so no float
+    // determinism risk.
+    QueryDef("q136_skyline", (s, d) => {
+      graft.operators.Skyline.skyline2d(
+        t(s, d, "part")
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+        "p_retailprice", "p_size", bandWidth = 100.0)
+    }, Some("""
+      SELECT p_partkey, p_retailprice, p_size FROM part r
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part s
+        WHERE s.p_retailprice <= r.p_retailprice
+          AND s.p_size >= r.p_size
+          AND (s.p_retailprice < r.p_retailprice
+               OR s.p_size > r.p_size))""")),
+
+    // Top-p (nucleus) mass cover — per order priority, the smallest
+    // prefix of part categories by descending quantity mass whose
+    // cumulative share reaches 90%: the data-mixing primitive behind
+    // nucleus-style source selection. The comparison is pure integers
+    // (cum_prev·10 < tot·9 avoids any float share); windows partition by
+    // priority over the 97-category rollup, so every partition is
+    // ≤ 97 rows by construction — aggregated-first, never row-scale.
+    QueryDef("q137_top_p_mass", (s, d) => {
+      val catq = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("priority"),
+          pmod(col("l_partkey"), lit(97L)).as("cat"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val w = Window.partitionBy("priority")
+        .orderBy(col("q").desc, col("cat"))
+      val cumPrev = coalesce(
+        sum("q").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L))
+      val tot = sum("q").over(Window.partitionBy("priority"))
+      catq.withColumn("cum_prev", cumPrev).withColumn("tot", tot)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("cum_prev") * 10 < col("tot") * 9)
+        .select("priority", "cat", "q", "rank")
+    }, Some("""
+      WITH catq AS (
+        SELECT o_orderpriority AS priority, l_partkey % 97 AS cat,
+          sum(CAST(l_quantity AS BIGINT)) AS q
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      r AS (
+        SELECT priority, cat, q,
+          COALESCE(sum(q) OVER (PARTITION BY priority
+            ORDER BY q DESC, cat
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_prev,
+          sum(q) OVER (PARTITION BY priority) AS tot,
+          CAST(row_number() OVER (PARTITION BY priority
+            ORDER BY q DESC, cat) AS BIGINT) AS rank
+        FROM catq)
+      SELECT priority, cat, CAST(q AS BIGINT) AS q, rank FROM r
+      WHERE cum_prev * 10 < tot * 9""")),
+
+    // Shannon entropy of each user's event-type distribution — the
+    // diversity/quality signal run per document or per source in a
+    // training mix. H = ln(N) − (Σ cᵢ·ln cᵢ)/N over integer counts; the
+    // Σ is a SEQUENTIAL fold over the SORTED count list (HOF aggregate
+    // here, list_reduce in DuckDB), so the double additions happen in
+    // one defined order in both engines — never a shuffle-order sum.
+    // ln is portable_ln (functions/PortableLn.scala), NOT the built-in:
+    // Spark's `log` routes through StrictMath/fdlibm, which disagrees
+    // with DuckDB's libm by 1 ulp on some of these very counts;
+    // Math.log matches libm bit-for-bit on the integer domain (probed
+    // exhaustively over 1..2000; counts here are ≤ 29).
+    QueryDef("q138_group_entropy", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def pln(c: org.apache.spark.sql.Column) =
+        call_function("portable_ln", c)
+      val c = t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      c.groupBy("user_id")
+        .agg(sort_array(collect_list(col("c"))).as("cs"),
+          sum("c").as("n"))
+        .select(col("user_id"), col("n").as("n_events"),
+          (pln(col("n").cast("double"))
+            - aggregate(col("cs"), lit(0.0), (acc, x) =>
+                acc + x.cast("double") * pln(x.cast("double")))
+              / col("n").cast("double")).as("entropy"))
+    }, Some("""
+      WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      l AS (
+        SELECT user_id, list_sort(list(c)) AS cs, sum(c) AS n
+        FROM c GROUP BY 1)
+      SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        ln(CAST(n AS DOUBLE))
+          - list_reduce(
+              list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(cs,
+                  x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)))),
+              (a, b) -> a + b)
+            / CAST(n AS DOUBLE) AS entropy
+      FROM l""")),
+
+    // Exponential moving average of each user's event values in time
+    // order — a sequential RECURRENCE (emaₜ = ema·½ + vₜ·½) that no SQL
+    // window frame can express. The per-user series collects into a
+    // ts-sorted array ((user_id, ts) is unique) and folds left with the
+    // HOF aggregate, seeded by the first value — exactly list_reduce's
+    // contract in DuckDB, so both engines perform the identical sequence
+    // of IEEE ops. Per-user series are bounded (≤ ~70 events at sf0.1);
+    // an unbounded stream would use the sessionized stateful path
+    // (StreamOps) instead of collect_list.
+    QueryDef("q139_ema", (s, d) => {
+      val vals = transform(col("seq"), e => e.getField("value"))
+      t(s, d, "events")
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("value"))))
+          .as("seq"))
+        .select(col("user_id"),
+          size(col("seq")).cast("long").as("n_events"),
+          aggregate(
+            slice(vals, lit(2), size(col("seq")) - lit(1)),
+            element_at(vals, 1),
+            (acc, v) => acc * lit(0.5) + v * lit(0.5)).as("ema"))
+    }, Some("""
+      WITH s AS (
+        SELECT user_id, list(value ORDER BY ts, value) AS vals
+        FROM events GROUP BY 1)
+      SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+        list_reduce(vals,
+          (a, b) -> a * CAST(0.5 AS DOUBLE) + b * CAST(0.5 AS DOUBLE))
+          AS ema
+      FROM s"""))
   )
 }

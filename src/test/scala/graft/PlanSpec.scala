@@ -190,4 +190,34 @@ class PlanSpec extends AnyFunSuite {
       "the returned ranks must read the checkpointed result, not replay " +
         "the iteration joins:\n" + plan.take(1200))
   }
+
+  test("native runtime Bloom filter injects on a selective shuffle join") {
+    // Catalyst's InjectRuntimeFilter is the engine-native form of the
+    // portable Bloom-pruned semi-join (q134 / operators/BloomSemiJoin):
+    // on a cluster-sized plan (thresholds lowered here to simulate one)
+    // a selective build side plants might_contain(bloom_filter_agg(...))
+    // on the probe side's scan, dropping rows BEFORE the shuffle. Pinned
+    // so a Spark upgrade or a stray conf default can't silently disable
+    // the scale path this library's join guidance assumes.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        -> "1B",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(sf + "/lineitem.parquet")
+      val o = spark.read.parquet(sf + "/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").count()
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") &&
+        opt.contains("bloom_filter_agg"), opt.take(1500))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }
