@@ -809,6 +809,133 @@ object Analytics {
         list_reduce(vals,
           (a, b) -> a * CAST(0.5 AS DOUBLE) + b * CAST(0.5 AS DOUBLE))
           AS ema
-      FROM s"""))
+      FROM s""")),
+
+    // Community detection by synchronous label propagation over a
+    // deterministic doc-derived graph (module doc: graph/
+    // LabelPropagation.scala — per-round hash-aggregate votes, min-label
+    // tie rule, lineage-cut rounds). The oracle UNROLLS the same three
+    // synchronous rounds as chained CTEs — each round one join + one
+    // grouped count + one rank-1 pick — so any divergence in the vote
+    // count, the tie rule, or the isolated-node fallback hash-mismatches.
+    QueryDef("q140_label_prop", (s, d) => {
+      val nodes = t(s, d, "documents")
+        .select((col("doc_id") % 389).as("x")).distinct()
+      val edges = nodes
+        .select(col("x").as("src"), ((col("x") * 3 + 2) % 389).as("dst"))
+        .unionByName(nodes.select(col("x").as("src"),
+          ((col("x") * 11 + 5) % 389).as("dst")))
+        .where(col("src") =!= col("dst")).distinct()
+      graft.graph.LabelPropagation.run(edges, iters = 3)
+    }, Some("""
+      WITH nodes0 AS (SELECT DISTINCT doc_id % 389 AS x FROM documents),
+      e AS (SELECT DISTINCT src, dst FROM (
+          SELECT x AS src, (x * 3 + 2) % 389 AS dst FROM nodes0
+          UNION ALL SELECT x, (x * 11 + 5) % 389 FROM nodes0)
+        WHERE src <> dst),
+      u AS (SELECT src, dst FROM e
+            UNION ALL SELECT dst AS src, src AS dst FROM e),
+      v AS (SELECT DISTINCT src AS node FROM u),
+      l0 AS (SELECT node, node AS label FROM v),
+      r1 AS (SELECT node, label FROM (
+          SELECT u.src AS node, l.label, count(*) AS cnt,
+            row_number() OVER (PARTITION BY u.src
+              ORDER BY count(*) DESC, l.label) AS rn
+          FROM u JOIN l0 l ON u.dst = l.node GROUP BY u.src, l.label)
+        WHERE rn = 1),
+      l1 AS (SELECT v.node, COALESCE(r1.label, v.node) AS label
+             FROM v LEFT JOIN r1 USING (node)),
+      r2 AS (SELECT node, label FROM (
+          SELECT u.src AS node, l.label, count(*) AS cnt,
+            row_number() OVER (PARTITION BY u.src
+              ORDER BY count(*) DESC, l.label) AS rn
+          FROM u JOIN l1 l ON u.dst = l.node GROUP BY u.src, l.label)
+        WHERE rn = 1),
+      l2 AS (SELECT v.node, COALESCE(r2.label, v.node) AS label
+             FROM v LEFT JOIN r2 USING (node)),
+      r3 AS (SELECT node, label FROM (
+          SELECT u.src AS node, l.label, count(*) AS cnt,
+            row_number() OVER (PARTITION BY u.src
+              ORDER BY count(*) DESC, l.label) AS rn
+          FROM u JOIN l2 l ON u.dst = l.node GROUP BY u.src, l.label)
+        WHERE rn = 1),
+      l3 AS (SELECT v.node, COALESCE(r3.label, v.node) AS label
+             FROM v LEFT JOIN r3 USING (node))
+      SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+      FROM l3""")),
+
+    // Bitmap-index audience overlap: exact distinct-user intersection
+    // for every event-type pair via 64-bit word bitmaps (module doc:
+    // operators/BitmapIndex.scala — 64× shuffle compression, no distinct
+    // pass, word-aligned join, popcount sums). The oracle is the NAIVE
+    // plan the bitmap replaces — SELECT DISTINCT + self-join on user —
+    // so the compressed path must reproduce the exact intersection
+    // cardinalities, false bits and all.
+    QueryDef("q141_bitmap_overlap", (s, d) => {
+      import graft.operators.BitmapIndex
+      val bm = BitmapIndex.bitmap(
+        t(s, d, "events"), col("event_type"), col("user_id"))
+      BitmapIndex.overlap(bm)
+        .select(col("g_a").as("type_a"), col("g_b").as("type_b"),
+          col("n_common"))
+    }, Some("""
+      WITH a AS (SELECT DISTINCT event_type, user_id FROM events)
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+        CAST(count(*) AS BIGINT) AS n_common
+      FROM a x JOIN a y ON x.user_id = y.user_id
+        AND x.event_type < y.event_type
+      GROUP BY 1, 2""")),
+
+    // Count-min sketch cells over part-key frequencies (module doc:
+    // stats/CountMin.scala — constant-size sum-mergeable aggregate, one
+    // scan, md5-portable hashing). The oracle rebuilds every cell from
+    // the same md5 contract ("r|key", 15 hex chars, mod width), so a
+    // drift in the hash layout, replication, or bucketing — the parts
+    // that make two engines' sketches mergeable — hash-mismatches.
+    QueryDef("q142_cms", (s, d) => {
+      graft.stats.CountMin.sketch(
+        t(s, d, "lineitem"), col("l_partkey"), depth = 2, width = 1024)
+    }, Some("""
+      WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+      e AS (SELECT r, k FROM k, (SELECT unnest([0, 1]) AS r)),
+      h AS (SELECT r, CAST('0x' || substr(
+          md5(CAST(r AS VARCHAR) || '|' || k), 1, 15) AS BIGINT) AS h
+        FROM e)
+      SELECT CAST(r AS BIGINT) AS r, h % 1024 AS b,
+        CAST(count(*) AS BIGINT) AS c
+      FROM h GROUP BY 1, 2""")),
+
+    // Temperature-scaled mixture weights (the multilingual-sampling rule
+    // of mT5/XLM-R: p_i ∝ n_i^α, here α = 0.5) over (source, lang)
+    // document counts. sqrt is IEEE-correctly-rounded in every engine,
+    // and the normalizer Z = Σ√n_i folds SEQUENTIALLY over the SORTED
+    // count list (q138's defined-order-sum pattern), so both engines
+    // perform the identical sequence of IEEE ops; the per-row weight is
+    // then one sqrt and one division. The counts table is
+    // aggregated-first (|sources|×|langs| rows), so the global fold and
+    // the broadcast of Z are O(domain), never O(rows).
+    QueryDef("q143_mixture_weights", (s, d) => {
+      val c = t(s, d, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val z = c.agg(aggregate(sort_array(collect_list(col("n_docs"))),
+        lit(0.0), (a, x) => a + sqrt(x.cast("double"))).as("z"))
+      c.crossJoin(z)
+        .select(col("source"), col("lang"), col("n_docs"),
+          (sqrt(col("n_docs").cast("double")) / col("z")).as("weight"))
+    }, Some("""
+      WITH c AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2),
+      z AS (
+        SELECT list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(n_docs)),
+              x -> sqrt(CAST(x AS DOUBLE)))),
+          (a, b) -> a + b) AS z
+        FROM c)
+      SELECT source, lang, n_docs,
+        sqrt(CAST(n_docs AS DOUBLE)) / z AS weight
+      FROM c, z"""))
   )
 }

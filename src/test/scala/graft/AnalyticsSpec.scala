@@ -149,6 +149,94 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
   }
 
+  test("label propagation matches a naive in-memory reference") {
+    import spark.implicits._
+    // two triangles bridged by one edge + an isolated self-community seed
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (2L, 3L), (7L, 8L)).toDF("src", "dst")
+    val got = graft.graph.LabelPropagation.run(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // naive synchronous reference: same vote count + min-label tie rule
+    val und = edges.as[(Long, Long)].collect().toSeq
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val nodes = und.map(_._1).distinct
+    var lab = nodes.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      val votes = und.groupBy(_._1).map { case (n, es) =>
+        val cnt = es.map(e => lab(e._2)).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        n -> cnt.minBy { case (l, c) => (-c, l) }._1
+      }
+      lab = nodes.map(n => n -> votes.getOrElse(n, n)).toMap
+    }
+    assert(got === lab)
+    // the triangle collapses to one label; the isolated 2-node pair
+    // OSCILLATES under synchronous rounds (the classic bipartite
+    // label-swap) — pin the odd-round state so a silent switch to
+    // async/converged semantics (which the oracle can't mirror) fails
+    assert(got(0L) === got(1L) && got(1L) === got(2L))
+    assert(got(7L) === 8L && got(8L) === 7L)
+  }
+
+  test("bitmap overlap equals naive distinct intersection") {
+    import graft.operators.BitmapIndex
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val got = q("q141_bitmap_overlap")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val du = ev.select("event_type", "user_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val naive = du.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = (for {
+      (a, sa) <- naive; (b, sb) <- naive if a < b
+      n = (sa & sb).size if n > 0
+    } yield (a, b) -> n.toLong).toMap
+    assert(got === want)
+    // word-boundary exactness: members 63/64/65 straddle two words
+    import spark.implicits._
+    val tiny = Seq(("g1", 63L), ("g1", 64L), ("g1", 64L), ("g1", 65L),
+      ("g2", 64L), ("g2", 65L), ("g2", 200L)).toDF("g", "m")
+    val ov = BitmapIndex.overlap(
+      BitmapIndex.bitmap(tiny, col("g"), col("m")))
+      .as[(String, String, Long)].collect()
+    assert(ov.toSeq === Seq(("g1", "g2", 2L)))
+  }
+
+  test("count-min estimate is a one-sided overestimate of exact counts") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val cells = q("q142_cms")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val n = cells.filter(_._1._1 == 0L).values.sum // row 0 sums to N
+    assert(n === li.count())
+    val exact = li.groupBy("l_partkey").count()
+      .as[(Long, Long)].collect().toSeq
+    exact.foreach { case (k, c) =>
+      val est = graft.stats.CountMin.estimate(cells, k.toString)
+      assert(est >= c, s"CMS under-estimated key $k: $est < $c")
+      // e·N/w error bound holds with prob 1−e^−d; at this sf the
+      // load factor is tiny, so allow the full deterministic bound
+      assert(est - c <= n, s"absurd overestimate for $k")
+    }
+    // the median overestimate should be far below the worst-case bound
+    val errs = exact.map { case (k, c) =>
+      graft.stats.CountMin.estimate(cells, k.toString) - c }.sorted
+    assert(errs(errs.size / 2) <= math.max(1L, 3 * n / 1024))
+  }
+
+  test("mixture weights sum to ~1 and are monotone in count") {
+    val rows = q("q143_mixture_weights").collect()
+      .map(r => (r.getLong(r.fieldIndex("n_docs")),
+        r.getDouble(r.fieldIndex("weight"))))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9)
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array((n1, w1), (n2, w2)) =>
+        assert(w1 <= w2 + 1e-12, s"weight not monotone: $n1/$w1 vs $n2/$w2")
+      case _ =>
+    }
+  }
+
   test("table profile distinct counts are exact") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val prof = q("q126_table_profile").collect()
