@@ -936,6 +936,139 @@ object Analytics {
         FROM c)
       SELECT source, lang, n_docs,
         sqrt(CAST(n_docs AS DOUBLE)) / z AS weight
-      FROM c, z"""))
+      FROM c, z""")),
+
+    // k-core peeling, 3 synchronous rounds at k = 4, over a deterministic
+    // doc-derived graph (module doc: graph/KCore.scala — semi-join alive
+    // filters, map-side degree partials, lineage-cut rounds). The oracle
+    // unrolls the same rounds as chained CTEs: degree-among-alive, keep
+    // ≥ k, repeat — so a drift in the symmetrize/dedup step, the
+    // synchronous-removal semantics, or the judged-by degree reported
+    // per survivor hash-mismatches.
+    QueryDef("q144_kcore", (s, d) => {
+      val nodes = t(s, d, "documents")
+        .select((col("doc_id") % 431).as("x")).distinct()
+      val edges = nodes
+        .select(col("x").as("src"), ((col("x") * 5 + 1) % 431).as("dst"))
+        .unionByName(nodes.select(col("x").as("src"),
+          ((col("x") * 13 + 7) % 431).as("dst")))
+      graft.graph.KCore.peel(edges, k = 4, rounds = 3)
+    }, Some("""
+      WITH nodes0 AS (SELECT DISTINCT doc_id % 431 AS x FROM documents),
+      e AS (SELECT x AS src, (x * 5 + 1) % 431 AS dst FROM nodes0
+            UNION ALL SELECT x, (x * 13 + 7) % 431 FROM nodes0),
+      u AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM e WHERE src <> dst
+          UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+      d1 AS (SELECT src AS node, count(*) AS deg FROM u GROUP BY 1),
+      a1 AS (SELECT node FROM d1 WHERE deg >= 4),
+      d2 AS (SELECT src AS node, count(*) AS deg FROM u
+             WHERE src IN (SELECT node FROM a1)
+               AND dst IN (SELECT node FROM a1) GROUP BY 1),
+      a2 AS (SELECT node FROM d2 WHERE deg >= 4),
+      d3 AS (SELECT src AS node, count(*) AS deg FROM u
+             WHERE src IN (SELECT node FROM a2)
+               AND dst IN (SELECT node FROM a2) GROUP BY 1)
+      SELECT CAST(node AS BIGINT) AS node, CAST(deg AS BIGINT) AS deg
+      FROM d3 WHERE deg >= 4""")),
+
+    // BM25 ranked-retrieval scores (Robertson–Walker k1 = 1.2, b = 0.75)
+    // for a fixed 3-term query over the documents table — the retrieval
+    // primitive behind quality-scored corpus search. tf/df/len are exact
+    // integers; the score is ONE fixed expression tree per row whose
+    // every op (+, ×, ÷ and `portable_ln`, which is libm-exact —
+    // functions/PortableLn.scala) is IEEE-correctly-rounded, so both
+    // engines evaluate the identical float sequence: no sums over rows,
+    // no shuffle-order dependence. Scores stay per-(doc, term) — the
+    // cross-term Σ and top-k layers are covered by q138's sorted-fold
+    // and q06/q20's top-k patterns.
+    QueryDef("q145_bm25", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def pln(c: org.apache.spark.sql.Column) =
+        call_function("portable_ln", c)
+      val tk = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val len = tk.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val stats = len.agg(count(lit(1)).as("n_docs"),
+        sum("len").as("sum_len"))
+      val tf = tk.where(col("tok").isin("spark", "join", "dup"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val avgdl = col("sum_len").cast("double") / col("n_docs").cast("double")
+      val idf = pln(((col("n_docs") - col("df")).cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      val den = col("tf").cast("double") + lit(1.2) * (lit(0.25)
+        + lit(0.75) * (col("len").cast("double") / avgdl))
+      tf.join(broadcast(dft), Seq("tok"))
+        .join(len, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("tok").as("term"), col("tf"),
+          (idf * (col("tf").cast("double") * lit(2.2) / den)).as("score"))
+    }, Some("""
+      WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      l AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+            FROM tk GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len) AS BIGINT) AS sum_len FROM l),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+             WHERE tok IN ('spark', 'join', 'dup') GROUP BY 1, 2),
+      df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+      SELECT tf.doc_id, tf.tok AS term, tf.tf,
+        ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+           / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        * (CAST(tf.tf AS DOUBLE) * 2.2
+           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25
+              + 0.75 * (CAST(l.len AS DOUBLE)
+                 / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+          AS score
+      FROM tf JOIN df USING (tok) JOIN l USING (doc_id), st""")),
+
+    // k-means ASSIGNMENT step (one Lloyd half-iteration) over the
+    // embeddings table: nearest of 4 fixed centroids (the embeddings of
+    // vec_id 0–3 — deterministic, data-derived) by squared L2. Each
+    // distance is an INDEX-ORDERED fold over the vector (zip_with +
+    // aggregate ≡ the oracle's list_transform + list_reduce): float
+    // elements cast exactly to double, per-index (a−b)² correctly
+    // rounded, additions in one defined order — bit-identical across
+    // engines, the same defined-order contract as q138/q143. The argmin
+    // ties on (dist, cid). Centroids broadcast; the scan is one pass,
+    // no shuffle until the 4-way min_by aggregate — the UPDATE half
+    // (new centroids = per-cluster means) is a shuffle-order float sum,
+    // which is why this query pins the assignment half only.
+    QueryDef("q146_kmeans_assign", (s, d) => {
+      val em = t(s, d, "embeddings")
+      val cents = em.where(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val dist = aggregate(
+        zip_with(col("embedding"), col("cvec"),
+          (a, b) => (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      em.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"), dist.as("dist"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cid"), col("dist")),
+          struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cluster"),
+          col("m.dist").as("dist"))
+    }, Some("""
+      WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+                 FROM embeddings WHERE vec_id < 4),
+      d AS (SELECT e.vec_id, c.cid,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(e.embedding)),
+              i -> (CAST(e.embedding[i] AS DOUBLE)
+                    - CAST(c.cvec[i] AS DOUBLE))
+                 * (CAST(e.embedding[i] AS DOUBLE)
+                    - CAST(c.cvec[i] AS DOUBLE)))),
+            (a, b) -> a + b) AS dist
+        FROM embeddings e, c)
+      SELECT vec_id, cid AS cluster, dist FROM (
+        SELECT vec_id, cid, dist,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cid) AS rn
+        FROM d) WHERE rn = 1"""))
   )
 }

@@ -225,6 +225,64 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(errs(errs.size / 2) <= math.max(1L, 3 * n / 1024))
   }
 
+  test("k-core peel matches a naive in-memory reference and cascades") {
+    import spark.implicits._
+    // K4 clique + a tail 4-5-6: tail nodes die round by round at k=3,
+    // and 4's death must NOT unseat the clique (its degree stays 3)
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = graft.graph.KCore.peel(edges, k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // naive synchronous reference
+    val und = edges.as[(Long, Long)].collect().toSeq
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    var alive = und.map(_._1).distinct.toSet
+    var deg = Map.empty[Long, Int]
+    (1 to 3).foreach { _ =>
+      deg = und.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      alive = deg.filter(_._2 >= 3).keySet
+    }
+    assert(got === deg.filter(_._2 >= 3).map { case (n, c) => n -> c.toLong })
+    // the 3-core is exactly the K4 clique; node 3 keeps degree 4 judged
+    // by the round BEFORE 4 died? no — rounds are synchronous: 5 and 6
+    // die round 1, 4 dies round 2, so round 3 judges 3 by deg 3
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got(3L) === 3L && got(0L) === 3L)
+  }
+
+  test("bm25 scores: rare term outranks common term at equal tf and len") {
+    val rows = q("q145_bm25").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.forall(_._4 > 0.0))
+    // group by (tf): for docs of the same length and tf, dup > spark
+    val len = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byKey = rows.groupBy(r => (len(r._1), r._3))
+    val comparable = byKey.values.filter(g =>
+      g.exists(_._2 == "dup") && g.exists(_._2 == "spark"))
+    assert(comparable.nonEmpty)
+    comparable.foreach { g =>
+      val d = g.filter(_._2 == "dup").map(_._4).min
+      val s0 = g.filter(_._2 == "spark").map(_._4).max
+      assert(d > s0, s"rare-term idf did not dominate: dup=$d spark=$s0")
+    }
+  }
+
+  test("k-means assignment: centroid vectors assign to themselves") {
+    val rows = q("q146_kmeans_assign").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    (0L to 3L).foreach { c =>
+      assert(rows(c) === ((c, 0.0)), s"centroid $c not self-assigned")
+    }
+    assert(rows.values.forall { case (c, d) => c >= 0 && c <= 3 && d >= 0.0 })
+    // every cluster should be non-empty on this synthetic set
+    assert(rows.values.map(_._1).toSet === Set(0L, 1L, 2L, 3L))
+  }
+
   test("mixture weights sum to ~1 and are monotone in count") {
     val rows = q("q143_mixture_weights").collect()
       .map(r => (r.getLong(r.fieldIndex("n_docs")),
