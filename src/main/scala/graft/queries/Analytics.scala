@@ -1069,6 +1069,170 @@ object Analytics {
         SELECT vec_id, cid, dist,
           row_number() OVER (PARTITION BY vec_id
             ORDER BY dist, cid) AS rn
-        FROM d) WHERE rn = 1"""))
+        FROM d) WHERE rn = 1""")),
+
+    // Adamic–Adar link prediction over the supplier–part bipartite graph:
+    // supplier pairs scored by their shared parts, each shared part
+    // weighted 1/ln(#suppliers of that part) — rare shared neighbors
+    // count more (the idf of graphs). Hub parts (deg > 32) are pruned
+    // BEFORE the pair self-join (the quadratic hot-key guard — see
+    // LinkPrediction scaladoc); the per-pair weight sum folds over the
+    // SORTED degree list so the float additions have one defined order.
+    QueryDef("q147_adamic_adar", (s, d) => {
+      graft.graph.LinkPrediction.adamicAdar(s,
+        t(s, d, "lineitem").select(col("l_suppkey").as("left"),
+          col("l_partkey").as("right")),
+        minCommon = 12, maxDegree = 32)
+    }, Some("""
+      WITH e AS (SELECT DISTINCT l_suppkey AS lft, l_partkey AS rgt
+                 FROM lineitem),
+      deg AS (SELECT rgt, CAST(count(*) AS BIGINT) AS deg
+              FROM e GROUP BY 1),
+      ed AS (SELECT e.rgt, e.lft, deg FROM e JOIN deg USING (rgt)
+             WHERE deg <= 32),
+      pr AS (SELECT a.lft AS s1, b.lft AS s2, a.deg
+             FROM ed a JOIN ed b ON a.rgt = b.rgt AND a.lft < b.lft),
+      g AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS common,
+              list_sort(list(deg)) AS ds
+            FROM pr GROUP BY 1, 2)
+      SELECT s1, s2, common,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(ds, x -> 1.0 / ln(CAST(x AS DOUBLE)))),
+          (a, b) -> a + b) AS aa_score
+      FROM g WHERE common >= 12""")),
+
+    // Asymmetric shingle CONTAINMENT (doc-inside-doc near-dup) — the
+    // quoted/wrapped-duplication relation that Jaccard (q26/q34) misses
+    // when |B| ≫ |A|. Token 3-shingles, inverted-index pair join with a
+    // df ≤ 20 discriminative-shingle cap on BOTH numerator and
+    // denominator (see Containment scaladoc); integer intersection and
+    // set sizes, single-division ratios.
+    QueryDef("q148_containment", (s, d) => {
+      graft.dedup.Containment.containmentPairs(
+        t(s, d, "documents"), "doc_id", split(col("text"), " "),
+        w = 3, maxDf = 20, threshold = 0.2)
+    }, Some("""
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+                 || ' ' || toks[CAST(i AS INT) + 2] AS s
+             FROM tk, unnest(range(1, len(toks) - 1)) AS t(i)
+             WHERE len(toks) >= 3),
+      df AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1),
+      kept AS (SELECT doc_id, sh.s FROM sh JOIN df ON sh.s = df.s
+               WHERE c <= 20),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+             FROM kept GROUP BY 1),
+      pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(count(*) AS BIGINT) AS inter
+             FROM kept a JOIN kept b
+               ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT d1, d2, inter,
+        CAST(inter AS DOUBLE) / CAST(s1.n AS DOUBLE) AS c_in_1,
+        CAST(inter AS DOUBLE) / CAST(s2.n AS DOUBLE) AS c_in_2
+      FROM pr JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+      WHERE greatest(CAST(inter AS DOUBLE) / CAST(s1.n AS DOUBLE),
+                     CAST(inter AS DOUBLE) / CAST(s2.n AS DOUBLE)) >= 0.2""")),
+
+    // Reciprocal-rank fusion of a lexical and a vector retriever (hybrid
+    // search): top-100 docs by query-term frequency fused with top-100 by
+    // cosine to a fixed query embedding (vec_id 0). Each top-k is a
+    // TakeOrderedAndProject (bounded heaps, no full sort); ranks are
+    // assigned inside the ≤ k rows (no unpartitioned window); the fused
+    // score is the literal two-term IEEE sum 1/(60+r) — see Fusion
+    // scaladoc. Cosine folds index-ordered (the q146 contract).
+    QueryDef("q149_rrf_fusion", (s, d) => {
+      import graft.similarity.Fusion
+      val lex = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok").isin("spark", "join", "dup"))
+        .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+      val lexRanks = Fusion.topkRanks(lex, col("doc_id"),
+        col("tf").cast("double"), 100)
+      val em = t(s, d, "embeddings")
+      val qv = em.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      def ssum(a: org.apache.spark.sql.Column) =
+        aggregate(a, lit(0.0), (acc, x) => acc + x)
+      val dot = ssum(zip_with(col("embedding"), col("qv"),
+        (a, b) => a.cast("double") * b.cast("double")))
+      val na = ssum(transform(col("embedding"),
+        a => a.cast("double") * a.cast("double")))
+      val nb = ssum(transform(col("qv"),
+        a => a.cast("double") * a.cast("double")))
+      val vec = em.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          (dot / (sqrt(na) * sqrt(nb))).as("cos"))
+      val vecRanks = Fusion.topkRanks(vec, col("doc_id"), col("cos"), 100)
+      Fusion.rrf(lexRanks, vecRanks, 60).withColumnRenamed("id", "doc_id")
+    }, Some("""
+      WITH lex AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+        WHERE tok IN ('spark', 'join', 'dup') GROUP BY 1),
+      lr AS (SELECT id, r1 FROM (
+          SELECT doc_id AS id, CAST(row_number() OVER (
+            ORDER BY CAST(tf AS DOUBLE) DESC, doc_id) AS BIGINT) AS r1
+          FROM lex) WHERE r1 <= 100),
+      qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      cs AS (SELECT vec_id AS id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(e.embedding)),
+              i -> CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(qv[i] AS DOUBLE))), (a, b) -> a + b)
+          / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(e.embedding)),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(e.embedding[i] AS DOUBLE))), (a, b) -> a + b))
+             * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(qv)),
+                   i -> CAST(qv[i] AS DOUBLE)
+                      * CAST(qv[i] AS DOUBLE))), (a, b) -> a + b)))
+            AS cos
+        FROM embeddings e, qv),
+      vr AS (SELECT id, r2 FROM (
+          SELECT id, CAST(row_number() OVER (
+            ORDER BY cos DESC, id) AS BIGINT) AS r2
+          FROM cs) WHERE r2 <= 100)
+      SELECT COALESCE(lr.id, vr.id) AS doc_id, r1, r2,
+        COALESCE(1.0 / (60.0 + CAST(r1 AS DOUBLE)), 0.0)
+          + COALESCE(1.0 / (60.0 + CAST(r2 AS DOUBLE)), 0.0) AS rrf
+      FROM lr FULL OUTER JOIN vr ON lr.id = vr.id""")),
+
+    // Interpolated bigram language-model scoring (Jelinek–Mercer λ=0.75,
+    // unigram backoff) — the order-sensitive quality gate unigram stats
+    // can't see (see BigramLm scaladoc). Counts integer, probabilities
+    // the literal IEEE tree, per-doc sum folded in POSITION order, ln via
+    // portable_ln.
+    QueryDef("q150_bigram_lm", (s, d) => {
+      graft.quality.BigramLm.score(s, t(s, d, "documents"), "doc_id",
+        split(col("text"), " "), lambda = 0.75)
+    }, Some("""
+      WITH dt AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+      tk AS (SELECT doc_id, unnest(toks) AS tok FROM dt),
+      uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+              FROM tk GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
+      bg AS (SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+               toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+             FROM dt, unnest(range(1, len(toks))) AS t(i)
+             WHERE len(toks) >= 2),
+      c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+             FROM bg GROUP BY 1, 2),
+      sc AS (SELECT doc_id, pos,
+               ln(0.75 * (CAST(c2.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+                + 0.25 * (CAST(u2.c1 AS DOUBLE) / CAST(n AS DOUBLE))) AS lp
+             FROM bg JOIN c2 USING (w1, w2)
+               JOIN uni u1 ON bg.w1 = u1.tok
+               JOIN uni u2 ON bg.w2 = u2.tok, tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list(lp ORDER BY pos)), (a, b) -> a + b)
+          / CAST(count(*) AS DOUBLE) AS logprob
+      FROM sc GROUP BY doc_id"""))
   )
 }

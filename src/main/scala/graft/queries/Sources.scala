@@ -145,6 +145,22 @@ object Sources {
         CASE WHEN p_partkey % 3 = 0 THEN NULL
              ELSE p_size::DOUBLE END AS size_num
       FROM part
-      WHERE p_partkey % 10 != 0 AND lower(p_name) LIKE '%red%'"""))
+      WHERE p_partkey % 10 != 0 AND lower(p_name) LIKE '%red%'""")),
+
+    // ORC sink + scan ROUNDTRIP (columnar format beside parquet; Spark's
+    // built-in ORC source): the full orders table — bigint keys, varchar
+    // enums, double prices, a timestamp column — is written to ORC in the
+    // per-process fixture root and read back; the oracle scans the
+    // ORIGINAL parquet, so any value/type drift through the ORC
+    // writer/reader (timestamp epoch handling is the classic one)
+    // hash-mismatches. DuckDB cannot read ORC, which is exactly why the
+    // roundtrip shape is the right oracle: the engine side is the only
+    // thing under test.
+    QueryDef("q151_src_orc_roundtrip", (s, d) => {
+      SourceSynth.ensure()
+      val out = s"${SourceSynth.Dir}/orc_orders"
+      QueryDef.t(s, d, "orders").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    }, Some("SELECT * FROM orders"))
   )
 }

@@ -164,4 +164,23 @@ class SourcesSpec extends AnyFunSuite {
     } finally Seq(deadOwner, legacy, fresh, ours)
       .foreach(p => graft.util.Fs.deleteRec(p))
   }
+
+  test("ORC roundtrip preserves types, values, and nulls exactly") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/t"
+    val src = Seq(
+      (1L, Some("a"), Some(1.5), Some(java.sql.Timestamp.valueOf("2024-01-02 03:04:05"))),
+      (2L, None, None, None),
+      (3L, Some(""), Some(-0.0), Some(java.sql.Timestamp.valueOf("1969-12-31 23:59:59")))
+    ).toDF("k", "s", "x", "ts")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // ORC scans surface every column nullable; names/types must round-trip
+    assert(back.schema.map(f => (f.name, f.dataType))
+      === src.schema.map(f => (f.name, f.dataType)))
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // pre-epoch timestamp survives (the classic ORC epoch-handling bug)
+    val ts3 = back.where(col("k") === 3).select("ts").collect().head
+      .getTimestamp(0)
+    assert(ts3 === java.sql.Timestamp.valueOf("1969-12-31 23:59:59"))
+  }
 }
