@@ -1233,6 +1233,204 @@ object Analytics {
         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
           list(lp ORDER BY pos)), (a, b) -> a + b)
           / CAST(count(*) AS DOUBLE) AS logprob
-      FROM sc GROUP BY doc_id"""))
+      FROM sc GROUP BY doc_id""")),
+
+    // HITS hub/authority scores (integer-exact unnormalized power
+    // iteration — see Hits scaladoc: after k iterations the scores are
+    // exact alternating-path counts, same ranking as normalized HITS,
+    // every addition a commutative BIGINT sum) over a synthetic directed
+    // doc graph with overlapping hub structure. The oracle unrolls the
+    // same two auth-then-hub iterations.
+    QueryDef("q152_hits", (s, d) => {
+      val x = (col("doc_id") % 389).as("x")
+      val nodes = t(s, d, "documents").select(x).distinct()
+      val edges = nodes
+        .select(col("x").as("src"), ((col("x") * 7 + 5) % 389).as("dst"))
+        .unionByName(nodes.select(col("x").as("src"),
+          ((col("x") * 19 + 11) % 389).as("dst")))
+      graft.graph.Hits.run(edges, iters = 2)
+    }, Some("""
+      WITH nodes0 AS (SELECT DISTINCT doc_id % 389 AS x FROM documents),
+      e AS (SELECT DISTINCT src, dst FROM (
+          SELECT x AS src, (x * 7 + 5) % 389 AS dst FROM nodes0
+          UNION ALL SELECT x, (x * 19 + 11) % 389 FROM nodes0)),
+      n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      a1 AS (SELECT node, CAST(coalesce(s.s, 0) AS BIGINT) AS auth FROM n
+             LEFT JOIN (SELECT dst, count(*) AS s FROM e GROUP BY 1) s
+               ON node = s.dst),
+      h1 AS (SELECT node, CAST(coalesce(s.s, 0) AS BIGINT) AS hub FROM n
+             LEFT JOIN (SELECT src, sum(auth) AS s FROM e
+                        JOIN a1 ON a1.node = e.dst GROUP BY 1) s
+               ON node = s.src),
+      a2 AS (SELECT node, CAST(coalesce(s.s, 0) AS BIGINT) AS auth FROM n
+             LEFT JOIN (SELECT dst, sum(hub) AS s FROM e
+                        JOIN h1 ON h1.node = e.src GROUP BY 1) s
+               ON node = s.dst),
+      h2 AS (SELECT node, CAST(coalesce(s.s, 0) AS BIGINT) AS hub FROM n
+             LEFT JOIN (SELECT src, sum(auth) AS s FROM e
+                        JOIN a2 ON a2.node = e.dst GROUP BY 1) s
+               ON node = s.src)
+      SELECT h2.node, hub, auth FROM h2 JOIN a2 USING (node)""")),
+
+    // Bounded-hop WEIGHTED shortest paths (distributed Bellman–Ford,
+    // frontier relaxation — see ShortestPaths scaladoc) from 6 seed nodes
+    // over a synthetic weighted doc graph: dist = min total weight over
+    // paths of ≤ 3 edges, exact BIGINT min-plus. The oracle unrolls three
+    // full relaxation rounds (frontier relaxation provably computes the
+    // same fixpoint prefix — relaxing an unimproved node re-yields
+    // candidates already present).
+    QueryDef("q153_shortest_path", (s, d) => {
+      val x = (col("doc_id") % 257).as("x")
+      val nodes = t(s, d, "documents").select(x).distinct()
+      val edges = nodes
+        .select(col("x").as("src"), ((col("x") * 3 + 2) % 257).as("dst"),
+          (lit(1) + col("x") % 7).as("w"))
+        .unionByName(nodes.select(col("x").as("src"),
+          ((col("x") * 11 + 5) % 257).as("dst"),
+          (lit(1) + col("x") % 5).as("w")))
+      val seeds = nodes.where(col("x") % 50 === 0)
+        .select(col("x").as("node"))
+      graft.graph.ShortestPaths.boundedDistances(edges, seeds, maxHops = 3)
+    }, Some("""
+      WITH nodes0 AS (SELECT DISTINCT doc_id % 257 AS x FROM documents),
+      e0 AS (SELECT x AS src, (x * 3 + 2) % 257 AS dst, 1 + x % 7 AS w
+             FROM nodes0
+             UNION ALL
+             SELECT x, (x * 11 + 5) % 257, 1 + x % 5 FROM nodes0),
+      e AS (SELECT src, dst, min(w) AS w FROM e0 GROUP BY 1, 2),
+      d0 AS (SELECT x AS node, CAST(0 AS BIGINT) AS dist FROM nodes0
+             WHERE x % 50 = 0),
+      c1 AS (SELECT dst AS node, min(dist + w) AS dist
+             FROM d0 JOIN e ON d0.node = e.src GROUP BY 1),
+      d1 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT * FROM d0 UNION ALL SELECT * FROM c1) GROUP BY 1),
+      c2 AS (SELECT dst AS node, min(dist + w) AS dist
+             FROM d1 JOIN e ON d1.node = e.src GROUP BY 1),
+      d2 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT * FROM d1 UNION ALL SELECT * FROM c2) GROUP BY 1),
+      c3 AS (SELECT dst AS node, min(dist + w) AS dist
+             FROM d2 JOIN e ON d2.node = e.src GROUP BY 1),
+      d3 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT * FROM d2 UNION ALL SELECT * FROM c3) GROUP BY 1)
+      SELECT node, dist FROM d3""")),
+
+    // Per-group ordinary-least-squares trend line (price-vs-quantity fit
+    // per part — see Regression scaladoc): the five sufficient statistics
+    // are exact BIGINT sums (quantity is integral; price becomes cents
+    // via floor(p*100) — the SAME double expression both engines evaluate
+    // on identical doubles), slope/intercept each ONE fixed IEEE tree over
+    // those exact integers. One scan, one partial-aggregated groupBy.
+    QueryDef("q154_group_regression", (s, d) => {
+      graft.stats.Regression.groupLeastSquares(
+        t(s, d, "lineitem"), col("l_partkey"),
+        col("l_quantity"), floor(col("l_extendedprice") * 100))
+    }, Some("""
+      WITH pts AS (SELECT l_partkey AS key,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+             FROM lineitem),
+      s AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM pts GROUP BY 1)
+      SELECT key, n,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE))
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+      FROM s WHERE n >= 2 AND n * sxx - sx * sx != 0""")),
+
+    // Item–item cosine collaborative filtering (see Itemsets.cosinePairs
+    // scaladoc): co-occurrence across order baskets normalized by each
+    // item's own occurrence count, baskets larger than 5 dropped WHOLE
+    // before the quadratic pair expansion (the capped-bucket pattern).
+    // Counts exact BIGINT; the cosine is one fixed IEEE tree.
+    QueryDef("q155_item_cosine", (s, d) => {
+      graft.stats.Itemsets.cosinePairs(
+        t(s, d, "lineitem").select(col("l_orderkey"),
+          (col("l_partkey") % 199).as("item")),
+        "l_orderkey", "item", maxBasket = 5, minCo = 3)
+    }, Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS basket,
+               l_partkey % 199 AS item FROM lineitem),
+      small AS (SELECT basket FROM b GROUP BY 1 HAVING count(*) <= 5),
+      kept AS (SELECT b.* FROM b JOIN small USING (basket)),
+      occ AS (SELECT item, CAST(count(*) AS BIGINT) AS occ
+              FROM kept GROUP BY 1),
+      co AS (SELECT a.item AS item_a, b.item AS item_b,
+               CAST(count(*) AS BIGINT) AS co
+             FROM kept a JOIN kept b
+               ON a.basket = b.basket AND a.item < b.item
+             GROUP BY 1, 2)
+      SELECT item_a, item_b, co,
+        CAST(co AS DOUBLE) / (sqrt(CAST(oa.occ AS DOUBLE))
+          * sqrt(CAST(ob.occ AS DOUBLE))) AS cosine
+      FROM co JOIN occ oa ON item_a = oa.item
+              JOIN occ ob ON item_b = ob.item
+      WHERE co >= 3""")),
+
+    // Calendar-spine resample + forward fill (see Resample scaladoc):
+    // one row per user per day from their first to last event day, status
+    // = the forward-filled code of the day's LAST event. The day's last
+    // observation is max over ONE packed BIGINT (epoch_micros·8 + code) —
+    // deterministic even on exact timestamp ties, in both engines,
+    // without struct-valued argmax. Codes: click 1, error 2, purchase 3,
+    // signup 4, view 5 (alphabetical).
+    QueryDef("q156_resample_ffill", (s, d) => {
+      val code = when(col("event_type") === "click", 1)
+        .when(col("event_type") === "error", 2)
+        .when(col("event_type") === "purchase", 3)
+        .when(col("event_type") === "signup", 4).otherwise(5)
+      graft.operators.Resample.dailyForwardFill(
+        t(s, d, "events"), col("user_id"), col("ts"), code, codeBits = 3)
+    }, Some("""
+      WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+               epoch_us(ts) * 8 + CASE event_type
+                 WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                 WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+                 ELSE 5 END AS p
+             FROM events),
+      dl AS (SELECT user_id, day, max(p) % 8 AS code FROM ev GROUP BY 1, 2),
+      bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                 FROM dl GROUP BY 1),
+      spine AS (SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                 AS day
+             FROM bounds),
+      j AS (SELECT s.user_id, s.day, dl.code FROM spine s
+            LEFT JOIN dl ON s.user_id = dl.user_id AND s.day = dl.day)
+      SELECT user_id AS key, day,
+        CAST(last_value(code IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS status
+      FROM j""")),
+
+    // Per-user Pearson correlation between hour-of-day and spend (see
+    // Regression.groupPearson scaladoc): both variables integerized the
+    // same way in both engines (hour is integral; spend becomes
+    // floor(value·100) cents), statistics exact, r one IEEE tree.
+    QueryDef("q157_pearson", (s, d) => {
+      graft.stats.Regression.groupPearson(
+        t(s, d, "events"), col("user_id"),
+        hour(col("ts").cast("timestamp")), floor(col("value") * 100))
+    }, Some("""
+      WITH pts AS (SELECT user_id AS key, CAST(hour(ts) AS BIGINT) AS x,
+               CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+      s AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(y * y) AS BIGINT) AS syy
+            FROM pts GROUP BY 1)
+      SELECT key, n,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+      FROM s WHERE n >= 2 AND n * sxx - sx * sx != 0
+        AND n * syy - sy * sy != 0"""))
   )
 }

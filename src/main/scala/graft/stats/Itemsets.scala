@@ -55,4 +55,56 @@ object Itemsets {
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
   }
+
+  /** Item–item cosine similarity from co-occurrence counts (the
+    * memory-based collaborative-filtering kernel, Sarwar et al. WWW'01):
+    * for items i, j with basket-occurrence counts cᵢ, cⱼ and co-count cᵢⱼ,
+    *
+    *   cos(i, j) = cᵢⱼ / (√cᵢ · √cⱼ)
+    *
+    * — the cosine of the two baskets-as-binary-vectors, i.e. co-occurrence
+    * normalized so two niche items always bought together outrank two
+    * blockbusters that co-occur by volume (the same inverse-popularity
+    * correction as Adamic–Adar, multiplicative instead of additive).
+    *
+    * Scale shape: the per-basket pair expansion is quadratic in BASKET
+    * size, so baskets larger than `maxBasket` are dropped whole BEFORE
+    * the self-join (the q26 LSH capped-bucket pattern — a crawl session
+    * touching 10⁴ items contributes 5·10⁷ pairs and ~zero signal; drops
+    * are countable from the size aggregate, never silent in the plan).
+    * Occurrence counts come from the SAME kept set the pairs come from,
+    * so the cosine is internally consistent. One keyed self-join + two
+    * dimension-sized aggregates; the count joins broadcast when items
+    * are dimension-sized (AQE decides).
+    *
+    * EXACTNESS: counts are exact BIGINTs; the cosine is ONE fixed IEEE
+    * tree `c/(√a·√b)` over them — bit-identical in any engine (the
+    * [[Regression]] contract). */
+  def cosinePairs(baskets: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Int, minCo: Long): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be ≥ 2, got $maxBasket")
+    require(minCo >= 1, s"minCo must be ≥ 1, got $minCo")
+    val b = baskets
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val small = b.groupBy("basket").agg(count(lit(1)).as("sz"))
+      .where(col("sz") <= maxBasket).select("basket")
+    val kept = b.join(small, Seq("basket"), "left_semi")
+      .localCheckpoint(true) // feeds three consumers; cut, don't rescan
+    val occ = kept.groupBy("item").agg(count(lit(1)).as("occ"))
+    kept.as("a").join(kept.as("b"),
+        col("a.basket") === col("b.basket") &&
+          col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= minCo)
+      .join(occ.select(col("item").as("item_a"), col("occ").as("occ_a")),
+        Seq("item_a"))
+      .join(occ.select(col("item").as("item_b"), col("occ").as("occ_b")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("co"),
+        (col("co").cast("double") /
+          (sqrt(col("occ_a").cast("double")) *
+            sqrt(col("occ_b").cast("double")))).as("cosine"))
+  }
 }
