@@ -12,9 +12,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * JVM-to-JVM reproducibility — but fdlibm disagrees with platform libm by
   * 1 ulp on some inputs, and DuckDB/Postgres/Trino all call libm. The
   * JDK's `java.lang.Math.log` matches this host's libm bit-for-bit on the
-  * integer domain 1..2000 (probed exhaustively, including after the C2
-  * `vdlog` intrinsic kicks in), which covers every count this library
-  * feeds it (entropy over per-group integer counts).
+  * ENTIRE integer domain 1..9169 (probed exhaustively to 10⁶ including
+  * after the C2 `vdlog` intrinsic kicks in: first divergence at 9170,
+  * 24 total below 10⁶ — where fdlibm/StrictMath diverges 9276 times,
+  * starting at 3), which covers every count this library feeds it
+  * (entropy/NPMI over per-group integer counts). On NON-integer ratio
+  * arguments the two round differently far more often — measured live on
+  * this corpus — so callers needing cross-engine hash-parity must feed
+  * integer-valued doubles and combine the lns outside (see
+  * [[graft.quality.Npmi]]).
   *
   * So `portable_ln` = `Math.log`: deterministic on a fixed JVM+host, and
   * bit-identical to the DuckDB oracle where the built-in is not. It stays

@@ -1431,6 +1431,145 @@ object Analytics {
           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
       FROM s WHERE n >= 2 AND n * sxx - sx * sx != 0
-        AND n * syy - sy * sy != 0"""))
+        AND n * syy - sy * sy != 0""")),
+
+    // Time-weighted average (see Temporal scaladoc): per-user mean spend
+    // level weighted by how long each level HELD, not how often it was
+    // sampled — Σ v·dur and Σ dur exact BIGINT (value integerized to
+    // cents by the same expression in both engines; window order
+    // totalized by (ts, cents)), twap ONE IEEE division.
+    QueryDef("q158_twap", (s, d) => {
+      graft.operators.Temporal.timeWeightedAvg(
+        t(s, d, "events"), col("user_id"), col("ts"),
+        floor(col("value") * 100))
+    }, Some("""
+      WITH r AS (SELECT user_id AS key, epoch_us(ts) AS us,
+               CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+      w AS (SELECT key, v,
+              lead(us) OVER (PARTITION BY key ORDER BY us, v) - us AS dur
+            FROM r),
+      s AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(v * dur) AS BIGINT) AS wsum,
+              CAST(sum(dur) AS BIGINT) AS span
+            FROM w GROUP BY 1)
+      SELECT key, n, CAST(wsum AS DOUBLE) / CAST(span AS DOUBLE) AS twap
+      FROM s WHERE span > 0""")),
+
+    // Debounce / retry-storm collapse (see Temporal scaladoc): drop any
+    // event within 6 hours of the SAME user+type's previous raw event
+    // (order totalized by event_id, so the kept row set — not just the
+    // counts — is deterministic). Output: per-group raw vs kept counts.
+    QueryDef("q159_debounce", (s, d) => {
+      val ev = t(s, d, "events")
+      val kept = graft.operators.Temporal.debounce(ev,
+          Seq("user_id", "event_type"), col("ts"), col("event_id"),
+          gapMicros = 6L * 3600 * 1000000)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_kept"))
+      ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_raw"))
+        .join(kept, Seq("user_id", "event_type"))
+    }, Some("""
+      WITH r AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+                 FROM events),
+      k AS (SELECT user_id, event_type,
+              CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 21600000000 THEN 1
+                   ELSE 0 END AS kept
+            FROM r WINDOW w AS (PARTITION BY user_id, event_type
+                                ORDER BY us, event_id))
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_raw,
+        CAST(sum(kept) AS BIGINT) AS n_kept
+      FROM k GROUP BY 1, 2""")),
+
+    // Largest-remainder apportionment (see Apportion scaladoc): split a
+    // 100,000-slot sampling budget across sources exactly proportionally
+    // to their character mass — Σ alloc = budget EXACTLY, everything
+    // integer (BIGINT div/mod, remainder rank tie-broken by key).
+    QueryDef("q160_apportion", (s, d) => {
+      graft.sample.Apportion.largestRemainder(
+        t(s, d, "documents"), col("source"), col("n_chars"),
+        budget = 100000L)
+    }, Some("""
+      WITH g AS (SELECT source AS key, CAST(sum(n_chars) AS BIGINT)
+                   AS weight FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(weight) AS BIGINT) AS t FROM g),
+      b AS (SELECT key, weight, (100000 * weight) // t.t AS base,
+              (100000 * weight) % t.t AS rem FROM g CROSS JOIN t),
+      l AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS r FROM b)
+      SELECT key, weight,
+        CAST(base + CASE WHEN row_number() OVER
+            (ORDER BY rem DESC, key ASC) <= l.r THEN 1 ELSE 0 END
+          AS BIGINT) AS alloc
+      FROM b CROSS JOIN l""")),
+
+    // Degree assortativity (see Assortativity scaladoc) over a synthetic
+    // doc graph with a quadratic (2-to-1, degree-skewing) generator plus
+    // an affine (bijective) one: the six moment sums are exact BIGINT,
+    // r is one IEEE tree — the single-number hub-wiring health check.
+    QueryDef("q161_assortativity", (s, d) => {
+      val x = (col("doc_id") % 389).as("x")
+      val nodes = t(s, d, "documents").select(x).distinct()
+      val edges = nodes
+        .select(col("x").as("src"), ((col("x") * col("x") + 1) % 389).as("dst"))
+        .unionByName(nodes.select(col("x").as("src"),
+          ((col("x") * 7 + 5) % 389).as("dst")))
+      graft.graph.Assortativity.degreeAssortativity(edges)
+    }, Some("""
+      WITH nodes0 AS (SELECT DISTINCT doc_id % 389 AS x FROM documents),
+      e AS (SELECT DISTINCT src, dst FROM (
+          SELECT x AS src, (x * x + 1) % 389 AS dst FROM nodes0
+          UNION ALL SELECT x, (x * 7 + 5) % 389 FROM nodes0)),
+      n AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        GROUP BY 1),
+      xy AS (SELECT a.deg AS x, b.deg AS y FROM e
+             JOIN n a ON e.src = a.node JOIN n b ON e.dst = b.node),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(y * y) AS BIGINT) AS syy FROM xy)
+      SELECT n AS n_edges,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+      FROM s WHERE n >= 2 AND n * sxx - sx * sx != 0
+        AND n * syy - sy * sy != 0""")),
+
+    // NPMI term association (see Npmi scaladoc): vocabulary gate df ≥ 20,
+    // docs touching > 28 vocab terms dropped whole before the pair
+    // expansion, counts internally consistent from the kept set; every
+    // portable_ln argument is an INTEGER count (< 9170 at all SFs —
+    // the domain where Math.log ≡ libm bit-for-bit; ratio arguments
+    // measurably diverge, see PortableLn).
+    QueryDef("q162_npmi", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      graft.quality.Npmi.pairAssociation(
+        t(s, d, "documents").select(col("doc_id").as("doc"),
+          explode(split(col("text"), " ")).as("term")),
+        maxTermsPerDoc = 28, minDf = 20, minCo = 5)
+    }, Some("""
+      WITH tk AS (SELECT doc_id AS doc, unnest(string_split(text, ' '))
+                    AS term FROM documents),
+      p AS (SELECT DISTINCT doc, term FROM tk),
+      v AS (SELECT term FROM p GROUP BY 1 HAVING count(*) >= 20),
+      iv AS (SELECT p.* FROM p JOIN v USING (term)),
+      sz AS (SELECT doc FROM iv GROUP BY 1 HAVING count(*) <= 28),
+      kept AS (SELECT iv.* FROM iv JOIN sz USING (doc)),
+      nd AS (SELECT CAST(count(DISTINCT doc) AS BIGINT) AS nd FROM kept),
+      c AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM kept
+            GROUP BY 1),
+      co AS (SELECT a.term AS term_a, b.term AS term_b,
+               CAST(count(*) AS BIGINT) AS co
+             FROM kept a JOIN kept b
+               ON a.doc = b.doc AND a.term < b.term GROUP BY 1, 2)
+      SELECT term_a, term_b, co,
+        (((ln(CAST(co AS DOUBLE)) + ln(CAST(nd AS DOUBLE)))
+            - ln(CAST(ca.c AS DOUBLE))) - ln(CAST(cb.c AS DOUBLE)))
+          / (ln(CAST(nd AS DOUBLE)) - ln(CAST(co AS DOUBLE))) AS npmi
+      FROM co CROSS JOIN nd
+      JOIN c ca ON term_a = ca.term JOIN c cb ON term_b = cb.term
+      WHERE co >= 5 AND co < nd"""))
   )
 }
