@@ -1570,6 +1570,56 @@ object Analytics {
           / (ln(CAST(nd AS DOUBLE)) - ln(CAST(co AS DOUBLE))) AS npmi
       FROM co CROSS JOIN nd
       JOIN c ca ON term_a = ca.term JOIN c cb ON term_b = cb.term
-      WHERE co >= 5 AND co < nd"""))
+      WHERE co >= 5 AND co < nd""")),
+
+    // Rendezvous (highest-random-weight) shard assignment (see Rendezvous
+    // scaladoc): every doc key routed to the shard with the largest
+    // md5(key || '-' || shard) — consistent routing with no ring state,
+    // collision-free argmax, engine-portable hex compare.
+    QueryDef("q165_rendezvous", (s, d) => {
+      graft.operators.Rendezvous.assign(
+        s, t(s, d, "documents"), col("doc_id"), nShards = 16)
+    }, Some("""
+      WITH keys AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS key
+                    FROM documents),
+      sh AS (SELECT CAST(unnest(range(16)) AS INT) AS shard),
+      a AS (SELECT key, shard,
+              md5(key || '-' || CAST(shard AS VARCHAR)) AS w
+            FROM keys CROSS JOIN sh)
+      SELECT key, max_by(shard, w) AS shard FROM a GROUP BY 1""")),
+
+    // Edge reciprocity over a synthetic directed doc graph (two affine
+    // generators mod 331): the fraction of edges whose reverse edge also
+    // exists — the classic directed-web-graph health metric (a crawler
+    // that follows redirects twice doubles it). Counts exact; the ratio
+    // is one IEEE division.
+    QueryDef("q166_reciprocity", (s, d) => {
+      val x = (col("doc_id") % 331).as("x")
+      val nodes = t(s, d, "documents").select(x).distinct()
+      val e = nodes
+        .select(col("x").as("src"), ((col("x") * 5 + 3) % 331).as("dst"))
+        .unionByName(nodes.select(col("x").as("src"),
+          ((col("x") * 17 + 2) % 331).as("dst")))
+        .distinct().localCheckpoint(true) // feeds both counts + the semi
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      val recip = e.join(rev, Seq("src", "dst"), "left_semi")
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(recip.agg(count(lit(1)).as("n_recip")))
+        .select(col("n_edges"), col("n_recip"),
+          (col("n_recip").cast("double") / col("n_edges").cast("double"))
+            .as("reciprocity"))
+    }, Some("""
+      WITH nodes0 AS (SELECT DISTINCT doc_id % 331 AS x FROM documents),
+      e AS (SELECT DISTINCT src, dst FROM (
+          SELECT x AS src, (x * 5 + 3) % 331 AS dst FROM nodes0
+          UNION ALL SELECT x, (x * 17 + 2) % 331 FROM nodes0)),
+      r AS (SELECT count(*) AS n_recip FROM e
+            WHERE EXISTS (SELECT 1 FROM e e2
+                          WHERE e2.src = e.dst AND e2.dst = e.src))
+      SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+        CAST(n_recip AS BIGINT) AS n_recip,
+        CAST(n_recip AS DOUBLE)
+          / CAST((SELECT count(*) FROM e) AS DOUBLE) AS reciprocity
+      FROM r"""))
   )
 }

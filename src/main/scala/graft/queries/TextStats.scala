@@ -1397,6 +1397,79 @@ object TextStats {
         CASE WHEN lower(trim(p_brand)) = 'brand#11' THEN 1.0::DOUBLE
              WHEN lower(trim(p_brand)) = 'brand#22' THEN 0.8::DOUBLE
              ELSE 0.5::DOUBLE END AS class_score
-      FROM part"""))
+      FROM part""")),
+
+    // Skip-gram (center, context) pair counts within a forward window of
+    // 2 (see Ngrams scaladoc): the word2vec training-pair statistic,
+    // generated inside the projection via zip_with over offset slices —
+    // NO positional self-join; the only shuffle is the count aggregate.
+    // The oracle IS the naive positional self-join.
+    QueryDef("q163_skipgram", (s, d) => {
+      graft.text.Ngrams.skipGramPairs(
+        t(s, d, "documents"), split(col("text"), " "),
+        maxSkip = 2, minCount = 10)
+    }, Some("""
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+      pos AS (SELECT toks, CAST(i AS INT) AS i
+              FROM tk, unnest(range(1, len(toks) + 1)) AS t(i)),
+      p AS (
+        SELECT toks[i] AS w_center, toks[i + k] AS w_context
+        FROM pos CROSS JOIN (SELECT CAST(unnest([1, 2]) AS INT) AS k)
+        WHERE i + k <= len(toks))
+      SELECT w_center, w_context, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2 HAVING count(*) >= 10""")),
+
+    // BPE merge-candidate scoring (see Ngrams scaladoc): adjacent
+    // character-pair counts over every token occurrence — the argmax of
+    // this table IS the next BPE merge. Pairs generated by an array HOF
+    // per word; single count shuffle.
+    QueryDef("q164_bpe_pairs", (s, d) => {
+      graft.text.Ngrams.bpePairCounts(
+        t(s, d, "documents"), split(col("text"), " "), minCount = 10)
+    }, Some("""
+      WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+      w2 AS (SELECT w FROM w0 WHERE length(w) >= 2),
+      p AS (SELECT substring(w, CAST(i AS INT), 2) AS pair
+            FROM w2, unnest(range(1, length(w))) AS t(i))
+      SELECT pair, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1 HAVING count(*) >= 10""")),
+
+    // Cross-language vocabulary overlap: per-language distinct-term sets
+    // compared pairwise by exact Jaccard — the corpus-divergence check
+    // behind multilingual mixture design (a contaminated language split
+    // shows up as an overlap spike). Counts exact BIGINT from ONE
+    // distinct pass; jaccard is one IEEE division.
+    QueryDef("q167_vocab_overlap", (s, d) => {
+      val p = t(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+      val sizes = p.groupBy("lang").agg(count(lit(1)).as("sz"))
+      p.as("a").join(p.as("b"),
+          col("a.term") === col("b.term") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("lang").as("lang_a"), col("sz").as("sz_a")),
+          Seq("lang_a"))
+        .join(sizes.select(col("lang").as("lang_b"), col("sz").as("sz_b")),
+          Seq("lang_b"))
+        .select(col("lang_a"), col("lang_b"), col("inter"),
+          (col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+            .as("jaccard"))
+    }, Some("""
+      WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+      p AS (SELECT DISTINCT lang, term FROM tk),
+      s AS (SELECT lang, CAST(count(*) AS BIGINT) AS sz FROM p GROUP BY 1),
+      i AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+              CAST(count(*) AS BIGINT) AS inter
+            FROM p a JOIN p b ON a.term = b.term AND a.lang < b.lang
+            GROUP BY 1, 2)
+      SELECT lang_a, lang_b, inter,
+        CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+          AS jaccard
+      FROM i JOIN s sa ON lang_a = sa.lang JOIN s sb ON lang_b = sb.lang"""))
   )
 }
