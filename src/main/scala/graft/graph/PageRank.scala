@@ -77,4 +77,51 @@ object PageRank {
     }
     pr.select(col("node"), col("score").as("pr_score"))
   }
+
+  /** Personalized PageRank: identical integer-exact iteration, but ALL
+    * teleport mass lands on the seed set — initial score `scale` on
+    * seeds / 0 elsewhere, and the per-iteration base term exists only
+    * for seeds. The result is the seed neighborhood's rank field (the
+    * "related pages from these trusted roots" signal behind topical
+    * crawl frontiers and KG neighborhood expansion); nodes the seeds
+    * can't reach in `iters` hops honestly score 0. Same plan shape,
+    * overflow contract, and lineage-cut-per-iteration as [[run]] — the
+    * seed table joins in as one extra node-sized left join (AQE
+    * broadcasts it when small, the common case). */
+  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int = 2,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = Scale): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val e0 = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = e0.join(deg, "src").localCheckpoint(true)
+    val sd = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("is_seed", lit(1L))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(sd, Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint(true)
+    val base = scale * (dampDen - dampNum) / dampDen // truncating, exact
+    var pr = nodes.withColumn("score", col("is_seed") * scale)
+    (1 to iters).foreach { _ =>
+      val in = e.join(pr, col("src") === col("node"))
+        .select(col("dst"), expr("score div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("inb"))
+      pr = nodes.join(in, col("node") === col("dst"), "left")
+        .select(col("node"), col("is_seed"),
+          (col("is_seed") * base +
+            expr(s"coalesce(inb, 0L) * $dampNum div $dampDen"))
+            .as("score"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("node"), col("score").as("ppr_score"))
+  }
 }

@@ -1620,6 +1620,113 @@ object Analytics {
         CAST(n_recip AS BIGINT) AS n_recip,
         CAST(n_recip AS DOUBLE)
           / CAST((SELECT count(*) FROM e) AS DOUBLE) AS reciprocity
-      FROM r"""))
+      FROM r""")),
+
+    // Exact weighted median (see RobustStats scaladoc): per-user median
+    // spend level where each observation weighs by its event-type name
+    // length — duplicates collapse BEFORE the per-key window, the pick is
+    // the integer comparison 2·cumw ≥ W, everything BIGINT.
+    QueryDef("q168_weighted_median", (s, d) => {
+      graft.stats.RobustStats.weightedMedian(
+        t(s, d, "events"), col("user_id"),
+        floor(col("value") * 100), length(col("event_type")))
+    }, Some("""
+      WITH r AS (SELECT user_id AS key,
+               CAST(floor(value * 100) AS BIGINT) AS v,
+               CAST(length(event_type) AS BIGINT) AS w FROM events),
+      bv AS (SELECT key, v, CAST(sum(w) AS BIGINT) AS wv
+             FROM r GROUP BY 1, 2),
+      c AS (SELECT key, v,
+              sum(wv) OVER (PARTITION BY key ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              sum(wv) OVER (PARTITION BY key) AS w_total
+            FROM bv)
+      SELECT key, CAST(max(w_total) AS BIGINT) AS w_total,
+        CAST(min(v) AS BIGINT) AS wmedian
+      FROM c WHERE cum * 2 >= w_total GROUP BY 1""")),
+
+    // Exact per-group mode with the smallest-value tie rule (see
+    // RobustStats scaladoc): the user's typical event type — counts
+    // collapse first, the tied-for-max set resolves by min.
+    QueryDef("q169_group_mode", (s, d) => {
+      graft.stats.RobustStats.mode(
+        t(s, d, "events"), col("user_id"), col("event_type"))
+    }, Some("""
+      WITH c AS (SELECT user_id AS key, event_type AS v,
+               CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      m AS (SELECT key, max(n) AS n FROM c GROUP BY 1)
+      SELECT key, min(v) AS mode_v, CAST(max(m.n) AS BIGINT) AS n
+      FROM c JOIN m USING (key, n) GROUP BY 1""")),
+
+    // Crawl politeness interleave: one global fetch order that cycles
+    // across domains (slot = (rank_within_domain − 1)·D + domain_rank)
+    // so no domain is ever hit twice before every domain is hit once.
+    // Domain ranks come from a WINDOW OVER THE DIMENSION-SIZED distinct
+    // table (never the fact rows); per-domain ranks partition by domain.
+    // All integer, fully deterministic.
+    QueryDef("q170_crawl_interleave", (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+      val dr = docs.select("source").distinct()
+        .withColumn("drank",
+          row_number().over(Window.orderBy("source")).cast("long"))
+      val nd = broadcast(dr.agg(max("drank").as("nd")))
+      docs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("doc_id")).cast("long"))
+        .join(broadcast(dr), "source").crossJoin(nd)
+        .select(col("doc_id"), col("source"),
+          ((col("rn") - 1) * col("nd") + col("drank")).as("slot"))
+    }, Some("""
+      WITH dr AS (SELECT source, CAST(row_number() OVER (ORDER BY source)
+                    AS BIGINT) AS drank
+                  FROM (SELECT DISTINCT source FROM documents)),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM dr),
+      rn AS (SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                 AS BIGINT) AS rn
+             FROM documents)
+      SELECT doc_id, rn.source, (rn - 1) * nd + drank AS slot
+      FROM rn JOIN dr USING (source) CROSS JOIN nd""")),
+
+    // Personalized PageRank (see PageRank.personalized scaladoc): all
+    // teleport mass on a 7-node seed set, two integer-exact damped
+    // iterations over a mixed bijective/quadratic synthetic graph —
+    // unreached nodes honestly score 0. The oracle unrolls both rounds.
+    QueryDef("q171_ppr", (s, d) => {
+      val x = (col("doc_id") % 367).as("x")
+      val nodes = t(s, d, "documents").select(x).distinct()
+      val edges = nodes
+        .select(col("x").as("src"), ((col("x") * 6 + 1) % 367).as("dst"))
+        .unionByName(nodes.select(col("x").as("src"),
+          ((col("x") * col("x") + 3) % 367).as("dst")))
+      val seeds = nodes.where(col("x") % 60 === 0)
+        .select(col("x").as("node"))
+      graft.graph.PageRank.personalized(edges, seeds, iters = 2)
+    }, Some("""
+      WITH nodes0 AS (SELECT DISTINCT doc_id % 367 AS x FROM documents),
+      e0 AS (SELECT x AS src, (x * 6 + 1) % 367 AS dst FROM nodes0
+             UNION ALL SELECT x, (x * x + 3) % 367 FROM nodes0),
+      dg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+             FROM e0 GROUP BY 1),
+      e AS (SELECT e0.src, e0.dst, dg.outdeg FROM e0 JOIN dg USING (src)),
+      n AS (SELECT node, CAST(CASE WHEN node % 60 = 0
+                 AND node IN (SELECT x FROM nodes0) THEN 1 ELSE 0 END
+               AS BIGINT) AS is_seed
+            FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+      p0 AS (SELECT node, is_seed,
+               CAST(is_seed * 1000000 AS BIGINT) AS score FROM n),
+      i1 AS (SELECT dst, CAST(sum(score // outdeg) AS BIGINT) AS inb
+             FROM e JOIN p0 ON p0.node = e.src GROUP BY 1),
+      p1 AS (SELECT n.node, n.is_seed,
+               CAST(n.is_seed * 150000
+                 + coalesce(i1.inb, 0) * 85 // 100 AS BIGINT) AS score
+             FROM n LEFT JOIN i1 ON n.node = i1.dst),
+      i2 AS (SELECT dst, CAST(sum(score // outdeg) AS BIGINT) AS inb
+             FROM e JOIN p1 ON p1.node = e.src GROUP BY 1),
+      p2 AS (SELECT n.node, n.is_seed,
+               CAST(n.is_seed * 150000
+                 + coalesce(i2.inb, 0) * 85 // 100 AS BIGINT) AS score
+             FROM n LEFT JOIN i2 ON n.node = i2.dst)
+      SELECT node, score AS ppr_score FROM p2"""))
   )
 }
