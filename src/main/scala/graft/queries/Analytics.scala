@@ -1727,6 +1727,140 @@ object Analytics {
                CAST(n.is_seed * 150000
                  + coalesce(i2.inb, 0) * 85 // 100 AS BIGINT) AS score
              FROM n LEFT JOIN i2 ON n.node = i2.dst)
-      SELECT node, score AS ppr_score FROM p2"""))
+      SELECT node, score AS ppr_score FROM p2""")),
+
+    // Exact-moment skewness + excess kurtosis of each user's hour-of-day
+    // activity shape (see Moments scaladoc): five BIGINT power sums, the
+    // n-powers cancel exactly, each output ONE IEEE tree (g₁ = B/(A√A),
+    // g₂ = C/A² − 3). Hour ∈ 0..23 keeps the fourth powers tiny.
+    QueryDef("q172_skewkurt", (s, d) => {
+      graft.stats.Moments.groupSkewKurt(
+        t(s, d, "events"), col("user_id"), hour(col("ts")))
+    }, Some("""
+      WITH r AS (SELECT user_id AS key, CAST(hour(ts) AS BIGINT) AS x
+                 FROM events),
+      s AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(x * x * x) AS BIGINT) AS sxxx,
+              CAST(sum(x * x * x * x) AS BIGINT) AS sxxxx
+            FROM r GROUP BY 1)
+      SELECT key, n,
+        CAST(n * n * sxxx - 3 * n * sx * sxx + 2 * sx * sx * sx AS DOUBLE)
+          / (CAST(n * sxx - sx * sx AS DOUBLE)
+             * sqrt(CAST(n * sxx - sx * sx AS DOUBLE))) AS skew,
+        CAST(n * n * n * sxxxx - 4 * n * n * sx * sxxx
+             + 6 * n * sx * sx * sxx - 3 * sx * sx * sx * sx AS DOUBLE)
+          / (CAST(n * sxx - sx * sx AS DOUBLE)
+             * CAST(n * sxx - sx * sx AS DOUBLE)) - 3.0 AS kurt
+      FROM s WHERE n >= 4 AND n * sxx - sx * sx != 0""")),
+
+    // Longest same-type streak per user (gaps-and-islands run lengths,
+    // the q122 lag+cumsum machinery aimed at the "max consecutive"
+    // question): order totalized by (ts, event_id), runs counted exactly.
+    QueryDef("q173_longest_streak", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("chg",
+          when(lag("event_type", 1).over(w).isNull ||
+            col("event_type") =!= lag("event_type", 1).over(w), 1L)
+            .otherwise(0L))
+        .withColumn("run", sum("chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("run"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("max_streak"), count(lit(1)).as("n_runs"))
+    }, Some("""
+      WITH f AS (SELECT user_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR event_type <> lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS chg
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      r AS (SELECT user_id, sum(chg) OVER (PARTITION BY user_id
+               ORDER BY rowid) AS run FROM
+             (SELECT *, row_number() OVER () AS rowid FROM f)),
+      l AS (SELECT user_id, run, CAST(count(*) AS BIGINT) AS len
+            FROM r GROUP BY 1, 2)
+      SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak,
+        CAST(count(*) AS BIGINT) AS n_runs
+      FROM l GROUP BY 1""")),
+
+    // Half-over-half trending items (add-one-smoothed frequency ratio
+    // between ship years before/from 1998): counts exact, the trend is
+    // one IEEE division — the burst-detection primitive for corpus drift.
+    QueryDef("q174_trending", (s, d) => {
+      t(s, d, "lineitem")
+        .select((col("l_partkey") % 199).as("item"),
+          year(col("l_shipdate")).as("y"))
+        .groupBy("item")
+        .agg(sum(when(col("y") < 1998, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("y") >= 1998, 1L).otherwise(0L)).as("c2"))
+        .where(col("c1") + col("c2") >= 20)
+        .select(col("item"), col("c1"), col("c2"),
+          ((col("c2") + 1).cast("double") / (col("c1") + 1).cast("double"))
+            .as("trend"))
+    }, Some("""
+      WITH c AS (SELECT l_partkey % 199 AS item,
+              CAST(sum(CASE WHEN year(l_shipdate) < 1998 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c1,
+              CAST(sum(CASE WHEN year(l_shipdate) >= 1998 THEN 1 ELSE 0
+                END) AS BIGINT) AS c2
+            FROM lineitem GROUP BY 1)
+      SELECT item, c1, c2,
+        CAST(c2 + 1 AS DOUBLE) / CAST(c1 + 1 AS DOUBLE) AS trend
+      FROM c WHERE c1 + c2 >= 20""")),
+
+    // Chi-square independence test, event type × 6-hour day-quarter: the
+    // 20-cell contingency table folds in (t, b)-sorted order (the q138
+    // sorted-fold bit-stability pattern — cell count is bounded by the
+    // category product BY CONSTRUCTION, so the collect_list is
+    // dimension-sized), expected counts from exact integer row/col/total
+    // sums, each term one IEEE tree.
+    QueryDef("q175_chi2", (s, d) => {
+      val o = t(s, d, "events")
+        .select(col("event_type").as("t"),
+          expr("CAST(hour(ts) div 6 AS INT)").as("b"))
+        .groupBy("t", "b").agg(count(lit(1)).as("o"))
+      val rt = o.groupBy("t").agg(sum("o").as("rt"))
+      val ct = o.groupBy("b").agg(sum("o").as("ct"))
+      val nn = broadcast(o.agg(sum("o").as("nn")))
+      val term = {
+        val e = (col("rt") * col("ct")).cast("double") /
+          col("nn").cast("double")
+        (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+      }
+      val dof = broadcast(
+        rt.agg(count(lit(1)).as("nr")).crossJoin(
+            ct.agg(count(lit(1)).as("nc")))
+          .select(((col("nr") - 1) * (col("nc") - 1)).as("dof")))
+      o.join(rt, "t").join(ct, "b").crossJoin(nn)
+        .select(struct(col("t"), col("b"), term.as("term")).as("cell"))
+        .agg(sort_array(collect_list("cell")).as("cells"))
+        .select(aggregate(col("cells"), lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("chi2"))
+        .crossJoin(dof)
+    }, Some("""
+      WITH o AS (SELECT event_type AS t, CAST(hour(ts) // 6 AS INT) AS b,
+               CAST(count(*) AS BIGINT) AS o FROM events GROUP BY 1, 2),
+      rt AS (SELECT t, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+      ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+      nn AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM o),
+      cells AS (SELECT list_sort(list(struct_pack(t := t, b := b,
+               term := (CAST(o AS DOUBLE)
+                  - CAST(rt * ct AS DOUBLE) / CAST(nn AS DOUBLE))
+                 * (CAST(o AS DOUBLE)
+                  - CAST(rt * ct AS DOUBLE) / CAST(nn AS DOUBLE))
+                 / (CAST(rt * ct AS DOUBLE) / CAST(nn AS DOUBLE)))))
+               AS cs
+             FROM o JOIN rt USING (t) JOIN ct USING (b) CROSS JOIN nn),
+      dof AS (SELECT CAST(((SELECT count(*) FROM rt) - 1)
+                * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof)
+      SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(cs, x -> x.term)),
+               (a, b) -> a + b) AS chi2, dof
+      FROM cells CROSS JOIN dof"""))
   )
 }
