@@ -1861,6 +1861,43 @@ object Analytics {
                list_prepend(CAST(0.0 AS DOUBLE),
                  list_transform(cs, x -> x.term)),
                (a, b) -> a + b) AS chi2, dof
-      FROM cells CROSS JOIN dof"""))
+      FROM cells CROSS JOIN dof""")),
+
+    // Power-law (Pareto) exponent of the in-degree distribution, Hill /
+    // discrete-MLE estimate at dmin = 2: α = 1 + m / (Σ ln(deg) − m·ln 2)
+    // over degrees ≥ 2 of a planted-hub synthetic graph. Degrees are
+    // exact BIGINTs; every portable_ln argument is an INTEGER (< 9170 —
+    // the libm-parity domain, see PortableLn); the sum folds in sorted
+    // order over the dimension-sized degree list (the q138 pattern).
+    QueryDef("q177_powerlaw", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def pln(c: org.apache.spark.sql.Column) =
+        call_function("portable_ln", c)
+      val x = (col("doc_id") % 2003).as("x")
+      val dst = t(s, d, "documents").select(x).distinct()
+        .select(((col("x") * 3 + 1) % 211).as("dst"))
+      val deg = dst.groupBy("dst").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= 2)
+      deg.agg(sort_array(collect_list(col("deg"))).as("ds"),
+          count(lit(1)).as("m"))
+        .select(col("m"),
+          (lit(1.0) + col("m").cast("double") /
+            (aggregate(col("ds"), lit(0.0),
+              (acc, v) => acc + pln(v.cast("double")))
+              - col("m").cast("double") * pln(lit(2.0)))).as("alpha"))
+    }, Some("""
+      WITH nodes0 AS (SELECT DISTINCT doc_id % 2003 AS x FROM documents),
+      e AS (SELECT (x * 3 + 1) % 211 AS dst FROM nodes0),
+      dg AS (SELECT dst, CAST(count(*) AS BIGINT) AS deg
+             FROM e GROUP BY 1 HAVING count(*) >= 2),
+      l AS (SELECT list_sort(list(deg)) AS ds,
+              CAST(count(*) AS BIGINT) AS m FROM dg)
+      SELECT m, 1.0 + CAST(m AS DOUBLE) /
+          (list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(ds, x -> ln(CAST(x AS DOUBLE)))),
+             (a, b) -> a + b)
+           - CAST(m AS DOUBLE) * ln(CAST(2.0 AS DOUBLE))) AS alpha
+      FROM l"""))
   )
 }

@@ -1470,6 +1470,72 @@ object TextStats {
       SELECT lang_a, lang_b, inter,
         CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
           AS jaccard
-      FROM i JOIN s sa ON lang_a = sa.lang JOIN s sb ON lang_b = sb.lang"""))
+      FROM i JOIN s sa ON lang_a = sa.lang JOIN s sb ON lang_b = sb.lang""")),
+
+    // Vocabulary coverage / OOV rate per language under a top-10 global
+    // vocabulary (the tokenizer-design question: how much token MASS does
+    // a K-entry vocab cover per split?). The vocab rank runs over the
+    // DIMENSION-sized term-count table and broadcasts back; all counts
+    // exact, the rate one IEEE division.
+    QueryDef("q176_vocab_coverage", (s, d) => {
+      val tk = t(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      val tot = tk.groupBy("lang").agg(count(lit(1)).as("n_tokens"))
+      val topk = tk.groupBy("term").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("term"))))
+        .where(col("rk") <= 10).select("term")
+      val cov = tk.join(broadcast(topk), Seq("term"), "left_semi")
+        .groupBy("lang").agg(count(lit(1)).as("n_cov"))
+      tot.join(cov, Seq("lang"), "left")
+        .select(col("lang"), col("n_tokens"),
+          coalesce(col("n_cov"), lit(0L)).as("n_cov"),
+          ((col("n_tokens") - coalesce(col("n_cov"), lit(0L)))
+            .cast("double") / col("n_tokens").cast("double"))
+            .as("oov_rate"))
+    }, Some("""
+      WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+      tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM tk GROUP BY 1),
+      tc AS (SELECT term, count(*) AS c FROM tk GROUP BY 1),
+      topk AS (SELECT term FROM (
+          SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rk
+          FROM tc) WHERE rk <= 10),
+      cov AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_cov
+              FROM tk JOIN topk USING (term) GROUP BY 1)
+      SELECT lang, n_tokens,
+        CAST(coalesce(n_cov, 0) AS BIGINT) AS n_cov,
+        CAST(n_tokens - coalesce(n_cov, 0) AS DOUBLE)
+          / CAST(n_tokens AS DOUBLE) AS oov_rate
+      FROM tot LEFT JOIN cov USING (lang)""")),
+
+    // Sorted-neighborhood dedup candidates (see SortedNeighborhood
+    // scaladoc): prefix-aligned near-dup pairs from adjacent records in
+    // block-partitioned sort order, LCP by a freeze-at-first-mismatch
+    // array fold — the O(n log n) blocking family beside LSH.
+    QueryDef("q178_snm_candidates", (s, d) => {
+      graft.dedup.SortedNeighborhood.candidates(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        prefixLen = 4, minLcp = 4)
+    }, Some("""
+      WITH r AS (SELECT doc_id AS id, text AS k,
+               substring(text, 1, 4) AS block FROM documents),
+      p AS (SELECT id, k, lead(id) OVER w AS id_b, lead(k) OVER w AS k_b
+            FROM r WINDOW w AS (PARTITION BY block ORDER BY k, id)),
+      pl AS (SELECT id AS id_a, id_b, k, k_b,
+               least(length(k), length(k_b)) AS l
+             FROM p WHERE id_b IS NOT NULL),
+      pos AS (SELECT id_a, id_b, CAST(i AS INT) AS i,
+                substring(k, CAST(i AS INT), 1) AS ca,
+                substring(k_b, CAST(i AS INT), 1) AS cb
+              FROM pl, unnest(range(1, l + 1)) AS t(i)),
+      agg AS (SELECT id_a, id_b,
+                min(CASE WHEN ca <> cb THEN i END) AS firstdiff
+              FROM pos GROUP BY 1, 2)
+      SELECT pl.id_a, pl.id_b,
+        CAST(coalesce(agg.firstdiff - 1, pl.l) AS BIGINT) AS lcp
+      FROM pl LEFT JOIN agg USING (id_a, id_b)
+      WHERE coalesce(agg.firstdiff - 1, pl.l) >= 4"""))
   )
 }
