@@ -1898,6 +1898,138 @@ object Analytics {
                list_transform(ds, x -> ln(CAST(x AS DOUBLE)))),
              (a, b) -> a + b)
            - CAST(m AS DOUBLE) * ln(CAST(2.0 AS DOUBLE))) AS alpha
+      FROM l""")),
+
+    // Benford first-digit audit over order totals — the classic
+    // fabricated-data detector. The digit comes from the BIGINT's string
+    // form (integer-to-string is portable; float formatting is not), and
+    // the Benford expectation log₁₀(1+1/d) = (ln(d+1) − ln d)/ln 10 uses
+    // portable_ln on INTEGERS only (the libm-parity domain).
+    QueryDef("q179_benford", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def pln(c: org.apache.spark.sql.Column) =
+        call_function("portable_ln", c)
+      val digit = substring(
+        floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit")
+      val counts = t(s, d, "orders").where(col("o_totalprice") >= 1)
+        .select(digit).groupBy("digit").agg(count(lit(1)).as("n"))
+      counts.crossJoin(broadcast(counts.agg(sum("n").as("nn"))))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("nn").cast("double"))
+            .as("obs_p"),
+          ((pln((col("digit") + 1).cast("double"))
+            - pln(col("digit").cast("double")))
+            / pln(lit(10.0))).as("exp_p"))
+    }, Some("""
+      WITH c AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice)
+                   AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+               CAST(count(*) AS BIGINT) AS n
+             FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c)
+      SELECT digit, n,
+        CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS obs_p,
+        (ln(CAST(digit + 1 AS DOUBLE)) - ln(CAST(digit AS DOUBLE)))
+          / ln(CAST(10.0 AS DOUBLE)) AS exp_p
+      FROM c CROSS JOIN t""")),
+
+    // Two-sample Kolmogorov–Smirnov statistic, EXACT: purchase vs click
+    // spend distributions. Per-value counts aggregate FIRST (the window
+    // input is the VALUE DOMAIN — dimension-sized by construction, the
+    // Apportion argument), the CDF gap compares as the exact integer
+    // |cum1·n2 − cum2·n1|, and D is ONE division of the integer max.
+    QueryDef("q180_ks_test", (s, d) => {
+      val ev = t(s, d, "events")
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("event_type").as("t"),
+          floor(col("value") * 100).as("v"))
+      val c = ev.groupBy("v").agg(
+        sum(when(col("t") === "purchase", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("t") === "click", 1L).otherwise(0L)).as("c2"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = broadcast(c.agg(sum("c1").as("n1"), sum("c2").as("n2")))
+      c.withColumn("cum1", sum("c1").over(w))
+        .withColumn("cum2", sum("c2").over(w))
+        .crossJoin(tot)
+        .select(col("n1"), col("n2"),
+          abs(col("cum1") * col("n2") - col("cum2") * col("n1"))
+            .as("gap"))
+        .groupBy("n1", "n2").agg(max("gap").as("gap"))
+        .select(col("n1"), col("n2"),
+          (col("gap").cast("double") /
+            (col("n1") * col("n2")).cast("double")).as("d_stat"))
+    }, Some("""
+      WITH ev AS (SELECT event_type AS t,
+               CAST(floor(value * 100) AS BIGINT) AS v FROM events
+             WHERE event_type IN ('purchase', 'click')),
+      c AS (SELECT v,
+              CAST(sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c1,
+              CAST(sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c2
+            FROM ev GROUP BY 1),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+      g AS (SELECT abs(sum(c1) OVER w * n2 - sum(c2) OVER w * n1) AS gap,
+              n1, n2
+            FROM c CROSS JOIN tot
+            WINDOW w AS (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT n1, n2, CAST(max(gap) AS DOUBLE)
+          / CAST(n1 * n2 AS DOUBLE) AS d_stat
+      FROM g GROUP BY n1, n2""")),
+
+    // Conditional entropy rate H(next | current) of each user's event
+    // sequence — the behavioral-predictability score: 0 = a deterministic
+    // loop, ln 5 ≈ 1.61 = uniform chaos over 5 types. Transition cells
+    // (≤ types² per user) fold in (cur, next)-sorted order; every ln
+    // argument is an INTEGER count (portable_ln parity domain);
+    // H = Σ n_cn·(ln n_c − ln n_cn) / N is exact-integer fed.
+    QueryDef("q181_cond_entropy", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def pln(c: org.apache.spark.sql.Column) =
+        call_function("portable_ln", c)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = t(s, d, "events")
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("user_id"), col("event_type").as("cur"),
+          col("nxt"))
+        .agg(count(lit(1)).as("ncn"))
+      val marg = tr.groupBy("user_id", "cur").agg(sum("ncn").as("nc"))
+      tr.join(marg, Seq("user_id", "cur"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("cur"), col("nxt"),
+            col("ncn"), col("nc")))).as("cells"),
+          sum("ncn").as("n_trans"))
+        .select(col("user_id"), col("n_trans"),
+          (aggregate(col("cells"), lit(0.0), (acc, x) =>
+            acc + x.getField("ncn").cast("double") *
+              (pln(x.getField("nc").cast("double"))
+                - pln(x.getField("ncn").cast("double"))))
+            / col("n_trans").cast("double")).as("cond_entropy"))
+    }, Some("""
+      WITH tr0 AS (SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS nxt
+             FROM events),
+      tr AS (SELECT user_id, cur, nxt, CAST(count(*) AS BIGINT) AS ncn
+             FROM tr0 WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+      mg AS (SELECT user_id, cur, CAST(sum(ncn) AS BIGINT) AS nc
+             FROM tr GROUP BY 1, 2),
+      l AS (SELECT user_id,
+              list_sort(list(struct_pack(cur := cur, nxt := nxt,
+                ncn := ncn, nc := nc))) AS cells,
+              CAST(sum(ncn) AS BIGINT) AS n_trans
+            FROM tr JOIN mg USING (user_id, cur) GROUP BY 1)
+      SELECT user_id, n_trans,
+        list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cells, x ->
+              CAST(x.ncn AS DOUBLE)
+                * (ln(CAST(x.nc AS DOUBLE)) - ln(CAST(x.ncn AS DOUBLE))))),
+          (a, b) -> a + b) / CAST(n_trans AS DOUBLE) AS cond_entropy
       FROM l"""))
   )
 }
