@@ -2030,6 +2030,109 @@ object Analytics {
               CAST(x.ncn AS DOUBLE)
                 * (ln(CAST(x.nc AS DOUBLE)) - ln(CAST(x.ncn AS DOUBLE))))),
           (a, b) -> a + b) / CAST(n_trans AS DOUBLE) AS cond_entropy
-      FROM l"""))
+      FROM l""")),
+
+    // Effective vocabulary size per language (inverse Simpson, 1/Σp²):
+    // the diversity number that complements entropy (q138) — how many
+    // EQUALLY-USED terms this distribution is equivalent to. No folds
+    // needed at all: N and Σc² are exact integer sums, ESS = N²/Σc² is
+    // ONE division. Keep N < 3·10⁹ per group (N² in BIGINT) — shard and
+    // merge (N, Σc²) pairs above that, documented.
+    QueryDef("q182_ess", (s, d) => {
+      val c = t(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      c.groupBy("lang")
+        .agg(sum("c").as("n_tokens"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("lang"), col("n_tokens"),
+          ((col("n_tokens") * col("n_tokens")).cast("double") /
+            col("s2").cast("double")).as("ess"))
+    }, Some("""
+      WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+      c AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2),
+      s AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(sum(c * c) AS BIGINT) AS s2 FROM c GROUP BY 1)
+      SELECT lang, n_tokens,
+        CAST(n_tokens * n_tokens AS DOUBLE) / CAST(s2 AS DOUBLE) AS ess
+      FROM s""")),
+
+    // Gini mean difference (mean |xᵢ−xⱼ| over all pairs), EXACT via the
+    // sorted-rank identity Σᵢ<ⱼ(xⱼ−xᵢ) = Σᵢ(2i−n−1)·x₍ᵢ₎ — the quadratic
+    // pair sum becomes ONE rank window + ONE integer aggregate (the
+    // coefficient sum is order-invariant inside tie groups, so ranks
+    // need no tie rule for the VALUE to be deterministic). Δ is one
+    // IEEE division of exact integers.
+    QueryDef("q183_mean_abs_diff", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("v", "event_id")
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100).as("v"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum((lit(2L) * col("rn") - lit(1L)) * col("v")).as("rsum"),
+          sum(col("v")).as("vsum"))
+        .where(col("n") >= 2)
+        .select(col("user_id"), col("n"),
+          ((lit(2L) * (col("rsum") - col("n") * col("vsum")))
+            .cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")).as("gmd"))
+    }, Some("""
+      WITH r AS (SELECT user_id, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+      rk AS (SELECT user_id, v,
+               CAST(row_number() OVER (PARTITION BY user_id
+                 ORDER BY v, event_id) AS BIGINT) AS rn
+             FROM r),
+      s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum((2 * rn - 1) * v) AS BIGINT) AS rsum,
+              CAST(sum(v) AS BIGINT) AS vsum
+            FROM rk GROUP BY 1)
+      SELECT user_id, n,
+        CAST(2 * (rsum - n * vsum) AS DOUBLE)
+          / CAST(n * (n - 1) AS DOUBLE) AS gmd
+      FROM s WHERE n >= 2""")),
+
+    // Weighted (multiset) Jaccard between language term-count vectors:
+    // Σ min(cₐ, c_b) / Σ max(cₐ, c_b) with Σmax = Nₐ + N_b − Σmin — so
+    // only the INTERSECTION join is ever materialized; absent terms
+    // contribute min 0 by construction. The frequency-aware sibling of
+    // q167's set Jaccard. All counts exact, one IEEE division.
+    QueryDef("q184_weighted_jaccard", (s, d) => {
+      val c = t(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      val tot = c.groupBy("lang").agg(sum("c").as("n"))
+      c.as("a").join(c.as("b"),
+          col("a.term") === col("b.term") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(sum(least(col("a.c"), col("b.c"))).as("smin"))
+        .join(tot.select(col("lang").as("lang_a"), col("n").as("na")),
+          Seq("lang_a"))
+        .join(tot.select(col("lang").as("lang_b"), col("n").as("nb")),
+          Seq("lang_b"))
+        .select(col("lang_a"), col("lang_b"), col("smin"),
+          (col("smin").cast("double") /
+            (col("na") + col("nb") - col("smin")).cast("double"))
+            .as("wjaccard"))
+    }, Some("""
+      WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+      c AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+      i AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+              CAST(sum(least(a.c, b.c)) AS BIGINT) AS smin
+            FROM c a JOIN c b
+              ON a.term = b.term AND a.lang < b.lang
+            GROUP BY 1, 2)
+      SELECT lang_a, lang_b, smin,
+        CAST(smin AS DOUBLE)
+          / CAST(ta.n + tb.n - smin AS DOUBLE) AS wjaccard
+      FROM i JOIN tot ta ON lang_a = ta.lang
+             JOIN tot tb ON lang_b = tb.lang"""))
   )
 }

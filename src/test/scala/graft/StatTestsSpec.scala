@@ -89,4 +89,25 @@ class StatTestsSpec extends AnyFunSuite {
     // the return transitions: H = (16·ln4 + 0) / 31
     assert(math.abs(got(2L) - 16.0 * math.log(4.0) / 31.0) < 1e-12)
   }
+
+  test("Gini mean difference rank identity equals the naive quadratic pair sum") {
+    import spark.implicits._
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L) // duplicates included
+    val w = Window.partitionBy("k").orderBy("v", "i")
+    val got = xs.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("k", "i", "v")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum((lit(2L) * col("rn") - lit(1L)) * col("v")).as("rsum"),
+        sum(col("v")).as("vsum"))
+      .select(((lit(2L) * (col("rsum") - col("n") * col("vsum")))
+        .cast("double") /
+        (col("n") * (col("n") - 1)).cast("double")).as("gmd"))
+      .collect()(0).getDouble(0)
+    val n = xs.size
+    val naive = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+      .toDouble / (n * (n - 1))
+    assert(got === naive)
+  }
 }
