@@ -1661,14 +1661,16 @@ object Analytics {
     // Crawl politeness interleave: one global fetch order that cycles
     // across domains (slot = (rank_within_domain − 1)·D + domain_rank)
     // so no domain is ever hit twice before every domain is hit once.
-    // Domain ranks come from a WINDOW OVER THE DIMENSION-SIZED distinct
-    // table (never the fact rows); per-domain ranks partition by domain.
-    // All integer, fully deterministic.
+    // Domain ranks come from a count-of-smaller THETA SELF-JOIN on the
+    // dimension-sized distinct table (no unpartitioned window anywhere);
+    // per-domain ranks partition by domain. All integer, deterministic.
     QueryDef("q170_crawl_interleave", (s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
-      val dr = docs.select("source").distinct()
-        .withColumn("drank",
-          row_number().over(Window.orderBy("source")).cast("long"))
+      val dims = docs.select("source").distinct()
+      val dr = dims.join(broadcast(dims.select(col("source").as("s2"))),
+          col("s2") < col("source"), "left")
+        .groupBy("source")
+        .agg((count(col("s2")) + 1).as("drank"))
       val nd = broadcast(dr.agg(max("drank").as("nd")))
       docs
         .withColumn("rn", row_number().over(
@@ -1934,10 +1936,12 @@ object Analytics {
       FROM c CROSS JOIN t""")),
 
     // Two-sample Kolmogorov–Smirnov statistic, EXACT: purchase vs click
-    // spend distributions. Per-value counts aggregate FIRST (the window
-    // input is the VALUE DOMAIN — dimension-sized by construction, the
-    // Apportion argument), the CDF gap compares as the exact integer
-    // |cum1·n2 − cum2·n1|, and D is ONE division of the integer max.
+    // spend distributions. Per-value counts aggregate FIRST, then the two
+    // CDFs come from the DISTRIBUTED global prefix sum (see PrefixSum —
+    // range partition + partition-local windows + O(P) offsets; never an
+    // unpartitioned WindowExec over the value domain), the CDF gap
+    // compares as the exact integer |cum1·n2 − cum2·n1|, and D is ONE
+    // division of the integer max.
     QueryDef("q180_ks_test", (s, d) => {
       val ev = t(s, d, "events")
         .where(col("event_type").isin("purchase", "click"))
@@ -1946,11 +1950,11 @@ object Analytics {
       val c = ev.groupBy("v").agg(
         sum(when(col("t") === "purchase", 1L).otherwise(0L)).as("c1"),
         sum(when(col("t") === "click", 1L).otherwise(0L)).as("c2"))
-      val w = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = broadcast(c.agg(sum("c1").as("n1"), sum("c2").as("n2")))
-      c.withColumn("cum1", sum("c1").over(w))
-        .withColumn("cum2", sum("c2").over(w))
+      graft.operators.PrefixSum
+        .withRunningTotals(c, "v", Seq("c1", "c2"))
+        .withColumnRenamed("c1_cum", "cum1")
+        .withColumnRenamed("c2_cum", "cum2")
         .crossJoin(tot)
         .select(col("n1"), col("n2"),
           abs(col("cum1") * col("n2") - col("cum2") * col("n1"))

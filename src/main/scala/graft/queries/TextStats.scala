@@ -1481,10 +1481,10 @@ object TextStats {
       val tk = t(s, d, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("term"))
       val tot = tk.groupBy("lang").agg(count(lit(1)).as("n_tokens"))
+      // global top-k via orderBy+limit = TakeOrderedAndProject (the
+      // per-partition-heap physical top-k), never a global rank window
       val topk = tk.groupBy("term").agg(count(lit(1)).as("c"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("c").desc, col("term"))))
-        .where(col("rk") <= 10).select("term")
+        .orderBy(col("c").desc, col("term")).limit(10).select("term")
       val cov = tk.join(broadcast(topk), Seq("term"), "left_semi")
         .groupBy("lang").agg(count(lit(1)).as("n_cov"))
       tot.join(cov, Seq("lang"), "left")

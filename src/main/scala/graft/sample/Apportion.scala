@@ -1,7 +1,6 @@
 package graft.sample
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Largest-remainder (Hamilton) apportionment — split an integer budget
@@ -28,9 +27,10 @@ import org.apache.spark.sql.functions._
   * languages, shards — dimension-sized BY CONSTRUCTION: an allocation
   * over 10⁹ distinct groups is meaningless). The two scalar joins
   * (total T, leftover R) broadcast 1-row aggregates, and the remainder
-  * ranking is one window over the dimension-sized table — acceptable
-  * single-partition work at any fact scale because the fact table never
-  * enters it. */
+  * rank is a count-of-strictly-greater theta self-join on the dimension
+  * table — O(G²) comparisons over dimension-sized G, distributed
+  * (broadcast nested loop), never an unpartitioned WindowExec that would
+  * warn and serialize. */
 object Apportion {
 
   /** (key, weight, alloc) per group, Σ alloc = budget exactly. Groups
@@ -50,9 +50,17 @@ object Apportion {
         pmod(lit(budget) * col("weight"), col("t")).as("rem"))
     val withLeft = based.crossJoin(broadcast(
       based.agg((lit(budget) - sum("base")).as("r"))))
-    withLeft.select(col("key"), col("weight"),
-        (col("base") + when(row_number().over(
-          Window.orderBy(col("rem").desc, col("key").asc)) <= col("r"),
-          1L).otherwise(0L)).as("alloc"))
+    // rank = 1 + |{groups strictly ahead in (rem desc, key asc) order}| —
+    // a theta self-join on the dimension-sized group table
+    val ahead = based.select(col("key").as("k2"), col("rem").as("rem2"))
+    withLeft.join(broadcast(ahead),
+        col("rem2") > col("rem") ||
+          (col("rem2") === col("rem") && col("k2") < col("key")),
+        "left")
+      .groupBy("key", "weight", "base", "r")
+      .agg(count(col("k2")).as("n_ahead"))
+      .select(col("key"), col("weight"),
+        (col("base") + when(col("n_ahead") + 1 <= col("r"), 1L)
+          .otherwise(0L)).as("alloc"))
   }
 }

@@ -15,18 +15,34 @@ class StatTestsSpec extends AnyFunSuite {
     val c = rows.toDF("t", "v").groupBy("v").agg(
       sum(when(col("t") === "a", 1L).otherwise(0L)).as("c1"),
       sum(when(col("t") === "b", 1L).otherwise(0L)).as("c2"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = broadcast(c.agg(sum("c1").as("n1"), sum("c2").as("n2")))
-    c.withColumn("cum1", sum("c1").over(w))
-      .withColumn("cum2", sum("c2").over(w))
+    graft.operators.PrefixSum.withRunningTotals(c, "v", Seq("c1", "c2"))
       .crossJoin(tot)
       .select(col("n1"), col("n2"),
-        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("gap"))
+        abs(col("c1_cum") * col("n2") - col("c2_cum") * col("n1"))
+          .as("gap"))
       .groupBy("n1", "n2").agg(max("gap").as("gap"))
       .select((col("gap").cast("double") /
         (col("n1") * col("n2")).cast("double")).as("d"))
       .collect()(0).getDouble(0)
+  }
+
+  test("PrefixSum running totals equal the single-partition window on many partitions") {
+    import spark.implicits._
+    // 200 distinct keys spread over 32 shuffle partitions; two columns
+    val df = (1L to 200L).map(v => (v * 7 % 201, v % 5, v % 3))
+      .toDF("v", "a", "b")
+    val got = graft.operators.PrefixSum
+      .withRunningTotals(df, "v", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("ca", sum("a").over(w))
+      .withColumn("cb", sum("b").over(w))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === want)
   }
 
   test("KS statistic is exactly 0 on identical samples and 1 on disjoint ones") {
