@@ -2137,6 +2137,182 @@ object Analytics {
         CAST(smin AS DOUBLE)
           / CAST(ta.n + tb.n - smin AS DOUBLE) AS wjaccard
       FROM i JOIN tot ta ON lang_a = ta.lang
-             JOIN tot tb ON lang_b = tb.lang"""))
+             JOIN tot tb ON lang_b = tb.lang""")),
+
+    // Interval-union session coverage (see Intervals scaladoc): each
+    // event opens a 5-minute activity span; overlapping spans merge into
+    // islands and the per-user TOTAL COVERED time is exact integer
+    // micros — summing raw durations would double-count bursts.
+    QueryDef("q185_interval_union", (s, d) => {
+      val us = unix_micros(col("ts").cast("timestamp"))
+      graft.operators.Intervals.unionCoverage(
+        t(s, d, "events"), col("user_id"),
+        us, us + 300000000L, col("event_id"))
+    }, Some("""
+      WITH r AS (SELECT user_id AS key, epoch_us(ts) AS s,
+               epoch_us(ts) + 300000000 AS e, event_id AS tb
+             FROM events),
+      f AS (SELECT key, s, e,
+              CASE WHEN max(e) OVER (PARTITION BY key ORDER BY s, tb
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     IS NULL
+                OR s > max(e) OVER (PARTITION BY key ORDER BY s, tb
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS open
+            FROM r),
+      i AS (SELECT key, s, e, sum(open) OVER (PARTITION BY key
+               ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS island
+            FROM f),
+      g AS (SELECT key, island, min(s) AS st, max(e) AS en
+            FROM i GROUP BY 1, 2)
+      SELECT key, CAST(count(*) AS BIGINT) AS n_islands,
+        CAST(sum(greatest(en - st, 0)) AS BIGINT) AS covered
+      FROM g GROUP BY 1""")),
+
+    // A/B experiment readout from a deterministic md5 user split: exact
+    // per-variant user/converter counts, conversion rates, relative lift,
+    // and Wilson 95% lower bounds — every output ONE fixed IEEE tree over
+    // exact integers (z pinned to the literal 1.96 in both engines).
+    QueryDef("q186_ab_lift", (s, d) => {
+      val variant = graft.functions.TextFunctions
+        .hashBucket(col("user_id"), 2).as("v")
+      val perUser = t(s, d, "events")
+        .select(col("user_id"), col("event_type"))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("converted"))
+        .select(variant, col("converted"))
+      val agg = perUser.groupBy().agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("v") === 0, col("converted")).otherwise(0L))
+          .as("c_a"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("v") === 1, col("converted")).otherwise(0L))
+          .as("c_b"))
+      def wilsonLb(c: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val nd = n.cast("double")
+        val p = c.cast("double") / nd
+        val z = lit(1.96)
+        val z2 = z * z
+        (p + z2 / (lit(2.0) * nd)
+          - z * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nd)) / nd)) /
+          (lit(1.0) + z2 / nd)
+      }
+      agg.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        (col("c_a").cast("double") / col("n_a").cast("double"))
+          .as("cvr_a"),
+        (col("c_b").cast("double") / col("n_b").cast("double"))
+          .as("cvr_b"),
+        ((col("c_b").cast("double") / col("n_b").cast("double")) /
+          (col("c_a").cast("double") / col("n_a").cast("double"))
+          - lit(1.0)).as("lift"),
+        wilsonLb(col("c_a"), col("n_a")).as("wilson_lb_a"),
+        wilsonLb(col("c_b"), col("n_b")).as("wilson_lb_b"))
+    }, Some("""
+      WITH u AS (SELECT
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 2 AS v,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS converted
+             FROM events GROUP BY user_id),
+      a AS (SELECT
+              CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_a,
+              CAST(sum(CASE WHEN v = 0 THEN converted ELSE 0 END)
+                AS BIGINT) AS c_a,
+              CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_b,
+              CAST(sum(CASE WHEN v = 1 THEN converted ELSE 0 END)
+                AS BIGINT) AS c_b
+            FROM u)
+      SELECT n_a, c_a, n_b, c_b,
+        CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS cvr_a,
+        CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS cvr_b,
+        (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+          / (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)) - 1.0 AS lift,
+        (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           + 1.96 * 1.96 / (2.0 * CAST(n_a AS DOUBLE))
+           - 1.96 * sqrt((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               * (1.0 - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+               + 1.96 * 1.96 / (4.0 * CAST(n_a AS DOUBLE)))
+             / CAST(n_a AS DOUBLE)))
+          / (1.0 + 1.96 * 1.96 / CAST(n_a AS DOUBLE)) AS wilson_lb_a,
+        (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+           + 1.96 * 1.96 / (2.0 * CAST(n_b AS DOUBLE))
+           - 1.96 * sqrt((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+               * (1.0 - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               + 1.96 * 1.96 / (4.0 * CAST(n_b AS DOUBLE)))
+             / CAST(n_b AS DOUBLE)))
+          / (1.0 + 1.96 * 1.96 / CAST(n_b AS DOUBLE)) AS wilson_lb_b
+      FROM a""")),
+
+    // Grouped harmonic mean (the right average for rates): per return
+    // flag over lineitem quantities — duplicates collapse to (value,
+    // count) cells first, the reciprocal sum folds in value-sorted order
+    // (the q138 bit-stability pattern; ≤ |value domain| cells per group),
+    // hm = n / Σ c/v.
+    QueryDef("q187_harmonic_mean", (s, d) => {
+      val c = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("v"))
+        .where(col("v") > 0)
+        .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      c.groupBy("g")
+        .agg(sort_array(collect_list(struct(col("v"), col("c"))))
+          .as("cells"), sum("c").as("n"))
+        .select(col("g"), col("n"),
+          (col("n").cast("double") /
+            aggregate(col("cells"), lit(0.0), (acc, x) =>
+              acc + x.getField("c").cast("double")
+                / x.getField("v").cast("double"))).as("hmean"))
+    }, Some("""
+      WITH c AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+             FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+      l AS (SELECT g, list_sort(list(struct_pack(v := v, c := c)))
+               AS cells, CAST(sum(c) AS BIGINT) AS n
+            FROM c GROUP BY 1)
+      SELECT g, n,
+        CAST(n AS DOUBLE) / list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cells, x ->
+              CAST(x.c AS DOUBLE) / CAST(x.v AS DOUBLE))),
+          (a, b) -> a + b) AS hmean
+      FROM l""")),
+
+    // Per-document z-score of length within its language (exact integer
+    // moments, sample stddev, ONE fixed IEEE tree per row) — the
+    // standardization step before any cross-language length filter.
+    QueryDef("q188_zscore", (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val m = docs.groupBy("lang").agg(count(lit(1)).as("n"),
+        sum("n_chars").as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+        .where(col("n") >= 2 &&
+          col("n") * col("sxx") - col("sx") * col("sx") =!= 0)
+      docs.join(broadcast(m), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          ((col("n_chars").cast("double")
+            - col("sx").cast("double") / col("n").cast("double")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") /
+              (col("n") * (col("n") - 1)).cast("double"))).as("z"))
+    }, Some("""
+      WITH m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sx,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+             FROM documents GROUP BY 1
+             HAVING count(*) >= 2 AND CAST(count(*) AS BIGINT)
+               * CAST(sum(n_chars * n_chars) AS BIGINT)
+               - CAST(sum(n_chars) AS BIGINT)
+                 * CAST(sum(n_chars) AS BIGINT) != 0)
+      SELECT doc_id, d.lang, n_chars,
+        (CAST(n_chars AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE)) AS z
+      FROM documents d JOIN m ON d.lang = m.lang"""))
   )
 }
