@@ -2313,6 +2313,249 @@ object Analytics {
         (CAST(n_chars AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                  / CAST(n * (n - 1) AS DOUBLE)) AS z
-      FROM documents d JOIN m ON d.lang = m.lang"""))
+      FROM documents d JOIN m ON d.lang = m.lang""")),
+
+    // Exact ROC AUC of o_totalprice as a classifier score for the 'F'
+    // order status — the ranking-quality readout behind every
+    // quality-filter threshold choice. 2U (the doubled Mann-Whitney U
+    // statistic, Σ np·(2·negatives_below + negatives_tied) over
+    // DISTINCT-SCORE cells) is an INTEGER, so any correct evaluation
+    // order yields the same BIGINT and the single final division is one
+    // fixed IEEE tree. The cumulative negative count comes from the
+    // distributed PrefixSum shape (range partition + per-partition
+    // running sums + O(P) offsets) — never a single-partition global
+    // window, so the plan survives a 100× scale-up of the score column.
+    QueryDef("q189_auc", (s, d) => {
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_totalprice").as("s"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("np"),
+          sum(when(col("o_orderstatus") === "F", 0L).otherwise(1L))
+            .as("nn"))
+      graft.operators.PrefixSum.withRunningTotals(cells, "s", Seq("nn"))
+        .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+          sum(col("np") * (lit(2L) * (col("nn_cum") - col("nn"))
+            + col("nn"))).as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          (col("u2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+            .as("auc"))
+    }, Some("""
+      WITH cells AS (SELECT o_totalprice AS s,
+          CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+            AS np,
+          CAST(count(*) FILTER (WHERE o_orderstatus <> 'F') AS BIGINT)
+            AS nn
+        FROM orders GROUP BY 1),
+      c AS (SELECT np, nn,
+          CAST(coalesce(sum(nn) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS below
+        FROM cells),
+      a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+          CAST(sum(nn) AS BIGINT) AS n_neg,
+          CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2
+        FROM c)
+      SELECT n_pos, n_neg, u2,
+        CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+      FROM a""")),
+
+    // Spearman rank correlation between quantity and extended price —
+    // the robust (monotone-invariant) alternative to q157's Pearson.
+    // Average ranks are carried DOUBLED so ties stay integer-exact;
+    // centering at (n+1) makes the rank sums vanish EXACTLY (average
+    // ranks preserve Σ2r = n(n+1)), so ρ needs only the three centered
+    // BIGINT moments (exact while 4n³/3 < 2⁶³, i.e. n ≲ 1.9e9 rows —
+    // beyond that the accumulators move to decimal(38,0)). Rank maps are
+    // built per DISTINCT VALUE via the distributed PrefixSum shape and
+    // joined back — no global window, no per-row rank shuffle beyond the
+    // two equi-joins.
+    QueryDef("q190_spearman", (s, d) => {
+      val rows = t(s, d, "lineitem")
+        .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      def rankMap(vcol: String): org.apache.spark.sql.DataFrame = {
+        val cells = rows.groupBy(col(vcol).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.operators.PrefixSum
+          .withRunningTotals(cells, "v", Seq("cnt"))
+          .select(col("v").as(vcol),
+            (lit(2L) * col("cnt_cum") - col("cnt") + 1L).as(s"r2$vcol"))
+      }
+      val n1 = rows.agg(count(lit(1)).as("n"))
+      rows
+        .join(broadcast(rankMap("x")), "x")
+        .join(rankMap("y"), "y")
+        .crossJoin(broadcast(n1))
+        .select((col("r2x") - (col("n") + 1L)).as("cx"),
+          (col("r2y") - (col("n") + 1L)).as("cy"), col("n"))
+        .groupBy("n")
+        .agg(sum(col("cx") * col("cy")).as("sxy"),
+          sum(col("cx") * col("cx")).as("sxx"),
+          sum(col("cy") * col("cy")).as("syy"))
+        .select(col("n"), col("sxy"), col("sxx"), col("syy"),
+          (col("sxy").cast("double") /
+            (sqrt(col("sxx").cast("double")) *
+              sqrt(col("syy").cast("double")))).as("rho"))
+    }, Some("""
+      WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+      r AS (SELECT
+          2 * CAST(rank() OVER (ORDER BY l_quantity) AS BIGINT)
+            + CAST(count(*) OVER (PARTITION BY l_quantity) AS BIGINT)
+            - 1 AS r2x,
+          2 * CAST(rank() OVER (ORDER BY l_extendedprice) AS BIGINT)
+            + CAST(count(*) OVER (PARTITION BY l_extendedprice)
+              AS BIGINT) - 1 AS r2y
+        FROM lineitem),
+      m AS (SELECT n,
+          CAST(sum((r2x - (n + 1)) * (r2y - (n + 1))) AS BIGINT) AS sxy,
+          CAST(sum((r2x - (n + 1)) * (r2x - (n + 1))) AS BIGINT) AS sxx,
+          CAST(sum((r2y - (n + 1)) * (r2y - (n + 1))) AS BIGINT) AS syy
+        FROM r, nn GROUP BY n)
+      SELECT n, sxy, sxx, syy,
+        CAST(sxy AS DOUBLE)
+          / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+          AS rho
+      FROM m""")),
+
+    // NDCG@10 per user: events ranked by value (the "retrieval" order)
+    // against graded relevance from the event type (purchase 7, signup
+    // 3, click 1 — already the 2^rel−1 gains, so no pow()). Both DCG and
+    // the ideal DCG fold over a ≤10-element position-sorted list, every
+    // ln argument an INTEGER 2..11 (the portable_ln cross-engine-exact
+    // domain — see functions/PortableLn.scala), so the doubles are one
+    // fixed IEEE tree in both engines. Windows are partitioned by
+    // user_id; per-user state is bounded by k, never by history length.
+    QueryDef("q191_ndcg", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def pln(c: org.apache.spark.sql.Column) =
+        call_function("portable_ln", c)
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          when(col("event_type") === "purchase", 7L)
+            .when(col("event_type") === "signup", 3L)
+            .when(col("event_type") === "click", 1L)
+            .otherwise(0L).as("g"))
+      def foldTop10(df: org.apache.spark.sql.DataFrame,
+          out: String): org.apache.spark.sql.DataFrame = df
+        .where(col("p") <= 10)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("p"), col("g"))))
+          .as("cells"))
+        .select(col("user_id"),
+          aggregate(col("cells"), lit(0.0), (acc, x) =>
+            acc + x.getField("g").cast("double") /
+              pln((x.getField("p") + 1).cast("double"))).as(out))
+      val byScore = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      val byGain = Window.partitionBy("user_id")
+        .orderBy(col("g").desc, col("event_id"))
+      val dcg = foldTop10(
+        ev.withColumn("p", row_number().over(byScore)), "dcg")
+      val idcg = foldTop10(
+        ev.withColumn("p", row_number().over(byGain)), "idcg")
+      dcg.join(idcg, "user_id").where(col("idcg") > 0)
+        .select(col("user_id"), col("dcg"), col("idcg"),
+          (col("dcg") / col("idcg")).as("ndcg"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, value,
+          CASE event_type WHEN 'purchase' THEN 7 WHEN 'signup' THEN 3
+            WHEN 'click' THEN 1 ELSE 0 END AS g
+        FROM events),
+      ds AS (SELECT user_id, g, row_number() OVER (PARTITION BY user_id
+            ORDER BY value DESC, event_id) AS p
+        FROM e),
+      di AS (SELECT user_id, g, row_number() OVER (PARTITION BY user_id
+            ORDER BY g DESC, event_id) AS p
+        FROM e),
+      dcg AS (SELECT user_id, list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+              list_sort(list(struct_pack(p := p, g := g))),
+              x -> CAST(x.g AS DOUBLE) / ln(CAST(x.p + 1 AS DOUBLE)))),
+            (a, b) -> a + b) AS dcg
+        FROM ds WHERE p <= 10 GROUP BY 1),
+      idcg AS (SELECT user_id, list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+              list_sort(list(struct_pack(p := p, g := g))),
+              x -> CAST(x.g AS DOUBLE) / ln(CAST(x.p + 1 AS DOUBLE)))),
+            (a, b) -> a + b) AS idcg
+        FROM di WHERE p <= 10 GROUP BY 1)
+      SELECT user_id, dcg, idcg, dcg / idcg AS ndcg
+      FROM dcg JOIN idcg USING (user_id)
+      WHERE idcg > 0""")),
+
+    // Kaplan-Meier survival estimate over user lifetimes (days between
+    // first and last event; a user whose LAST event is an error is a
+    // death, anyone else is right-censored at their span end). The
+    // life-table is DOMAIN-BOUNDED (one cell per distinct duration), so
+    // after the data-proportional per-user reduction everything runs on
+    // cells: at-risk counts from the distributed PrefixSum shape
+    // (integer, exact), and each row's survival product folds over its
+    // own ≤|domain| factor list in duration order — S(t) = Π (1 − dᵢ/nᵢ)
+    // as one fixed IEEE tree per row. The factor lists come from a cell
+    // self-join (never a correlated lambda — DuckDB miscomputes those,
+    // see q178) with a left-join identity factor of exactly 1.0 for
+    // rows before the first death (1.0·x == x in IEEE, so it is a true
+    // no-op in both engines).
+    QueryDef("q192_kaplan_meier", (s, d) => {
+      val per = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          (datediff(max(col("ts")).cast("date"),
+            min(col("ts")).cast("date")) + 1).cast("long").as("t"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("last_type"))
+        .select(col("t"),
+          when(col("last_type") === "error", 1L).otherwise(0L)
+            .as("died"))
+      val cells = per.groupBy("t")
+        .agg(sum("died").as("d"), sum(lit(1L) - col("died")).as("c"))
+        .withColumn("n", col("d") + col("c"))
+      val tot = cells.agg(sum("n").as("tot"))
+      val enr = graft.operators.PrefixSum
+        .withRunningTotals(cells, "t", Seq("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("t"), col("d"), col("c"),
+          (col("tot") - col("n_cum") + col("n")).as("at_risk"))
+      val b = enr.select(col("t").as("bt"), col("d").as("bd"),
+        col("at_risk").as("bar")).where(col("bd") > 0)
+      enr.join(b, col("bt") <= col("t"), "left")
+        .groupBy("t", "at_risk", "d", "c")
+        .agg(sort_array(collect_list(struct(col("bt"), col("bd"),
+          col("bar")))).as("fs"))
+        .select(col("t"), col("at_risk"), col("d"), col("c"),
+          aggregate(col("fs"), lit(1.0), (acc, f) =>
+            acc * coalesce(lit(1.0) - f.getField("bd").cast("double") /
+              f.getField("bar").cast("double"), lit(1.0))).as("surv"))
+    }, Some("""
+      WITH l AS (SELECT user_id, event_type, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      died AS (SELECT user_id,
+          CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS died
+        FROM l WHERE rn = 1),
+      span AS (SELECT user_id, CAST(date_diff('day',
+            CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1 AS BIGINT)
+            AS t
+        FROM events GROUP BY 1),
+      cells AS (SELECT t, CAST(sum(died) AS BIGINT) AS d,
+          CAST(sum(1 - died) AS BIGINT) AS c
+        FROM span JOIN died USING (user_id) GROUP BY 1),
+      enr AS (SELECT t, d, c,
+          CAST(sum(d + c) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS at_risk
+        FROM cells),
+      fs AS (SELECT a.t, a.at_risk, a.d, a.c,
+          list_sort(list(struct_pack(bt := b.t, bd := b.d,
+            bar := b.at_risk))) AS fs
+        FROM enr a LEFT JOIN enr b ON b.t <= a.t AND b.d > 0
+        GROUP BY 1, 2, 3, 4)
+      SELECT t, at_risk, d, c,
+        list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+          list_transform(fs, f -> coalesce(
+            1.0 - CAST(f.bd AS DOUBLE) / CAST(f.bar AS DOUBLE), 1.0))),
+          (a, b) -> a * b) AS surv
+      FROM fs"""))
   )
 }
