@@ -2556,6 +2556,184 @@ object Analytics {
           list_transform(fs, f -> coalesce(
             1.0 - CAST(f.bd AS DOUBLE) / CAST(f.bar AS DOUBLE), 1.0))),
           (a, b) -> a * b) AS surv
-      FROM fs"""))
+      FROM fs""")),
+
+    // A-priori frequent triples (suppliers co-occurring on an order,
+    // support ≥ 3) — the level-3 step above q128's frequent pairs. The
+    // scale shape IS the pruning: candidate triples are generated only
+    // by extending FREQUENT pairs and are semi-joined against the
+    // frequent-pair set on all three sub-pairs before the counting
+    // shuffle ever sees them (downward closure makes the prune lossless,
+    // so the output is provably identical to the naive all-triples
+    // oracle). Per-order item lists are deduped first; everything else
+    // is equi-joins + one hash aggregate — no driver-side candidate set.
+    QueryDef("q193_apriori_triples", (s, d) => {
+      val minsup = 3L
+      val it = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sv"))
+        .distinct()
+      val pairs = it.select(col("o"), col("sv").as("s1"))
+        .join(it.select(col("o"), col("sv").as("s2")), "o")
+        .where(col("s1") < col("s2"))
+      val fp = pairs.groupBy("s1", "s2").agg(count(lit(1)).as("n"))
+        .where(col("n") >= minsup).select("s1", "s2")
+      val tri = pairs.join(fp, Seq("s1", "s2"), "left_semi")
+        .join(it.select(col("o"), col("sv").as("s3")), "o")
+        .where(col("s3") > col("s2"))
+        .join(fp.select(col("s1"), col("s2").as("s3")),
+          Seq("s1", "s3"), "left_semi")
+        .join(fp.select(col("s1").as("s2"), col("s2").as("s3")),
+          Seq("s2", "s3"), "left_semi")
+      tri.groupBy("s1", "s2", "s3").agg(count(lit(1)).as("support"))
+        .where(col("support") >= minsup)
+    }, Some("""
+      WITH it AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sv
+        FROM lineitem),
+      tr AS (SELECT a.sv AS s1, b.sv AS s2, c.sv AS s3,
+          CAST(count(*) AS BIGINT) AS support
+        FROM it a JOIN it b ON a.o = b.o AND a.sv < b.sv
+          JOIN it c ON b.o = c.o AND b.sv < c.sv
+        GROUP BY 1, 2, 3)
+      SELECT s1, s2, s3, support FROM tr WHERE support >= 3""")),
+
+    // Decile gains/lift table for o_totalprice as a ranking of 'F'
+    // responders — the campaign-targeting readout next to q189's AUC.
+    // Deciles are assigned on DISTINCT-SCORE cells from the distributed
+    // PrefixSum CDF (rows above = N − cum, decile = 10·above DIV N —
+    // pure integer arithmetic, ties share a decile by construction, no
+    // global ntile window). Cumulative gains come from a ≤10-row decile
+    // self-join — integer sums, then two fixed division trees for rate
+    // and lift.
+    QueryDef("q194_gains_deciles", (s, d) => {
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_totalprice").as("sc"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("resp"))
+      val tot = cells.agg(sum("n").as("nn"), sum("resp").as("tresp"))
+      val dec = graft.operators.PrefixSum
+        .withRunningTotals(cells, "sc", Seq("n"))
+        .crossJoin(broadcast(tot))
+        .select(expr("(10 * (nn - n_cum)) DIV nn").as("dec"),
+          col("n"), col("resp"), col("nn"), col("tresp"))
+        .groupBy("dec", "nn", "tresp")
+        .agg(sum("n").as("dn"), sum("resp").as("dresp"))
+      val b = dec.select(col("dec").as("bdec"), col("dn").as("bn"),
+        col("dresp").as("bresp"))
+      dec.join(b, col("bdec") <= col("dec"))
+        .groupBy("dec", "dn", "dresp", "nn", "tresp")
+        .agg(sum("bn").as("cum_n"), sum("bresp").as("cum_resp"))
+        .select(col("dec"), col("dn"), col("dresp"),
+          col("cum_n"), col("cum_resp"),
+          (col("dresp").cast("double") / col("dn").cast("double"))
+            .as("rate"),
+          ((col("cum_resp").cast("double") / col("cum_n").cast("double"))
+            / (col("tresp").cast("double") / col("nn").cast("double")))
+            .as("lift"))
+    }, Some("""
+      WITH cells AS (SELECT o_totalprice AS sc,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+            AS resp
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+          CAST(sum(resp) AS BIGINT) AS tresp FROM cells),
+      cum AS (SELECT n, resp, nn, tresp,
+          CAST(sum(n) OVER (ORDER BY sc
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS n_cum
+        FROM cells, tot),
+      dc AS (SELECT (10 * (nn - n_cum)) // nn AS dec, nn, tresp,
+          CAST(sum(n) AS BIGINT) AS dn, CAST(sum(resp) AS BIGINT)
+            AS dresp
+        FROM cum GROUP BY 1, 2, 3)
+      SELECT a.dec, a.dn, a.dresp,
+        CAST(sum(b.dn) AS BIGINT) AS cum_n,
+        CAST(sum(b.dresp) AS BIGINT) AS cum_resp,
+        CAST(a.dresp AS DOUBLE) / CAST(a.dn AS DOUBLE) AS rate,
+        (CAST(sum(b.dresp) AS BIGINT)::DOUBLE
+          / CAST(sum(b.dn) AS BIGINT)::DOUBLE)
+          / (CAST(a.tresp AS DOUBLE) / CAST(a.nn AS DOUBLE)) AS lift
+      FROM dc a JOIN dc b ON b.dec <= a.dec
+      GROUP BY a.dec, a.dn, a.dresp, a.nn, a.tresp""")),
+
+    // Top-10 three-step event paths (sequential pattern mining over each
+    // user's time-ordered stream): trigrams via two per-user lead()
+    // windows — state bounded by the pattern length, never by history —
+    // then one hash count and an ordered limit (TakeOrderedAndProject,
+    // fully tie-broken by count DESC then path ASC so the cut is
+    // deterministic in both engines).
+    QueryDef("q195_event_paths", (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type").as("t1"),
+          lead(col("event_type"), 1).over(w).as("t2"),
+          lead(col("event_type"), 2).over(w).as("t3"))
+        .where(col("t3").isNotNull)
+        .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(10)
+    }, Some("""
+      WITH p AS (SELECT event_type AS t1,
+          lead(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS t2,
+          lead(event_type, 2) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS t3
+        FROM events)
+      SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+      FROM p WHERE t3 IS NOT NULL
+      GROUP BY 1, 2, 3
+      ORDER BY n DESC, t1, t2, t3 LIMIT 10""")),
+
+    // Per-user burstiness of inter-event gaps, B = (σ−μ)/(σ+μ) ∈ [−1,1]
+    // (Goh & Barabási's signal for bursty vs periodic activity). Gaps
+    // come from a per-user lag() window and are truncated to WHOLE
+    // SECONDS by integer division (micros² would overflow BIGINT over a
+    // month-long span; second-moments of second-gaps stay exact far past
+    // any realistic per-user history). μ, σ and B are each ONE fixed
+    // IEEE tree over the three exact integer moments.
+    QueryDef("q196_burstiness", (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val gaps = t(s, d, "events")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_id"))
+        .withColumn("gus", col("us") - lag(col("us"), 1).over(w))
+        .where(col("gus").isNotNull)
+        .select(col("user_id"), expr("gus DIV 1000000").as("g"))
+      gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), sum("g").as("sg"),
+          sum(col("g") * col("g")).as("sgg"))
+        .where(col("n_gaps") >= 2 && col("sg") > 0)
+        .select(col("user_id"), col("n_gaps"), col("sg"), col("sgg"),
+          ((sqrt((col("n_gaps") * col("sgg") - col("sg") * col("sg"))
+              .cast("double") /
+              (col("n_gaps") * (col("n_gaps") - 1)).cast("double"))
+            - col("sg").cast("double") / col("n_gaps").cast("double")) /
+           (sqrt((col("n_gaps") * col("sgg") - col("sg") * col("sg"))
+              .cast("double") /
+              (col("n_gaps") * (col("n_gaps") - 1)).cast("double"))
+            + col("sg").cast("double") / col("n_gaps").cast("double")))
+            .as("burstiness"))
+    }, Some("""
+      WITH g AS (SELECT user_id,
+          (epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS g
+        FROM events),
+      m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+          CAST(sum(g) AS BIGINT) AS sg,
+          CAST(sum(g * g) AS BIGINT) AS sgg
+        FROM g WHERE g IS NOT NULL GROUP BY 1
+        HAVING count(*) >= 2 AND sum(g) > 0)
+      SELECT user_id, n_gaps, sg, sgg,
+        (sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)
+            / CAST(n_gaps * (n_gaps - 1) AS DOUBLE))
+          - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        / (sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)
+            / CAST(n_gaps * (n_gaps - 1) AS DOUBLE))
+          + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS burstiness
+      FROM m"""))
   )
 }
