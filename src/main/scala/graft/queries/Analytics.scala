@@ -2734,6 +2734,212 @@ object Analytics {
         / (sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)
             / CAST(n_gaps * (n_gaps - 1) AS DOUBLE))
           + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS burstiness
-      FROM m"""))
+      FROM m""")),
+
+    // KMV (k-minimum-values) distinct-count sketch, k=64 — the third
+    // sketch family beside the HLL register dump (q129) and count-min
+    // (q142). The hash is the cross-engine md5→32-bit idiom (the q84/q186
+    // split hash), the k minima come from an ordered limit
+    // (TakeOrderedAndProject — per-partition top-k then merge, the
+    // mergeable-sketch shape), and the estimate (k−1)·2³²/h₍ₖ₎ is one
+    // fixed IEEE tree over exact integers. The exact distinct count rides
+    // along as the audit column.
+    QueryDef("q197_kmv_sketch", (s, d) => {
+      val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 8),
+        16, 10).cast("long")
+      val keys = t(s, d, "lineitem").select(h.as("h")).distinct()
+      val mins = keys.orderBy("h").limit(64)
+      val exact = keys.agg(count(lit(1)).as("exact"))
+      mins.agg(count(lit(1)).as("k"), max("h").as("hk"))
+        .crossJoin(broadcast(exact))
+        .select(col("k"), col("hk"), col("exact"),
+          (lit(63.0) * lit(4294967296.0) / col("hk").cast("double"))
+            .as("est"))
+    }, Some("""
+      WITH keys AS (SELECT DISTINCT
+          CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 8)
+            AS BIGINT) AS h
+        FROM lineitem),
+      mins AS (SELECT h FROM keys ORDER BY h LIMIT 64),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(max(h) AS BIGINT) AS hk FROM mins),
+      e AS (SELECT CAST(count(*) AS BIGINT) AS exact FROM keys)
+      SELECT k, hk, exact,
+        63.0 * 4294967296.0 / CAST(hk AS DOUBLE) AS est
+      FROM a, e""")),
+
+    // Heaps'-law vocabulary growth curve: per document (in doc_id
+    // ingestion order) the cumulative token count and cumulative
+    // distinct-type count — the readout behind "how much NEW vocabulary
+    // does the next TB buy". Each type contributes at its FIRST document
+    // (a min aggregate, never a re-scan of history), both cumulatives
+    // come from ONE distributed PrefixSum pass, and the curve is
+    // domain-bounded by the document count.
+    QueryDef("q198_heaps_growth", (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+          .as("tok"))
+      val perDoc = docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+          .cast("long").as("ntok"))
+      val firsts = toks.groupBy("tok").agg(min("doc_id").as("fd"))
+        .groupBy(col("fd").as("doc_id"))
+        .agg(count(lit(1)).as("ntype"))
+      val cells = perDoc.join(firsts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ntok"),
+          coalesce(col("ntype"), lit(0L)).as("ntype"))
+      graft.operators.PrefixSum
+        .withRunningTotals(cells, "doc_id", Seq("ntok", "ntype"))
+        .select(col("doc_id"), col("ntype").as("new_types"),
+          col("ntok_cum").as("toks_cum"), col("ntype_cum").as("vocab"))
+    }, Some("""
+      WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text,
+          '[a-z]+')) AS tok FROM documents),
+      perdoc AS (SELECT doc_id, CAST(len(regexp_extract_all(text,
+          '[a-z]+')) AS BIGINT) AS ntok FROM documents),
+      firsts AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS ntype
+        FROM (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY 1)
+        GROUP BY 1),
+      cells AS (SELECT p.doc_id, p.ntok,
+          coalesce(f.ntype, 0) AS ntype
+        FROM perdoc p LEFT JOIN firsts f ON p.doc_id = f.doc_id)
+      SELECT doc_id, CAST(ntype AS BIGINT) AS new_types,
+        CAST(sum(ntok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS toks_cum,
+        CAST(sum(ntype) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS vocab
+      FROM cells""")),
+
+    // Mutual information I(event_type; weekday) with the component
+    // entropies — the dependence audit between two categorical columns.
+    // I = H(X) + H(Y) − H(X,Y) where every entropy is the q138 shape: a
+    // SORTED fold over the dimension-bounded count list (≤5, ≤7, ≤35
+    // cells), integer-valued portable_ln arguments, so all four doubles
+    // are fixed IEEE trees. Weekday is Sunday=1 in both engines (DuckDB
+    // dayofweek is Sunday=0, shifted by one in the oracle).
+    QueryDef("q199_mutual_info", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def pln(c: org.apache.spark.sql.Column) =
+        call_function("portable_ln", c)
+      def foldClnC(cs: org.apache.spark.sql.Column) =
+        aggregate(cs, lit(0.0), (acc, x) =>
+          acc + x.cast("double") * pln(x.cast("double")))
+      val ev = t(s, d, "events").select(col("event_type").as("x"),
+        dayofweek(col("ts").cast("date")).as("y"))
+      val cells = ev.groupBy("x", "y").agg(count(lit(1)).as("c"))
+      val sxy = cells.agg(
+        sort_array(collect_list(col("c"))).as("cs"),
+        sum("c").as("n"))
+        .select(foldClnC(col("cs")).as("sxy"), col("n"))
+      val sx = cells.groupBy("x").agg(sum("c").as("cx"))
+        .agg(sort_array(collect_list(col("cx"))).as("cs"))
+        .select(foldClnC(col("cs")).as("sx"))
+      val sy = cells.groupBy("y").agg(sum("c").as("cy"))
+        .agg(sort_array(collect_list(col("cy"))).as("cs"))
+        .select(foldClnC(col("cs")).as("sy"))
+      sxy.crossJoin(sx).crossJoin(sy)
+        .select(col("n"),
+          (pln(col("n").cast("double"))
+            - col("sx") / col("n").cast("double")).as("h_x"),
+          (pln(col("n").cast("double"))
+            - col("sy") / col("n").cast("double")).as("h_y"),
+          (pln(col("n").cast("double"))
+            - col("sxy") / col("n").cast("double")).as("h_xy"))
+        .select(col("n"), col("h_x"), col("h_y"), col("h_xy"),
+          (col("h_x") + col("h_y") - col("h_xy")).as("mi"))
+    }, Some("""
+      WITH ev AS (SELECT event_type AS x,
+          dayofweek(CAST(ts AS DATE)) + 1 AS y FROM events),
+      cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        FROM ev GROUP BY 1, 2),
+      sxy AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(c)),
+              v -> CAST(v AS DOUBLE) * ln(CAST(v AS DOUBLE)))),
+            (a, b) -> a + b) AS sxy,
+          CAST(sum(c) AS BIGINT) AS n
+        FROM cells),
+      sx AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(cx)),
+              v -> CAST(v AS DOUBLE) * ln(CAST(v AS DOUBLE)))),
+            (a, b) -> a + b) AS sx
+        FROM (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells
+          GROUP BY 1)),
+      sy AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(cy)),
+              v -> CAST(v AS DOUBLE) * ln(CAST(v AS DOUBLE)))),
+            (a, b) -> a + b) AS sy
+        FROM (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells
+          GROUP BY 1)),
+      h AS (SELECT n,
+          ln(CAST(n AS DOUBLE)) - sx / CAST(n AS DOUBLE) AS h_x,
+          ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE) AS h_y,
+          ln(CAST(n AS DOUBLE)) - sxy / CAST(n AS DOUBLE) AS h_xy
+        FROM sxy, sx, sy)
+      SELECT n, h_x, h_y, h_xy, h_x + h_y - h_xy AS mi FROM h""")),
+
+    // Referential-integrity audit across the warehouse's six FK edges —
+    // the data-quality gate a pipeline runs before trusting a join. Each
+    // edge is one LEFT ANTI join (null-safe: a NULL FK counts as an
+    // orphan, matching the SQL IS NULL probe) plus a child count; the
+    // SMALL parent side builds the hash table. Six independent 1-row
+    // aggregates unioned — each edge prunable and broadcastable on its
+    // own at 100 TB.
+    QueryDef("q200_fk_audit", (s, d) => {
+      def edge(name: String, child: org.apache.spark.sql.DataFrame,
+          ck: String, parent: org.apache.spark.sql.DataFrame,
+          pk: String): org.apache.spark.sql.DataFrame = {
+        val orphans = child.join(broadcast(parent.select(col(pk))),
+          col(ck) === col(pk), "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
+      }
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+      val p = t(s, d, "part"); val na = t(s, d, "nation")
+      edge("customer_nation", c, "c_nationkey", na, "n_nationkey")
+        .unionAll(edge("lineitem_orders", li, "l_orderkey", o,
+          "o_orderkey"))
+        .unionAll(edge("lineitem_part", li, "l_partkey", p, "p_partkey"))
+        .unionAll(edge("lineitem_supplier", li, "l_suppkey", su,
+          "s_suppkey"))
+        .unionAll(edge("orders_customer", o, "o_custkey", c,
+          "c_custkey"))
+        .unionAll(edge("supplier_nation", su, "s_nationkey", na,
+          "n_nationkey"))
+    }, Some("""
+      SELECT 'customer_nation' AS fk,
+        (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_child,
+        (SELECT CAST(count(*) AS BIGINT) FROM customer a
+          LEFT JOIN nation b ON a.c_nationkey = b.n_nationkey
+          WHERE b.n_nationkey IS NULL) AS n_orphans
+      UNION ALL SELECT 'lineitem_orders',
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem a
+          LEFT JOIN orders b ON a.l_orderkey = b.o_orderkey
+          WHERE b.o_orderkey IS NULL)
+      UNION ALL SELECT 'lineitem_part',
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem a
+          LEFT JOIN part b ON a.l_partkey = b.p_partkey
+          WHERE b.p_partkey IS NULL)
+      UNION ALL SELECT 'lineitem_supplier',
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem a
+          LEFT JOIN supplier b ON a.l_suppkey = b.s_suppkey
+          WHERE b.s_suppkey IS NULL)
+      UNION ALL SELECT 'orders_customer',
+        (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        (SELECT CAST(count(*) AS BIGINT) FROM orders a
+          LEFT JOIN customer b ON a.o_custkey = b.c_custkey
+          WHERE b.c_custkey IS NULL)
+      UNION ALL SELECT 'supplier_nation',
+        (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+        (SELECT CAST(count(*) AS BIGINT) FROM supplier a
+          LEFT JOIN nation b ON a.s_nationkey = b.n_nationkey
+          WHERE b.n_nationkey IS NULL)"""))
   )
 }
