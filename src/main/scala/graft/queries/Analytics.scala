@@ -2940,6 +2940,227 @@ object Analytics {
         (SELECT CAST(count(*) AS BIGINT) FROM supplier),
         (SELECT CAST(count(*) AS BIGINT) FROM supplier a
           LEFT JOIN nation b ON a.s_nationkey = b.n_nationkey
-          WHERE b.n_nationkey IS NULL)"""))
+          WHERE b.n_nationkey IS NULL)""")),
+
+    // Per-group ROC AUC (q189 stratified by order priority): here the
+    // cumulative-negatives window is PARTITIONED by the group — the
+    // legitimate windowed form, since each partition is one group's
+    // score domain, not the whole table. Same exact-integer 2U per
+    // group, one division tree per row.
+    QueryDef("q201_group_auc", (s, d) => {
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("g"),
+          col("o_totalprice").as("sc"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("np"),
+          sum(when(col("o_orderstatus") === "F", 0L).otherwise(1L))
+            .as("nn"))
+      val w = Window.partitionBy("g").orderBy("sc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells
+        .withColumn("below", coalesce(sum("nn").over(w), lit(0L)))
+        .groupBy("g")
+        .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+          sum(col("np") * (lit(2L) * col("below") + col("nn")))
+            .as("u2"))
+        .where(col("n_pos") > 0 && col("n_neg") > 0)
+        .select(col("g"), col("n_pos"), col("n_neg"), col("u2"),
+          (col("u2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+            .as("auc"))
+    }, Some("""
+      WITH cells AS (SELECT o_orderpriority AS g, o_totalprice AS sc,
+          CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+            AS np,
+          CAST(count(*) FILTER (WHERE o_orderstatus <> 'F') AS BIGINT)
+            AS nn
+        FROM orders GROUP BY 1, 2),
+      c AS (SELECT g, np, nn,
+          CAST(coalesce(sum(nn) OVER (PARTITION BY g ORDER BY sc
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS below
+        FROM cells),
+      a AS (SELECT g, CAST(sum(np) AS BIGINT) AS n_pos,
+          CAST(sum(nn) AS BIGINT) AS n_neg,
+          CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2
+        FROM c GROUP BY 1)
+      SELECT g, n_pos, n_neg, u2,
+        CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS BIGINT)::DOUBLE
+          AS auc
+      FROM a WHERE n_pos > 0 AND n_neg > 0""")),
+
+    // Deterministic hard-negative mining for training pairs: for each
+    // customer, the top-3 parts they NEVER bought but that share a
+    // (brand, type, size) block with a part they did — in-block
+    // negatives are the hard ones. The block key is chosen to BOUND the
+    // candidate fan-out (≤10 parts per block here; the coarser
+    // brand×type key measured 70M candidates at sf0.1 vs 2.2M — the
+    // block key IS the scale control), the anti-join lands BEFORE the
+    // ranking window, and the "random" order is the cross-engine md5
+    // idiom so the sample is reproducible. Window partitioned by
+    // customer; k-bounded state.
+    QueryDef("q202_hard_negatives", (s, d) => {
+      val bought = t(s, d, "lineitem")
+        .join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey").as("cust"), col("p_partkey").as("pk"),
+          col("p_brand").as("brand"), col("p_type").as("ptype"),
+          col("p_size").as("psize"))
+        .distinct()
+      val blocks = bought.select("cust", "brand", "ptype", "psize")
+        .distinct()
+      val cands = blocks.join(
+        t(s, d, "part").select(col("p_partkey").as("pk"),
+          col("p_brand").as("brand"), col("p_type").as("ptype"),
+          col("p_size").as("psize")),
+        Seq("brand", "ptype", "psize"))
+      val neg = cands.join(bought.select("cust", "pk"),
+        Seq("cust", "pk"), "left_anti")
+        .select(col("cust"), col("pk"),
+          conv(substring(md5(concat(col("cust").cast("string"),
+            lit(":"), col("pk").cast("string"))), 1, 8), 16, 10)
+            .cast("long").as("rk"))
+        .distinct()
+      val w = Window.partitionBy("cust").orderBy(col("rk"), col("pk"))
+      neg.withColumn("pos", row_number().over(w))
+        .where(col("pos") <= 3)
+        .select(col("cust"), col("pk").as("neg_part"), col("rk"),
+          col("pos").cast("long").as("pos"))
+    }, Some("""
+      WITH bought AS (SELECT DISTINCT o.o_custkey AS cust,
+          p.p_partkey AS pk, p.p_brand AS brand, p.p_type AS ptype,
+          p.p_size AS psize
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN part p ON l.l_partkey = p.p_partkey),
+      blocks AS (SELECT DISTINCT cust, brand, ptype, psize
+        FROM bought),
+      cands AS (SELECT b.cust, p.p_partkey AS pk
+        FROM blocks b JOIN part p ON p.p_brand = b.brand
+          AND p.p_type = b.ptype AND p.p_size = b.psize),
+      neg AS (SELECT DISTINCT c.cust, c.pk,
+          CAST('0x' || substring(md5(CAST(c.cust AS VARCHAR) || ':'
+            || CAST(c.pk AS VARCHAR)), 1, 8) AS BIGINT) AS rk
+        FROM cands c LEFT JOIN bought b
+          ON c.cust = b.cust AND c.pk = b.pk
+        WHERE b.pk IS NULL),
+      r AS (SELECT cust, pk, rk, row_number() OVER (PARTITION BY cust
+            ORDER BY rk, pk) AS pos
+        FROM neg)
+      SELECT cust, pk AS neg_part, rk, CAST(pos AS BIGINT) AS pos
+      FROM r WHERE pos <= 3""")),
+
+    // Pearson standardized residuals per contingency cell — which
+    // (event_type, weekday) combinations drive q175's chi-square. All
+    // inputs integer (observed c, marginal product cx·cy ≤ ~2.8e8 ≪
+    // 2⁵³ so the double cast is exact); e, the residual and its sqrt
+    // are one fixed IEEE tree per dimension-bounded cell. No logs.
+    QueryDef("q203_pearson_residuals", (s, d) => {
+      val ev = t(s, d, "events").select(col("event_type").as("x"),
+        dayofweek(col("ts").cast("date")).cast("long").as("y"))
+      val cells = ev.groupBy("x", "y").agg(count(lit(1)).as("c"))
+      val cx = cells.groupBy("x").agg(sum("c").as("cx"))
+      val cy = cells.groupBy("y").agg(sum("c").as("cy"))
+      val n = cells.agg(sum("c").as("n"))
+      cells.join(broadcast(cx), "x").join(broadcast(cy), "y")
+        .crossJoin(broadcast(n))
+        .select(col("x"), col("y"), col("c"),
+          ((col("cx") * col("cy")).cast("double") /
+            col("n").cast("double")).as("expected"))
+        .select(col("x"), col("y"), col("c"), col("expected"),
+          ((col("c").cast("double") - col("expected")) /
+            sqrt(col("expected"))).as("residual"))
+    }, Some("""
+      WITH ev AS (SELECT event_type AS x,
+          CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS y
+        FROM events),
+      cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        FROM ev GROUP BY 1, 2),
+      cx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells
+        GROUP BY 1),
+      cy AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells
+        GROUP BY 1),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+      e AS (SELECT x, y, c,
+          CAST(cx * cy AS DOUBLE) / CAST(n AS DOUBLE) AS expected
+        FROM cells JOIN cx USING (x) JOIN cy USING (y), n)
+      SELECT x, y, c, expected,
+        (CAST(c AS DOUBLE) - expected) / sqrt(expected) AS residual
+      FROM e""")),
+
+    // Jensen-Shannon divergence between the weekday and weekend
+    // event-type mixes — the distribution-drift readout between two
+    // corpus slices. Every p/m ratio is rewritten over INTEGERS
+    // (p/m = 2·a·N₂ / (a·N₂ + b·N₁)) and split into two portable_ln
+    // calls combined outside; zero-count cells contribute exactly 0 by
+    // the CASE guard. Both KL halves fold over the SAME sorted
+    // dimension-bounded cell list, so the doubles are fixed IEEE trees.
+    QueryDef("q204_jsd_drift", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def pln(c: org.apache.spark.sql.Column) =
+        call_function("portable_ln", c)
+      val ev = t(s, d, "events").select(col("event_type").as("x"),
+        when(dayofweek(col("ts").cast("date")).isin(1, 7), 0L)
+          .otherwise(1L).as("wd"))
+      val cells = ev.groupBy("x")
+        .agg(sum(when(col("wd") === 1, 1L).otherwise(0L)).as("a"),
+          sum(when(col("wd") === 0, 1L).otherwise(0L)).as("b"))
+      val agg = cells.agg(
+        sort_array(collect_list(struct(col("x"), col("a"), col("b"))))
+          .as("cs"),
+        sum("a").as("n1"), sum("b").as("n2"))
+      def kl(cnt: org.apache.spark.sql.Column =>
+            org.apache.spark.sql.Column,
+          nSelf: org.apache.spark.sql.Column,
+          nOther: org.apache.spark.sql.Column,
+          cs: org.apache.spark.sql.Column) =
+        aggregate(cs, lit(0.0), (acc, e) =>
+          acc + when(cnt(e) > 0,
+            (cnt(e).cast("double") / nSelf.cast("double")) *
+              (pln((lit(2L) * cnt(e) * nOther).cast("double")) -
+                pln((e.getField("a") * col("n2")
+                  + e.getField("b") * col("n1")).cast("double"))))
+            .otherwise(lit(0.0)))
+      agg.select(col("n1"), col("n2"),
+          kl(_.getField("a"), col("n1"), col("n2"), col("cs"))
+            .as("kl_pm"),
+          kl(_.getField("b"), col("n2"), col("n1"), col("cs"))
+            .as("kl_qm"))
+        .select(col("n1"), col("n2"), col("kl_pm"), col("kl_qm"),
+          (lit(0.5) * col("kl_pm") + lit(0.5) * col("kl_qm"))
+            .as("jsd"))
+    }, Some("""
+      WITH ev AS (SELECT event_type AS x,
+          CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 0
+            ELSE 1 END AS wd
+        FROM events),
+      cells AS (SELECT x,
+          CAST(count(*) FILTER (WHERE wd = 1) AS BIGINT) AS a,
+          CAST(count(*) FILTER (WHERE wd = 0) AS BIGINT) AS b
+        FROM ev GROUP BY 1),
+      tot AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+          CAST(sum(b) AS BIGINT) AS n2 FROM cells),
+      agg AS (SELECT list_sort(list(struct_pack(x := x, a := a,
+            b := b, n1 := n1, n2 := n2))) AS cs,
+          any_value(n1) AS n1, any_value(n2) AS n2
+        FROM cells, tot),
+      k AS (SELECT n1, n2,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, e -> CASE WHEN e.a > 0 THEN
+              (CAST(e.a AS DOUBLE) / CAST(e.n1 AS DOUBLE)) *
+                (ln(CAST(2 * e.a * e.n2 AS DOUBLE))
+                  - ln(CAST(e.a * e.n2 + e.b * e.n1 AS DOUBLE)))
+              ELSE 0.0 END)), (p, q) -> p + q) AS kl_pm,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, e -> CASE WHEN e.b > 0 THEN
+              (CAST(e.b AS DOUBLE) / CAST(e.n2 AS DOUBLE)) *
+                (ln(CAST(2 * e.b * e.n1 AS DOUBLE))
+                  - ln(CAST(e.a * e.n2 + e.b * e.n1 AS DOUBLE)))
+              ELSE 0.0 END)), (p, q) -> p + q) AS kl_qm
+        FROM agg)
+      SELECT n1, n2, kl_pm, kl_qm,
+        0.5 * kl_pm + 0.5 * kl_qm AS jsd
+      FROM k"""))
   )
 }
