@@ -3161,6 +3161,195 @@ object Analytics {
         FROM agg)
       SELECT n1, n2, kl_pm, kl_qm,
         0.5 * kl_pm + 0.5 * kl_qm AS jsd
-      FROM k"""))
+      FROM k""")),
+
+    // Per-slice QQ decile table: the k/10 quantiles (exact type-1 order
+    // statistics, rank = ((n-1)·k) div 10 + 1 — NO interpolation, so
+    // each emitted value is a row value copied untouched and bit-identity
+    // is free) of o_totalprice for the finished vs open order
+    // populations, paired by decile — the distribution-shift readout
+    // that q204 summarizes to one number. Each slice's CDF comes from
+    // the distributed PrefixSum over value-distinct cells — never an
+    // unpartitioned window — and the 9 target ranks join back by
+    // rank-containment against a 9-row broadcast, so the only row-scale
+    // shuffles are the two cell aggregations.
+    QueryDef("q205_qq_deciles", (s, d) => {
+      def deciles(status: String, out: String) = {
+        val cells = t(s, d, "orders")
+          .where(col("o_orderstatus") === status)
+          .groupBy(col("o_totalprice").as("sc"))
+          .agg(count(lit(1)).as("n"))
+        val cum = graft.operators.PrefixSum
+          .withRunningTotals(cells, "sc", Seq("n"))
+        val targets = cells.agg(sum("n").as("nn"))
+          .select(col("nn"), explode(sequence(lit(1), lit(9))).as("k0"))
+          .select(col("k0").cast("long").as("k"),
+            expr("((nn - 1) * k0) DIV 10 + 1").as("rk"))
+        cum.join(broadcast(targets),
+            col("rk") > col("n_cum") - col("n") &&
+              col("rk") <= col("n_cum"))
+          .select(col("k"), col("sc").as(out))
+      }
+      deciles("F", "q_f").join(deciles("O", "q_o"), Seq("k"))
+        .select(col("k"), col("q_f"), col("q_o"),
+          (col("q_o") - col("q_f")).as("gap"))
+    }, Some("""
+      WITH ks AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS k),
+      f AS (SELECT o_totalprice AS v,
+          row_number() OVER (ORDER BY o_totalprice) AS rn,
+          count(*) OVER () AS n
+        FROM orders WHERE o_orderstatus = 'F'),
+      o AS (SELECT o_totalprice AS v,
+          row_number() OVER (ORDER BY o_totalprice) AS rn,
+          count(*) OVER () AS n
+        FROM orders WHERE o_orderstatus = 'O')
+      SELECT ks.k, f.v AS q_f, o.v AS q_o, o.v - f.v AS gap
+      FROM ks JOIN f ON f.rn = ((f.n - 1) * ks.k) // 10 + 1
+        JOIN o ON o.rn = ((o.n - 1) * ks.k) // 10 + 1""")),
+
+    // Per-group 10% trimmed mean of l_quantity: drop the floor(n/10)
+    // smallest and largest values per return flag, average the rest —
+    // the outlier-robust location estimate. The quantity domain is tiny
+    // (integral 1–50), so the whole statistic collapses to ONE scan plus
+    // a ≤150-row value-cell aggregate; each cell's contribution to the
+    // trimmed sum is pure integer interval arithmetic (overlap of the
+    // cell's rank run [b, b+c) with the kept band [lo, hi)) — tie-order
+    // invariant by construction — and the only floating-point step is
+    // the final mean division. The per-group window orders ≤50 cells,
+    // dimension-bounded, never row-scale.
+    QueryDef("q206_trimmed_mean", (s, d) => {
+      val cells = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("g").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = cells.groupBy("g").agg(sum("c").as("n"))
+      cells
+        .withColumn("b", coalesce(sum("c").over(w), lit(0L)))
+        .join(broadcast(tot), Seq("g"))
+        .select(col("g"), col("n"),
+          (col("q") * greatest(
+            least(col("n") - expr("n DIV 10"), col("b") + col("c")) -
+              greatest(expr("n DIV 10"), col("b")),
+            lit(0L))).as("contrib"))
+        .groupBy("g", "n").agg(sum("contrib").as("tsum"))
+        .select(col("g"), col("n"), col("tsum"),
+          (col("n") - lit(2L) * expr("n DIV 10")).as("tn"))
+        .select(col("g"), col("n"), col("tsum"), col("tn"),
+          (col("tsum").cast("double") / col("tn").cast("double"))
+            .as("tmean"))
+    }, Some("""
+      WITH cells AS (SELECT l_returnflag AS g,
+          CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2),
+      cum AS (SELECT g, q, c,
+          CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY q
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS b,
+          CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM cells),
+      k AS (SELECT g, n,
+          CAST(sum(q * greatest(least(n - n // 10, b + c)
+            - greatest(n // 10, b), 0)) AS BIGINT) AS tsum
+        FROM cum GROUP BY 1, 2)
+      SELECT g, n, tsum, n - 2 * (n // 10) AS tn,
+        CAST(tsum AS DOUBLE) / CAST(n - 2 * (n // 10) AS DOUBLE) AS tmean
+      FROM k""")),
+
+    // Rank-biased overlap (Webber et al., TOIS'10) between the top-20
+    // part rankings by total quantity of the R-returns vs A-returns
+    // slices, at persistence p = 1/2 — chosen so every weight p^d is an
+    // exact power of two: the only inexact steps are one division per
+    // depth and the fixed-order fold, identical IEEE trees in both
+    // engines. Each ranking is a TakeOrderedAndProject (partial agg +
+    // bounded heaps, never a full sort), fully tie-broken (qty DESC,
+    // pk ASC); the prefix overlaps are array HOFs over two ≤20-element
+    // lists, so past the two count aggregations nothing is row-scale.
+    QueryDef("q207_rank_overlap", (s, d) => {
+      def ranking(flag: String, out: String) = {
+        t(s, d, "lineitem").where(col("l_returnflag") === flag)
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("l_quantity").cast("long")).as("qty"))
+          .orderBy(col("qty").desc, col("pk")).limit(20)
+          .agg(sort_array(collect_list(
+            struct((-col("qty")).as("nq"), col("pk")))).as("sl"))
+          .select(transform(col("sl"), e => e.getField("pk")).as(out))
+      }
+      ranking("R", "a").crossJoin(ranking("A", "b"))
+        .select(transform(sequence(lit(1), lit(20)), dd =>
+          size(array_intersect(
+            slice(col("a"), lit(1), dd),
+            slice(col("b"), lit(1), dd))).cast("long")).as("ov"))
+        .select(
+          element_at(col("ov"), 10).as("ov10"),
+          element_at(col("ov"), 20).as("ov20"),
+          aggregate(transform(sequence(lit(1), lit(20)), dd =>
+            element_at(col("ov"), dd).cast("double") /
+              (dd.cast("long") *
+                call_function("shiftleft", lit(1L), dd)).cast("double")),
+            lit(0.0), (acc, x) => acc + x).as("rbo"))
+    }, Some("""
+      WITH ra AS (SELECT l_partkey AS pk,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY 1 ORDER BY qty DESC, pk LIMIT 20),
+      rb AS (SELECT l_partkey AS pk,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem WHERE l_returnflag = 'A'
+        GROUP BY 1 ORDER BY qty DESC, pk LIMIT 20),
+      la AS (SELECT list(pk ORDER BY qty DESC, pk) AS a FROM ra),
+      lb AS (SELECT list(pk ORDER BY qty DESC, pk) AS b FROM rb),
+      ov AS (SELECT list_transform(range(1, 21), d ->
+          CAST(len(list_intersect(a[1:d], b[1:d])) AS BIGINT)) AS ov
+        FROM la, lb)
+      SELECT ov[10] AS ov10, ov[20] AS ov20,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, 21), d ->
+            CAST(ov[d] AS DOUBLE) / CAST(d * (1 << d) AS DOUBLE))),
+          (p, q) -> p + q) AS rbo
+      FROM ov""")),
+
+    // Join-key skew audit — the pre-flight diagnostic behind every
+    // salting / AQE-skew decision in this engine: for the
+    // lineitem⋈orders key, the 10 keys with the largest join-output
+    // contribution (|left|·|right| per key) plus each key's fraction of
+    // the total estimated join size. Two partial-aggregated key counts,
+    // one equi-join on the already-shuffled key, a 1-row broadcast
+    // total, and a TakeOrderedAndProject — so the audit itself can
+    // never become the skewed job it is hunting.
+    QueryDef("q208_join_skew_audit", (s, d) => {
+      val lc = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("n_left"))
+      val oc = t(s, d, "orders")
+        .groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("n_right"))
+      val per = lc.join(oc, Seq("k"))
+        .select(col("k"), col("n_left"), col("n_right"),
+          (col("n_left") * col("n_right")).as("contrib"))
+      val tot = per.agg(sum("contrib").as("total"),
+        count(lit(1)).as("n_keys"))
+      per.crossJoin(broadcast(tot))
+        .orderBy(col("contrib").desc, col("k")).limit(10)
+        .select(col("k"), col("n_left"), col("n_right"), col("contrib"),
+          col("n_keys"), col("total"),
+          (col("contrib").cast("double") / col("total").cast("double"))
+            .as("frac"))
+    }, Some("""
+      WITH lc AS (SELECT l_orderkey AS k,
+          CAST(count(*) AS BIGINT) AS n_left
+        FROM lineitem GROUP BY 1),
+      oc AS (SELECT o_orderkey AS k,
+          CAST(count(*) AS BIGINT) AS n_right
+        FROM orders GROUP BY 1),
+      per AS (SELECT k, n_left, n_right,
+          CAST(n_left * n_right AS BIGINT) AS contrib
+        FROM lc JOIN oc USING (k)),
+      tot AS (SELECT CAST(sum(contrib) AS BIGINT) AS total,
+          CAST(count(*) AS BIGINT) AS n_keys FROM per)
+      SELECT k, n_left, n_right, contrib, n_keys, total,
+        CAST(contrib AS DOUBLE) / CAST(total AS DOUBLE) AS frac
+      FROM per, tot ORDER BY contrib DESC, k LIMIT 10"""))
   )
 }
