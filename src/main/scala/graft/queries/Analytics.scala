@@ -3350,6 +3350,234 @@ object Analytics {
           CAST(count(*) AS BIGINT) AS n_keys FROM per)
       SELECT k, n_left, n_right, contrib, n_keys, total,
         CAST(contrib AS DOUBLE) / CAST(total AS DOUBLE) AS frac
-      FROM per, tot ORDER BY contrib DESC, k LIMIT 10"""))
+      FROM per, tot ORDER BY contrib DESC, k LIMIT 10""")),
+
+    // Autocorrelation function of the daily event-count series at lags
+    // 1–7 — the periodicity probe behind ingest-rate monitoring. The
+    // only row-scale step is the daily count aggregation; the series
+    // itself is calendar-bounded (one cell per day), so the lag
+    // pairing is a broadcast self-join of the tiny cell table against a
+    // 7-row lag frame, and each lag's Pearson r comes from exact BIGINT
+    // moments (counts are integers) with the q119 fixed IEEE tree.
+    QueryDef("q209_acf", (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val lags = s.range(1, 8).select(col("id").as("lag"))
+      val pairs = daily.select(col("day"), col("c").as("x"))
+        .crossJoin(broadcast(lags))
+        .join(daily.select(col("day").as("day_b"), col("c").as("y")),
+          col("day_b") === date_add(col("day"), col("lag").cast("int")))
+      val m = pairs.groupBy("lag").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val covN = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      val varX = (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val varY = (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      m.select(col("lag"), col("n"),
+        (covN / sqrt(varX * varY)).as("acf"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+      pairs AS (SELECT l.lag, a.c AS x, b.c AS y
+        FROM daily a, lags l
+        JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+      m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+          sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+          sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM pairs GROUP BY 1)
+      SELECT lag, n,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * syy - sy * sy AS DOUBLE)) AS acf
+      FROM m""")),
+
+    // KMV set-operation estimates (Beyer et al., SIGMOD'07; the theta-
+    // sketch form) between two key populations — the (part, supplier)
+    // pairs seen on R-return lines vs A-return lines (≈19k vs ≈19k with
+    // ≈1.8k shared at sf0.01 — deliberately non-degenerate): union size
+    // from the k-th minimum hash of the merged sketch, intersection from
+    // the fraction ρ of the union sketch present in BOTH sets, each
+    // beside its exact audit column. One tagged-union shuffle builds
+    // both membership flags; the sketch is an ordered limit
+    // (TakeOrderedAndProject), so nothing past the distinct aggregation
+    // is row-scale and the sketches THEMSELVES are what a 100 TB run
+    // would ship between executors.
+    QueryDef("q210_kmv_setops", (s, d) => {
+      def hs(flag: String) =
+        t(s, d, "lineitem").where(col("l_returnflag") === flag)
+          .select(conv(substring(md5(concat(
+            col("l_partkey").cast("string"), lit(":"),
+            col("l_suppkey").cast("string"))),
+            1, 8), 16, 10).cast("long").as("h")).distinct()
+      val tagged = hs("R")
+        .select(col("h"), lit(1L).as("ia"), lit(0L).as("ib"))
+        .union(hs("A")
+          .select(col("h"), lit(0L).as("ia"), lit(1L).as("ib")))
+        .groupBy("h").agg(max("ia").as("ia"), max("ib").as("ib"))
+      val sk = tagged.orderBy("h").limit(64)
+      val kk = sk.agg(count(lit(1)).as("k"), max("h").as("hk"),
+        sum(col("ia") * col("ib")).as("rho"))
+      val exact = tagged.agg(count(lit(1)).as("exact_union"),
+        sum(col("ia") * col("ib")).as("exact_int"))
+      kk.crossJoin(broadcast(exact))
+        .select(col("k"), col("hk"), col("rho"),
+          col("exact_union"), col("exact_int"),
+          (lit(63.0) * lit(4294967296.0) / col("hk").cast("double"))
+            .as("est_union"),
+          (col("rho").cast("double") * lit(63.0) * lit(4294967296.0) /
+            (col("k") * col("hk")).cast("double")).as("est_int"))
+    }, Some("""
+      WITH ha AS (SELECT DISTINCT CAST('0x' ||
+          substring(md5(CAST(l_partkey AS VARCHAR) || ':'
+            || CAST(l_suppkey AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        FROM lineitem WHERE l_returnflag = 'R'),
+      hb AS (SELECT DISTINCT CAST('0x' ||
+          substring(md5(CAST(l_partkey AS VARCHAR) || ':'
+            || CAST(l_suppkey AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        FROM lineitem WHERE l_returnflag = 'A'),
+      tagged AS (SELECT h, CAST(max(ia) AS BIGINT) AS ia,
+          CAST(max(ib) AS BIGINT) AS ib
+        FROM (SELECT h, 1 AS ia, 0 AS ib FROM ha
+              UNION ALL SELECT h, 0 AS ia, 1 AS ib FROM hb)
+        GROUP BY 1),
+      sk AS (SELECT * FROM tagged ORDER BY h LIMIT 64),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(max(h) AS BIGINT) AS hk,
+          CAST(sum(ia * ib) AS BIGINT) AS rho FROM sk),
+      e AS (SELECT CAST(count(*) AS BIGINT) AS exact_union,
+          CAST(sum(ia * ib) AS BIGINT) AS exact_int FROM tagged)
+      SELECT k, hk, rho, exact_union, exact_int,
+        63.0 * 4294967296.0 / CAST(hk AS DOUBLE) AS est_union,
+        CAST(rho AS DOUBLE) * 63.0 * 4294967296.0
+          / CAST(k * hk AS DOUBLE) AS est_int
+      FROM kk, e""")),
+
+    // Hapax-legomenon rate per source over TRIGRAM shingles — the
+    // vocabulary-tail quality signal (a high hapax share marks noisy /
+    // OCR-damaged corpora, the complement of q198's growth curve).
+    // Trigrams rather than unigrams because the shingle space is what
+    // actually carries a tail (the unigram vocabulary saturates — zero
+    // hapaxes already at sf0.1). Corpus shingle frequencies and the
+    // per-source type inventory are both partial-aggregated counts; the
+    // tf=1 filter semi-joins back on the already-shuffled term key, so
+    // the Zipf tail (the dominant share of VOCABULARY, a vanishing
+    // share of TOKENS) never amplifies anything.
+    QueryDef("q211_hapax_rate", (s, d) => {
+      val tk = t(s, d, "documents")
+        .select(col("source"), split(col("text"), " ").as("ts"))
+        .where(size(col("ts")) >= 3)
+        .select(col("source"),
+          explode(transform(sequence(lit(1), size(col("ts")) - 2), i =>
+            concat_ws("_", element_at(col("ts"), i),
+              element_at(col("ts"), i + 1),
+              element_at(col("ts"), i + 2)))).as("term"))
+      val tf = tk.groupBy("term").agg(count(lit(1)).as("tf"))
+      val st = tk.select("source", "term").distinct()
+      val types = st.groupBy("source").agg(count(lit(1)).as("n_types"))
+      val hap = st.join(tf.where(col("tf") === 1).select("term"),
+          Seq("term"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("n_hapax"))
+      types.join(hap, Seq("source"), "left")
+        .select(col("source"), col("n_types"),
+          coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+          (coalesce(col("n_hapax"), lit(0L)).cast("double") /
+            col("n_types").cast("double")).as("hapax_rate"))
+    }, Some("""
+      WITH dt AS (SELECT source, string_split(text, ' ') AS ts
+                  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      tk AS (SELECT source,
+          unnest(list_transform(range(1, len(ts) - 1), i ->
+            ts[i] || '_' || ts[i + 1] || '_' || ts[i + 2])) AS term
+        FROM dt),
+      tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tk
+             GROUP BY 1),
+      st AS (SELECT DISTINCT source, term FROM tk),
+      types AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types
+                FROM st GROUP BY 1),
+      hap AS (SELECT source, CAST(count(*) AS BIGINT) AS n_hapax
+              FROM st JOIN (SELECT term FROM tf WHERE tf = 1) USING (term)
+              GROUP BY 1)
+      SELECT source, n_types,
+        CAST(coalesce(n_hapax, 0) AS BIGINT) AS n_hapax,
+        CAST(coalesce(n_hapax, 0) AS DOUBLE)
+          / CAST(n_types AS DOUBLE) AS hapax_rate
+      FROM types LEFT JOIN hap USING (source)""")),
+
+    // Per-user MAP@10 / MRR ranking-evaluation table: each customer's
+    // parts ranked by purchase volume (qty DESC, pk — fully tie-broken),
+    // relevance = "had an R return". Average precision folds the
+    // per-position precision contributions (each ONE exact division,
+    // computed from an integer running-hit window) in position order
+    // over a k-bounded collected list, so every double is a fixed IEEE
+    // tree; the window partitions by customer (high-cardinality,
+    // per-user-bounded — the q112 no-hot-group contract). Customers
+    // with no relevant item are excluded, as in the standard metric.
+    QueryDef("q212_map_mrr", (s, d) => {
+      val cp = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"),
+          max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("rel"))
+      val rtot = cp.groupBy("cust").agg(sum("rel").as("r_total"))
+      val w = Window.partitionBy("cust")
+        .orderBy(col("qty").desc, col("pk"))
+      val wc = Window.partitionBy("cust").orderBy("pos")
+      val top = cp.withColumn("pos", row_number().over(w))
+        .where(col("pos") <= 10)
+        .withColumn("cr", sum("rel").over(wc))
+        .withColumn("contrib", when(col("rel") === 1L,
+          col("cr").cast("double") / col("pos").cast("double"))
+          .otherwise(lit(0.0)))
+      top.groupBy("cust").agg(
+          sum("rel").as("hits10"),
+          min(when(col("rel") === 1L, col("pos"))).as("fp"),
+          sort_array(collect_list(struct(col("pos"), col("contrib"))))
+            .as("ps"))
+        .join(rtot, Seq("cust")).where(col("r_total") > 0)
+        .select(col("cust"), col("r_total"), col("hits10"),
+          coalesce(lit(1.0) / col("fp").cast("double"), lit(0.0))
+            .as("rr"),
+          (aggregate(col("ps"), lit(0.0),
+            (acc, e) => acc + e.getField("contrib")) /
+            least(col("r_total"), lit(10L)).cast("double")).as("ap10"))
+    }, Some("""
+      WITH cp AS (SELECT o_custkey AS cust, l_partkey AS pk,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+          CAST(max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS rel
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      rt AS (SELECT cust, CAST(sum(rel) AS BIGINT) AS r_total FROM cp
+             GROUP BY 1),
+      top AS (SELECT cust, pk, rel, pos FROM (
+          SELECT cust, pk, rel, row_number() OVER (PARTITION BY cust
+              ORDER BY qty DESC, pk) AS pos
+          FROM cp) WHERE pos <= 10),
+      cum AS (SELECT cust, pos, rel,
+          CAST(sum(rel) OVER (PARTITION BY cust ORDER BY pos) AS BIGINT)
+            AS cr
+        FROM top),
+      rowc AS (SELECT cust, pos, rel,
+          CASE WHEN rel = 1 THEN CAST(cr AS DOUBLE) / CAST(pos AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS contrib
+        FROM cum),
+      agg AS (SELECT cust, CAST(sum(rel) AS BIGINT) AS hits10,
+          min(CASE WHEN rel = 1 THEN pos END) AS fp,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(contrib ORDER BY pos)), (p, q) -> p + q) AS sp
+        FROM rowc GROUP BY 1)
+      SELECT a.cust, r.r_total, a.hits10,
+        coalesce(1.0 / CAST(fp AS DOUBLE), 0.0) AS rr,
+        sp / CAST(least(r.r_total, 10) AS DOUBLE) AS ap10
+      FROM agg a JOIN rt r USING (cust) WHERE r.r_total > 0"""))
   )
 }
