@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Advanced, Analytics, GraphQueries, QueryDef, Relational, Sources, TextStats}
+import graft.queries.{Advanced, Analytics, GraphQueries, Inference, QueryDef, Relational, Sources, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
 
   val all: Seq[QueryDef] =
     Relational.defs ++ TextStats.defs ++ Advanced.defs ++ GraphQueries.defs ++
-      Sources.defs ++ Analytics.defs
+      Sources.defs ++ Analytics.defs ++ Inference.defs
 
   /** Flagship: full KG pipeline (synthesize pages → extract → link →
     * triple-extract → aggregate) on a small corpus; driver smoke-checks

@@ -1,0 +1,615 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryDef.t
+
+/** Statistical-inference and drift-detection analytics (round 5, batch
+  * "inference"): rank-correlation, rank-sum testing, changepoint
+  * detection, and population-stability scoring. Same contract as
+  * [[Analytics]]: every statistic is assembled from exact BIGINT
+  * moments over value- or domain-bounded cell tables (the only
+  * row-scale steps are the initial aggregations), and every
+  * floating-point step is a fixed-shape IEEE tree mirrored verbatim in
+  * the DuckDB oracle so the driver's hash gate sees bit-identical
+  * doubles. Logarithms go through `portable_ln`
+  * ([[graft.functions.PortableLn]]) — the q204 pattern: ln of exactly
+  * representable integer-valued doubles, identical in both engines.
+  */
+object Inference {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Kendall τ-b rank correlation per nation between order priority
+    // (ordinal 1–5) and order status (ordinal F<O<P) — the tie-aware
+    // rank-association readout for ordinal×ordinal pairs. Both domains
+    // are tiny, so after one row-scale customer⋈orders shuffle the
+    // statistic lives entirely on a ≤15-cell-per-nation contingency
+    // table: concordant-minus-discordant comes from a cell self-join
+    // (≤225 pairs per nation, BIGINT products), tie terms n1/n2 from
+    // the cell marginals, and the only floating-point ops are the
+    // final sqrt and division. τ-b = (C−D)/√((n0−n1)(n0−n2)).
+    QueryDef("q213_kendall_tau", (s, d) => {
+      val xy = t(s, d, "orders")
+        .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey").as("nk")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("nk"),
+          substring(col("o_orderpriority"), 1, 1).cast("int").as("x"),
+          when(col("o_orderstatus") === "F", 1)
+            .when(col("o_orderstatus") === "O", 2)
+            .otherwise(3).as("y"))
+      val cells = xy.groupBy("nk", "x", "y").agg(count(lit(1)).as("c"))
+      // per-nation size + tie terms from the cell marginals — all BIGINT
+      val tx = cells.groupBy("nk", "x").agg(sum("c").as("tc"))
+        .groupBy("nk")
+        .agg(expr("sum(tc * (tc - 1)) DIV 2").as("n1"))
+      val ty = cells.groupBy("nk", "y").agg(sum("c").as("tc"))
+        .groupBy("nk")
+        .agg(expr("sum(tc * (tc - 1)) DIV 2").as("n2"))
+      val nn = cells.groupBy("nk").agg(sum("c").as("n"))
+        .select(col("nk"), col("n"),
+          expr("n * (n - 1) DIV 2").as("n0"))
+      // C − D in one pass: every unordered cell pair with x1 < x2
+      // contributes +c1c2 when the y's agree in direction, −c1c2 when
+      // they oppose, 0 on a y-tie
+      val a = cells.select(col("nk"), col("x").as("x1"),
+        col("y").as("y1"), col("c").as("c1"))
+      val b = cells.select(col("nk").as("nk2"), col("x").as("x2"),
+        col("y").as("y2"), col("c").as("c2"))
+      val cd = a.join(b,
+          col("nk") === col("nk2") && col("x1") < col("x2"))
+        .groupBy("nk")
+        .agg(sum(when(col("y2") > col("y1"), col("c1") * col("c2"))
+          .when(col("y2") < col("y1"), -col("c1") * col("c2"))
+          .otherwise(0L)).as("cd"))
+      nn.join(tx, Seq("nk")).join(ty, Seq("nk"))
+        .join(cd, Seq("nk"), "left")
+        .select(col("nk"), col("n"), col("n0"), col("n1"), col("n2"),
+          coalesce(col("cd"), lit(0L)).as("cd"))
+        .withColumn("tau_b",
+          col("cd").cast("double") /
+            sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
+              .cast("double")))
+    }, Some("""
+      WITH xy AS (SELECT c_nationkey AS nk,
+          CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS x,
+          CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2
+            ELSE 3 END AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      cells AS (SELECT nk, x, y, CAST(count(*) AS BIGINT) AS c
+        FROM xy GROUP BY 1, 2, 3),
+      tx AS (SELECT nk, CAST(sum(tc * (tc - 1)) // 2 AS BIGINT) AS n1
+        FROM (SELECT nk, x, CAST(sum(c) AS BIGINT) AS tc
+          FROM cells GROUP BY 1, 2) GROUP BY 1),
+      ty AS (SELECT nk, CAST(sum(tc * (tc - 1)) // 2 AS BIGINT) AS n2
+        FROM (SELECT nk, y, CAST(sum(c) AS BIGINT) AS tc
+          FROM cells GROUP BY 1, 2) GROUP BY 1),
+      nn AS (SELECT nk, CAST(sum(c) AS BIGINT) AS n,
+          CAST(sum(c) * (sum(c) - 1) // 2 AS BIGINT) AS n0
+        FROM cells GROUP BY 1),
+      cd AS (SELECT a.nk,
+          CAST(sum(CASE WHEN b.y > a.y THEN a.c * b.c
+            WHEN b.y < a.y THEN -a.c * b.c ELSE 0 END) AS BIGINT) AS cd
+        FROM cells a JOIN cells b
+          ON a.nk = b.nk AND a.x < b.x GROUP BY 1)
+      SELECT nn.nk, n, n0, n1, n2,
+        CAST(coalesce(cd, 0) AS BIGINT) AS cd,
+        CAST(coalesce(cd, 0) AS DOUBLE)
+          / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)) AS tau_b
+      FROM nn JOIN tx USING (nk) JOIN ty USING (nk)
+        LEFT JOIN cd ON nn.nk = cd.nk""")),
+
+    // Mann-Whitney U rank-sum test (tie-corrected normal approximation)
+    // between the click and purchase event-value populations — the
+    // nonparametric two-sample location test. Ranks come from the
+    // distributed PrefixSum over value-distinct cells (never an
+    // unpartitioned window): midrank×2 per cell is the integer
+    // 2·before + t + 1, so the A-side rank sum, U, and the centered
+    // numerator all stay BIGINT; the tie term Σ(t³−t) is a cell-local
+    // integer. Only the variance assembly and the final z are doubles,
+    // with a fixed operation tree mirrored in the oracle. The variance
+    // is assembled in DOUBLE (nA·nB·(n+1)·n·(n−1) would overflow
+    // BIGINT at web scale; the double tree loses nothing because the
+    // oracle computes the identical tree).
+    QueryDef("q214_mann_whitney", (s, d) => {
+      val ev = t(s, d, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("value").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("ia"))
+      val cells = ev.groupBy("v")
+        .agg(sum("ia").as("a"), (count(lit(1)) - sum("ia")).as("b"))
+        .withColumn("t", col("a") + col("b"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(cells, "v", Seq("t"))
+      val r2a = cum
+        .select((col("a") * (lit(2L) * (col("t_cum") - col("t"))
+          + col("t") + lit(1L))).as("m"))
+        .agg(sum("m").as("r2a"))
+      val tot = cells.agg(sum("a").as("na"), sum("b").as("nb"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
+      val n = (col("na") + col("nb")).cast("double")
+      val varU = (col("na").cast("double") * col("nb").cast("double")
+        / lit(12.0)) *
+        (n + lit(1.0) - col("tt").cast("double")
+          / (n * (n - lit(1.0))))
+      r2a.crossJoin(tot)
+        .withColumn("u2", col("r2a") - col("na") * (col("na") + 1))
+        .select(col("na"), col("nb"), col("tt"), col("u2"),
+          (col("u2").cast("double") / lit(2.0)).as("u"),
+          (((col("u2") - col("na") * col("nb")).cast("double")
+            / lit(2.0)) / sqrt(varU)).as("z"))
+    }, Some("""
+      WITH ev AS (SELECT value AS v,
+          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      cells AS (SELECT v, CAST(sum(ia) AS BIGINT) AS a,
+          CAST(count(*) - sum(ia) AS BIGINT) AS b,
+          CAST(count(*) AS BIGINT) AS t
+        FROM ev GROUP BY 1),
+      cum AS (SELECT *, CAST(sum(t) OVER (ORDER BY v
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS t_cum FROM cells),
+      r AS (SELECT CAST(sum(a * (2 * (t_cum - t) + t + 1))
+          AS BIGINT) AS r2a FROM cum),
+      tot AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+          CAST(sum(b) AS BIGINT) AS nb,
+          CAST(sum(t * t * t - t) AS BIGINT) AS tt FROM cells)
+      SELECT na, nb, tt, r2a - na * (na + 1) AS u2,
+        CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u,
+        (CAST(r2a - na * (na + 1) - na * nb AS DOUBLE) / 2.0)
+          / sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+            * (CAST(na + nb AS DOUBLE) + 1.0 - CAST(tt AS DOUBLE)
+              / (CAST(na + nb AS DOUBLE)
+                * (CAST(na + nb AS DOUBLE) - 1.0)))) AS z
+      FROM r, tot""")),
+
+    // CUSUM changepoint per event type over the daily ingest-count
+    // series — where did the rate shift? S_t = Σ_{i≤t} cᵢ − t·(Σc/nd),
+    // kept exact by scaling through the day count: Sn_t =
+    // nd·Σ_{i≤t} cᵢ − t·Σc is pure BIGINT, and the changepoint is the
+    // day maximizing |Sn_t| (earliest day on ties — a deterministic
+    // ordered pick, not max_by's arbitrary one). The series is
+    // calendar-bounded (one cell per type×day), so the per-type windows
+    // order ≤O(days) rows — dimension-bounded, never row-scale; the
+    // only row-scale step is the daily count aggregation.
+    QueryDef("q215_cusum", (s, d) => {
+      val cells = t(s, d, "events")
+        .groupBy(col("event_type").as("et"),
+          col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("et").orderBy("day")
+      val tot = cells.groupBy("et")
+        .agg(sum("c").as("sx"), count(lit(1)).as("nd"))
+      val sn = cells
+        .withColumn("cc", sum("c").over(w))
+        .withColumn("tt", row_number().over(w).cast("long"))
+        .join(broadcast(tot), Seq("et"))
+        .withColumn("sn", col("nd") * col("cc") - col("tt") * col("sx"))
+        .withColumn("asn", abs(col("sn")))
+      val pick = Window.partitionBy("et")
+        .orderBy(col("asn").desc, col("day").asc)
+      sn.withColumn("rk", row_number().over(pick))
+        .where(col("rk") === 1)
+        .select(col("et"), col("day").as("cp_day"), col("nd"),
+          col("sx"), col("sn"), col("asn"),
+          (col("asn").cast("double") / col("nd").cast("double"))
+            .as("cusum"))
+    }, Some("""
+      WITH cells AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT et, CAST(sum(c) AS BIGINT) AS sx,
+          CAST(count(*) AS BIGINT) AS nd FROM cells GROUP BY 1),
+      sn AS (SELECT cells.et, day, nd, sx,
+          nd * CAST(sum(c) OVER (PARTITION BY cells.et ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            - CAST(row_number() OVER (PARTITION BY cells.et
+                ORDER BY day) AS BIGINT) * sx AS sn
+        FROM cells JOIN tot ON cells.et = tot.et),
+      rk AS (SELECT *, abs(sn) AS asn,
+          row_number() OVER (PARTITION BY et
+            ORDER BY abs(sn) DESC, day) AS rk FROM sn)
+      SELECT et, day AS cp_day, nd, sx, sn, asn,
+        CAST(asn AS DOUBLE) / CAST(nd AS DOUBLE) AS cusum
+      FROM rk WHERE rk = 1""")),
+
+    // Population stability index between the finished (reference) and
+    // open (comparison) order-price populations over the reference's
+    // own deciles — the model-monitoring drift score. The 9 edges are
+    // exact type-1 order statistics from the distributed PrefixSum CDF
+    // (the q205 shape, never an unpartitioned window); both populations
+    // bin by a 9-element broadcast array HOF, so past the two
+    // value-cell aggregations nothing is row-scale. Every PSI term is
+    // (a/np − b/nq)·(ln(a·nq) − ln(b·np)) with integer-valued ln
+    // arguments through portable_ln (the q204 pattern), and the total
+    // is a sorted fixed-order fold — both engines sum the 10 terms in
+    // the same IEEE order. Empty comparison bins contribute 0 and are
+    // counted in zero_bins instead of fabricating an epsilon.
+    QueryDef("q216_psi", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def pln(c: Column) = call_function("portable_ln", c)
+      def cellsOf(status: String) = t(s, d, "orders")
+        .where(col("o_orderstatus") === status)
+        .groupBy(col("o_totalprice").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val ref = cellsOf("F")
+      val cmp = cellsOf("O")
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(ref, "v", Seq("c"))
+      val targets = ref.agg(sum("c").as("nn"))
+        .select(col("nn"), explode(sequence(lit(1), lit(9))).as("k0"))
+        .select(expr("((nn - 1) * k0) DIV 10 + 1").as("rk"))
+      val edges = cum.join(broadcast(targets),
+          col("rk") > col("c_cum") - col("c") && col("rk") <= col("c_cum"))
+        .agg(sort_array(collect_list(col("v"))).as("es"))
+      def binned(cells: org.apache.spark.sql.DataFrame, out: String) =
+        cells.crossJoin(broadcast(edges))
+          .select(aggregate(col("es"), lit(0L), (acc, e) =>
+            acc + when(col("v") > e, 1L).otherwise(0L)).as("bin"),
+            col("c"))
+          .groupBy("bin").agg(sum("c").as(out))
+      // reference deciles guarantee every bin 0–9 exists on the a side;
+      // the comparison side may miss bins → left join + 0 fill
+      val perBin = binned(ref, "a")
+        .join(binned(cmp, "b"), Seq("bin"), "left")
+        .select(col("bin"), col("a"), coalesce(col("b"), lit(0L)).as("b"))
+      val tots = perBin.agg(sum("a").as("np"), sum("b").as("nq"),
+        sum(when(col("b") === 0, 1L).otherwise(0L)).as("zero_bins"))
+      val term = when(col("b") > 0,
+        (col("a").cast("double") / col("np").cast("double")
+          - col("b").cast("double") / col("nq").cast("double")) *
+          (pln((col("a") * col("nq")).cast("double"))
+            - pln((col("b") * col("np")).cast("double"))))
+        .otherwise(lit(0.0))
+      val rows = perBin.crossJoin(broadcast(tots))
+        .select(col("bin"), col("a"), col("b"), col("np"), col("nq"),
+          col("zero_bins"), term.as("term"))
+      // fixed-order fold for the total: both engines add the ≤10 terms
+      // in ascending-bin order (partition-order-free)
+      val psi = rows
+        .agg(sort_array(collect_list(struct(col("bin"), col("term"))))
+          .as("ts"))
+        .select(aggregate(col("ts"), lit(0.0),
+          (acc, e) => acc + e.getField("term")).as("psi"))
+      rows.crossJoin(broadcast(psi))
+    }, Some("""
+      WITH ref AS (SELECT o_totalprice AS v, CAST(count(*) AS BIGINT) AS c
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+      cmp AS (SELECT o_totalprice AS v, CAST(count(*) AS BIGINT) AS c
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+      rr AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+          sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccum,
+          c, sum(c) OVER () AS n FROM ref),
+      ks AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS k),
+      edges AS (SELECT rr.v AS e FROM ks JOIN rr
+        ON ((rr.n - 1) * ks.k) // 10 + 1 > rr.ccum - rr.c
+          AND ((rr.n - 1) * ks.k) // 10 + 1 <= rr.ccum),
+      ba AS (SELECT bin, CAST(sum(c) AS BIGINT) AS a FROM
+        (SELECT r.v, any_value(r.c) AS c,
+            CAST(count(e.e) AS BIGINT) AS bin
+          FROM ref r LEFT JOIN edges e ON r.v > e.e GROUP BY r.v)
+        GROUP BY 1),
+      bb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS b FROM
+        (SELECT r.v, any_value(r.c) AS c,
+            CAST(count(e.e) AS BIGINT) AS bin
+          FROM cmp r LEFT JOIN edges e ON r.v > e.e GROUP BY r.v)
+        GROUP BY 1),
+      pb AS (SELECT ba.bin, a, CAST(coalesce(bb.b, 0) AS BIGINT) AS b
+        FROM ba LEFT JOIN bb ON ba.bin = bb.bin),
+      tots AS (SELECT CAST(sum(a) AS BIGINT) AS np,
+          CAST(sum(b) AS BIGINT) AS nq,
+          CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS zero_bins FROM pb),
+      rows_ AS (SELECT bin, a, b, np, nq, zero_bins,
+          CASE WHEN b > 0 THEN
+            (CAST(a AS DOUBLE) / CAST(np AS DOUBLE)
+              - CAST(b AS DOUBLE) / CAST(nq AS DOUBLE))
+            * (ln(CAST(a * nq AS DOUBLE)) - ln(CAST(b * np AS DOUBLE)))
+          ELSE 0.0 END AS term
+        FROM pb, tots),
+      psi AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_sort(list(struct_pack(bin := bin,
+            term := term))), e -> e.term)), (p, q) -> p + q) AS psi
+        FROM rows_)
+      SELECT bin, a, b, np, nq, term, psi, zero_bins
+      FROM rows_, psi""")),
+
+    // Cochran-Armitage trend test: is the finished-order rate MONOTONE
+    // in order priority (ordinal dose 1–5)? The dose domain is tiny, so
+    // after one row-scale count aggregation the whole statistic lives
+    // on 5 cells: the trend numerator Σsᵢ(rᵢN − nᵢR) and the variance
+    // core V = N·Σsᵢ²nᵢ − (Σsᵢnᵢ)² are pure BIGINT (order-free sums),
+    // and z = TN/√(R(N−R)·V/N) is the only floating-point step —
+    // identical tree in the oracle. The chi-square test (q179 family)
+    // ignores category order; this is the ordered-alternative power.
+    QueryDef("q217_cochran_armitage", (s, d) => {
+      val cells = t(s, d, "orders")
+        .select(substring(col("o_orderpriority"), 1, 1).cast("long")
+            .as("sx"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("f"))
+        .groupBy("sx")
+        .agg(count(lit(1)).as("ni"), sum("f").as("ri"))
+      val tot = cells.agg(sum("ni").as("n"), sum("ri").as("r"),
+        sum(col("sx") * col("ni")).as("sn"),
+        sum(col("sx") * col("sx") * col("ni")).as("s2n"))
+      cells.crossJoin(broadcast(tot))
+        .groupBy("n", "r", "sn", "s2n")
+        .agg(sum(col("sx") * (col("ri") * col("n")
+          - col("ni") * col("r"))).as("tn"))
+        .withColumn("v", col("n") * col("s2n") - col("sn") * col("sn"))
+        .select(col("n"), col("r"), col("tn"), col("v"),
+          (col("tn").cast("double")
+            / sqrt((col("r") * (col("n") - col("r"))).cast("double")
+              * col("v").cast("double") / col("n").cast("double")))
+            .as("z"))
+    }, Some("""
+      WITH cells AS (SELECT
+          CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS sx,
+          CAST(count(*) AS BIGINT) AS ni,
+          CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+            AS ri
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(sum(ni) AS BIGINT) AS n,
+          CAST(sum(ri) AS BIGINT) AS r,
+          CAST(sum(sx * ni) AS BIGINT) AS sn,
+          CAST(sum(sx * sx * ni) AS BIGINT) AS s2n FROM cells),
+      tr AS (SELECT n, r, sn, s2n,
+          CAST(sum(sx * (ri * n - ni * r)) AS BIGINT) AS tn
+        FROM cells, tot GROUP BY 1, 2, 3, 4)
+      SELECT n, r, tn, n * s2n - sn * sn AS v,
+        CAST(tn AS DOUBLE)
+          / sqrt(CAST(r * (n - r) AS DOUBLE)
+            * CAST(n * s2n - sn * sn AS DOUBLE) / CAST(n AS DOUBLE)) AS z
+      FROM tr""")),
+
+    // Cohen's kappa between the documents' labeled language and the
+    // engine's own n-gram/stopword language-ID heuristic (the q17
+    // classifier) — chance-corrected agreement, THE
+    // classifier-evaluation statistic for categorical predictions. The
+    // label domain includes languages the heuristic cannot emit
+    // (fr/zh), which is exactly the realistic open-domain case: the
+    // marginal join is FULL OUTER with 0 fills so chance agreement
+    // covers the union domain. κ = (N·Σnᵢᵢ − Σrᵢcᵢ)/(N² − Σrᵢcᵢ) is an
+    // exact BIGINT rational — ONE double division total. Cells are
+    // bounded by |langs|², so past the scan-side classify + count
+    // nothing is row-scale.
+    QueryDef("q218_cohens_kappa", (s, d) => {
+      import graft.functions.TextFunctions
+      val pairs = t(s, d, "documents")
+        .select(col("lang").as("ra"),
+          TextFunctions.langId(col("text")).as("rb"))
+      val cells = pairs.groupBy("ra", "rb").agg(count(lit(1)).as("c"))
+      val diag = cells.agg(
+        sum(when(col("ra") === col("rb"), col("c")).otherwise(0L))
+          .as("po_num"),
+        sum("c").as("n"))
+      val rows = cells.groupBy(col("ra").as("cat")).agg(sum("c").as("rc"))
+      val cols = cells.groupBy(col("rb").as("cat")).agg(sum("c").as("cc"))
+      val pe = rows.join(cols, Seq("cat"), "full_outer")
+        .agg(sum(coalesce(col("rc"), lit(0L))
+          * coalesce(col("cc"), lit(0L))).as("pe_num"))
+      diag.crossJoin(pe)
+        .select(col("n"), col("po_num"), col("pe_num"),
+          (col("po_num").cast("double") / col("n").cast("double"))
+            .as("po"),
+          (col("pe_num").cast("double")
+            / (col("n") * col("n")).cast("double")).as("pe"),
+          ((col("n") * col("po_num") - col("pe_num")).cast("double")
+            / (col("n") * col("n") - col("pe_num")).cast("double"))
+            .as("kappa"))
+    }, Some("""
+      WITH pairs AS (SELECT lang AS ra,
+          CASE
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b')) = 0
+            THEN 'und'
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+             AND len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'en'
+            WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'es'
+            ELSE 'de' END AS rb
+        FROM documents),
+      cells AS (SELECT ra, rb, CAST(count(*) AS BIGINT) AS c
+        FROM pairs GROUP BY 1, 2),
+      diag AS (SELECT CAST(sum(CASE WHEN ra = rb THEN c ELSE 0 END)
+            AS BIGINT) AS po_num,
+          CAST(sum(c) AS BIGINT) AS n FROM cells),
+      r AS (SELECT ra AS cat, CAST(sum(c) AS BIGINT) AS rc
+        FROM cells GROUP BY 1),
+      cl AS (SELECT rb AS cat, CAST(sum(c) AS BIGINT) AS cc
+        FROM cells GROUP BY 1),
+      pe AS (SELECT CAST(sum(coalesce(rc, 0) * coalesce(cc, 0))
+          AS BIGINT) AS pe_num
+        FROM r FULL OUTER JOIN cl USING (cat))
+      SELECT n, po_num, pe_num,
+        CAST(po_num AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe,
+        CAST(n * po_num - pe_num AS DOUBLE)
+          / CAST(n * n - pe_num AS DOUBLE) AS kappa
+      FROM diag, pe""")),
+
+    // Cochran-Mantel-Haenszel pooled odds ratio + CMH chi² (no
+    // continuity correction) for urgent-priority → finished-status
+    // association STRATIFIED by customer region — the
+    // confounder-adjusted 2×2×K readout this engine's
+    // disproportionality suite (q19/q74) would use to control a
+    // spurious pooled signal (Simpson's paradox guard). One row-scale
+    // orders⋈customer shuffle builds the 4·K cell table; every
+    // per-stratum term is a fixed double tree (the BIGINT factor
+    // products would overflow at web scale) and the four cross-stratum
+    // sums are sorted fixed-order folds over the K≤dimension strata.
+    QueryDef("q219_cmh_odds", (s, d) => {
+      val strata = t(s, d, "orders")
+        .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_regionkey").as("rk"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("rk"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("e"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("o"))
+        .groupBy("rk")
+        .agg(sum(col("e") * col("o")).as("da"),
+          sum(col("e") * (lit(1L) - col("o"))).as("db"),
+          sum((lit(1L) - col("e")) * col("o")).as("dc"),
+          sum((lit(1L) - col("e")) * (lit(1L) - col("o"))).as("dd"))
+        .withColumn("nn", col("da") + col("db") + col("dc") + col("dd"))
+      def dbl(c: Column) = c.cast("double")
+      val terms = strata.select(col("rk"), col("da"), col("db"),
+        col("dc"), col("dd"), col("nn"),
+        (dbl(col("da")) * dbl(col("dd")) / dbl(col("nn"))).as("ad_n"),
+        (dbl(col("db")) * dbl(col("dc")) / dbl(col("nn"))).as("bc_n"),
+        (dbl(col("da")) - dbl(col("da") + col("db"))
+          * dbl(col("da") + col("dc")) / dbl(col("nn"))).as("dev"),
+        (dbl(col("da") + col("db")) * dbl(col("dc") + col("dd"))
+          * dbl(col("da") + col("dc")) * dbl(col("db") + col("dd"))
+          / (dbl(col("nn")) * dbl(col("nn"))
+            * dbl(col("nn") - 1))).as("vr"))
+      // cross-stratum double sums in ascending-stratum order: both
+      // engines fold the ≤K terms in the same IEEE sequence
+      def fold(f: Column => Column, cs: Column) =
+        aggregate(cs, lit(0.0), (acc, e) => acc + f(e))
+      terms
+        .agg(sort_array(collect_list(struct(col("rk"), col("ad_n"),
+          col("bc_n"), col("dev"), col("vr")))).as("cs"),
+          count(lit(1)).as("k"))
+        .select(col("k"),
+          fold(_.getField("ad_n"), col("cs")).as("s_ad"),
+          fold(_.getField("bc_n"), col("cs")).as("s_bc"),
+          fold(_.getField("dev"), col("cs")).as("s_dev"),
+          fold(_.getField("vr"), col("cs")).as("s_var"))
+        .select(col("k"), col("s_ad"), col("s_bc"), col("s_dev"),
+          col("s_var"), (col("s_ad") / col("s_bc")).as("or_mh"),
+          (col("s_dev") * col("s_dev") / col("s_var")).as("chi2_cmh"))
+    }, Some("""
+      WITH strata AS (SELECT n_regionkey AS rk,
+          CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+            AND o_orderstatus = 'F') AS BIGINT) AS da,
+          CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+            AND o_orderstatus <> 'F') AS BIGINT) AS db,
+          CAST(count(*) FILTER (WHERE o_orderpriority <> '1-URGENT'
+            AND o_orderstatus = 'F') AS BIGINT) AS dc,
+          CAST(count(*) FILTER (WHERE o_orderpriority <> '1-URGENT'
+            AND o_orderstatus <> 'F') AS BIGINT) AS dd,
+          CAST(count(*) AS BIGINT) AS nn
+        FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1),
+      terms AS (SELECT rk,
+          CAST(da AS DOUBLE) * CAST(dd AS DOUBLE)
+            / CAST(nn AS DOUBLE) AS ad_n,
+          CAST(db AS DOUBLE) * CAST(dc AS DOUBLE)
+            / CAST(nn AS DOUBLE) AS bc_n,
+          CAST(da AS DOUBLE) - CAST(da + db AS DOUBLE)
+            * CAST(da + dc AS DOUBLE) / CAST(nn AS DOUBLE) AS dev,
+          CAST(da + db AS DOUBLE) * CAST(dc + dd AS DOUBLE)
+            * CAST(da + dc AS DOUBLE) * CAST(db + dd AS DOUBLE)
+            / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+              * CAST(nn - 1 AS DOUBLE)) AS vr
+        FROM strata),
+      folded AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          list_sort(list(struct_pack(rk := rk, ad_n := ad_n,
+            bc_n := bc_n, dev := dev, vr := vr))) AS cs
+        FROM terms),
+      sums AS (SELECT k,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, e -> e.ad_n)), (p, q) -> p + q) AS s_ad,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, e -> e.bc_n)), (p, q) -> p + q) AS s_bc,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, e -> e.dev)), (p, q) -> p + q) AS s_dev,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, e -> e.vr)), (p, q) -> p + q) AS s_var
+        FROM folded)
+      SELECT k, s_ad, s_bc, s_dev, s_var, s_ad / s_bc AS or_mh,
+        s_dev * s_dev / s_var AS chi2_cmh
+      FROM sums""")),
+
+    // Kruskal-Wallis H (tie-corrected) across ALL FIVE event-type value
+    // populations — the k-group generalization of q214's rank-sum test.
+    // Same scale shape: midranks from the distributed PrefixSum CDF
+    // over value-distinct cells (2·rank stays BIGINT), per-group rank
+    // sums from one cell join on the already-aggregated value key, and
+    // the k per-group R²/n terms fold in sorted group order; ties
+    // Σ(t³−t) stay cell-local BIGINT. Output is the per-group rank
+    // table (group, n, rank sum, mean rank) with H and the
+    // tie-corrected H' attached — group count is dimension-bounded so
+    // the broadcast attach is O(k).
+    QueryDef("q220_kruskal_wallis", (s, d) => {
+      val etv = t(s, d, "events")
+        .groupBy(col("value").as("v"), col("event_type").as("et"))
+        .agg(count(lit(1)).as("c"))
+      val tv = etv.groupBy("v").agg(sum("c").as("t"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(tv, "v", Seq("t"))
+        .select(col("v"), col("t"), col("t_cum"))
+      val mid2 = lit(2L) * (col("t_cum") - col("t")) + col("t") + lit(1L)
+      val rj = etv.join(cum, Seq("v"))
+        .groupBy("et")
+        .agg(sum(col("c") * mid2).as("r2"), sum("c").as("nj"))
+      val tot = tv.agg(sum("t").as("n"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
+      val nD = col("n").cast("double")
+      val h = (lit(12.0) / (nD * (nD + 1.0))) * col("s") -
+        lit(3.0) * (nD + 1.0)
+      val stats = rj
+        .agg(sort_array(collect_list(struct(col("et"), col("r2"),
+          col("nj")))).as("gs"), count(lit(1)).as("k"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n"), col("tt"),
+          aggregate(col("gs"), lit(0.0), (acc, e) =>
+            acc + e.getField("r2").cast("double")
+              * e.getField("r2").cast("double")
+              / (lit(4.0) * e.getField("nj").cast("double"))).as("s"))
+        .select(col("k"), col("n"), col("tt"), h.as("h"))
+        .select(col("k"), col("n"), col("tt"), col("h"),
+          (col("h") / (lit(1.0) - col("tt").cast("double")
+            / (nD * nD * nD - nD))).as("h_adj"))
+      rj.select(col("et"), col("nj"), col("r2"),
+          (col("r2").cast("double")
+            / (lit(2.0) * col("nj").cast("double"))).as("mean_rank"))
+        .crossJoin(broadcast(stats))
+    }, Some("""
+      WITH etv AS (SELECT value AS v, event_type AS et,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      tv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t
+        FROM etv GROUP BY 1),
+      cum AS (SELECT v, t, CAST(sum(t) OVER (ORDER BY v
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS t_cum FROM tv),
+      rj AS (SELECT et,
+          CAST(sum(c * (2 * (t_cum - t) + t + 1)) AS BIGINT) AS r2,
+          CAST(sum(c) AS BIGINT) AS nj
+        FROM etv JOIN cum USING (v) GROUP BY 1),
+      tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+          CAST(sum(t * t * t - t) AS BIGINT) AS tt FROM tv),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          list_sort(list(struct_pack(et := et, r2 := r2, nj := nj)))
+            AS gs
+        FROM rj),
+      hs AS (SELECT k, n, tt,
+          (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))
+            * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(gs, e -> CAST(e.r2 AS DOUBLE)
+                  * CAST(e.r2 AS DOUBLE)
+                  / (4.0 * CAST(e.nj AS DOUBLE)))), (p, q) -> p + q)
+            - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h
+        FROM st, tot)
+      SELECT et, nj, r2,
+        CAST(r2 AS DOUBLE) / (2.0 * CAST(nj AS DOUBLE)) AS mean_rank,
+        k, n, tt, h,
+        h / (1.0 - CAST(tt AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(n AS DOUBLE))) AS h_adj
+      FROM rj, hs"""))
+  )
+}
