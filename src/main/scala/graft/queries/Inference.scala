@@ -610,6 +610,323 @@ object Inference {
         h / (1.0 - CAST(tt AS DOUBLE)
           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
             - CAST(n AS DOUBLE))) AS h_adj
-      FROM rj, hs"""))
+      FROM rj, hs""")),
+
+    // One-way ANOVA F + η² effect size of l_quantity across return
+    // flags. The quantity domain is integral, so the second moments
+    // n_j/S_j/Q_j are exact BIGINT from ONE partial-aggregated scan;
+    // Σ S_j²/n_j folds over the k≤3 groups in sorted order as a fixed
+    // double tree (the BIGINT square would overflow at web scale), and
+    // F/η² are assembled from those folds — identical IEEE sequence in
+    // the oracle. Output is the per-group moment table with the global
+    // F attached (O(k) broadcast).
+    QueryDef("q221_anova_f", (s, d) => {
+      val x = col("l_quantity").cast("long")
+      val grp = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("g"))
+        .agg(count(lit(1)).as("nj"), sum(x).as("sj"),
+          sum(x * x).as("qj"))
+      val stats = grp
+        .agg(sort_array(collect_list(struct(col("g"), col("nj"),
+          col("sj"), col("qj")))).as("gs"), count(lit(1)).as("k"),
+          sum("nj").as("n"), sum("sj").as("ss"), sum("qj").as("qq"))
+        .withColumn("a", aggregate(col("gs"), lit(0.0), (acc, e) =>
+          acc + e.getField("sj").cast("double")
+            * e.getField("sj").cast("double")
+            / e.getField("nj").cast("double")))
+        .withColumn("ssb", col("a") - col("ss").cast("double")
+          * col("ss").cast("double") / col("n").cast("double"))
+        .withColumn("ssw", col("qq").cast("double") - col("a"))
+        .select(col("k"), col("n"), col("ssb"), col("ssw"),
+          ((col("ssb") / (col("k").cast("double") - 1.0))
+            / (col("ssw") / (col("n").cast("double")
+              - col("k").cast("double")))).as("f"),
+          (col("ssb") / (col("ssb") + col("ssw"))).as("eta2"))
+      grp.select(col("g"), col("nj"), col("sj"), col("qj"),
+          (col("sj").cast("double") / col("nj").cast("double"))
+            .as("mean_j"))
+        .crossJoin(broadcast(stats))
+    }, Some("""
+      WITH grp AS (SELECT l_returnflag AS g,
+          CAST(count(*) AS BIGINT) AS nj,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sj,
+          CAST(sum(CAST(l_quantity AS BIGINT)
+            * CAST(l_quantity AS BIGINT)) AS BIGINT) AS qj
+        FROM lineitem GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(nj) AS BIGINT) AS n, CAST(sum(sj) AS BIGINT) AS ss,
+          CAST(sum(qj) AS BIGINT) AS qq,
+          list_sort(list(struct_pack(g := g, nj := nj, sj := sj,
+            qj := qj))) AS gs
+        FROM grp),
+      aa AS (SELECT k, n, ss, qq,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(gs, e -> CAST(e.sj AS DOUBLE)
+              * CAST(e.sj AS DOUBLE) / CAST(e.nj AS DOUBLE))),
+            (p, q) -> p + q) AS a
+        FROM st),
+      f AS (SELECT k, n,
+          a - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+            / CAST(n AS DOUBLE) AS ssb,
+          CAST(qq AS DOUBLE) - a AS ssw
+        FROM aa)
+      SELECT g, nj, sj, qj,
+        CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE) AS mean_j,
+        k, n, ssb, ssw,
+        (ssb / (CAST(k AS DOUBLE) - 1.0))
+          / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f,
+        ssb / (ssb + ssw) AS eta2
+      FROM grp, f""")),
+
+    // Brown-Forsythe robust variance-homogeneity test (Levene with the
+    // MEDIAN center): one-way ANOVA F on |x − median_g| — the
+    // heteroscedasticity gate a careful analyst runs BEFORE trusting
+    // q221's pooled-variance F. The quantity domain is integral, so
+    // per-group medians come from the ≤50-cell CDF (x_(r1)+x_(r2) with
+    // r1=(n+1) DIV 2, r2=n DIV 2+1 covers both parities without
+    // branching) and every deviation is the BIGINT |2x − med2| — the
+    // half-unit scale cancels in F, so the whole statistic stays exact
+    // integer moments until the same sorted-fold double assembly as
+    // q221. All windows are group×50-cell bounded, never row-scale.
+    QueryDef("q222_brown_forsythe", (s, d) => {
+      val cells = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("g").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = cells.groupBy("g").agg(sum("c").as("nj"))
+      val cum = cells.withColumn("cc", sum("c").over(w))
+        .join(broadcast(tot), Seq("g"))
+      def pick(rk: Column, out: String) = cum
+        .where(col("cc") - col("c") < rk && rk <= col("cc"))
+        .select(col("g"), col("q").as(out))
+      val med = pick(expr("(nj + 1) DIV 2"), "x1")
+        .join(pick(expr("nj DIV 2 + 1"), "x2"), Seq("g"))
+        .select(col("g"), (col("x1") + col("x2")).as("med2"))
+      val z = cells.join(broadcast(med), Seq("g"))
+        .select(col("g"), col("c"),
+          abs(lit(2L) * col("q") - col("med2")).as("z2"))
+      val grp = z.groupBy("g")
+        .agg(sum("c").as("nj"), sum(col("c") * col("z2")).as("sj"),
+          sum(col("c") * col("z2") * col("z2")).as("qj"))
+      val stats = grp
+        .agg(sort_array(collect_list(struct(col("g"), col("nj"),
+          col("sj"), col("qj")))).as("gs"), count(lit(1)).as("k"),
+          sum("nj").as("n"), sum("sj").as("ss"), sum("qj").as("qq"))
+        .withColumn("a", aggregate(col("gs"), lit(0.0), (acc, e) =>
+          acc + e.getField("sj").cast("double")
+            * e.getField("sj").cast("double")
+            / e.getField("nj").cast("double")))
+        .withColumn("ssb", col("a") - col("ss").cast("double")
+          * col("ss").cast("double") / col("n").cast("double"))
+        .withColumn("ssw", col("qq").cast("double") - col("a"))
+        .select(col("k"), col("n"),
+          ((col("ssb") / (col("k").cast("double") - 1.0))
+            / (col("ssw") / (col("n").cast("double")
+              - col("k").cast("double")))).as("f_bf"))
+      grp.join(broadcast(med), Seq("g"))
+        .select(col("g"), col("nj"),
+          (col("med2").cast("double") / 2.0).as("median"),
+          (col("sj").cast("double")
+            / (lit(2.0) * col("nj").cast("double"))).as("mean_dev"))
+        .crossJoin(broadcast(stats))
+    }, Some("""
+      WITH cells AS (SELECT l_returnflag AS g,
+          CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2),
+      cum AS (SELECT g, q, c,
+          CAST(sum(c) OVER (PARTITION BY g ORDER BY q
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+          CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS nj
+        FROM cells),
+      med AS (SELECT m1.g, m1.x1 + m2.x2 AS med2 FROM
+        (SELECT g, q AS x1 FROM cum
+          WHERE cc - c < (nj + 1) // 2 AND (nj + 1) // 2 <= cc) m1
+        JOIN (SELECT g, q AS x2 FROM cum
+          WHERE cc - c < nj // 2 + 1 AND nj // 2 + 1 <= cc) m2
+        ON m1.g = m2.g),
+      z AS (SELECT cells.g, c, abs(2 * q - med2) AS z2
+        FROM cells JOIN med ON cells.g = med.g),
+      grp AS (SELECT g, CAST(sum(c) AS BIGINT) AS nj,
+          CAST(sum(c * z2) AS BIGINT) AS sj,
+          CAST(sum(c * z2 * z2) AS BIGINT) AS qj
+        FROM z GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(nj) AS BIGINT) AS n, CAST(sum(sj) AS BIGINT) AS ss,
+          CAST(sum(qj) AS BIGINT) AS qq,
+          list_sort(list(struct_pack(g := g, nj := nj, sj := sj,
+            qj := qj))) AS gs
+        FROM grp),
+      aa AS (SELECT k, n, ss, qq,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(gs, e -> CAST(e.sj AS DOUBLE)
+              * CAST(e.sj AS DOUBLE) / CAST(e.nj AS DOUBLE))),
+            (p, q) -> p + q) AS a
+        FROM st),
+      f AS (SELECT k, n,
+          ((a - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+            / ((CAST(qq AS DOUBLE) - a)
+              / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_bf
+        FROM aa)
+      SELECT g, nj, CAST(med2 AS DOUBLE) / 2.0 AS median,
+        CAST(sj AS DOUBLE) / (2.0 * CAST(nj AS DOUBLE)) AS mean_dev,
+        k, n, f_bf
+      FROM grp JOIN med USING (g), f""")),
+
+    // Deterministic multiplier ("Poisson") bootstrap standard error of
+    // mean l_quantity, B=32 replicates — distribution-free error bars
+    // with NO resampling pass: each row's per-replicate weight
+    // w∈{0,1,2,3} (probabilities 6/16, 6/16, 3/16, 1/16 ≈ Poisson(1))
+    // comes from one md5 nibble of (rowkey, b), so the whole bootstrap
+    // is one explode(×B) + partial-aggregated count — 2B counters per
+    // partition at any scale, the textbook streaming-bootstrap shape.
+    // The quantity is integral so every replicate's (Σw, Σwx) is exact
+    // BIGINT; replicate means and the SE fold over the 32 sorted
+    // replicate structs as fixed double trees.
+    QueryDef("q223_bootstrap_se", (s, d) => {
+      val reps = 32
+      val rows = t(s, d, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"),
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"))
+            .as("rk"))
+      val cells = rows
+        .select(col("x"), col("rk"),
+          explode(sequence(lit(1), lit(reps))).as("b"))
+        .select(col("b"), col("x"),
+          conv(substring(md5(concat_ws(":", col("rk"), col("b"))),
+            1, 1), 16, 10).cast("long").as("h"))
+        .select(col("b"), col("x"),
+          when(col("h") < 6, 0L).when(col("h") < 12, 1L)
+            .when(col("h") < 15, 2L).otherwise(3L).as("w"))
+        .groupBy("b")
+        .agg(sum("w").as("nb"), sum(col("w") * col("x")).as("sb"))
+      val obs = rows.agg(count(lit(1)).as("n"), sum("x").as("ss"))
+      cells
+        .agg(sort_array(collect_list(struct(col("b"), col("nb"),
+          col("sb")))).as("bs"), count(lit(1)).as("nrep"))
+        .crossJoin(obs)
+        .withColumn("ms", transform(col("bs"), e =>
+          e.getField("sb").cast("double")
+            / e.getField("nb").cast("double")))
+        .withColumn("boot_mean",
+          aggregate(col("ms"), lit(0.0), (acc, m) => acc + m)
+            / col("nrep").cast("double"))
+        .select(col("nrep"), col("n"),
+          (col("ss").cast("double") / col("n").cast("double"))
+            .as("mean_obs"),
+          col("boot_mean"),
+          sqrt(aggregate(col("ms"), lit(0.0), (acc, m) =>
+            acc + (m - col("boot_mean")) * (m - col("boot_mean")))
+            / (col("nrep").cast("double") - 1.0)).as("boot_se"))
+    }, Some("""
+      WITH rows_ AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+          CAST(l_orderkey AS VARCHAR) || ':'
+            || CAST(l_linenumber AS VARCHAR) AS rk
+        FROM lineitem),
+      reps AS (SELECT CAST(unnest(range(1, 33)) AS BIGINT) AS b),
+      wts AS (SELECT b, x,
+          CAST('0x' || substr(md5(rk || ':' || CAST(b AS VARCHAR)),
+            1, 1) AS BIGINT) AS h
+        FROM rows_, reps),
+      cells AS (SELECT b,
+          CAST(sum(CASE WHEN h < 6 THEN 0 WHEN h < 12 THEN 1
+            WHEN h < 15 THEN 2 ELSE 3 END) AS BIGINT) AS nb,
+          CAST(sum(x * CASE WHEN h < 6 THEN 0 WHEN h < 12 THEN 1
+            WHEN h < 15 THEN 2 ELSE 3 END) AS BIGINT) AS sb
+        FROM wts GROUP BY 1),
+      obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS ss FROM rows_),
+      fold AS (SELECT CAST(count(*) AS BIGINT) AS nrep,
+          list_transform(list_sort(list(struct_pack(b := b, nb := nb,
+            sb := sb))), e -> CAST(e.sb AS DOUBLE)
+            / CAST(e.nb AS DOUBLE)) AS ms
+        FROM cells),
+      bm AS (SELECT nrep, ms,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ms),
+            (p, q) -> p + q) / CAST(nrep AS DOUBLE) AS boot_mean
+        FROM fold)
+      SELECT nrep, n, CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS mean_obs,
+        boot_mean,
+        sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(ms, m -> (m - boot_mean) * (m - boot_mean))),
+          (p, q) -> p + q) / (CAST(nrep AS DOUBLE) - 1.0)) AS boot_se
+      FROM bm, obs""")),
+
+    // Exact-count permutation test for the R-vs-other mean-quantity
+    // gap, P=32 deterministic label shuffles: each permutation
+    // reassigns every row by one md5 bit of (rowkey, p), the permuted
+    // group moments are BIGINT counters from the same explode +
+    // partial-agg shape as q223 (2P counters per partition — no
+    // resampled copies of the data ever exist), and the p-value is an
+    // INTEGER count of permutations at least as extreme as the
+    // observed gap (d² comparison avoids abs; both engines compare
+    // identical IEEE doubles, so the count is deterministic). The
+    // distribution-free companion to q217/q221's parametric z/F.
+    QueryDef("q224_permutation_test", (s, d) => {
+      val perms = 32
+      val rows = t(s, d, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"),
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"))
+            .as("rk"))
+      val obs = rows.agg(count(lit(1)).as("n"), sum("x").as("ss"),
+        sum("r").as("n1"), sum(col("r") * col("x")).as("s1"))
+      val perm = rows
+        .select(col("x"), col("rk"),
+          explode(sequence(lit(1), lit(perms))).as("p"))
+        .select(col("p"), col("x"),
+          when(conv(substring(md5(concat_ws(":", col("rk"), col("p"))),
+            1, 1), 16, 10).cast("long") < 8, 1L).otherwise(0L).as("g1"))
+        .groupBy("p")
+        .agg(sum("g1").as("pn1"), sum(col("g1") * col("x")).as("ps1"))
+      def gap(s1: Column, n1: Column, ss: Column, n: Column) =
+        s1.cast("double") / n1.cast("double") -
+          (ss - s1).cast("double") / (n - n1).cast("double")
+      val d0 = gap(col("s1"), col("n1"), col("ss"), col("n"))
+      val dp = gap(col("ps1"), col("pn1"), col("ss"), col("n"))
+      perm.crossJoin(broadcast(obs))
+        .select(col("p"), d0.as("d_obs"), dp.as("d_perm"))
+        .groupBy("d_obs")
+        .agg(count(lit(1)).as("nperm"),
+          sum(when(col("d_perm") * col("d_perm")
+            >= col("d_obs") * col("d_obs"), 1L).otherwise(0L))
+            .as("n_extreme"))
+        .select(col("nperm"), col("d_obs"), col("n_extreme"),
+          ((col("n_extreme") + 1).cast("double")
+            / (col("nperm") + 1).cast("double")).as("p_value"))
+    }, Some("""
+      WITH rows_ AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r,
+          CAST(l_orderkey AS VARCHAR) || ':'
+            || CAST(l_linenumber AS VARCHAR) AS rk
+        FROM lineitem),
+      obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS ss, CAST(sum(r) AS BIGINT) AS n1,
+          CAST(sum(r * x) AS BIGINT) AS s1 FROM rows_),
+      ps AS (SELECT CAST(unnest(range(1, 33)) AS BIGINT) AS p),
+      perm AS (SELECT p,
+          CAST(sum(CASE WHEN CAST('0x' || substr(md5(rk || ':'
+            || CAST(p AS VARCHAR)), 1, 1) AS BIGINT) < 8
+            THEN 1 ELSE 0 END) AS BIGINT) AS pn1,
+          CAST(sum(CASE WHEN CAST('0x' || substr(md5(rk || ':'
+            || CAST(p AS VARCHAR)), 1, 1) AS BIGINT) < 8
+            THEN x ELSE 0 END) AS BIGINT) AS ps1
+        FROM rows_, ps GROUP BY 1),
+      gaps AS (SELECT p,
+          CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(ss - s1 AS DOUBLE) / CAST(n - n1 AS DOUBLE) AS d_obs,
+          CAST(ps1 AS DOUBLE) / CAST(pn1 AS DOUBLE)
+            - CAST(ss - ps1 AS DOUBLE) / CAST(n - pn1 AS DOUBLE)
+            AS d_perm
+        FROM perm, obs)
+      SELECT CAST(count(*) AS BIGINT) AS nperm, d_obs,
+        CAST(sum(CASE WHEN d_perm * d_perm >= d_obs * d_obs
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+        CAST(sum(CASE WHEN d_perm * d_perm >= d_obs * d_obs
+          THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+          / CAST(count(*) + 1 AS DOUBLE) AS p_value
+      FROM gaps GROUP BY d_obs"""))
   )
 }
