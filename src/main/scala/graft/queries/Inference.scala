@@ -927,6 +927,238 @@ object Inference {
         CAST(sum(CASE WHEN d_perm * d_perm >= d_obs * d_obs
           THEN 1 ELSE 0 END) + 1 AS DOUBLE)
           / CAST(count(*) + 1 AS DOUBLE) AS p_value
-      FROM gaps GROUP BY d_obs"""))
+      FROM gaps GROUP BY d_obs""")),
+
+    // Welch's unequal-variance t between the R and A return-flag
+    // quantity populations, with the Satterthwaite effective df — the
+    // two-sample test that does NOT assume q221's pooled variance. One
+    // filtered scan produces all six BIGINT moments (the quantity
+    // domain is integral); means, per-group sample variances, t and df
+    // are a single fixed double tree on that one row — mirrored
+    // verbatim in the oracle.
+    QueryDef("q225_welch_t", (s, d) => {
+      val x = col("l_quantity").cast("long")
+      def m(flag: String, c: Column) =
+        sum(when(col("l_returnflag") === flag, c).otherwise(0L))
+      val mom = t(s, d, "lineitem")
+        .where(col("l_returnflag").isin("R", "A"))
+        .agg(m("R", lit(1L)).as("n1"), m("R", x).as("s1"),
+          m("R", x * x).as("q1"), m("A", lit(1L)).as("n2"),
+          m("A", x).as("s2"), m("A", x * x).as("q2"))
+      def dbl(c: Column) = c.cast("double")
+      def mean(sc: Column, n: Column) = dbl(sc) / dbl(n)
+      def variance(q: Column, sc: Column, n: Column) =
+        (dbl(q) - dbl(sc) * dbl(sc) / dbl(n)) / (dbl(n) - 1.0)
+      val v1n = variance(col("q1"), col("s1"), col("n1")) / dbl(col("n1"))
+      val v2n = variance(col("q2"), col("s2"), col("n2")) / dbl(col("n2"))
+      mom.select(col("n1"), col("n2"),
+        mean(col("s1"), col("n1")).as("mean1"),
+        mean(col("s2"), col("n2")).as("mean2"),
+        ((mean(col("s1"), col("n1")) - mean(col("s2"), col("n2")))
+          / sqrt(v1n + v2n)).as("t_stat"),
+        ((v1n + v2n) * (v1n + v2n)
+          / (v1n * v1n / (dbl(col("n1")) - 1.0)
+            + v2n * v2n / (dbl(col("n2")) - 1.0))).as("df"))
+    }, Some("""
+      WITH mom AS (SELECT
+          CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+            AS n1,
+          CAST(sum(CAST(l_quantity AS BIGINT))
+            FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS s1,
+          CAST(sum(CAST(l_quantity AS BIGINT)
+              * CAST(l_quantity AS BIGINT))
+            FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS q1,
+          CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT)
+            AS n2,
+          CAST(sum(CAST(l_quantity AS BIGINT))
+            FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS s2,
+          CAST(sum(CAST(l_quantity AS BIGINT)
+              * CAST(l_quantity AS BIGINT))
+            FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS q2
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+      vs AS (SELECT n1, n2,
+          CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+          CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2,
+          ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+            / CAST(n1 AS DOUBLE) AS v1n,
+          ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+              / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
+            / CAST(n2 AS DOUBLE) AS v2n
+        FROM mom)
+      SELECT n1, n2, mean1, mean2,
+        (mean1 - mean2) / sqrt(v1n + v2n) AS t_stat,
+        (v1n + v2n) * (v1n + v2n)
+          / (v1n * v1n / (CAST(n1 AS DOUBLE) - 1.0)
+            + v2n * v2n / (CAST(n2 AS DOUBLE) - 1.0)) AS df
+      FROM vs""")),
+
+    // Empirical-Bayes (beta-binomial method-of-moments) shrinkage of
+    // per-nation finished-order rates toward the pooled rate — the
+    // small-group-rate stabilizer every per-entity-rate dashboard
+    // needs: raw rates for 60-order nations are noise, shrunk rates
+    // borrow strength. Prior strength M = p̄(1−p̄)/s² − 1 from the
+    // BETWEEN-group rate variance s² (a sorted fold over the k≤25
+    // group structs), clamped at 0; shrunk_g = (a_g + M·p̄)/(n_g + M).
+    // Group moments are BIGINT from one orders⋈customer shuffle;
+    // everything after is k-bounded with fixed double trees.
+    QueryDef("q226_eb_shrinkage", (s, d) => {
+      val grp = t(s, d, "orders")
+        .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey").as("nk")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("a"))
+      val prior = grp
+        .agg(sort_array(collect_list(struct(col("nk"), col("a"),
+          col("n")))).as("gs"), count(lit(1)).as("k"),
+          sum("a").as("sa"), sum("n").as("sn"))
+        .withColumn("p_bar",
+          col("sa").cast("double") / col("sn").cast("double"))
+        .withColumn("s2", aggregate(col("gs"), lit(0.0), (acc, e) =>
+          acc + (e.getField("a").cast("double")
+            / e.getField("n").cast("double") - col("p_bar"))
+            * (e.getField("a").cast("double")
+              / e.getField("n").cast("double") - col("p_bar")))
+          / (col("k").cast("double") - 1.0))
+        .select(col("k"), col("p_bar"), col("s2"),
+          greatest(col("p_bar") * (lit(1.0) - col("p_bar")) / col("s2")
+            - lit(1.0), lit(0.0)).as("m_strength"))
+      grp.crossJoin(broadcast(prior))
+        .select(col("nk"), col("a"), col("n"),
+          (col("a").cast("double") / col("n").cast("double"))
+            .as("rate"),
+          col("k"), col("p_bar"), col("m_strength"),
+          ((col("a").cast("double") + col("m_strength") * col("p_bar"))
+            / (col("n").cast("double") + col("m_strength")))
+            .as("shrunk"))
+    }, Some("""
+      WITH grp AS (SELECT c_nationkey AS nk,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+            AS a
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(a) AS BIGINT) AS sa, CAST(sum(n) AS BIGINT) AS sn,
+          list_sort(list(struct_pack(nk := nk, a := a, n := n))) AS gs
+        FROM grp),
+      pr AS (SELECT k,
+          CAST(sa AS DOUBLE) / CAST(sn AS DOUBLE) AS p_bar,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(gs, e ->
+              (CAST(e.a AS DOUBLE) / CAST(e.n AS DOUBLE)
+                - CAST(sa AS DOUBLE) / CAST(sn AS DOUBLE))
+              * (CAST(e.a AS DOUBLE) / CAST(e.n AS DOUBLE)
+                - CAST(sa AS DOUBLE) / CAST(sn AS DOUBLE)))),
+            (p, q) -> p + q) / (CAST(k AS DOUBLE) - 1.0) AS s2
+        FROM st),
+      ms AS (SELECT k, p_bar, s2,
+          greatest(p_bar * (1.0 - p_bar) / s2 - 1.0, 0.0) AS m_strength
+        FROM pr)
+      SELECT nk, a, n, CAST(a AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        k, p_bar, m_strength,
+        (CAST(a AS DOUBLE) + m_strength * p_bar)
+          / (CAST(n AS DOUBLE) + m_strength) AS shrunk
+      FROM grp, ms""")),
+
+    // Good-Turing frequency smoothing over the corpus trigram-shingle
+    // vocabulary (the q211 shingle — unigrams in this synthetic corpus
+    // have no rare tail, trigrams have the classic one): the
+    // frequency-of-frequencies table N_r and the discounted counts
+    // r* = (r+1)·N_{r+1}/N_r for r ≤ 5, plus the unseen-mass estimate
+    // p₀ = N₁/N — the LM-smoothing classic. Two keyed aggregations
+    // (shingle→count, count→N_r) are the only row-scale steps —
+    // exactly the shape that survives a 100 TB corpus — and the
+    // N_{r+1} lookup is a self-join on the tiny N_r table. One double
+    // division per output row.
+    QueryDef("q227_good_turing", (s, d) => {
+      val terms = t(s, d, "documents")
+        .select(split(col("text"), " ").as("ts"))
+        .where(size(col("ts")) >= 3)
+        .select(explode(transform(sequence(lit(1), size(col("ts")) - 2),
+          i => concat_ws("_", element_at(col("ts"), i),
+            element_at(col("ts"), i + 1),
+            element_at(col("ts"), i + 2)))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("r"))
+      val nr = terms.groupBy("r").agg(count(lit(1)).as("n_r"))
+      val tot = terms.agg(sum("r").as("n_tok"))
+        .crossJoin(broadcast(
+          nr.where(col("r") === 1)
+            .select(col("n_r").as("n_one"))))
+      nr.join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")),
+          Seq("r"))
+        .where(col("r") <= 5)
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("n_r"), col("n_r1"), col("n_tok"),
+          ((col("r") + 1).cast("double") * col("n_r1").cast("double")
+            / col("n_r").cast("double")).as("r_star"),
+          (col("n_one").cast("double") / col("n_tok").cast("double"))
+            .as("p0"))
+    }, Some("""
+      WITH dt AS (SELECT string_split(text, ' ') AS ts
+        FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      terms AS (SELECT
+          unnest(list_transform(range(1, len(ts) - 1), i ->
+            ts[i] || '_' || ts[i + 1] || '_' || ts[i + 2])) AS term
+        FROM dt),
+      tc AS (SELECT term, CAST(count(*) AS BIGINT) AS r
+        FROM terms GROUP BY 1),
+      nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+        FROM tc GROUP BY 1),
+      tot AS (SELECT CAST(sum(r) AS BIGINT) AS n_tok FROM tc),
+      one AS (SELECT n_r AS n_one FROM nr WHERE r = 1)
+      SELECT a.r, a.n_r, b.n_r AS n_r1, n_tok,
+        CAST(a.r + 1 AS DOUBLE) * CAST(b.n_r AS DOUBLE)
+          / CAST(a.n_r AS DOUBLE) AS r_star,
+        CAST(n_one AS DOUBLE) / CAST(n_tok AS DOUBLE) AS p0
+      FROM nr a JOIN nr b ON b.r = a.r + 1, tot, one
+      WHERE a.r <= 5""")),
+
+    // Chapman capture-recapture estimate of the active-user population
+    // from two independent "captures" (click events vs view events) —
+    // the coverage estimator a crawl pipeline uses to ask "how big is
+    // the web we HAVEN'T fetched?" from two overlapping crawl passes.
+    // One distinct-user aggregation builds both capture flags; the
+    // estimator N̂ = (n1+1)(n2+1)/(m+1) − 1 and its Seber variance are
+    // a fixed double tree on the three BIGINT counts (the factor
+    // products would overflow BIGINT at web scale).
+    QueryDef("q228_capture_recapture", (s, d) => {
+      val u = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("c1"),
+          max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("c2"))
+      def dbl(c: Column) = c.cast("double")
+      u.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+          sum(col("c1") * col("c2")).as("m"))
+        .select(col("n1"), col("n2"), col("m"),
+          ((dbl(col("n1")) + 1.0) * (dbl(col("n2")) + 1.0)
+            / (dbl(col("m")) + 1.0) - 1.0).as("n_hat"),
+          sqrt((dbl(col("n1")) + 1.0) * (dbl(col("n2")) + 1.0)
+            * (dbl(col("n1")) - dbl(col("m")))
+            * (dbl(col("n2")) - dbl(col("m")))
+            / ((dbl(col("m")) + 1.0) * (dbl(col("m")) + 1.0)
+              * (dbl(col("m")) + 2.0))).as("se"))
+    }, Some("""
+      WITH u AS (SELECT user_id,
+          max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+          max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+        FROM events GROUP BY 1),
+      cnt AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+          CAST(sum(c2) AS BIGINT) AS n2,
+          CAST(sum(c1 * c2) AS BIGINT) AS m FROM u)
+      SELECT n1, n2, m,
+        (CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+          / (CAST(m AS DOUBLE) + 1.0) - 1.0 AS n_hat,
+        sqrt((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+          * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE))
+          * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+          / ((CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 1.0)
+            * (CAST(m AS DOUBLE) + 2.0))) AS se
+      FROM cnt"""))
   )
 }
