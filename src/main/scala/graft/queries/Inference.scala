@@ -1159,6 +1159,265 @@ object Inference {
           * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
           / ((CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 1.0)
             * (CAST(m AS DOUBLE) + 2.0))) AS se
-      FROM cnt"""))
+      FROM cnt""")),
+
+    // Durbin-Watson serial-correlation statistic per event type over
+    // the daily-count series — the residual-autocorrelation companion
+    // to q209's ACF. Residuals from the series mean are kept EXACT by
+    // scaling through the day count (ê·nd = nd·x_t − Σx is BIGINT, and
+    // the nd² factor cancels in the ratio), so both quadratic sums are
+    // order-free BIGINT and DW = Σ(Δê)²/Σê² is ONE double division.
+    // The series is calendar-bounded; the lag window partitions by
+    // type — never row-scale.
+    QueryDef("q229_durbin_watson", (s, d) => {
+      val cells = t(s, d, "events")
+        .groupBy(col("event_type").as("et"),
+          col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cells.groupBy("et")
+        .agg(sum("c").as("sx"), count(lit(1)).as("nd"))
+      val w = Window.partitionBy("et").orderBy("day")
+      cells.join(broadcast(tot), Seq("et"))
+        .withColumn("en", col("nd") * col("c") - col("sx"))
+        .withColumn("enp", lag("en", 1).over(w))
+        .groupBy("et")
+        .agg(first("nd").as("nd"),
+          sum(col("en") * col("en")).as("sse"),
+          sum(when(col("enp").isNotNull,
+            (col("en") - col("enp")) * (col("en") - col("enp")))
+            .otherwise(0L)).as("ssd"))
+        .select(col("et"), col("nd"), col("sse"), col("ssd"),
+          (col("ssd").cast("double") / col("sse").cast("double"))
+            .as("dw"))
+    }, Some("""
+      WITH cells AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT et, CAST(sum(c) AS BIGINT) AS sx,
+          CAST(count(*) AS BIGINT) AS nd FROM cells GROUP BY 1),
+      en AS (SELECT cells.et, nd, nd * c - sx AS en,
+          lag(nd * c - sx) OVER (PARTITION BY cells.et ORDER BY day)
+            AS enp
+        FROM cells JOIN tot ON cells.et = tot.et)
+      SELECT et, CAST(any_value(nd) AS BIGINT) AS nd,
+        CAST(sum(en * en) AS BIGINT) AS sse,
+        CAST(sum(CASE WHEN enp IS NOT NULL
+          THEN (en - enp) * (en - enp) ELSE 0 END) AS BIGINT) AS ssd,
+        CAST(sum(CASE WHEN enp IS NOT NULL
+          THEN (en - enp) * (en - enp) ELSE 0 END) AS DOUBLE)
+          / CAST(sum(en * en) AS DOUBLE) AS dw
+      FROM en GROUP BY 1""")),
+
+    // Delta-method standard error for the cluster-randomized ratio
+    // metric "quantity per order" with CUSTOMERS as the independent
+    // clusters — the A/B-testing workhorse: per-unit averaging is
+    // wrong when units correlate within a customer, so the SE comes
+    // from cluster-level (Σx, Σy) bivariate moments. One
+    // lineitem⋈orders shuffle + one customer-keyed aggregation yield
+    // five exact BIGINT cluster moments; R = Σx/Σy and the linearized
+    // variance (s_x² − 2R·s_xy + R²·s_y²)/(n·μ_y²) are one fixed
+    // double tree.
+    QueryDef("q230_delta_method", (s, d) => {
+      val oq = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val cl = t(s, d, "orders")
+        .join(oq, col("o_orderkey") === col("ok"), "left")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(coalesce(col("qty"), lit(0L))).as("x"),
+          count(lit(1)).as("y"))
+      def dbl(c: Column) = c.cast("double")
+      val mom = cl.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val nD = dbl(col("n"))
+      val r = dbl(col("sx")) / dbl(col("sy"))
+      val vx = (dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")) / nD) /
+        (nD - 1.0)
+      val vy = (dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) / nD) /
+        (nD - 1.0)
+      val cxy = (dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")) / nD) /
+        (nD - 1.0)
+      val muY = dbl(col("sy")) / nD
+      mom.select(col("n"), col("sx"), col("sy"), r.as("ratio"),
+        sqrt((vx - lit(2.0) * r * cxy + r * r * vy)
+          / (nD * muY * muY)).as("se"))
+    }, Some("""
+      WITH oq AS (SELECT l_orderkey AS ok,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1),
+      cl AS (SELECT o_custkey AS ck,
+          CAST(sum(coalesce(qty, 0)) AS BIGINT) AS x,
+          CAST(count(*) AS BIGINT) AS y
+        FROM orders LEFT JOIN oq ON o_orderkey = ok GROUP BY 1),
+      mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(y * y) AS BIGINT) AS syy,
+          CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM cl)
+      SELECT n, sx, sy,
+        CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio,
+        sqrt((
+          (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+          - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+            * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+              * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1.0))
+          + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+            * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+            * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+              * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1.0)))
+          / (CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE)
+            / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE)
+            / CAST(n AS DOUBLE)))) AS se
+      FROM mom""")),
+
+    // Murphy decomposition of the Brier score (reliability −
+    // resolution + uncertainty) for a train/eval-split forecaster:
+    // per-priority finished-order rates estimated on ODD order keys
+    // forecast the EVEN-key outcomes — the calibration readout behind
+    // any probability-emitting model gate. One scan builds the 4·K
+    // train/eval cells; the forecast is constant within each of the
+    // K≤5 priority groups, so Brier/REL/RES are sorted fixed-order
+    // folds over K structs of exact-count-derived doubles. Output is
+    // the per-group calibration table with the decomposition attached.
+    QueryDef("q231_brier_decomposition", (s, d) => {
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("g"))
+        .agg(
+          sum(when(col("o_orderkey") % 2 === 1, 1L).otherwise(0L))
+            .as("tn"),
+          sum(when(col("o_orderkey") % 2 === 1
+            && col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("ta"),
+          sum(when(col("o_orderkey") % 2 === 0, 1L).otherwise(0L))
+            .as("m"),
+          sum(when(col("o_orderkey") % 2 === 0
+            && col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("o"))
+      val g = cells.select(col("g"), col("tn"), col("ta"), col("m"),
+        col("o"),
+        (col("ta").cast("double") / col("tn").cast("double")).as("p_g"),
+        (col("o").cast("double") / col("m").cast("double")).as("o_g"))
+      def fold(f: Column => Column, cs: Column) =
+        aggregate(cs, lit(0.0), (acc, e) => acc + f(e))
+      val dec = g
+        .agg(sort_array(collect_list(struct(col("g"), col("m"),
+          col("o"), col("p_g"), col("o_g")))).as("cs"),
+          sum("m").as("mm"), sum("o").as("oo"))
+        .withColumn("obar",
+          col("oo").cast("double") / col("mm").cast("double"))
+        .select(col("mm"), col("obar"),
+          (fold(e => e.getField("o").cast("double")
+            * (lit(1.0) - e.getField("p_g"))
+            * (lit(1.0) - e.getField("p_g"))
+            + (e.getField("m") - e.getField("o")).cast("double")
+            * e.getField("p_g") * e.getField("p_g"), col("cs"))
+            / col("mm").cast("double")).as("brier"),
+          (fold(e => e.getField("m").cast("double")
+            * (e.getField("p_g") - e.getField("o_g"))
+            * (e.getField("p_g") - e.getField("o_g")), col("cs"))
+            / col("mm").cast("double")).as("rel"),
+          (fold(e => e.getField("m").cast("double")
+            * (e.getField("o_g") - col("obar"))
+            * (e.getField("o_g") - col("obar")), col("cs"))
+            / col("mm").cast("double")).as("res"))
+        .withColumn("unc", col("obar") * (lit(1.0) - col("obar")))
+      g.crossJoin(broadcast(dec))
+    }, Some("""
+      WITH cells AS (SELECT o_orderpriority AS g,
+          CAST(count(*) FILTER (WHERE o_orderkey % 2 = 1) AS BIGINT)
+            AS tn,
+          CAST(count(*) FILTER (WHERE o_orderkey % 2 = 1
+            AND o_orderstatus = 'F') AS BIGINT) AS ta,
+          CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT)
+            AS m,
+          CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0
+            AND o_orderstatus = 'F') AS BIGINT) AS o
+        FROM orders GROUP BY 1),
+      g AS (SELECT *, CAST(ta AS DOUBLE) / CAST(tn AS DOUBLE) AS p_g,
+          CAST(o AS DOUBLE) / CAST(m AS DOUBLE) AS o_g
+        FROM cells),
+      st AS (SELECT CAST(sum(m) AS BIGINT) AS mm,
+          CAST(sum(o) AS BIGINT) AS oo,
+          list_sort(list(struct_pack(g := g, m := m, o := o,
+            p_g := p_g, o_g := o_g))) AS cs
+        FROM g),
+      dec AS (SELECT mm,
+          CAST(oo AS DOUBLE) / CAST(mm AS DOUBLE) AS obar,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, e -> CAST(e.o AS DOUBLE)
+              * (1.0 - e.p_g) * (1.0 - e.p_g)
+              + CAST(e.m - e.o AS DOUBLE) * e.p_g * e.p_g)),
+            (p, q) -> p + q) / CAST(mm AS DOUBLE) AS brier,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, e -> CAST(e.m AS DOUBLE)
+              * (e.p_g - e.o_g) * (e.p_g - e.o_g))),
+            (p, q) -> p + q) / CAST(mm AS DOUBLE) AS rel,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, e -> CAST(e.m AS DOUBLE)
+              * (e.o_g - CAST(oo AS DOUBLE) / CAST(mm AS DOUBLE))
+              * (e.o_g - CAST(oo AS DOUBLE) / CAST(mm AS DOUBLE)))),
+            (p, q) -> p + q) / CAST(mm AS DOUBLE) AS res
+        FROM st)
+      SELECT g.g, tn, ta, m, o, p_g, o_g, mm, obar, brier, rel, res,
+        obar * (1.0 - obar) AS unc
+      FROM g, dec""")),
+
+    // Theil-Sen robust trend slope per event type: the MEDIAN of all
+    // pairwise daily-count slopes — outlier-resistant where q209/q229's
+    // moment statistics are not. The series is calendar-bounded, so
+    // the pair table is ≤(days choose 2) rows per type and the median
+    // pick is a per-type window over that bounded set (slope ties
+    // broken by day pair — a deterministic total order in both
+    // engines); the x_(r1)/x_(r2) two-rank trick from q222 handles
+    // both parities, and the final average of two doubles is
+    // commutative, so no fold is needed.
+    QueryDef("q232_theil_sen", (s, d) => {
+      val cells = t(s, d, "events")
+        .groupBy(col("event_type").as("et"),
+          col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val a = cells.select(col("et"), col("day").as("da"),
+        col("c").as("ca"))
+      val b = cells.select(col("et").as("et2"), col("day").as("db"),
+        col("c").as("cb"))
+      val pairs = a.join(b,
+          col("et") === col("et2") && col("da") < col("db"))
+        .select(col("et"), col("da"), col("db"),
+          ((col("cb") - col("ca")).cast("double")
+            / datediff(col("db"), col("da")).cast("double"))
+            .as("slope"))
+      val w = Window.partitionBy("et")
+        .orderBy(col("slope"), col("da"), col("db"))
+      val tot = pairs.groupBy("et").agg(count(lit(1)).as("np"))
+      pairs.withColumn("rn", row_number().over(w))
+        .join(broadcast(tot), Seq("et"))
+        .where(col("rn") === expr("(np + 1) DIV 2")
+          || col("rn") === expr("np DIV 2 + 1"))
+        .groupBy("et")
+        .agg(first("np").as("npairs"), avg("slope").as("med_slope"))
+    }, Some("""
+      WITH cells AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      pairs AS (SELECT a.et, a.day AS da, b.day AS db,
+          CAST(b.c - a.c AS DOUBLE)
+            / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+        FROM cells a JOIN cells b
+          ON a.et = b.et AND a.day < b.day),
+      rn AS (SELECT *, row_number() OVER (PARTITION BY et
+            ORDER BY slope, da, db) AS rn,
+          count(*) OVER (PARTITION BY et) AS np
+        FROM pairs)
+      SELECT et, CAST(any_value(np) AS BIGINT) AS npairs,
+        avg(slope) AS med_slope
+      FROM rn
+      WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+      GROUP BY 1"""))
   )
 }
