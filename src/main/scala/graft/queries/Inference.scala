@@ -1418,6 +1418,276 @@ object Inference {
         avg(slope) AS med_slope
       FROM rn
       WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
-      GROUP BY 1"""))
+      GROUP BY 1""")),
+
+    // Best 1-D decision stump on o_totalprice predicting finished
+    // status — the information-gain split search behind every tree
+    // learner, run the 100 TB way: candidate splits are the
+    // value-distinct cells, BOTH class counts cumulate through ONE
+    // distributed PrefixSum pass, every candidate's IG is a narrow
+    // per-row expression (entropies via integer-argument portable_ln:
+    // c·(ln n − ln c) — the 0·ln0 cells guard to 0), and the winner is
+    // a TakeOrderedAndProject (bounded heap, deterministic value
+    // tie-break) — no per-split scans, no driver loop. Gini gain is
+    // reported at the same winning split.
+    QueryDef("q233_decision_stump", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def pln(c: Column) = call_function("portable_ln", c.cast("double"))
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_totalprice").as("v"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("a"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(cells, "v", Seq("n", "a"))
+      val tot = cells.agg(sum("n").as("nn"), sum("a").as("aa"))
+      // class-entropy mass of a node, times N: Σ_class c·(ln n − ln c)
+      def mass(cls: Column, n: Column) =
+        when(cls > 0, cls.cast("double") * (pln(n) - pln(cls)))
+          .otherwise(lit(0.0))
+      def nodeMass(a: Column, n: Column) = mass(a, n) + mass(n - a, n)
+      // Gini mass of a node, times N: n · (1 − (a² + (n−a)²)/n²)
+      def giniMass(a: Column, n: Column) =
+        n.cast("double") * (lit(1.0)
+          - (a.cast("double") * a.cast("double")
+            + (n - a).cast("double") * (n - a).cast("double"))
+            / (n.cast("double") * n.cast("double")))
+      val nl = col("n_cum")
+      val al = col("a_cum")
+      val nr = col("nn") - nl
+      val ar = col("aa") - al
+      cum.crossJoin(broadcast(tot))
+        .where(nl > 0 && nr > 0)
+        .select(col("v"), nl.as("nl"), al.as("al"), nr.as("nr"),
+          ar.as("ar"),
+          ((nodeMass(col("aa"), col("nn"))
+            - nodeMass(al, nl) - nodeMass(ar, nr))
+            / col("nn").cast("double")).as("ig"),
+          ((giniMass(col("aa"), col("nn"))
+            - giniMass(al, nl) - giniMass(ar, nr))
+            / col("nn").cast("double")).as("gini_gain"))
+        .orderBy(col("ig").desc, col("v")).limit(1)
+    }, Some("""
+      WITH cells AS (SELECT o_totalprice AS v,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+            AS a
+        FROM orders GROUP BY 1),
+      cum AS (SELECT v, n, a,
+          CAST(sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS nl,
+          CAST(sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS al
+        FROM cells),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+          CAST(sum(a) AS BIGINT) AS aa FROM cells),
+      ig AS (SELECT v, nl, al, nn - nl AS nr, aa - al AS ar,
+          ((CASE WHEN aa > 0 THEN CAST(aa AS DOUBLE)
+              * (ln(CAST(nn AS DOUBLE)) - ln(CAST(aa AS DOUBLE)))
+              ELSE 0.0 END
+            + CASE WHEN nn - aa > 0 THEN CAST(nn - aa AS DOUBLE)
+              * (ln(CAST(nn AS DOUBLE)) - ln(CAST(nn - aa AS DOUBLE)))
+              ELSE 0.0 END)
+           - (CASE WHEN al > 0 THEN CAST(al AS DOUBLE)
+              * (ln(CAST(nl AS DOUBLE)) - ln(CAST(al AS DOUBLE)))
+              ELSE 0.0 END
+            + CASE WHEN nl - al > 0 THEN CAST(nl - al AS DOUBLE)
+              * (ln(CAST(nl AS DOUBLE)) - ln(CAST(nl - al AS DOUBLE)))
+              ELSE 0.0 END)
+           - (CASE WHEN aa - al > 0 THEN CAST(aa - al AS DOUBLE)
+              * (ln(CAST(nn - nl AS DOUBLE))
+                - ln(CAST(aa - al AS DOUBLE)))
+              ELSE 0.0 END
+            + CASE WHEN (nn - nl) - (aa - al) > 0
+              THEN CAST((nn - nl) - (aa - al) AS DOUBLE)
+              * (ln(CAST(nn - nl AS DOUBLE))
+                - ln(CAST((nn - nl) - (aa - al) AS DOUBLE)))
+              ELSE 0.0 END))
+           / CAST(nn AS DOUBLE) AS ig,
+          ((CAST(nn AS DOUBLE) * (1.0
+              - (CAST(aa AS DOUBLE) * CAST(aa AS DOUBLE)
+                + CAST(nn - aa AS DOUBLE) * CAST(nn - aa AS DOUBLE))
+                / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))))
+           - (CAST(nl AS DOUBLE) * (1.0
+              - (CAST(al AS DOUBLE) * CAST(al AS DOUBLE)
+                + CAST(nl - al AS DOUBLE) * CAST(nl - al AS DOUBLE))
+                / (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE))))
+           - (CAST(nn - nl AS DOUBLE) * (1.0
+              - (CAST(aa - al AS DOUBLE) * CAST(aa - al AS DOUBLE)
+                + CAST((nn - nl) - (aa - al) AS DOUBLE)
+                  * CAST((nn - nl) - (aa - al) AS DOUBLE))
+                / (CAST(nn - nl AS DOUBLE) * CAST(nn - nl AS DOUBLE)))))
+           / CAST(nn AS DOUBLE) AS gini_gain
+        FROM cum, tot WHERE nl > 0 AND nn - nl > 0)
+      SELECT v, nl, al, nr, ar, ig, gini_gain
+      FROM ig ORDER BY ig DESC, v LIMIT 1""")),
+
+    // Weight-of-evidence + information value of the customer market
+    // segment for "has at least one finished order" — the
+    // credit-scoring feature-screening table. Per-customer outcomes
+    // from one orders aggregation (customers with no orders count as
+    // non-events via the left join), segment cells from a second;
+    // WoE_g = ln(good_g·B) − ln(bad_g·G) keeps every portable_ln
+    // argument an exact integer (the q204 pattern), zero cells emit 0
+    // with an audit flag instead of an epsilon, and IV folds the K≤5
+    // segment terms in sorted order.
+    QueryDef("q234_woe_iv", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def pln(c: Column) = call_function("portable_ln", c.cast("double"))
+      val outcome = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+        .join(t(s, d, "orders")
+            .groupBy(col("o_custkey"))
+            .agg(max(when(col("o_orderstatus") === "F", 1L)
+              .otherwise(0L)).as("y")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("seg"), coalesce(col("y"), lit(0L)).as("y"))
+      val cells = outcome.groupBy("seg")
+        .agg(sum("y").as("good"), sum(lit(1L) - col("y")).as("bad"))
+      val tot = cells.agg(sum("good").as("gg"), sum("bad").as("bb"))
+      val woe = when(col("good") > 0 && col("bad") > 0,
+        pln(col("good") * col("bb")) - pln(col("bad") * col("gg")))
+        .otherwise(lit(0.0))
+      val per = cells.crossJoin(broadcast(tot))
+        .select(col("seg"), col("good"), col("bad"), col("gg"),
+          col("bb"), woe.as("woe"),
+          when(col("good") === 0 || col("bad") === 0, 1L).otherwise(0L)
+            .as("zero_cell"))
+      val iv = per
+        .agg(sort_array(collect_list(struct(col("seg"),
+          ((col("good").cast("double") / col("gg").cast("double")
+            - col("bad").cast("double") / col("bb").cast("double"))
+            * col("woe")).as("term")))).as("cs"))
+        .select(aggregate(col("cs"), lit(0.0),
+          (acc, e) => acc + e.getField("term")).as("iv"))
+      per.crossJoin(broadcast(iv))
+    }, Some("""
+      WITH oc AS (SELECT o_custkey,
+          max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS y
+        FROM orders GROUP BY 1),
+      outcome AS (SELECT c_mktsegment AS seg,
+          CAST(coalesce(y, 0) AS BIGINT) AS y
+        FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+      cells AS (SELECT seg, CAST(sum(y) AS BIGINT) AS good,
+          CAST(sum(1 - y) AS BIGINT) AS bad
+        FROM outcome GROUP BY 1),
+      tot AS (SELECT CAST(sum(good) AS BIGINT) AS gg,
+          CAST(sum(bad) AS BIGINT) AS bb FROM cells),
+      per AS (SELECT seg, good, bad, gg, bb,
+          CASE WHEN good > 0 AND bad > 0
+            THEN ln(CAST(good * bb AS DOUBLE))
+              - ln(CAST(bad * gg AS DOUBLE))
+            ELSE 0.0 END AS woe,
+          CAST(CASE WHEN good = 0 OR bad = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS zero_cell
+        FROM cells, tot),
+      iv AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_sort(list(struct_pack(seg := seg,
+            term := (CAST(good AS DOUBLE) / CAST(gg AS DOUBLE)
+              - CAST(bad AS DOUBLE) / CAST(bb AS DOUBLE)) * woe))),
+            e -> e.term)), (p, q) -> p + q) AS iv
+        FROM per)
+      SELECT seg, good, bad, gg, bb, woe, zero_cell, iv
+      FROM per, iv""")),
+
+    // One-step Huber M-estimator of location for l_quantity per return
+    // flag — the outlier-clipped mean, computed WITHOUT any iteration:
+    // median and MAD come from the ≤50-cell group CDFs (the q222
+    // two-rank trick), and because both live on a half-unit integer
+    // grid, the ψ-clipping at c = 1.5·MAD is an EXACT integer
+    // comparison (4·dev vs ±3·mad4 in eighth-units) — the clipped-sum
+    // accumulator stays BIGINT and the estimate needs just two final
+    // divisions. Robust location at 100 TB: two dimension-bounded CDF
+    // picks plus one more cell pass.
+    QueryDef("q235_huber_location", (s, d) => {
+      val cells = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("g").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = cells.groupBy("g").agg(sum("c").as("nj"))
+      def twoRank(cdf: org.apache.spark.sql.DataFrame, vc: String,
+          out: String) = {
+        def pick(rk: Column, o: String) = cdf
+          .where(col("cc") - col("c") < rk && rk <= col("cc"))
+          .select(col("g"), col(vc).as(o))
+        pick(expr("(nj + 1) DIV 2"), "x1")
+          .join(pick(expr("nj DIV 2 + 1"), "x2"), Seq("g"))
+          .select(col("g"), (col("x1") + col("x2")).as(out))
+      }
+      val cum = cells.withColumn("cc", sum("c").over(w))
+        .join(broadcast(tot), Seq("g"))
+      val med = twoRank(cum, "q", "med2")
+      // deviation cells on the half-unit grid; two-rank again for MAD
+      val zc = cells.join(broadcast(med), Seq("g"))
+        .select(col("g"), col("c"),
+          abs(lit(2L) * col("q") - col("med2")).as("z2"))
+        .groupBy("g", "z2").agg(sum("c").as("c"))
+      val zw = Window.partitionBy("g").orderBy("z2")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val zcum = zc.withColumn("cc", sum("c").over(zw))
+        .join(broadcast(tot), Seq("g"))
+      val mad4 = twoRank(zcum, "z2", "mad4")
+      // ψ-clipped sum in eighth-units: clip(4·(2q − med2), ±3·mad4)
+      val dev4 = lit(4L) * (lit(2L) * col("q") - col("med2"))
+      val thr = lit(3L) * col("mad4")
+      val psi = cells.join(broadcast(med), Seq("g"))
+        .join(broadcast(mad4), Seq("g"))
+        .groupBy("g")
+        .agg(sum(col("c") * when(dev4 > thr, thr)
+          .when(dev4 < -thr, -thr).otherwise(dev4)).as("s8"),
+          sum("c").as("nj"))
+      psi.join(broadcast(med), Seq("g"))
+        .join(broadcast(mad4), Seq("g"))
+        .select(col("g"), col("nj"),
+          (col("med2").cast("double") / 2.0).as("median"),
+          (col("mad4").cast("double") / 4.0).as("mad"),
+          (col("med2").cast("double") / 2.0
+            + col("s8").cast("double")
+              / (lit(8.0) * col("nj").cast("double"))).as("huber"))
+    }, Some("""
+      WITH cells AS (SELECT l_returnflag AS g,
+          CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2),
+      cum AS (SELECT g, q, c,
+          CAST(sum(c) OVER (PARTITION BY g ORDER BY q
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+          CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS nj
+        FROM cells),
+      med AS (SELECT m1.g, m1.x1 + m2.x2 AS med2 FROM
+        (SELECT g, q AS x1 FROM cum
+          WHERE cc - c < (nj + 1) // 2 AND (nj + 1) // 2 <= cc) m1
+        JOIN (SELECT g, q AS x2 FROM cum
+          WHERE cc - c < nj // 2 + 1 AND nj // 2 + 1 <= cc) m2
+        ON m1.g = m2.g),
+      zc AS (SELECT cells.g, abs(2 * q - med2) AS z2,
+          CAST(sum(c) AS BIGINT) AS c
+        FROM cells JOIN med ON cells.g = med.g GROUP BY 1, 2),
+      zcum AS (SELECT g, z2, c,
+          CAST(sum(c) OVER (PARTITION BY g ORDER BY z2
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+          CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS nj
+        FROM zc),
+      mad AS (SELECT m1.g, m1.x1 + m2.x2 AS mad4 FROM
+        (SELECT g, z2 AS x1 FROM zcum
+          WHERE cc - c < (nj + 1) // 2 AND (nj + 1) // 2 <= cc) m1
+        JOIN (SELECT g, z2 AS x2 FROM zcum
+          WHERE cc - c < nj // 2 + 1 AND nj // 2 + 1 <= cc) m2
+        ON m1.g = m2.g),
+      psi AS (SELECT cells.g,
+          CAST(sum(c * CASE
+            WHEN 4 * (2 * q - med2) > 3 * mad4 THEN 3 * mad4
+            WHEN 4 * (2 * q - med2) < -3 * mad4 THEN -3 * mad4
+            ELSE 4 * (2 * q - med2) END) AS BIGINT) AS s8,
+          CAST(sum(c) AS BIGINT) AS nj
+        FROM cells JOIN med ON cells.g = med.g
+          JOIN mad ON cells.g = mad.g
+        GROUP BY 1)
+      SELECT psi.g, nj, CAST(med2 AS DOUBLE) / 2.0 AS median,
+        CAST(mad4 AS DOUBLE) / 4.0 AS mad,
+        CAST(med2 AS DOUBLE) / 2.0
+          + CAST(s8 AS DOUBLE) / (8.0 * CAST(nj AS DOUBLE)) AS huber
+      FROM psi JOIN med ON psi.g = med.g JOIN mad ON psi.g = mad.g"""))
   )
 }
