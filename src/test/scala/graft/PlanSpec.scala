@@ -220,4 +220,34 @@ class PlanSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
+
+  test("decision-stump winner is a bounded TakeOrdered, not a global sort (q233)") {
+    // the split search ranks one candidate row per distinct value —
+    // row-scale at web size, so the argmax must be a bounded heap
+    val plan = planOf(SparkEntry.queries("q233_decision_stump")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("GlobalLimit"), plan.take(800))
+  }
+
+  test("resampling fan-outs partial-aggregate map-side (q223, q224)") {
+    // the bootstrap/permutation explode(×B) must collapse to 2B
+    // counters per partition BEFORE the shuffle — a final-only
+    // aggregate would ship B copies of the fact table
+    Seq("q223_bootstrap_se", "q224_permutation_test").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$q should partial-aggregate:\n" + plan.take(800))
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must not cartesian:\n" + plan.take(800))
+    }
+  }
+
+  test("inference attach joins broadcast their 1-row/k-row sides (q216, q226)") {
+    Seq("q216_psi", "q226_eb_shrinkage").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains("BroadcastExchange")
+        || plan.contains("BroadcastNestedLoopJoin"),
+        s"$q should broadcast the tiny side:\n" + plan.take(800))
+    }
+  }
 }
