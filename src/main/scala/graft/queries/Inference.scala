@@ -1688,6 +1688,209 @@ object Inference {
         CAST(mad4 AS DOUBLE) / 4.0 AS mad,
         CAST(med2 AS DOUBLE) / 2.0
           + CAST(s8 AS DOUBLE) / (8.0 * CAST(nj AS DOUBLE)) AS huber
-      FROM psi JOIN med ON psi.g = med.g JOIN mad ON psi.g = mad.g"""))
+      FROM psi JOIN med ON psi.g = med.g JOIN mad ON psi.g = mad.g""")),
+
+    // Differentially-private count release per event type (Laplace
+    // mechanism, ε=1, sensitivity 1) with DETERMINISTIC noise: the
+    // Laplace draw inverts the CDF at u = md5("dp:"||type)/2³², so the
+    // "noise" is reproducible for the oracle — the honest caveat is
+    // documented (production would use a real RNG; the mechanism
+    // arithmetic, clamping, and per-key independence are what this
+    // query exercises). ln stays on exact integer arguments:
+    // ln(u_num+1) − ln(2³²) with u_num = 2³² − 2|h − 2³¹| — the q204
+    // portable_ln pattern. One partial-agg count; noise is O(1) per
+    // released key.
+    QueryDef("q236_dp_counts", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def pln(c: Column) = call_function("portable_ln", c.cast("double"))
+      val k = 4294967296L // 2^32
+      val counts = t(s, d, "events")
+        .groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("n_true"))
+      counts
+        .withColumn("h", conv(substring(md5(
+          concat(lit("dp:"), col("et"))), 1, 8), 16, 10).cast("long"))
+        .withColumn("u_num",
+          lit(k) - lit(2L) * abs(col("h") - lit(k / 2)))
+        .withColumn("noise",
+          when(col("h") >= k / 2, lit(-1.0)).otherwise(lit(1.0))
+            * (pln(col("u_num") + 1) - pln(lit(k))))
+        .select(col("et"), col("n_true"), col("h"), col("noise"),
+          (col("n_true").cast("double") + col("noise")).as("released"),
+          lit(1.0).as("epsilon"))
+    }, Some("""
+      WITH counts AS (SELECT event_type AS et,
+          CAST(count(*) AS BIGINT) AS n_true
+        FROM events GROUP BY 1),
+      hs AS (SELECT et, n_true,
+          CAST('0x' || substr(md5('dp:' || et), 1, 8) AS BIGINT) AS h
+        FROM counts),
+      un AS (SELECT et, n_true, h,
+          4294967296 - 2 * abs(h - 2147483648) AS u_num FROM hs),
+      ns AS (SELECT et, n_true, h,
+          (CASE WHEN h >= 2147483648 THEN -1.0 ELSE 1.0 END)
+            * (ln(CAST(u_num + 1 AS DOUBLE))
+              - ln(CAST(4294967296 AS DOUBLE))) AS noise
+        FROM un)
+      SELECT et, n_true, h, noise,
+        CAST(n_true AS DOUBLE) + noise AS released,
+        1.0 AS epsilon
+      FROM ns""")),
+
+    // k-anonymity + l-diversity audit of the customer table under the
+    // quasi-identifier (nation, market segment), k=10 / l=3, with the
+    // one-step generalization (nation only) beside it — the
+    // privacy-governance pre-flight a dataset-release pipeline runs
+    // before shipping. Sensitive attribute = acctbal thousand-band.
+    // Pure partial-aggregated group sizes + one distinct count per
+    // level; the audit output is O(levels), never row-scale.
+    QueryDef("q237_k_anonymity", (s, d) => {
+      val cust = t(s, d, "customer").select(
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("sens"))
+      def audit(level: String, keys: Seq[String]) = cust
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("sz"),
+          countDistinct("sens").as("ldiv"))
+        .agg(lit(level).as("level"), lit(10L).as("k"), lit(3L).as("l"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("sz") < 10, 1L).otherwise(0L))
+            .as("n_violating_k"),
+          sum(when(col("sz") < 10, col("sz")).otherwise(0L))
+            .as("rows_at_risk"),
+          min("ldiv").as("min_ldiv"),
+          sum(when(col("ldiv") < 3, 1L).otherwise(0L))
+            .as("n_violating_l"))
+      audit("nation_segment", Seq("nk", "seg"))
+        .unionAll(audit("nation_only", Seq("nk")))
+    }, Some("""
+      WITH cust AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+          CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sens
+        FROM customer),
+      g1 AS (SELECT nk, seg, CAST(count(*) AS BIGINT) AS sz,
+          CAST(count(DISTINCT sens) AS BIGINT) AS ldiv
+        FROM cust GROUP BY 1, 2),
+      g2 AS (SELECT nk, CAST(count(*) AS BIGINT) AS sz,
+          CAST(count(DISTINCT sens) AS BIGINT) AS ldiv
+        FROM cust GROUP BY 1),
+      a1 AS (SELECT 'nation_segment' AS level, CAST(10 AS BIGINT) AS k,
+          CAST(3 AS BIGINT) AS l, CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violating_k,
+          CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+            AS rows_at_risk,
+          CAST(min(ldiv) AS BIGINT) AS min_ldiv,
+          CAST(sum(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violating_l
+        FROM g1),
+      a2 AS (SELECT 'nation_only', CAST(10 AS BIGINT),
+          CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+          CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT),
+          CAST(min(ldiv) AS BIGINT),
+          CAST(sum(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM g2)
+      SELECT * FROM a1 UNION ALL SELECT * FROM a2""")),
+
+    // Leave-one-source-out corpus-quality sensitivity: how does each
+    // source's REMOVAL move the corpus stopword-hit rate (the q17
+    // quality signal)? The jackknife-by-source data-valuation readout a
+    // curation pipeline uses to rank sources for pruning. Per-doc
+    // stop-hit and token counts are exact integers, so the full and
+    // every LOO rate are BIGINT rationals with one division each; one
+    // scan, one source-keyed aggregation, K-bounded output.
+    QueryDef("q238_source_loo", (s, d) => {
+      val docs = t(s, d, "documents").select(col("source"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("\\b(the|a|and|of|to|in|is|that)\\b"), lit(0)))
+          .cast("long").as("hits"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), " ", "")) + 1)
+          .cast("long").as("toks"))
+      val per = docs.groupBy("source")
+        .agg(sum("hits").as("sx"), sum("toks").as("st"))
+      val tot = per.agg(sum("sx").as("tx"), sum("st").as("tt"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("sx"), col("st"),
+          (col("tx").cast("double") / col("tt").cast("double"))
+            .as("full_rate"),
+          ((col("tx") - col("sx")).cast("double")
+            / (col("tt") - col("st")).cast("double")).as("loo_rate"))
+        .withColumn("delta", col("loo_rate") - col("full_rate"))
+    }, Some("""
+      WITH docs AS (SELECT source,
+          CAST(len(regexp_extract_all(lower(text),
+            '\b(the|a|and|of|to|in|is|that)\b')) AS BIGINT) AS hits,
+          CAST(length(text) - length(replace(text, ' ', '')) + 1
+            AS BIGINT) AS toks
+        FROM documents),
+      per AS (SELECT source, CAST(sum(hits) AS BIGINT) AS sx,
+          CAST(sum(toks) AS BIGINT) AS st
+        FROM docs GROUP BY 1),
+      tot AS (SELECT CAST(sum(sx) AS BIGINT) AS tx,
+          CAST(sum(st) AS BIGINT) AS tt FROM per)
+      SELECT source, sx, st,
+        CAST(tx AS DOUBLE) / CAST(tt AS DOUBLE) AS full_rate,
+        CAST(tx - sx AS DOUBLE) / CAST(tt - st AS DOUBLE) AS loo_rate,
+        CAST(tx - sx AS DOUBLE) / CAST(tt - st AS DOUBLE)
+          - CAST(tx AS DOUBLE) / CAST(tt AS DOUBLE) AS delta
+      FROM per, tot""")),
+
+    // Kolmogorov-Smirnov uniformity audit of the engine's OWN md5 unit
+    // splitter (the q163-family A/B draw): the exact one-sample KS
+    // distance of u = h/2³² over distinct users against U(0,1), with
+    // the 1.36/√n 5% critical value beside it — if this audit fails,
+    // every md5-split experiment in the library is suspect. ECDF comes
+    // from the distributed PrefixSum over hash-distinct cells (never an
+    // unpartitioned window); D⁺/D⁻ are per-cell doubles reduced by
+    // max() — order-free, exact. The audit of the randomness is itself
+    // a 100 TB-shaped job.
+    QueryDef("q239_splitter_uniformity", (s, d) => {
+      val k = 4294967296L // 2^32
+      val cells = t(s, d, "events")
+        .select(col("user_id")).distinct()
+        .select(conv(substring(md5(col("user_id").cast("string")),
+          1, 8), 16, 10).cast("long").as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(cells, "h", Seq("c"))
+      val tot = cells.agg(sum("c").as("n"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("n"),
+          (col("c_cum").cast("double") / col("n").cast("double")
+            - col("h").cast("double") / lit(k.toDouble)).as("dp"),
+          (col("h").cast("double") / lit(k.toDouble)
+            - (col("c_cum") - col("c")).cast("double")
+              / col("n").cast("double")).as("dm"))
+        .groupBy("n")
+        .agg(max("dp").as("d_plus"), max("dm").as("d_minus"))
+        .select(col("n"), col("d_plus"), col("d_minus"),
+          greatest(col("d_plus"), col("d_minus")).as("d"),
+          (lit(1.36) / sqrt(col("n").cast("double"))).as("crit_05"),
+          when(greatest(col("d_plus"), col("d_minus"))
+            <= lit(1.36) / sqrt(col("n").cast("double")), 1L)
+            .otherwise(0L).as("uniform_ok"))
+    }, Some("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      hs AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+          1, 8) AS BIGINT) AS h FROM u),
+      cells AS (SELECT h, CAST(count(*) AS BIGINT) AS c
+        FROM hs GROUP BY 1),
+      cum AS (SELECT h, c, CAST(sum(c) OVER (ORDER BY h
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c_cum FROM cells),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+      ds AS (SELECT n,
+          max(CAST(c_cum AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(h AS DOUBLE) / 4294967296.0) AS d_plus,
+          max(CAST(h AS DOUBLE) / 4294967296.0
+            - CAST(c_cum - c AS DOUBLE) / CAST(n AS DOUBLE)) AS d_minus
+        FROM cum, tot GROUP BY 1)
+      SELECT n, d_plus, d_minus,
+        greatest(d_plus, d_minus) AS d,
+        1.36 / sqrt(CAST(n AS DOUBLE)) AS crit_05,
+        CAST(CASE WHEN greatest(d_plus, d_minus)
+          <= 1.36 / sqrt(CAST(n AS DOUBLE)) THEN 1 ELSE 0 END
+          AS BIGINT) AS uniform_ok
+      FROM ds"""))
   )
 }
