@@ -1891,6 +1891,230 @@ object Inference {
         CAST(CASE WHEN greatest(d_plus, d_minus)
           <= 1.36 / sqrt(CAST(n AS DOUBLE)) THEN 1 ELSE 0 END
           AS BIGINT) AS uniform_ok
-      FROM ds"""))
+      FROM ds""")),
+
+    // Inverse-propensity-weighted ATE of urgent priority on finished
+    // status, propensities estimated WITHIN market-segment strata —
+    // the observational-causal companion to q219's CMH: IPW reweights
+    // instead of pooling. Every stratum cell is BIGINT from one
+    // orders⋈customer shuffle; each stratum's treated/control
+    // contributions a_s·n_s/nt_s and c_s·n_s/(n_s−nt_s) are single
+    // fixed double trees, and the cross-stratum sum folds in sorted
+    // order over the K≤5 structs. Per-stratum propensity table with
+    // the ATE attached.
+    QueryDef("q240_ipw_ate", (s, d) => {
+      val strata = t(s, d, "orders")
+        .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("tr"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("ns"), sum("tr").as("nt"),
+          sum(col("tr") * col("y")).as("a"),
+          sum((lit(1L) - col("tr")) * col("y")).as("cc"))
+      def dbl(c: Column) = c.cast("double")
+      val terms = strata.select(col("seg"), col("ns"), col("nt"),
+        col("a"), col("cc"),
+        (dbl(col("nt")) / dbl(col("ns"))).as("e_s"),
+        (dbl(col("a")) * dbl(col("ns")) / dbl(col("nt"))
+          - dbl(col("cc")) * dbl(col("ns"))
+            / dbl(col("ns") - col("nt"))).as("term"))
+      val ate = terms
+        .agg(sort_array(collect_list(struct(col("seg"), col("term"))))
+          .as("cs"), sum("ns").as("n"))
+        .select(col("n"),
+          (aggregate(col("cs"), lit(0.0), (acc, e) =>
+            acc + e.getField("term")) / col("n").cast("double"))
+            .as("ate"))
+      terms.drop("term").crossJoin(broadcast(ate))
+    }, Some("""
+      WITH strata AS (SELECT c_mktsegment AS seg,
+          CAST(count(*) AS BIGINT) AS ns,
+          CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+            AS BIGINT) AS nt,
+          CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+            AND o_orderstatus = 'F') AS BIGINT) AS a,
+          CAST(count(*) FILTER (WHERE o_orderpriority <> '1-URGENT'
+            AND o_orderstatus = 'F') AS BIGINT) AS cc
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+      terms AS (SELECT seg, ns, nt, a, cc,
+          CAST(nt AS DOUBLE) / CAST(ns AS DOUBLE) AS e_s,
+          CAST(a AS DOUBLE) * CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE)
+            - CAST(cc AS DOUBLE) * CAST(ns AS DOUBLE)
+              / CAST(ns - nt AS DOUBLE) AS term
+        FROM strata),
+      ate AS (SELECT CAST(sum(ns) AS BIGINT) AS n,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(struct_pack(seg := seg,
+              term := term))), e -> e.term)), (p, q) -> p + q)
+            / CAST(sum(ns) AS DOUBLE) AS ate
+        FROM terms)
+      SELECT seg, ns, nt, a, cc, e_s, n, ate
+      FROM terms, ate""")),
+
+    // Difference-in-differences for the finished-order rate: urgent
+    // (treated) vs non-urgent (control) orders, pre/post the
+    // 1998-01-01 period cut — the panel-causal baseline. Four BIGINT
+    // cells from one scan; the DiD point estimate and its binomial SE
+    // (√Σp(1−p)/n over the four cells) are one fixed double tree.
+    QueryDef("q241_diff_in_diff", (s, d) => {
+      def cell(tr: Boolean, post: Boolean, c: Column) = {
+        val trc = if (tr) col("o_orderpriority") === "1-URGENT"
+          else col("o_orderpriority") =!= "1-URGENT"
+        val pc = if (post) col("o_orderdate") >= lit("1998-01-01")
+          else col("o_orderdate") < lit("1998-01-01")
+        sum(when(trc && pc, c).otherwise(0L))
+      }
+      val f = when(col("o_orderstatus") === "F", 1L).otherwise(0L)
+      val cells = t(s, d, "orders").agg(
+        cell(tr = true, post = false, lit(1L)).as("nt1"),
+        cell(tr = true, post = false, f).as("at1"),
+        cell(tr = true, post = true, lit(1L)).as("nt2"),
+        cell(tr = true, post = true, f).as("at2"),
+        cell(tr = false, post = false, lit(1L)).as("nc1"),
+        cell(tr = false, post = false, f).as("ac1"),
+        cell(tr = false, post = true, lit(1L)).as("nc2"),
+        cell(tr = false, post = true, f).as("ac2"))
+      def rate(a: String, n: String) =
+        col(a).cast("double") / col(n).cast("double")
+      def pv(a: String, n: String) =
+        rate(a, n) * (lit(1.0) - rate(a, n)) / col(n).cast("double")
+      cells.select(col("nt1"), col("nt2"), col("nc1"), col("nc2"),
+        rate("at1", "nt1").as("p_t1"), rate("at2", "nt2").as("p_t2"),
+        rate("ac1", "nc1").as("p_c1"), rate("ac2", "nc2").as("p_c2"),
+        ((rate("at2", "nt2") - rate("at1", "nt1"))
+          - (rate("ac2", "nc2") - rate("ac1", "nc1"))).as("did"),
+        sqrt(pv("at1", "nt1") + pv("at2", "nt2")
+          + pv("ac1", "nc1") + pv("ac2", "nc2")).as("se"))
+    }, Some("""
+      WITH cells AS (SELECT
+          CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+            AND o_orderdate < '1998-01-01') AS BIGINT) AS nt1,
+          CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+            AND o_orderdate < '1998-01-01' AND o_orderstatus = 'F')
+            AS BIGINT) AS at1,
+          CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+            AND o_orderdate >= '1998-01-01') AS BIGINT) AS nt2,
+          CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+            AND o_orderdate >= '1998-01-01' AND o_orderstatus = 'F')
+            AS BIGINT) AS at2,
+          CAST(count(*) FILTER (WHERE o_orderpriority <> '1-URGENT'
+            AND o_orderdate < '1998-01-01') AS BIGINT) AS nc1,
+          CAST(count(*) FILTER (WHERE o_orderpriority <> '1-URGENT'
+            AND o_orderdate < '1998-01-01' AND o_orderstatus = 'F')
+            AS BIGINT) AS ac1,
+          CAST(count(*) FILTER (WHERE o_orderpriority <> '1-URGENT'
+            AND o_orderdate >= '1998-01-01') AS BIGINT) AS nc2,
+          CAST(count(*) FILTER (WHERE o_orderpriority <> '1-URGENT'
+            AND o_orderdate >= '1998-01-01' AND o_orderstatus = 'F')
+            AS BIGINT) AS ac2
+        FROM orders)
+      SELECT nt1, nt2, nc1, nc2,
+        CAST(at1 AS DOUBLE) / CAST(nt1 AS DOUBLE) AS p_t1,
+        CAST(at2 AS DOUBLE) / CAST(nt2 AS DOUBLE) AS p_t2,
+        CAST(ac1 AS DOUBLE) / CAST(nc1 AS DOUBLE) AS p_c1,
+        CAST(ac2 AS DOUBLE) / CAST(nc2 AS DOUBLE) AS p_c2,
+        (CAST(at2 AS DOUBLE) / CAST(nt2 AS DOUBLE)
+          - CAST(at1 AS DOUBLE) / CAST(nt1 AS DOUBLE))
+        - (CAST(ac2 AS DOUBLE) / CAST(nc2 AS DOUBLE)
+          - CAST(ac1 AS DOUBLE) / CAST(nc1 AS DOUBLE)) AS did,
+        sqrt(
+          (CAST(at1 AS DOUBLE) / CAST(nt1 AS DOUBLE))
+            * (1.0 - CAST(at1 AS DOUBLE) / CAST(nt1 AS DOUBLE))
+            / CAST(nt1 AS DOUBLE)
+          + (CAST(at2 AS DOUBLE) / CAST(nt2 AS DOUBLE))
+            * (1.0 - CAST(at2 AS DOUBLE) / CAST(nt2 AS DOUBLE))
+            / CAST(nt2 AS DOUBLE)
+          + (CAST(ac1 AS DOUBLE) / CAST(nc1 AS DOUBLE))
+            * (1.0 - CAST(ac1 AS DOUBLE) / CAST(nc1 AS DOUBLE))
+            / CAST(nc1 AS DOUBLE)
+          + (CAST(ac2 AS DOUBLE) / CAST(nc2 AS DOUBLE))
+            * (1.0 - CAST(ac2 AS DOUBLE) / CAST(nc2 AS DOUBLE))
+            / CAST(nc2 AS DOUBLE)) AS se
+      FROM cells""")),
+
+    // Two-round IPF raking: reweight the odd-orderkey half's
+    // (priority × status) crosstab to the even half's margins — the
+    // survey-calibration / post-stratification primitive. The 15-cell
+    // table is domain-bounded, so the row pass is an exact rational
+    // (integer margin sums, one division per cell) and the column pass
+    // folds the per-column double weights in sorted row order before
+    // scaling; residual row-margin error after the column pass is
+    // reported the same fold-ordered way. Everything past the one
+    // counting scan is O(cells).
+    QueryDef("q242_raking", (s, d) => {
+      val base = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("i"),
+          col("o_orderstatus").as("j"))
+        .agg(
+          sum(when(col("o_orderkey") % 2 === 1, 1L).otherwise(0L))
+            .as("m"),
+          sum(when(col("o_orderkey") % 2 === 0, 1L).otherwise(0L))
+            .as("tgt"))
+      val rowM = base.groupBy("i")
+        .agg(sum("m").as("si"), sum("tgt").as("ri"))
+      val colM = base.groupBy("j").agg(sum("tgt").as("cj"))
+      // row pass: w1 = m·R_i/S_i (exact rational per cell)
+      val w1 = base.join(broadcast(rowM), Seq("i"))
+        .select(col("i"), col("j"), col("m"), col("tgt"),
+          (col("m").cast("double") * col("ri").cast("double")
+            / col("si").cast("double")).as("w1"))
+      // column pass: T_j = Σ_i w1 folded in sorted-i order, then
+      // w2 = w1·C_j/T_j
+      val tj = w1.groupBy("j")
+        .agg(sort_array(collect_list(struct(col("i"), col("w1"))))
+          .as("cs"))
+        .select(col("j"), aggregate(col("cs"), lit(0.0), (acc, e) =>
+          acc + e.getField("w1")).as("tj"))
+      val w2 = w1.join(broadcast(tj), Seq("j"))
+        .join(broadcast(colM), Seq("j"))
+        .select(col("i"), col("j"), col("m"), col("w1"),
+          (col("w1") * col("cj").cast("double") / col("tj")).as("w2"))
+      // residual row-margin error after the column pass
+      val rowErr = w2.groupBy("i")
+        .agg(sort_array(collect_list(struct(col("j"), col("w2"))))
+          .as("cs"))
+        .select(col("i"), aggregate(col("cs"), lit(0.0), (acc, e) =>
+          acc + e.getField("w2")).as("rsum"))
+        .join(broadcast(rowM), Seq("i"))
+        .select(col("i"),
+          (abs(col("rsum") - col("ri").cast("double"))
+            / col("ri").cast("double")).as("row_err"))
+      w2.join(broadcast(rowErr), Seq("i"))
+        .select(col("i"), col("j"), col("m"), col("w1"), col("w2"),
+          col("row_err"))
+    }, Some("""
+      WITH base AS (SELECT o_orderpriority AS i, o_orderstatus AS j,
+          CAST(count(*) FILTER (WHERE o_orderkey % 2 = 1) AS BIGINT)
+            AS m,
+          CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT)
+            AS tgt
+        FROM orders GROUP BY 1, 2),
+      rowm AS (SELECT i, CAST(sum(m) AS BIGINT) AS si,
+          CAST(sum(tgt) AS BIGINT) AS ri FROM base GROUP BY 1),
+      colm AS (SELECT j, CAST(sum(tgt) AS BIGINT) AS cj
+        FROM base GROUP BY 1),
+      w1 AS (SELECT i, j, m,
+          CAST(m AS DOUBLE) * CAST(ri AS DOUBLE) / CAST(si AS DOUBLE)
+            AS w1
+        FROM base JOIN rowm USING (i)),
+      tj AS (SELECT j, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_sort(list(struct_pack(i := i,
+            w1 := w1))), e -> e.w1)), (p, q) -> p + q) AS tj
+        FROM w1 GROUP BY 1),
+      w2 AS (SELECT i, j, m, w1,
+          w1 * CAST(cj AS DOUBLE) / tj AS w2
+        FROM w1 JOIN tj USING (j) JOIN colm USING (j)),
+      rerr AS (SELECT i,
+          abs(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(struct_pack(j := j,
+              w2 := w2))), e -> e.w2)), (p, q) -> p + q)
+            - CAST(ri AS DOUBLE)) / CAST(ri AS DOUBLE) AS row_err
+        FROM w2 JOIN rowm USING (i) GROUP BY i, ri)
+      SELECT i, j, m, w1, w2, row_err
+      FROM w2 JOIN rerr USING (i)"""))
   )
 }
