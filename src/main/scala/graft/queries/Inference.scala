@@ -2115,6 +2115,179 @@ object Inference {
             - CAST(ri AS DOUBLE)) / CAST(ri AS DOUBLE) AS row_err
         FROM w2 JOIN rowm USING (i) GROUP BY i, ri)
       SELECT i, j, m, w1, w2, row_err
-      FROM w2 JOIN rerr USING (i)"""))
+      FROM w2 JOIN rerr USING (i)""")),
+
+    // Lorenz curve decile table for line-item quantity concentration:
+    // at each population decile p=k/10, the cumulative share of total
+    // quantity held by the bottom p of lines — the inequality readout
+    // behind the q145 Gini-family scalars. Population ranks come from
+    // the distributed PrefixSum CDF over the ≤50 value cells; each
+    // decile's cumulative quantity interpolates WITHIN its boundary
+    // cell by exact integer interval arithmetic (rows below boundary ×
+    // cell value), so both coordinates are BIGINT rationals with one
+    // division each.
+    QueryDef("q243_lorenz_table", (s, d) => {
+      val cells = t(s, d, "lineitem")
+        .groupBy(col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("qs", col("q") * col("c"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(cells, "q", Seq("c", "qs"))
+      val tot = cells.agg(sum("c").as("n"), sum("qs").as("ts"))
+      val targets = tot
+        .select(col("n"), col("ts"),
+          explode(sequence(lit(1), lit(10))).as("k"))
+        .select(col("k").cast("long").as("k"), col("n"), col("ts"),
+          expr("(n * k) DIV 10").as("rk"))
+      // boundary cell: the cell containing rank rk; quantity below rk
+      // = qs_cum − qs + (rk − (c_cum − c))·q  (exact integers)
+      cum.join(broadcast(targets),
+          col("rk") > col("c_cum") - col("c")
+            && col("rk") <= col("c_cum"))
+        .select(col("k"), col("n"), col("ts"),
+          (col("qs_cum") - col("qs")
+            + (col("rk") - (col("c_cum") - col("c"))) * col("q"))
+            .as("cq"))
+        .select(col("k"), col("n"), col("ts"), col("cq"),
+          (col("k").cast("double") / 10.0).as("p"),
+          (col("cq").cast("double") / col("ts").cast("double"))
+            .as("share"))
+    }, Some("""
+      WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+          CAST(count(*) AS BIGINT) AS c,
+          CAST(l_quantity AS BIGINT) * CAST(count(*) AS BIGINT) AS qs
+        FROM lineitem GROUP BY 1),
+      cum AS (SELECT q, c, qs,
+          CAST(sum(c) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS c_cum,
+          CAST(sum(qs) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS qs_cum
+        FROM cells),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+          CAST(sum(qs) AS BIGINT) AS ts FROM cells),
+      ks AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS k, n, ts,
+          (n * unnest(range(1, 11))) // 10 AS rk
+        FROM tot)
+      SELECT k, n, ts,
+        qs_cum - qs + (rk - (c_cum - c)) * q AS cq,
+        CAST(k AS DOUBLE) / 10.0 AS p,
+        CAST(qs_cum - qs + (rk - (c_cum - c)) * q AS DOUBLE)
+          / CAST(ts AS DOUBLE) AS share
+      FROM cum JOIN ks ON rk > c_cum - c AND rk <= c_cum""")),
+
+    // Matthews correlation + precision/recall/F1 for the q17 lang-ID
+    // heuristic as a BINARY "is English" classifier against the
+    // labeled lang column — the imbalanced-class companion to q218's
+    // kappa. Four BIGINT confusion cells from one classify+count scan;
+    // MCC keeps its numerator an exact BIGINT and takes ONE sqrt of a
+    // double product (the BIGINT denominator product would overflow at
+    // corpus scale); precision/recall/F1 are exact rationals. F1 uses
+    // the 2TP/(2TP+FP+FN) form — one division, no nested ratios.
+    QueryDef("q244_mcc_f1", (s, d) => {
+      import graft.functions.TextFunctions
+      val cells = t(s, d, "documents")
+        .select((col("lang") === "en").cast("long").as("y"),
+          (TextFunctions.langId(col("text")) === "en").cast("long")
+            .as("p"))
+        .agg(sum(col("y") * col("p")).as("tp"),
+          sum((lit(1L) - col("y")) * col("p")).as("fp"),
+          sum(col("y") * (lit(1L) - col("p"))).as("fn"),
+          sum((lit(1L) - col("y")) * (lit(1L) - col("p"))).as("tn"))
+      def dbl(c: Column) = c.cast("double")
+      cells.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        (dbl(col("tp")) / dbl(col("tp") + col("fp"))).as("precision"),
+        (dbl(col("tp")) / dbl(col("tp") + col("fn"))).as("recall"),
+        (dbl(lit(2L) * col("tp"))
+          / dbl(lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"),
+        (dbl(col("tp") * col("tn") - col("fp") * col("fn"))
+          / sqrt(dbl(col("tp") + col("fp"))
+            * dbl(col("tp") + col("fn"))
+            * dbl(col("tn") + col("fp"))
+            * dbl(col("tn") + col("fn")))).as("mcc"))
+    }, Some("""
+      WITH pred AS (SELECT
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+          CASE WHEN (CASE
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b')) = 0
+            THEN 'und'
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+             AND len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'en'
+            WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'es'
+            ELSE 'de' END) = 'en' THEN 1 ELSE 0 END AS p
+        FROM documents),
+      cells AS (SELECT CAST(sum(y * p) AS BIGINT) AS tp,
+          CAST(sum((1 - y) * p) AS BIGINT) AS fp,
+          CAST(sum(y * (1 - p)) AS BIGINT) AS fn,
+          CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn
+        FROM pred)
+      SELECT tp, fp, fn, tn,
+        CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+        CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+        CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1,
+        CAST(tp * tn - fp * fn AS DOUBLE)
+          / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+            * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) AS mcc
+      FROM cells""")),
+
+    // "Fightin' words" distinctive-vocabulary ranking (Monroe et al.
+    // 2008): Dirichlet-smoothed log-odds z-scores of each term for the
+    // web source vs the rest of the corpus, top-10 by |z| — the
+    // corpus-comparison primitive a curation pipeline uses to
+    // characterize a source. With α=1 pseudo-counts every portable_ln
+    // argument is an exact integer product of counts (the q204
+    // pattern) and the variance term 1/(a+1)+1/(b+1) is two exact
+    // reciprocals; term cells are row-scale, so the ranking is a
+    // TakeOrderedAndProject with a deterministic |z|-then-term order,
+    // never a global sort.
+    QueryDef("q245_log_odds", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def pln(c: Column) = call_function("portable_ln", c.cast("double"))
+      val terms = t(s, d, "documents")
+        .select((col("source") === "src0").cast("long").as("w"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+"), lit(0))).as("term"))
+        .groupBy("term")
+        .agg(sum("w").as("a"), (count(lit(1)) - sum("w")).as("b"))
+      val tot = terms.agg(sum("a").as("na"), sum("b").as("nb"),
+        count(lit(1)).as("v"))
+      // delta = ln((a+1)/(na+v−a−1)) − ln((b+1)/(nb+v−b−1)), all
+      // integer ln arguments via the cross-product form
+      // parenthesized as ONE expression: a leading-minus continuation
+      // line would parse as a separate unary statement and silently
+      // drop the second term (the oracle gate caught exactly that)
+      val delta =
+        (pln((col("a") + 1) * (col("nb") + col("v") - col("b") - 1))
+          - pln((col("b") + 1) * (col("na") + col("v") - col("a") - 1)))
+      val z = delta / sqrt(lit(1.0) / (col("a") + 1).cast("double")
+        + lit(1.0) / (col("b") + 1).cast("double"))
+      terms.crossJoin(broadcast(tot))
+        .select(col("term"), col("a"), col("b"), z.as("z"))
+        .orderBy(abs(col("z")).desc, col("term")).limit(10)
+    }, Some("""
+      WITH tk AS (SELECT
+          CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS w,
+          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents),
+      terms AS (SELECT term, CAST(sum(w) AS BIGINT) AS a,
+          CAST(count(*) - sum(w) AS BIGINT) AS b
+        FROM tk GROUP BY 1),
+      tot AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+          CAST(sum(b) AS BIGINT) AS nb,
+          CAST(count(*) AS BIGINT) AS v FROM terms),
+      zs AS (SELECT term, a, b,
+          (ln(CAST((a + 1) * (nb + v - b - 1) AS DOUBLE))
+            - ln(CAST((b + 1) * (na + v - a - 1) AS DOUBLE)))
+          / sqrt(1.0 / CAST(a + 1 AS DOUBLE)
+            + 1.0 / CAST(b + 1 AS DOUBLE)) AS z
+        FROM terms, tot)
+      SELECT term, a, b, z
+      FROM zs ORDER BY abs(z) DESC, term LIMIT 10"""))
   )
 }
