@@ -779,9 +779,11 @@ object Inference {
     // mean l_quantity, B=32 replicates — distribution-free error bars
     // with NO resampling pass: each row's per-replicate weight
     // w∈{0,1,2,3} (probabilities 6/16, 6/16, 3/16, 1/16 ≈ Poisson(1))
-    // comes from one md5 nibble of (rowkey, b), so the whole bootstrap
-    // is one explode(×B) + partial-aggregated count — 2B counters per
-    // partition at any scale, the textbook streaming-bootstrap shape.
+    // comes from one hex nibble of md5(rowkey, chunk) — 16 replicates
+    // per digest — so the whole bootstrap is one explode(×B) +
+    // partial-aggregated count with B/16 hashes per row: 2B counters
+    // per partition at any scale, the textbook streaming-bootstrap
+    // shape.
     // The quantity is integral so every replicate's (Σw, Σwx) is exact
     // BIGINT; replicate means and the SE fold over the 32 sorted
     // replicate structs as fixed double trees.
@@ -791,12 +793,20 @@ object Inference {
         .select(col("l_quantity").cast("long").as("x"),
           concat_ws(":", col("l_orderkey"), col("l_linenumber"))
             .as("rk"))
+      // ONE digest feeds 16 replicates (its 16 hex nibbles), so the
+      // row×replicate fan-out computes reps/16 md5 calls per row, not
+      // reps — at 32 replicates a 16× cut in the dominant hash cost
+      // (this was the suite's heaviest query before the chunking)
       val cells = rows
         .select(col("x"), col("rk"),
-          explode(sequence(lit(1), lit(reps))).as("b"))
-        .select(col("b"), col("x"),
-          conv(substring(md5(concat_ws(":", col("rk"), col("b"))),
-            1, 1), 16, 10).cast("long").as("h"))
+          explode(sequence(lit(1), lit(reps / 16))).as("ch"))
+        .select(col("x"), col("ch"),
+          md5(concat_ws(":", col("rk"), col("ch"))).as("dig"))
+        .select(col("x"), col("ch"),
+          explode(sequence(lit(1), lit(16))).as("nib"), col("dig"))
+        .select(((col("ch") - 1) * 16 + col("nib")).as("b"), col("x"),
+          conv(substr(col("dig"), col("nib"), lit(1)), 16, 10)
+            .cast("long").as("h"))
         .select(col("b"), col("x"),
           when(col("h") < 6, 0L).when(col("h") < 12, 1L)
             .when(col("h") < 15, 2L).otherwise(3L).as("w"))
@@ -825,11 +835,12 @@ object Inference {
           CAST(l_orderkey AS VARCHAR) || ':'
             || CAST(l_linenumber AS VARCHAR) AS rk
         FROM lineitem),
-      reps AS (SELECT CAST(unnest(range(1, 33)) AS BIGINT) AS b),
-      wts AS (SELECT b, x,
-          CAST('0x' || substr(md5(rk || ':' || CAST(b AS VARCHAR)),
-            1, 1) AS BIGINT) AS h
-        FROM rows_, reps),
+      chs AS (SELECT CAST(unnest(range(1, 3)) AS BIGINT) AS ch),
+      nibs AS (SELECT CAST(unnest(range(1, 17)) AS BIGINT) AS nib),
+      wts AS (SELECT (ch - 1) * 16 + nib AS b, x,
+          CAST('0x' || substr(md5(rk || ':' || CAST(ch AS VARCHAR)),
+            CAST(nib AS INTEGER), 1) AS BIGINT) AS h
+        FROM rows_, chs, nibs),
       cells AS (SELECT b,
           CAST(sum(CASE WHEN h < 6 THEN 0 WHEN h < 12 THEN 1
             WHEN h < 15 THEN 2 ELSE 3 END) AS BIGINT) AS nb,
@@ -856,7 +867,8 @@ object Inference {
 
     // Exact-count permutation test for the R-vs-other mean-quantity
     // gap, P=32 deterministic label shuffles: each permutation
-    // reassigns every row by one md5 bit of (rowkey, p), the permuted
+    // reassigns every row by one nibble bit of md5(rowkey, chunk) —
+    // 16 permutations per digest, the q223 chunking — the permuted
     // group moments are BIGINT counters from the same explode +
     // partial-agg shape as q223 (2P counters per partition — no
     // resampled copies of the data ever exist), and the p-value is an
@@ -873,12 +885,18 @@ object Inference {
             .as("rk"))
       val obs = rows.agg(count(lit(1)).as("n"), sum("x").as("ss"),
         sum("r").as("n1"), sum(col("r") * col("x")).as("s1"))
+      // one digest feeds 16 permutations via its nibbles (the q223
+      // chunking): perms/16 md5 calls per row instead of perms
       val perm = rows
         .select(col("x"), col("rk"),
-          explode(sequence(lit(1), lit(perms))).as("p"))
-        .select(col("p"), col("x"),
-          when(conv(substring(md5(concat_ws(":", col("rk"), col("p"))),
-            1, 1), 16, 10).cast("long") < 8, 1L).otherwise(0L).as("g1"))
+          explode(sequence(lit(1), lit(perms / 16))).as("ch"))
+        .select(col("x"), col("ch"),
+          md5(concat_ws(":", col("rk"), col("ch"))).as("dig"))
+        .select(col("x"), col("ch"),
+          explode(sequence(lit(1), lit(16))).as("nib"), col("dig"))
+        .select(((col("ch") - 1) * 16 + col("nib")).as("p"), col("x"),
+          when(conv(substr(col("dig"), col("nib"), lit(1)), 16, 10)
+            .cast("long") < 8, 1L).otherwise(0L).as("g1"))
         .groupBy("p")
         .agg(sum("g1").as("pn1"), sum(col("g1") * col("x")).as("ps1"))
       def gap(s1: Column, n1: Column, ss: Column, n: Column) =
@@ -905,15 +923,18 @@ object Inference {
       obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
           CAST(sum(x) AS BIGINT) AS ss, CAST(sum(r) AS BIGINT) AS n1,
           CAST(sum(r * x) AS BIGINT) AS s1 FROM rows_),
-      ps AS (SELECT CAST(unnest(range(1, 33)) AS BIGINT) AS p),
-      perm AS (SELECT p,
+      chs AS (SELECT CAST(unnest(range(1, 3)) AS BIGINT) AS ch),
+      nibs AS (SELECT CAST(unnest(range(1, 17)) AS BIGINT) AS nib),
+      perm AS (SELECT (ch - 1) * 16 + nib AS p,
           CAST(sum(CASE WHEN CAST('0x' || substr(md5(rk || ':'
-            || CAST(p AS VARCHAR)), 1, 1) AS BIGINT) < 8
+            || CAST(ch AS VARCHAR)), CAST(nib AS INTEGER), 1)
+            AS BIGINT) < 8
             THEN 1 ELSE 0 END) AS BIGINT) AS pn1,
           CAST(sum(CASE WHEN CAST('0x' || substr(md5(rk || ':'
-            || CAST(p AS VARCHAR)), 1, 1) AS BIGINT) < 8
+            || CAST(ch AS VARCHAR)), CAST(nib AS INTEGER), 1)
+            AS BIGINT) < 8
             THEN x ELSE 0 END) AS BIGINT) AS ps1
-        FROM rows_, ps GROUP BY 1),
+        FROM rows_, chs, nibs GROUP BY 1),
       gaps AS (SELECT p,
           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
             - CAST(ss - s1 AS DOUBLE) / CAST(n - n1 AS DOUBLE) AS d_obs,
