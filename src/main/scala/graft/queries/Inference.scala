@@ -70,9 +70,14 @@ object Inference {
         .select(col("nk"), col("n"), col("n0"), col("n1"), col("n2"),
           coalesce(col("cd"), lit(0L)).as("cd"))
         .withColumn("tau_b",
-          col("cd").cast("double") /
-            sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
-              .cast("double")))
+          // a group with zero x- or y-variance has no defined tau —
+          // emit NaN explicitly (ANSI mode would otherwise raise
+          // DIVIDE_BY_ZERO; InferenceSpec pins the degenerate case)
+          when((col("n0") - col("n1")) * (col("n0") - col("n2")) > 0,
+            col("cd").cast("double") /
+              sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
+                .cast("double")))
+            .otherwise(lit(Double.NaN)))
     }, Some("""
       WITH xy AS (SELECT c_nationkey AS nk,
           CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS x,
@@ -97,8 +102,10 @@ object Inference {
           ON a.nk = b.nk AND a.x < b.x GROUP BY 1)
       SELECT nn.nk, n, n0, n1, n2,
         CAST(coalesce(cd, 0) AS BIGINT) AS cd,
-        CAST(coalesce(cd, 0) AS DOUBLE)
-          / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)) AS tau_b
+        CASE WHEN (n0 - n1) * (n0 - n2) > 0
+          THEN CAST(coalesce(cd, 0) AS DOUBLE)
+            / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS tau_b
       FROM nn JOIN tx USING (nk) JOIN ty USING (nk)
         LEFT JOIN cd ON nn.nk = cd.nk""")),
 

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case invariants for the inference batch (q213–q245) that the
+  * sf-fixture DuckDB gate can't reach: degenerate groups (zero rank
+  * variance, zero MAD, empty comparison bins), statistic bounds, the
+  * two-group Kruskal-Wallis ↔ Mann-Whitney identity, and raking margin
+  * closure. Fixtures are tiny constructed parquet dirs with exactly the
+  * columns each query reads.
+  */
+class InferenceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixture(tables: (String, DataFrame)*): String = {
+    val dir = Files.createTempDirectory("graft_inf_fix").toString
+    tables.foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$n.parquet") }
+    dir
+  }
+
+  private def q(name: String, dir: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("q213: all-tied x in a nation yields NaN tau, mixed nation stays in [-1,1]") {
+    import spark.implicits._
+    // nation 1: every order 1-URGENT (x constant → n0 == n1 → NaN);
+    // nation 2: perfectly concordant priorities/statuses → tau > 0
+    val orders = Seq(
+      (1L, 10L, "F", "1-URGENT"), (2L, 10L, "O", "1-URGENT"),
+      (3L, 11L, "P", "1-URGENT"), (4L, 11L, "F", "1-URGENT"),
+      (5L, 20L, "F", "1-URGENT"), (6L, 20L, "O", "3-MEDIUM"),
+      (7L, 21L, "P", "5-LOW"), (8L, 21L, "F", "1-URGENT"),
+      (9L, 22L, "O", "3-MEDIUM"), (10L, 22L, "P", "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+    val customer = Seq((10L, 1), (11L, 1), (20L, 2), (21L, 2), (22L, 2))
+      .toDF("c_custkey", "c_nationkey")
+    val dir = fixture("orders" -> orders, "customer" -> customer)
+    val rows = q("q213_kendall_tau", dir)
+      .select("nk", "tau_b").as[(Int, Double)].collect().toMap
+    assert(rows(1).isNaN, s"constant-x nation should be NaN: ${rows(1)}")
+    assert(!rows(2).isNaN && rows(2) > 0.0 && rows(2) <= 1.0, rows(2))
+  }
+
+  test("q216: comparison population missing from bins → zero_bins counted, psi finite") {
+    import spark.implicits._
+    // reference F spans 1..100; comparison O sits entirely in the top
+    // decile band → at least 8 empty comparison bins, psi still finite
+    val f = (1 to 100).map(i => (i.toLong, "F", i.toDouble))
+    val o = (1 to 20).map(i => (1000L + i, "O", 95.0 + i / 100.0))
+    val orders = (f ++ o)
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val dir = fixture("orders" -> orders)
+    val out = q("q216_psi", dir)
+      .select("zero_bins", "psi").distinct().as[(Long, Double)]
+      .collect()
+    assert(out.length === 1)
+    val (zb, psi) = out.head
+    assert(zb >= 8L, s"expected ≥8 empty comparison bins, got $zb")
+    assert(!psi.isNaN && !psi.isInfinite, s"psi must stay finite: $psi")
+  }
+
+  test("q235: MAD = 0 clips every deviation → huber == median") {
+    import spark.implicits._
+    // >50% of group A at value 7 → median 7, MAD 0 → ψ ≡ 0
+    val li = (Seq.fill(6)(7.0) ++ Seq(1.0, 2.0, 40.0, 50.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, i, "A", v) }
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    val dir = fixture("lineitem" -> li)
+    val row = q("q235_huber_location", dir)
+      .select("median", "mad", "huber").as[(Double, Double, Double)]
+      .collect().head
+    assert(row._1 === 7.0 && row._2 === 0.0, row)
+    assert(row._3 === row._1,
+      s"zero MAD must leave the estimate at the median: $row")
+  }
+
+  test("q224: p-value within [1/(P+1), 1] and extreme count within [0, P]") {
+    import spark.implicits._
+    val li = (1 to 40).map(i =>
+      (i.toLong, i, if (i % 2 == 0) "R" else "A", (i % 7 + 1).toDouble))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    val dir = fixture("lineitem" -> li)
+    val row = q("q224_permutation_test", dir)
+      .select("nperm", "n_extreme", "p_value")
+      .as[(Long, Long, Double)].collect().head
+    val (p, ext, pv) = row
+    assert(ext >= 0L && ext <= p, row)
+    assert(pv >= 1.0 / (p + 1) && pv <= 1.0, row)
+  }
+
+  test("q220 two-group H equals q214 z² (tie-corrected rank identity)") {
+    import spark.implicits._
+    // events restricted to exactly the two q214 types — the KW H with
+    // k=2 must equal the squared MWU z, both tie-corrected
+    val ev = ((1 to 30).map(i =>
+      (i.toLong, "click", (i % 5 + 1).toDouble)) ++
+      (1 to 25).map(i => (100L + i, "purchase", (i % 7 + 2).toDouble)))
+      .toDF("event_id", "event_type", "value")
+    val dir = fixture("events" -> ev)
+    val h = q("q220_kruskal_wallis", dir)
+      .select("h_adj").distinct().as[Double].collect().head
+    val z = q("q214_mann_whitney", dir)
+      .select("z").as[Double].collect().head
+    assert(math.abs(h - z * z) < 1e-9, s"H=$h z^2=${z * z}")
+  }
+
+  test("q242: column margins close exactly after the column pass, row error bounded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val orders = (1 to 400).map { i =>
+      (i.toLong, s"${rnd.nextInt(3) + 1}-P", Seq("F", "O", "P")(rnd.nextInt(3)))
+    }.toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val dir = fixture("orders" -> orders)
+    val out = q("q242_raking", dir).cache()
+    try {
+      val colClose = out.groupBy("j").agg(sum("w2").as("got"))
+        .join(orders.where(col("o_orderkey") % 2 === 0)
+          .groupBy(col("o_orderstatus").as("j"))
+          .agg(count(lit(1)).cast("double").as("want")), Seq("j"))
+        .select(max(abs(col("got") - col("want")))).as[Double]
+        .collect().head
+      assert(colClose < 1e-9, s"column margins must close: $colClose")
+      val maxRowErr = out.select(max("row_err")).as[Double]
+        .collect().head
+      assert(maxRowErr < 0.25, s"2-round IPF row error too large: $maxRowErr")
+    } finally out.unpersist()
+  }
+}
