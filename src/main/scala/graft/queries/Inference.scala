@@ -2316,6 +2316,197 @@ object Inference {
             + 1.0 / CAST(b + 1 AS DOUBLE)) AS z
         FROM terms, tot)
       SELECT term, a, b, z
-      FROM zs ORDER BY abs(z) DESC, term LIMIT 10"""))
+      FROM zs ORDER BY abs(z) DESC, term LIMIT 10""")),
+
+    // Per-source trigram NOVELTY of a new crawl wave against the prior
+    // corpus (wave = the md5 unit splitter on doc_id — doc_id PARITY
+    // would confound with the fixture's source assignment): what
+    // fraction of each source's new-wave shingle types was never seen
+    // before? The incremental-crawl value signal — a source whose
+    // novelty decays to 0 is re-serving old content. Two keyed
+    // aggregations plus one LEFT ANTI join on the already-shuffled
+    // term key (the q86 decontamination shape, rate-focused);
+    // everything downstream of the shingle explode is term-keyed, no
+    // row-scale collection.
+    QueryDef("q246_ngram_novelty", (s, d) => {
+      def shingles(newWave: Boolean) = t(s, d, "documents")
+        .where(if (newWave)
+          conv(substring(md5(col("doc_id").cast("string")), 1, 1),
+            16, 10).cast("long") < 8
+        else
+          conv(substring(md5(col("doc_id").cast("string")), 1, 1),
+            16, 10).cast("long") >= 8)
+        .select(col("source"), split(col("text"), " ").as("ts"))
+        .where(size(col("ts")) >= 3)
+        .select(col("source"),
+          explode(transform(sequence(lit(1), size(col("ts")) - 2),
+            i => concat_ws("_", element_at(col("ts"), i),
+              element_at(col("ts"), i + 1),
+              element_at(col("ts"), i + 2)))).as("term"))
+      val oldTerms = shingles(newWave = false).select("term").distinct()
+      val newTypes = shingles(newWave = true)
+        .select("source", "term").distinct()
+      val types = newTypes.groupBy("source")
+        .agg(count(lit(1)).as("n_types"))
+      val novel = newTypes.join(oldTerms, Seq("term"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("n_novel"))
+      types.join(novel, Seq("source"), "left")
+        .select(col("source"), col("n_types"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          (coalesce(col("n_novel"), lit(0L)).cast("double")
+            / col("n_types").cast("double")).as("novelty"))
+    }, Some("""
+      WITH dt AS (SELECT
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+            AS BIGINT) AS h,
+          source, string_split(text, ' ') AS ts
+        FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (SELECT h, source,
+          unnest(list_transform(range(1, len(ts) - 1), i ->
+            ts[i] || '_' || ts[i + 1] || '_' || ts[i + 2])) AS term
+        FROM dt),
+      old_t AS (SELECT DISTINCT term FROM sh WHERE h >= 8),
+      new_t AS (SELECT DISTINCT source, term FROM sh WHERE h < 8),
+      types AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types
+        FROM new_t GROUP BY 1),
+      novel AS (SELECT source, CAST(count(*) AS BIGINT) AS n_novel
+        FROM new_t ANTI JOIN old_t USING (term) GROUP BY 1)
+      SELECT source, n_types,
+        CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+        CAST(coalesce(n_novel, 0) AS DOUBLE)
+          / CAST(n_types AS DOUBLE) AS novelty
+      FROM types LEFT JOIN novel USING (source)""")),
+
+    // Simpson's-paradox detector over the urgent→finished association:
+    // for each candidate stratifier (region, market segment, nation),
+    // does the POOLED association sign contradict every stratum's
+    // sign? The audit that says WHEN q219's CMH / q240's IPW are
+    // mandatory instead of the pooled 2×2. Association sign is
+    // sign(ad − bc) — PURE BIGINT, no logs, no divisions — so the
+    // whole detector is integer arithmetic over domain-bounded cells;
+    // one customer⋈orders shuffle feeds all three stratifications.
+    QueryDef("q247_simpson_detector", (s, d) => {
+      val base = t(s, d, "orders")
+        .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey"),
+              col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_regionkey").cast("string").as("region"),
+          col("c_mktsegment").as("segment"),
+          col("c_nationkey").cast("string").as("nation"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("e"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("o"))
+      def detect(strat: String) = {
+        val cells = base.groupBy(col(strat).as("stratum"))
+          .agg(sum(col("e") * col("o")).as("a"),
+            sum(col("e") * (lit(1L) - col("o"))).as("b"),
+            sum((lit(1L) - col("e")) * col("o")).as("cc"),
+            sum((lit(1L) - col("e")) * (lit(1L) - col("o"))).as("dd"))
+          .withColumn("sgn", signum(
+            (col("a") * col("dd") - col("b") * col("cc"))
+              .cast("double")).cast("long"))
+        val pooled = cells.agg(sum("a").as("pa"), sum("b").as("pb"),
+          sum("cc").as("pc"), sum("dd").as("pd"))
+          .select(signum((col("pa") * col("pd") - col("pb") * col("pc"))
+            .cast("double")).cast("long").as("pooled_sign"))
+        cells.crossJoin(broadcast(pooled))
+          .agg(first("pooled_sign").as("pooled_sign"),
+            count(lit(1)).as("n_strata"),
+            sum(when(col("sgn") =!= 0L
+              && col("sgn") =!= col("pooled_sign"), 1L).otherwise(0L))
+              .as("n_reversed"),
+            sum(when(col("sgn") =!= 0L, 1L).otherwise(0L))
+              .as("n_signed"))
+          .select(lit(strat).as("stratifier"), col("pooled_sign"),
+            col("n_strata"), col("n_reversed"), col("n_signed"),
+            when(col("n_signed") > 0
+              && col("n_reversed") === col("n_signed"), 1L)
+              .otherwise(0L).as("simpson_flag"))
+      }
+      detect("region").unionAll(detect("segment"))
+        .unionAll(detect("nation"))
+    }, Some("""
+      WITH base AS (SELECT
+          CAST(n_regionkey AS VARCHAR) AS region,
+          c_mktsegment AS segment,
+          CAST(c_nationkey AS VARCHAR) AS nation,
+          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS e,
+          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o
+        FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey),
+      norm AS (
+        SELECT 'region' AS stratifier, region AS stratum, e, o FROM base
+        UNION ALL
+        SELECT 'segment', segment, e, o FROM base
+        UNION ALL
+        SELECT 'nation', nation, e, o FROM base),
+      cells AS (SELECT stratifier, stratum,
+          CAST(sum(e * o) AS BIGINT) AS a,
+          CAST(sum(e * (1 - o)) AS BIGINT) AS b,
+          CAST(sum((1 - e) * o) AS BIGINT) AS cc,
+          CAST(sum((1 - e) * (1 - o)) AS BIGINT) AS dd
+        FROM norm GROUP BY 1, 2),
+      pooled AS (SELECT stratifier,
+          CAST(sign(sum(a) * sum(dd) - sum(b) * sum(cc)) AS BIGINT)
+            AS pooled_sign
+        FROM cells GROUP BY 1),
+      sgns AS (SELECT stratifier, stratum,
+          CAST(sign(a * dd - b * cc) AS BIGINT) AS sgn
+        FROM cells)
+      SELECT sgns.stratifier, any_value(pooled_sign) AS pooled_sign,
+        CAST(count(*) AS BIGINT) AS n_strata,
+        CAST(sum(CASE WHEN sgn <> 0
+          AND sgn <> pooled_sign THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_reversed,
+        CAST(sum(CASE WHEN sgn <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_signed,
+        CAST(CASE WHEN sum(CASE WHEN sgn <> 0 THEN 1 ELSE 0 END) > 0
+          AND sum(CASE WHEN sgn <> 0 AND sgn <> pooled_sign
+            THEN 1 ELSE 0 END)
+            = sum(CASE WHEN sgn <> 0 THEN 1 ELSE 0 END)
+          THEN 1 ELSE 0 END AS BIGINT) AS simpson_flag
+      FROM sgns JOIN pooled ON sgns.stratifier = pooled.stratifier
+      GROUP BY 1""")),
+
+    // Day-of-week seasonality indices of the event stream: each dow's
+    // mean daily count relative to the overall mean daily count — the
+    // multiplicative seasonal profile behind capacity planning and the
+    // denominator of any deseasonalized anomaly check. Exact BIGINT
+    // rationals end-to-end: index = (s_d·ND)/(n_d·S) is integer
+    // products with ONE division; the only row-scale step is the daily
+    // count aggregation (calendar-bounded cells after that).
+    QueryDef("q248_seasonality_index", (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("dow", dayofweek(col("day")).cast("long"))
+      val per = daily.groupBy("dow")
+        .agg(count(lit(1)).as("n_days"), sum("c").as("s"))
+      val tot = per.agg(sum("n_days").as("nd"), sum("s").as("ss"))
+      per.crossJoin(broadcast(tot))
+        .select(col("dow"), col("n_days"), col("s"),
+          (col("s").cast("double") / col("n_days").cast("double"))
+            .as("mean_c"),
+          ((col("s") * col("nd")).cast("double")
+            / (col("n_days") * col("ss")).cast("double")).as("index"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      -- DuckDB dayofweek is 0=Sun..6=Sat; Spark is 1=Sun..7=Sat
+      per AS (SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+          CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(c) AS BIGINT) AS s
+        FROM daily GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_days) AS BIGINT) AS nd,
+          CAST(sum(s) AS BIGINT) AS ss FROM per)
+      SELECT dow, n_days, s,
+        CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_c,
+        CAST(s * nd AS DOUBLE) / CAST(n_days * ss AS DOUBLE) AS index
+      FROM per, tot"""))
   )
 }
