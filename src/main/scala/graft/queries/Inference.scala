@@ -2507,6 +2507,168 @@ object Inference {
       SELECT dow, n_days, s,
         CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_c,
         CAST(s * nd AS DOUBLE) / CAST(n_days * ss AS DOUBLE) AS index
-      FROM per, tot"""))
+      FROM per, tot""")),
+
+    // Benjamini-Hochberg FDR (α=0.05) over 25 SIMULTANEOUS per-nation
+    // permutation tests of the urgent-vs-other finished-rate gap — the
+    // multiple-testing discipline a per-entity screening dashboard
+    // needs (25 nations at α=0.05 expects ~1 false positive; BH bounds
+    // the false-discovery RATE instead). Everything stays exact
+    // integers: each test's p-value is the q224 extreme COUNT over
+    // P=16 md5-nibble label shuffles (one digest per order row), ranks
+    // come from a nation×nation self-join (m² = 625 pairs, bounded —
+    // no unpartitioned window), and the BH step p_(k) ≤ αk/m is the
+    // integer cross-product 20·m·(e_k+1) ≤ k·(P+1). Degenerate
+    // permuted splits guard to NaN (never extreme) instead of an ANSI
+    // divide error.
+    QueryDef("q249_bh_fdr", (s, d) => {
+      val perms = 16
+      val base = t(s, d, "orders")
+        .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey").as("nk")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("nk"), col("o_orderkey").as("ok"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("e"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val cells = base.groupBy("nk")
+        .agg(count(lit(1)).as("n"), sum("e").as("nt"),
+          sum(col("e") * col("y")).as("a1"), sum("y").as("aa"))
+      def dbl(c: Column) = c.cast("double")
+      def gap(s1: Column, n1: Column, sa: Column, n: Column) =
+        when(n1 > 0 && n - n1 > 0,
+          dbl(s1) / dbl(n1) - dbl(sa - s1) / dbl(n - n1))
+          .otherwise(lit(Double.NaN))
+      // one md5 digest per order feeds all 16 permutations (q223
+      // chunking); counters per (nation, permutation)
+      val perm = base
+        .select(col("nk"), col("y"),
+          md5(concat_ws(":", col("ok"), lit(1))).as("dig"))
+        .select(col("nk"), col("y"),
+          explode(sequence(lit(1), lit(perms))).as("p"), col("dig"))
+        .select(col("nk"), col("p"), col("y"),
+          when(conv(substr(col("dig"), col("p"), lit(1)), 16, 10)
+            .cast("long") < 8, 1L).otherwise(0L).as("g1"))
+        .groupBy("nk", "p")
+        .agg(sum("g1").as("pn1"), sum(col("g1") * col("y")).as("pa1"))
+      val tests = perm.join(broadcast(cells.select(col("nk"), col("n"),
+          col("aa"), col("nt"), col("a1"))), Seq("nk"))
+        .withColumn("dp", gap(col("pa1"), col("pn1"), col("aa"),
+          col("n")))
+        .withColumn("d0", gap(col("a1"), col("nt"), col("aa"),
+          col("n")))
+        .groupBy("nk")
+        .agg(first("d0").as("d_obs"),
+          sum(when(col("dp") * col("dp") >= col("d0") * col("d0"), 1L)
+            .otherwise(0L)).as("e_cnt"))
+        .withColumn("p_value",
+          (col("e_cnt") + 1).cast("double") / lit((perms + 1).toDouble))
+      // integer rank by (e_cnt, nk) via a bounded m×m self-join
+      val rks = tests.select(col("nk").as("nk2"), col("e_cnt").as("e2"))
+      val ranked = tests.join(rks,
+          col("e2") < col("e_cnt")
+            || (col("e2") === col("e_cnt") && col("nk2") <= col("nk")),
+          "left")
+        .groupBy("nk", "d_obs", "e_cnt", "p_value")
+        .agg(count(col("nk2")).as("rank"))
+      val m = tests.agg(count(lit(1)).as("m"))
+      // BH: k* = max rank with 20·m·(e+1) ≤ k·(P+1); no hit → 0
+      val kstar = ranked.crossJoin(broadcast(m))
+        .agg(coalesce(max(when(
+          lit(20L) * col("m") * (col("e_cnt") + 1)
+            <= col("rank") * (perms + 1), col("rank"))), lit(0L))
+          .as("kstar"))
+      ranked.crossJoin(broadcast(m)).crossJoin(broadcast(kstar))
+        .select(col("nk"), col("d_obs"), col("e_cnt"), col("p_value"),
+          col("rank"), col("m"), col("kstar"),
+          when(col("rank") <= col("kstar"), 1L).otherwise(0L)
+            .as("rejected"))
+    }, Some("""
+      WITH base AS (SELECT c_nationkey AS nk, o_orderkey AS ok,
+          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS e,
+          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      cells AS (SELECT nk, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(e) AS BIGINT) AS nt,
+          CAST(sum(e * y) AS BIGINT) AS a1,
+          CAST(sum(y) AS BIGINT) AS aa
+        FROM base GROUP BY 1),
+      ps AS (SELECT CAST(unnest(range(1, 17)) AS INTEGER) AS p),
+      perm AS (SELECT nk, p,
+          CAST(sum(CASE WHEN CAST('0x' || substr(md5(
+            CAST(ok AS VARCHAR) || ':1'), p, 1) AS BIGINT) < 8
+            THEN 1 ELSE 0 END) AS BIGINT) AS pn1,
+          CAST(sum(CASE WHEN CAST('0x' || substr(md5(
+            CAST(ok AS VARCHAR) || ':1'), p, 1) AS BIGINT) < 8
+            THEN y ELSE 0 END) AS BIGINT) AS pa1
+        FROM base, ps GROUP BY 1, 2),
+      gaps AS (SELECT perm.nk,
+          CASE WHEN pn1 > 0 AND n - pn1 > 0
+            THEN CAST(pa1 AS DOUBLE) / CAST(pn1 AS DOUBLE)
+              - CAST(aa - pa1 AS DOUBLE) / CAST(n - pn1 AS DOUBLE)
+            ELSE CAST('nan' AS DOUBLE) END AS dp,
+          CASE WHEN nt > 0 AND n - nt > 0
+            THEN CAST(a1 AS DOUBLE) / CAST(nt AS DOUBLE)
+              - CAST(aa - a1 AS DOUBLE) / CAST(n - nt AS DOUBLE)
+            ELSE CAST('nan' AS DOUBLE) END AS d0
+        FROM perm JOIN cells ON perm.nk = cells.nk),
+      tests AS (SELECT nk, any_value(d0) AS d_obs,
+          CAST(sum(CASE WHEN dp * dp >= d0 * d0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS e_cnt
+        FROM gaps GROUP BY 1),
+      ranked AS (SELECT a.nk, a.d_obs, a.e_cnt,
+          CAST(a.e_cnt + 1 AS DOUBLE) / 17.0 AS p_value,
+          CAST(count(b.nk) AS BIGINT) AS rank
+        FROM tests a LEFT JOIN tests b
+          ON b.e_cnt < a.e_cnt
+            OR (b.e_cnt = a.e_cnt AND b.nk <= a.nk)
+        GROUP BY 1, 2, 3),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tests),
+      kstar AS (SELECT CAST(coalesce(max(CASE
+            WHEN 20 * m * (e_cnt + 1) <= rank * 17 THEN rank END), 0)
+          AS BIGINT) AS kstar
+        FROM ranked, m)
+      SELECT nk, d_obs, e_cnt, p_value, rank, m, kstar,
+        CAST(CASE WHEN rank <= kstar THEN 1 ELSE 0 END AS BIGINT)
+          AS rejected
+      FROM ranked, m, kstar""")),
+
+    // Minimum-detectable-effect planning table per nation: given each
+    // nation's observed finished-rate baseline and order volume, the
+    // absolute and relative effect a 50/50 two-proportion test could
+    // detect at α=0.05 / 80% power — MDE = (z_{α/2}+z_β)·√(4p(1−p)/n).
+    // The "is this experiment even worth running here?" readout that
+    // pairs with q186's live A/B lift and q249's FDR screen. One
+    // shuffle, K-bounded output, one fixed double tree per row.
+    QueryDef("q250_mde", (s, d) => {
+      val grp = t(s, d, "orders")
+        .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey").as("nk")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("a"))
+      val p = col("a").cast("double") / col("n").cast("double")
+      val mde = lit(1.96 + 0.8416) *
+        sqrt(lit(4.0) * p * (lit(1.0) - p) / col("n").cast("double"))
+      grp.select(col("nk"), col("n"), col("a"), p.as("p_base"),
+        mde.as("mde_abs"), (mde / p).as("mde_rel"))
+    }, Some("""
+      WITH grp AS (SELECT c_nationkey AS nk,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+            AS a
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+      SELECT nk, n, a,
+        CAST(a AS DOUBLE) / CAST(n AS DOUBLE) AS p_base,
+        (1.96 + 0.8416) * sqrt(4.0 * (CAST(a AS DOUBLE)
+          / CAST(n AS DOUBLE)) * (1.0 - CAST(a AS DOUBLE)
+          / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS mde_abs,
+        ((1.96 + 0.8416) * sqrt(4.0 * (CAST(a AS DOUBLE)
+          / CAST(n AS DOUBLE)) * (1.0 - CAST(a AS DOUBLE)
+          / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+          / (CAST(a AS DOUBLE) / CAST(n AS DOUBLE)) AS mde_rel
+      FROM grp"""))
   )
 }
