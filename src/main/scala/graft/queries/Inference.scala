@@ -2669,6 +2669,126 @@ object Inference {
           / CAST(n AS DOUBLE)) * (1.0 - CAST(a AS DOUBLE)
           / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
           / (CAST(a AS DOUBLE) / CAST(n AS DOUBLE)) AS mde_rel
-      FROM grp"""))
+      FROM grp""")),
+
+    // CUPED variance reduction (Deng et al., WSDM'13) for the
+    // per-customer post-period order count using the pre-period count
+    // as the control covariate — the experimentation-platform staple
+    // that shrinks metric variance without touching the treatment
+    // effect. Both metrics are integer counts, so all five bivariate
+    // moments are exact BIGINT from ONE customer-keyed aggregation;
+    // θ = cov/var(X), the adjusted variance var(Y) − cov²/var(X), and
+    // the reduction ratio (=ρ²) are one fixed double tree on that
+    // single row.
+    QueryDef("q251_cuped", (s, d) => {
+      val cl = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(
+          sum(when(col("o_orderdate") < lit("1998-01-01"), 1L)
+            .otherwise(0L)).as("x"),
+          sum(when(col("o_orderdate") >= lit("1998-01-01"), 1L)
+            .otherwise(0L)).as("y"))
+      def dbl(c: Column) = c.cast("double")
+      val mom = cl.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val nD = dbl(col("n"))
+      val vx = (dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")) / nD) /
+        (nD - 1.0)
+      val vy = (dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) / nD) /
+        (nD - 1.0)
+      val cxy = (dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")) / nD) /
+        (nD - 1.0)
+      mom.select(col("n"),
+          (col("sy").cast("double") / nD).as("mean_y"),
+          (cxy / vx).as("theta"), vy.as("var_y"),
+          (vy - cxy * cxy / vx).as("var_y_adj"))
+        .withColumn("reduction",
+          lit(1.0) - col("var_y_adj") / col("var_y"))
+    }, Some("""
+      WITH cl AS (SELECT o_custkey AS ck,
+          CAST(count(*) FILTER (WHERE o_orderdate < '1998-01-01')
+            AS BIGINT) AS x,
+          CAST(count(*) FILTER (WHERE o_orderdate >= '1998-01-01')
+            AS BIGINT) AS y
+        FROM orders GROUP BY 1),
+      mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(y * y) AS BIGINT) AS syy,
+          CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM cl),
+      vs AS (SELECT n,
+          CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+          (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS cxy,
+          (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vx,
+          (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vy
+        FROM mom)
+      SELECT n, mean_y, cxy / vx AS theta, vy AS var_y,
+        vy - cxy * cxy / vx AS var_y_adj,
+        1.0 - (vy - cxy * cxy / vx) / vy AS reduction
+      FROM vs""")),
+
+    // Sample-ratio-mismatch monitor for the engine's md5 50/50 user
+    // split: the 1-df chi² of assignment counts overall AND per day
+    // (the worst-day drill-down that catches a time-localized
+    // assignment bug a whole-experiment test would dilute). Exact
+    // BIGINT cells — χ² = (n0−n1)²/(n0+n1) is one division per row;
+    // per-day rows are calendar-bounded, the overall verdict
+    // (χ² > 3.841 at α=0.05) rides along broadcast.
+    QueryDef("q252_srm", (s, d) => {
+      val tagged = t(s, d, "events")
+        .select(col("ts").cast("date").as("day"), col("user_id"))
+        .withColumn("v", pmod(conv(substring(
+          md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(2L)))
+      val daily = tagged.select("day", "user_id", "v").distinct()
+        .groupBy("day")
+        .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("d0"),
+          sum(when(col("v") === 1, 1L).otherwise(0L)).as("d1"))
+        .withColumn("chi2_day",
+          ((col("d0") - col("d1")) * (col("d0") - col("d1")))
+            .cast("double") / (col("d0") + col("d1")).cast("double"))
+      val overall = tagged.select("user_id", "v").distinct()
+        .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"))
+        .withColumn("chi2",
+          ((col("n0") - col("n1")) * (col("n0") - col("n1")))
+            .cast("double") / (col("n0") + col("n1")).cast("double"))
+        .withColumn("srm_flag",
+          when(col("chi2") > 3.841, 1L).otherwise(0L))
+      daily.crossJoin(broadcast(overall))
+    }, Some("""
+      WITH tagged AS (SELECT CAST(ts AS DATE) AS day, user_id,
+          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 2 AS v
+        FROM events),
+      daily AS (SELECT day,
+          CAST(count(DISTINCT CASE WHEN v = 0 THEN user_id END)
+            AS BIGINT) AS d0,
+          CAST(count(DISTINCT CASE WHEN v = 1 THEN user_id END)
+            AS BIGINT) AS d1
+        FROM tagged GROUP BY 1),
+      dd AS (SELECT day, d0, d1,
+          CAST((d0 - d1) * (d0 - d1) AS DOUBLE)
+            / CAST(d0 + d1 AS DOUBLE) AS chi2_day
+        FROM daily),
+      u AS (SELECT DISTINCT user_id, v FROM tagged),
+      overall AS (SELECT
+          CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM u),
+      ov AS (SELECT n0, n1,
+          CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+            / CAST(n0 + n1 AS DOUBLE) AS chi2
+        FROM overall)
+      SELECT day, d0, d1, chi2_day, n0, n1, chi2,
+        CAST(CASE WHEN chi2 > 3.841 THEN 1 ELSE 0 END AS BIGINT)
+          AS srm_flag
+      FROM dd, ov"""))
   )
 }
