@@ -110,6 +110,74 @@ class InferenceSpec extends AnyFunSuite {
     assert(math.abs(h - z * z) < 1e-9, s"H=$h z^2=${z * z}")
   }
 
+  test("q247: a constructed textbook paradox trips the flag; aligned strata don't") {
+    import spark.implicits._
+    // nation 1: treated 2/2 F vs control 4/5 F (treated better);
+    // nation 2: treated 1/5 F vs control 0/1 F (treated better);
+    // pooled: treated 3/7 vs control 4/6 — REVERSED (ad−bc = −10)
+    def orderRows(nk: Int, treatedF: Int, treatedNF: Int, controlF: Int,
+        controlNF: Int, base: Long) = {
+      val ck = 100L + nk
+      (Seq.fill(treatedF)(("1-URGENT", "F")) ++
+        Seq.fill(treatedNF)(("1-URGENT", "O")) ++
+        Seq.fill(controlF)(("3-MEDIUM", "F")) ++
+        Seq.fill(controlNF)(("3-MEDIUM", "O")))
+        .zipWithIndex.map { case ((pr, st), i) =>
+          (base + i, ck, st, pr) }
+    }
+    val orders = (orderRows(1, 2, 0, 4, 1, 0L) ++
+      orderRows(2, 1, 4, 0, 1, 100L))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+    val customer = Seq((101L, 1, "SEG"), (102L, 2, "SEG"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val nation = Seq((1, 0), (2, 0)).toDF("n_nationkey", "n_regionkey")
+    val dir = fixture("orders" -> orders, "customer" -> customer,
+      "nation" -> nation)
+    val flags = q("q247_simpson_detector", dir)
+      .select("stratifier", "simpson_flag", "pooled_sign")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(flags("nation") === ((1L, -1L)),
+      s"engineered reversal must flag: $flags")
+    // one region / one segment → the single stratum IS the pool → no flag
+    assert(flags("region")._1 === 0L && flags("segment")._1 === 0L,
+      flags.toString)
+  }
+
+  test("q231: Murphy identity brier = rel − res + unc holds on sf data") {
+    import spark.implicits._
+    val row = q("q231_brier_decomposition", "/root/testdata/sf0.001")
+      .select("brier", "rel", "res", "unc").distinct()
+      .as[(Double, Double, Double, Double)].collect().head
+    val (brier, rel, res, unc) = row
+    assert(math.abs(brier - (rel - res + unc)) < 1e-12, row)
+  }
+
+  test("q243: Lorenz shares are monotone, below the diagonal, and end at 1") {
+    import spark.implicits._
+    val pts = q("q243_lorenz_table", "/root/testdata/sf0.001")
+      .select("k", "p", "share").as[(Long, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(pts.map(_._1).toSeq === (1L to 10L))
+    pts.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, s"share must be nondecreasing: $a $b") }
+    pts.foreach { case (_, p, sh) =>
+      assert(sh <= p + 1e-12, s"Lorenz must sit under the diagonal") }
+    assert(pts.last._3 === 1.0, pts.last)
+  }
+
+  test("q249: BH ranks are a permutation of 1..m and rejections are a prefix") {
+    import spark.implicits._
+    val rows = q("q249_bh_fdr", "/root/testdata/sf0.001")
+      .select("rank", "m", "kstar", "rejected")
+      .as[(Long, Long, Long, Long)].collect()
+    val m = rows.head._2
+    assert(rows.map(_._1).sorted.toSeq === (1L to m))
+    rows.foreach { case (rank, _, kstar, rej) =>
+      assert(rej === (if (rank <= kstar) 1L else 0L)) }
+  }
+
   test("q242: column margins close exactly after the column pass, row error bounded") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
