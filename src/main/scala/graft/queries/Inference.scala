@@ -2789,6 +2789,278 @@ object Inference {
       SELECT day, d0, d1, chi2_day, n0, n1, chi2,
         CAST(CASE WHEN chi2 > 3.841 THEN 1 ELSE 0 END AS BIGINT)
           AS srm_flag
-      FROM dd, ov"""))
+      FROM dd, ov""")),
+
+    // McNemar paired-classifier test: does the full q17 lang-ID beat
+    // the naive "any English stopword → en" rule ON THE SAME
+    // documents? Paired designs need the DISCORDANT counts (b = only
+    // the full model right, c = only the naive rule right), not two
+    // independent accuracies — χ² = (b−c)²/(b+c). One classify+count
+    // scan, exact BIGINT cells, accuracies as exact rationals; a
+    // no-discordance corpus guards to NaN rather than an ANSI divide
+    // error.
+    QueryDef("q253_mcnemar", (s, d) => {
+      import graft.functions.TextFunctions
+      val en = size(regexp_extract_all(lower(col("text")),
+        lit("\\b(the|a|and|of|to|in|is|that)\\b"), lit(0)))
+      val scored = t(s, d, "documents").select(
+        (col("lang") === "en").cast("long").as("y"),
+        (TextFunctions.langId(col("text")) === "en").cast("long")
+          .as("pa"),
+        (en > 0).cast("long").as("pb"))
+        .select(col("y"),
+          (col("pa") === col("y")).cast("long").as("ra"),
+          (col("pb") === col("y")).cast("long").as("rb"))
+      scored.agg(count(lit(1)).as("n"), sum("ra").as("ok_a"),
+          sum("rb").as("ok_b"),
+          sum(col("ra") * (lit(1L) - col("rb"))).as("b"),
+          sum((lit(1L) - col("ra")) * col("rb")).as("c"))
+        .select(col("n"), col("b"), col("c"),
+          (col("ok_a").cast("double") / col("n").cast("double"))
+            .as("acc_a"),
+          (col("ok_b").cast("double") / col("n").cast("double"))
+            .as("acc_b"),
+          when(col("b") + col("c") > 0,
+            ((col("b") - col("c")) * (col("b") - col("c")))
+              .cast("double") / (col("b") + col("c")).cast("double"))
+            .otherwise(lit(Double.NaN)).as("chi2_mcnemar"))
+    }, Some("""
+      WITH scored AS (SELECT
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+          CASE WHEN (CASE
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b')) = 0
+            THEN 'und'
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+             AND len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'en'
+            WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'es'
+            ELSE 'de' END) = 'en' THEN 1 ELSE 0 END AS pa,
+          CASE WHEN len(regexp_extract_all(lower(text),
+            '\b(the|a|and|of|to|in|is|that)\b')) > 0
+            THEN 1 ELSE 0 END AS pb
+        FROM documents),
+      rs AS (SELECT y,
+          CASE WHEN pa = y THEN 1 ELSE 0 END AS ra,
+          CASE WHEN pb = y THEN 1 ELSE 0 END AS rb
+        FROM scored),
+      cells AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(ra) AS BIGINT) AS ok_a,
+          CAST(sum(rb) AS BIGINT) AS ok_b,
+          CAST(sum(ra * (1 - rb)) AS BIGINT) AS b,
+          CAST(sum((1 - ra) * rb) AS BIGINT) AS c
+        FROM rs)
+      SELECT n, b, c,
+        CAST(ok_a AS DOUBLE) / CAST(n AS DOUBLE) AS acc_a,
+        CAST(ok_b AS DOUBLE) / CAST(n AS DOUBLE) AS acc_b,
+        CASE WHEN b + c > 0
+          THEN CAST((b - c) * (b - c) AS DOUBLE)
+            / CAST(b + c AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS chi2_mcnemar
+      FROM cells""")),
+
+    // Standardized-mean-difference covariate balance table for the
+    // urgent-vs-other "treatment": SMD = (m₁−m₀)/√((v₁+v₀)/2) for each
+    // integer covariate (per-order line count and total quantity) —
+    // the diagnostic a causal analyst reads BEFORE trusting q240's
+    // IPW (|SMD| > 0.1 means the groups differ on that covariate).
+    // One lineitem⋈orders shuffle builds both covariates; per-group
+    // moments are exact BIGINT; each SMD is one fixed double tree.
+    QueryDef("q254_smd_balance", (s, d) => {
+      val cov = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("nlines"),
+          sum(col("l_quantity").cast("long")).as("totqty"))
+      val base = t(s, d, "orders")
+        .join(cov, col("o_orderkey") === col("ok"), "left")
+        .select(
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("tr"),
+          coalesce(col("nlines"), lit(0L)).as("nlines"),
+          coalesce(col("totqty"), lit(0L)).as("totqty"))
+      def dbl(c: Column) = c.cast("double")
+      def smdOf(cn: String) = {
+        val g = base.groupBy("tr")
+          .agg(count(lit(1)).as("n"), sum(cn).as("sx"),
+            sum(col(cn) * col(cn)).as("qx"))
+        val t1 = g.where(col("tr") === 1).select(col("n").as("n1"),
+          col("sx").as("s1"), col("qx").as("q1"))
+        val t0 = g.where(col("tr") === 0).select(col("n").as("n0"),
+          col("sx").as("s0"), col("qx").as("q0"))
+        def mean(sc: Column, n: Column) = dbl(sc) / dbl(n)
+        def variance(q: Column, sc: Column, n: Column) =
+          (dbl(q) - dbl(sc) * dbl(sc) / dbl(n)) / (dbl(n) - 1.0)
+        t1.crossJoin(t0).select(lit(cn).as("covariate"),
+          col("n1"), col("n0"),
+          mean(col("s1"), col("n1")).as("m1"),
+          mean(col("s0"), col("n0")).as("m0"),
+          ((mean(col("s1"), col("n1")) - mean(col("s0"), col("n0")))
+            / sqrt((variance(col("q1"), col("s1"), col("n1"))
+              + variance(col("q0"), col("s0"), col("n0"))) / 2.0))
+            .as("smd"))
+      }
+      smdOf("nlines").unionAll(smdOf("totqty"))
+    }, Some("""
+      WITH cov AS (SELECT l_orderkey AS ok,
+          CAST(count(*) AS BIGINT) AS nlines,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS totqty
+        FROM lineitem GROUP BY 1),
+      base AS (SELECT
+          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+            AS tr,
+          CAST(coalesce(nlines, 0) AS BIGINT) AS nlines,
+          CAST(coalesce(totqty, 0) AS BIGINT) AS totqty
+        FROM orders LEFT JOIN cov ON o_orderkey = ok),
+      g AS (SELECT tr, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(nlines) AS BIGINT) AS s_nl,
+          CAST(sum(nlines * nlines) AS BIGINT) AS q_nl,
+          CAST(sum(totqty) AS BIGINT) AS s_tq,
+          CAST(sum(totqty * totqty) AS BIGINT) AS q_tq
+        FROM base GROUP BY 1),
+      w AS (SELECT
+          max(CASE WHEN tr = 1 THEN n END) AS n1,
+          max(CASE WHEN tr = 0 THEN n END) AS n0,
+          max(CASE WHEN tr = 1 THEN s_nl END) AS s1_nl,
+          max(CASE WHEN tr = 0 THEN s_nl END) AS s0_nl,
+          max(CASE WHEN tr = 1 THEN q_nl END) AS q1_nl,
+          max(CASE WHEN tr = 0 THEN q_nl END) AS q0_nl,
+          max(CASE WHEN tr = 1 THEN s_tq END) AS s1_tq,
+          max(CASE WHEN tr = 0 THEN s_tq END) AS s0_tq,
+          max(CASE WHEN tr = 1 THEN q_tq END) AS q1_tq,
+          max(CASE WHEN tr = 0 THEN q_tq END) AS q0_tq
+        FROM g)
+      SELECT 'nlines' AS covariate, n1, n0,
+        CAST(s1_nl AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        CAST(s0_nl AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+        (CAST(s1_nl AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - CAST(s0_nl AS DOUBLE) / CAST(n0 AS DOUBLE))
+        / sqrt((
+          (CAST(q1_nl AS DOUBLE) - CAST(s1_nl AS DOUBLE)
+            * CAST(s1_nl AS DOUBLE) / CAST(n1 AS DOUBLE))
+            / (CAST(n1 AS DOUBLE) - 1.0)
+          + (CAST(q0_nl AS DOUBLE) - CAST(s0_nl AS DOUBLE)
+            * CAST(s0_nl AS DOUBLE) / CAST(n0 AS DOUBLE))
+            / (CAST(n0 AS DOUBLE) - 1.0)) / 2.0) AS smd
+      FROM w
+      UNION ALL
+      SELECT 'totqty', n1, n0,
+        CAST(s1_tq AS DOUBLE) / CAST(n1 AS DOUBLE),
+        CAST(s0_tq AS DOUBLE) / CAST(n0 AS DOUBLE),
+        (CAST(s1_tq AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - CAST(s0_tq AS DOUBLE) / CAST(n0 AS DOUBLE))
+        / sqrt((
+          (CAST(q1_tq AS DOUBLE) - CAST(s1_tq AS DOUBLE)
+            * CAST(s1_tq AS DOUBLE) / CAST(n1 AS DOUBLE))
+            / (CAST(n1 AS DOUBLE) - 1.0)
+          + (CAST(q0_tq AS DOUBLE) - CAST(s0_tq AS DOUBLE)
+            * CAST(s0_tq AS DOUBLE) / CAST(n0 AS DOUBLE))
+            / (CAST(n0 AS DOUBLE) - 1.0)) / 2.0)
+      FROM w""")),
+
+    // EXACT global Shapley attribution for a two-binary-feature
+    // empirical model of the finished-order rate (urgent priority ×
+    // BUILDING segment): with 2 features the Shapley value needs only
+    // the four conditional-mean coalition values v(∅), v({1}), v({2}),
+    // v({1,2}) per feature cell — all exact BIGINT count rationals —
+    // so φ₁/φ₂ per cell and the per-cell efficiency identity
+    // φ₁+φ₂ = v₁₂−v₀ are closed-form, no sampling. The per-feature
+    // global importance Σ n·|φ|/N folds over the 4 sorted cells. The
+    // SHAP primitive, done exactly where the feature count permits.
+    QueryDef("q255_shapley", (s, d) => {
+      val base = t(s, d, "orders")
+        .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("x1"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+            .as("x2"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val cells = base.groupBy("x1", "x2")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      val m1 = cells.groupBy("x1")
+        .agg(sum("n").as("n_1"), sum("sy").as("sy_1"))
+      val m2 = cells.groupBy("x2")
+        .agg(sum("n").as("n_2"), sum("sy").as("sy_2"))
+      val tot = cells.agg(sum("n").as("nn"), sum("sy").as("syy"))
+      def r(sc: Column, n: Column) = sc.cast("double") / n.cast("double")
+      val v0 = r(col("syy"), col("nn"))
+      val v1 = r(col("sy_1"), col("n_1"))
+      val v2 = r(col("sy_2"), col("n_2"))
+      val v12 = r(col("sy"), col("n"))
+      val per = cells
+        .join(broadcast(m1), Seq("x1")).join(broadcast(m2), Seq("x2"))
+        .crossJoin(broadcast(tot))
+        .select(col("x1"), col("x2"), col("n"),
+          v0.as("v0"), v1.as("v1"), v2.as("v2"), v12.as("v12"),
+          (((v1 - v0) + (v12 - v2)) / 2.0).as("phi1"),
+          (((v2 - v0) + (v12 - v1)) / 2.0).as("phi2"))
+      val imp = per
+        .agg(sort_array(collect_list(struct(col("x1"), col("x2"),
+          col("n"), col("phi1"), col("phi2")))).as("cs"),
+          sum("n").as("ntot"))
+        .select(
+          (aggregate(col("cs"), lit(0.0), (acc, e) =>
+            acc + e.getField("n").cast("double")
+              * abs(e.getField("phi1"))) / col("ntot").cast("double"))
+            .as("importance1"),
+          (aggregate(col("cs"), lit(0.0), (acc, e) =>
+            acc + e.getField("n").cast("double")
+              * abs(e.getField("phi2"))) / col("ntot").cast("double"))
+            .as("importance2"))
+      per.crossJoin(broadcast(imp))
+    }, Some("""
+      WITH base AS (SELECT
+          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+            AS x1,
+          CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS x2,
+          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      cells AS (SELECT x1, x2, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(y) AS BIGINT) AS sy
+        FROM base GROUP BY 1, 2),
+      m1 AS (SELECT x1, CAST(sum(n) AS BIGINT) AS n_1,
+          CAST(sum(sy) AS BIGINT) AS sy_1 FROM cells GROUP BY 1),
+      m2 AS (SELECT x2, CAST(sum(n) AS BIGINT) AS n_2,
+          CAST(sum(sy) AS BIGINT) AS sy_2 FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+          CAST(sum(sy) AS BIGINT) AS syy FROM cells),
+      per AS (SELECT x1, x2, n,
+          CAST(syy AS DOUBLE) / CAST(nn AS DOUBLE) AS v0,
+          CAST(sy_1 AS DOUBLE) / CAST(n_1 AS DOUBLE) AS v1,
+          CAST(sy_2 AS DOUBLE) / CAST(n_2 AS DOUBLE) AS v2,
+          CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS v12,
+          ((CAST(sy_1 AS DOUBLE) / CAST(n_1 AS DOUBLE)
+            - CAST(syy AS DOUBLE) / CAST(nn AS DOUBLE))
+           + (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(sy_2 AS DOUBLE) / CAST(n_2 AS DOUBLE))) / 2.0
+            AS phi1,
+          ((CAST(sy_2 AS DOUBLE) / CAST(n_2 AS DOUBLE)
+            - CAST(syy AS DOUBLE) / CAST(nn AS DOUBLE))
+           + (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(sy_1 AS DOUBLE) / CAST(n_1 AS DOUBLE))) / 2.0
+            AS phi2
+        FROM cells JOIN m1 USING (x1) JOIN m2 USING (x2), tot),
+      imp AS (SELECT
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(struct_pack(x1 := x1,
+              x2 := x2, n := n, phi1 := phi1, phi2 := phi2))),
+              e -> CAST(e.n AS DOUBLE) * abs(e.phi1))), (p, q) -> p + q)
+            / CAST(sum(n) AS DOUBLE) AS importance1,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(struct_pack(x1 := x1,
+              x2 := x2, n := n, phi1 := phi1, phi2 := phi2))),
+              e -> CAST(e.n AS DOUBLE) * abs(e.phi2))), (p, q) -> p + q)
+            / CAST(sum(n) AS DOUBLE) AS importance2
+        FROM per)
+      SELECT x1, x2, n, v0, v1, v2, v12, phi1, phi2,
+        importance1, importance2
+      FROM per, imp"""))
   )
 }
