@@ -2893,16 +2893,29 @@ object Inference {
         val t0 = g.where(col("tr") === 0).select(col("n").as("n0"),
           col("sx").as("s0"), col("qx").as("q0"))
         def mean(sc: Column, n: Column) = dbl(sc) / dbl(n)
+        // ANSI mode traps /0 on DOUBLES too (unlike IEEE), so both the
+        // n=1 variance and the zero-pooled-variance SMD need explicit
+        // guards: n=1 → undefined variance → NaN; denom=0 → NaN (equal
+        // means) / ±Inf (the IEEE values DuckDB's default
+        // ieee_floating_point_ops would produce). Never fires on data
+        // with both groups populated and any spread — the sf gate path
+        // is untouched; InferenceSpec pins the degenerate corpus.
         def variance(q: Column, sc: Column, n: Column) =
-          (dbl(q) - dbl(sc) * dbl(sc) / dbl(n)) / (dbl(n) - 1.0)
+          when(dbl(n) > 1.0,
+            (dbl(q) - dbl(sc) * dbl(sc) / dbl(n)) / (dbl(n) - 1.0))
+            .otherwise(lit(Double.NaN))
+        val diff = mean(col("s1"), col("n1")) - mean(col("s0"), col("n0"))
+        val denom = sqrt((variance(col("q1"), col("s1"), col("n1"))
+          + variance(col("q0"), col("s0"), col("n0"))) / 2.0)
         t1.crossJoin(t0).select(lit(cn).as("covariate"),
           col("n1"), col("n0"),
           mean(col("s1"), col("n1")).as("m1"),
           mean(col("s0"), col("n0")).as("m0"),
-          ((mean(col("s1"), col("n1")) - mean(col("s0"), col("n0")))
-            / sqrt((variance(col("q1"), col("s1"), col("n1"))
-              + variance(col("q0"), col("s0"), col("n0"))) / 2.0))
-            .as("smd"))
+          when(denom > 0.0, diff / denom)
+            .when(isnan(denom), lit(Double.NaN))
+            .when(diff > 0.0, lit(Double.PositiveInfinity))
+            .when(diff < 0.0, lit(Double.NegativeInfinity))
+            .otherwise(lit(Double.NaN)).as("smd"))
       }
       smdOf("nlines").unionAll(smdOf("totqty"))
     }, Some("""

@@ -199,4 +199,84 @@ class InferenceSpec extends AnyFunSuite {
       assert(maxRowErr < 0.25, s"2-round IPF row error too large: $maxRowErr")
     } finally out.unpersist()
   }
+
+  test("q253: zero discordance → NaN chi², never a divide error") {
+    import spark.implicits._
+    // Pure-Spanish corpus labelled 'es': the full lang-ID says es
+    // (pa=0 vs y=0 → right) and the naive any-English-stopword rule
+    // finds nothing (pb=0 → right), so both classifiers are correct on
+    // every doc → b = c = 0 and the χ² guard must yield NaN, not an
+    // ANSI divide error.
+    val docs = Seq.tabulate(8)(i =>
+      (s"d$i", s"el perro y la casa de que en los del $i", "es"))
+      .toDF("doc_id", "text", "lang")
+    val dir = fixture("documents" -> docs)
+    val r = q("q253_mcnemar", dir)
+      .select("n", "b", "c", "acc_a", "acc_b", "chi2_mcnemar")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(r._1 == 8L && r._2 == 0L && r._3 == 0L, r)
+    assert(r._4 == 1.0 && r._5 == 1.0, r)
+    assert(r._6.isNaN, s"b+c=0 must guard to NaN: ${r._6}")
+  }
+
+  test("q254: mirrored covariates → SMD exactly 0; zero-variance → NaN") {
+    import spark.implicits._
+    // Urgent orders {1,2} mirror non-urgent {3,4} line-for-line, so
+    // both groups have identical moments: the SMD numerator is an
+    // exact double 0 and variances are positive → smd == 0.0 for both
+    // covariates.
+    val orders = Seq((1L, "1-URGENT"), (2L, "1-URGENT"),
+      (3L, "3-MEDIUM"), (4L, "5-LOW"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val lines = Seq((1L, 5), (1L, 7), (2L, 11),
+      (3L, 5), (3L, 7), (4L, 11))
+      .toDF("l_orderkey", "l_quantity")
+    val dir = fixture("orders" -> orders, "lineitem" -> lines)
+    val smds = q("q254_smd_balance", dir)
+      .select("covariate", "smd").as[(String, Double)].collect().toMap
+    assert(smds("nlines") == 0.0 && smds("totqty") == 0.0, smds)
+    // Every order exactly one 10-qty line: both group variances are 0
+    // and means equal → 0/√0 must be guarded to NaN, never the ANSI
+    // DIVIDE_BY_ZERO this pin originally caught LIVE (Spark 4 ANSI
+    // traps /0 on doubles too, unlike IEEE).
+    val lines2 = Seq((1L, 10), (2L, 10), (3L, 10), (4L, 10))
+      .toDF("l_orderkey", "l_quantity")
+    val dir2 = fixture("orders" -> orders, "lineitem" -> lines2)
+    val smds2 = q("q254_smd_balance", dir2)
+      .select("covariate", "smd").as[(String, Double)].collect().toMap
+    assert(smds2("nlines").isNaN && smds2("totqty").isNaN, smds2)
+  }
+
+  test("q255: v0 is the global rate and φ₁+φ₂ = v₁₂−v₀ in every cell") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val customer = (1 to 40).map(i => (i.toLong,
+      if (i % 2 == 0) "BUILDING" else "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = (1 to 400).map { i =>
+      (i.toLong, (i % 40 + 1).toLong,
+        if (rnd.nextInt(3) == 0) "1-URGENT" else "3-MEDIUM",
+        if (rnd.nextInt(2) == 0) "F" else "O")
+    }.toDF("o_orderkey", "o_custkey", "o_orderpriority",
+      "o_orderstatus")
+    val dir = fixture("orders" -> orders, "customer" -> customer)
+    val rows = q("q255_shapley", dir)
+      .select("n", "v0", "v12", "phi1", "phi2")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(rows.length == 4, rows.length)
+    val v0s = rows.map(_._2).distinct
+    assert(v0s.length == 1, s"v0 must be constant: ${v0s.toSeq}")
+    // v0 really is the pooled rate: Σ n·v12 / Σ n reconstructs it
+    // (v12 = sy/n per cell, so the weighted sum telescopes to Σy/N).
+    val pooled = rows.map(r => r._1 * r._3).sum / rows.map(_._1).sum
+    assert(math.abs(pooled - v0s.head) < 1e-12,
+      s"v0 ${v0s.head} != pooled $pooled")
+    // Efficiency: the two attributions must jointly explain exactly
+    // the cell's lift over the global rate (closed-form, so the
+    // identity holds to a few ulps, not just statistically).
+    rows.foreach { case (_, v0, v12, p1, p2) =>
+      assert(math.abs((p1 + p2) - (v12 - v0)) < 1e-12,
+        s"efficiency identity broken: $p1 + $p2 vs ${v12 - v0}")
+    }
+  }
 }
