@@ -217,6 +217,21 @@ class InferenceSpec extends AnyFunSuite {
     assert(r._1 == 8L && r._2 == 0L && r._3 == 0L, r)
     assert(r._4 == 1.0 && r._5 == 1.0, r)
     assert(r._6.isNaN, s"b+c=0 must guard to NaN: ${r._6}")
+    // Discordant corpus: Spanish docs containing the English stopword
+    // "a" fool the naive rule (pb=1, wrong) while the full lang-ID
+    // still reads es (right) → each lands in cell b. Four such docs
+    // plus four pure-Spanish concordant docs → b=4, c=0, χ²=(4−0)²/4=4.
+    val mixed = Seq.tabulate(4)(i =>
+      (s"m$i", s"el perro va a la casa de que en los del $i", "es"))
+    val pure = Seq.tabulate(4)(i =>
+      (s"p$i", s"el gato y la mesa de que en los del $i", "es"))
+    val dir2 = fixture("documents" ->
+      (mixed ++ pure).toDF("doc_id", "text", "lang"))
+    val r2 = q("q253_mcnemar", dir2)
+      .select("b", "c", "chi2_mcnemar")
+      .as[(Long, Long, Double)].collect().head
+    assert(r2._1 == 4L && r2._2 == 0L, r2)
+    assert(r2._3 == 4.0, s"chi2 must be (4-0)^2/4 = 4: ${r2._3}")
   }
 
   test("q254: mirrored covariates → SMD exactly 0; zero-variance → NaN") {
@@ -245,6 +260,17 @@ class InferenceSpec extends AnyFunSuite {
     val smds2 = q("q254_smd_balance", dir2)
       .select("covariate", "smd").as[(String, Double)].collect().toMap
     assert(smds2("nlines").isNaN && smds2("totqty").isNaN, smds2)
+    // Zero variance but DIFFERENT means (urgent all qty 10, others all
+    // qty 25): nlines still degenerates to NaN (equal means) while
+    // totqty takes the signed-infinity branch — the IEEE x/0 value,
+    // again without tripping ANSI.
+    val lines3 = Seq((1L, 10), (2L, 10), (3L, 25), (4L, 25))
+      .toDF("l_orderkey", "l_quantity")
+    val dir3 = fixture("orders" -> orders, "lineitem" -> lines3)
+    val smds3 = q("q254_smd_balance", dir3)
+      .select("covariate", "smd").as[(String, Double)].collect().toMap
+    assert(smds3("nlines").isNaN, smds3)
+    assert(smds3("totqty").isNegInfinity, smds3)
   }
 
   test("q255: v0 is the global rate and φ₁+φ₂ = v₁₂−v₀ in every cell") {
