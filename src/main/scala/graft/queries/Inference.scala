@@ -3074,6 +3074,316 @@ object Inference {
         FROM per)
       SELECT x1, x2, n, v0, v1, v2, v12, phi1, phi2,
         importance1, importance2
-      FROM per, imp"""))
+      FROM per, imp""")),
+
+    // Two-group log-rank test over the q192 survival framing: arms from
+    // the portable md5 splitter (the q84 idiom — reproducible by ANY
+    // engine, stable under repartitioning), the life-table again
+    // DOMAIN-BOUNDED, so after the per-user reduction everything is
+    // cell joins: per-arm at-risk at each pooled death time comes from
+    // a deaths⋈cells ≥-join (never a correlated lambda, the q178/q192
+    // rule), and O₁/E₁/V fold over the SORTED death-time list — O₁
+    // exact BIGINT, E₁ = Σ dₜ·n₁ₜ/nₜ and the hypergeometric variance
+    // V = Σ dₜ(n₁ₜ/nₜ)(n₀ₜ/nₜ)(nₜ−dₜ)/(nₜ−1) as fixed IEEE trees with
+    // the nₜ=1 term guarded to 0 (ANSI traps /0 on doubles — the q254
+    // lesson). χ² = (O₁−E₁)²/V, V=0 guarded to NaN.
+    QueryDef("q256_logrank", (s, d) => {
+      import graft.functions.TextFunctions
+      val per = t(s, d, "events")
+        .groupBy("user_id")
+        .agg((datediff(max(col("ts")).cast("date"),
+            min(col("ts")).cast("date")) + 1).cast("long").as("t"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("last_type"))
+        .select(col("user_id"), col("t"),
+          when(col("last_type") === "error", 1L).otherwise(0L)
+            .as("died"))
+        .withColumn("g", TextFunctions.hashBucket(col("user_id"), 2))
+      val cells = per.groupBy("g", "t")
+        .agg(sum("died").as("d"), count(lit(1)).as("n"))
+      val deaths = cells.groupBy(col("t").as("dtt"))
+        .agg(sum("d").as("dt")).where(col("dt") > 0)
+      val j = deaths.join(cells, cells("t") >= deaths("dtt"))
+        .groupBy("dtt", "dt")
+        .agg(sum(when(col("g") === 1, col("n")).otherwise(0L)).as("n1"),
+          sum(when(col("g") === 0, col("n")).otherwise(0L)).as("n0"),
+          sum(when(col("g") === 1 && col("t") === col("dtt"), col("d"))
+            .otherwise(0L)).as("d1"))
+      j.agg(sort_array(collect_list(struct(col("dtt"), col("dt"),
+          col("n1"), col("n0"), col("d1")))).as("xs"))
+        .select(
+          aggregate(col("xs"), lit(0L), (acc, x) =>
+            acc + x.getField("d1")).as("o1"),
+          aggregate(col("xs"), lit(0.0), (acc, x) =>
+            acc + x.getField("dt").cast("double")
+              * x.getField("n1").cast("double")
+              / (x.getField("n1") + x.getField("n0")).cast("double"))
+            .as("e1"),
+          aggregate(col("xs"), lit(0.0), (acc, x) => {
+            val nt = (x.getField("n1") + x.getField("n0")).cast("double")
+            acc + when(nt > 1.0,
+              x.getField("dt").cast("double")
+                * (x.getField("n1").cast("double") / nt)
+                * (x.getField("n0").cast("double") / nt)
+                * ((nt - x.getField("dt").cast("double")) / (nt - 1.0)))
+              .otherwise(lit(0.0))
+          }).as("v"))
+        .select(col("o1"), col("e1"), col("v"),
+          when(col("v") > 0.0,
+            (col("o1").cast("double") - col("e1"))
+              * (col("o1").cast("double") - col("e1")) / col("v"))
+            .otherwise(lit(Double.NaN)).as("chi2_logrank"))
+    }, Some("""
+      WITH l AS (SELECT user_id, event_type, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      dd AS (SELECT user_id,
+          CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS died
+        FROM l WHERE rn = 1),
+      span AS (SELECT user_id, CAST(date_diff('day',
+            CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1 AS BIGINT)
+            AS t
+        FROM events GROUP BY 1),
+      per AS (SELECT s.user_id, s.t, dd.died,
+          CAST('0x' || substr(md5(CAST(s.user_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 2 AS g
+        FROM span s JOIN dd USING (user_id)),
+      cells AS (SELECT g, t, CAST(sum(died) AS BIGINT) AS d,
+          CAST(count(*) AS BIGINT) AS n
+        FROM per GROUP BY 1, 2),
+      deaths AS (SELECT t AS dtt, CAST(sum(d) AS BIGINT) AS dt
+        FROM cells GROUP BY 1 HAVING sum(d) > 0),
+      j AS (SELECT dtt, dt,
+          CAST(sum(CASE WHEN g = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN g = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN g = 1 AND c.t = dtt THEN d ELSE 0 END)
+            AS BIGINT) AS d1
+        FROM deaths JOIN cells c ON c.t >= dtt GROUP BY 1, 2),
+      f AS (SELECT list_sort(list(struct_pack(dtt := dtt, dt := dt,
+          n1 := n1, n0 := n0, d1 := d1))) AS xs FROM j)
+      SELECT
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(xs, x -> x.d1)), (a, b) -> a + b) AS o1,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(xs, x -> CAST(x.dt AS DOUBLE)
+            * CAST(x.n1 AS DOUBLE) / CAST(x.n1 + x.n0 AS DOUBLE))),
+          (a, b) -> a + b) AS e1,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(xs, x -> CASE
+            WHEN CAST(x.n1 + x.n0 AS DOUBLE) > 1.0
+            THEN CAST(x.dt AS DOUBLE)
+              * (CAST(x.n1 AS DOUBLE) / CAST(x.n1 + x.n0 AS DOUBLE))
+              * (CAST(x.n0 AS DOUBLE) / CAST(x.n1 + x.n0 AS DOUBLE))
+              * ((CAST(x.n1 + x.n0 AS DOUBLE) - CAST(x.dt AS DOUBLE))
+                / (CAST(x.n1 + x.n0 AS DOUBLE) - 1.0))
+            ELSE 0.0 END)), (a, b) -> a + b) AS v,
+        CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(xs, x -> CASE
+              WHEN CAST(x.n1 + x.n0 AS DOUBLE) > 1.0
+              THEN CAST(x.dt AS DOUBLE)
+                * (CAST(x.n1 AS DOUBLE) / CAST(x.n1 + x.n0 AS DOUBLE))
+                * (CAST(x.n0 AS DOUBLE) / CAST(x.n1 + x.n0 AS DOUBLE))
+                * ((CAST(x.n1 + x.n0 AS DOUBLE) - CAST(x.dt AS DOUBLE))
+                  / (CAST(x.n1 + x.n0 AS DOUBLE) - 1.0))
+              ELSE 0.0 END)), (a, b) -> a + b) > 0.0
+        THEN (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(xs, x -> x.d1)), (a, b) -> a + b) AS DOUBLE)
+          - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(xs, x -> CAST(x.dt AS DOUBLE)
+              * CAST(x.n1 AS DOUBLE) / CAST(x.n1 + x.n0 AS DOUBLE))),
+            (a, b) -> a + b))
+          * (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(xs, x -> x.d1)), (a, b) -> a + b) AS DOUBLE)
+          - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(xs, x -> CAST(x.dt AS DOUBLE)
+              * CAST(x.n1 AS DOUBLE) / CAST(x.n1 + x.n0 AS DOUBLE))),
+            (a, b) -> a + b))
+          / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(xs, x -> CASE
+              WHEN CAST(x.n1 + x.n0 AS DOUBLE) > 1.0
+              THEN CAST(x.dt AS DOUBLE)
+                * (CAST(x.n1 AS DOUBLE) / CAST(x.n1 + x.n0 AS DOUBLE))
+                * (CAST(x.n0 AS DOUBLE) / CAST(x.n1 + x.n0 AS DOUBLE))
+                * ((CAST(x.n1 + x.n0 AS DOUBLE) - CAST(x.dt AS DOUBLE))
+                  / (CAST(x.n1 + x.n0 AS DOUBLE) - 1.0))
+              ELSE 0.0 END)), (a, b) -> a + b)
+        ELSE CAST('nan' AS DOUBLE) END AS chi2_logrank
+      FROM f""")),
+
+    // Cronbach's α internal-consistency over three integer per-document
+    // "items" (char length, punctuation count, stopword hits): every
+    // moment (Σx, Σx², ΣT, ΣT² for the item sum T) is an exact BIGINT
+    // from ONE document scan, and each sum-of-squares nΣx²−(Σx)² is one
+    // fixed IEEE tree over those exact longs — bit-identical across
+    // engines because both see the same operand doubles (at true corpus
+    // scale the cancellation would want int128/decimal accumulation;
+    // the determinism contract the gate checks is unaffected).
+    // α = k/(k−1)·(1 − ΣSSᵢ/SS_T), SS_T=0 guarded to NaN.
+    QueryDef("q257_cronbach", (s, d) => {
+      val txt = col("text")
+      val x1 = length(txt).cast("long")
+      val x2 = (length(txt) - length(regexp_replace(txt,
+        "[.,!?;:]", ""))).cast("long")
+      val x3 = size(regexp_extract_all(lower(txt),
+        lit("\\b(the|a|and|of|to|in|is|that)\\b"), lit(0))).cast("long")
+      val items = t(s, d, "documents")
+        .select(x1.as("x1"), x2.as("x2"), x3.as("x3"))
+        .withColumn("tt", col("x1") + col("x2") + col("x3"))
+      val m = items.agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum(col("x1") * col("x1")).as("q1"),
+        sum("x2").as("s2"), sum(col("x2") * col("x2")).as("q2"),
+        sum("x3").as("s3"), sum(col("x3") * col("x3")).as("q3"),
+        sum("tt").as("st"), sum(col("tt") * col("tt")).as("qt"))
+      def dbl(c: Column) = c.cast("double")
+      def ss(q: Column, sc: Column) =
+        dbl(col("n")) * dbl(q) - dbl(sc) * dbl(sc)
+      m.select(col("n"),
+          ss(col("q1"), col("s1")).as("ss1"),
+          ss(col("q2"), col("s2")).as("ss2"),
+          ss(col("q3"), col("s3")).as("ss3"),
+          ss(col("qt"), col("st")).as("sst"))
+        .select(col("n"), col("ss1"), col("ss2"), col("ss3"), col("sst"),
+          when(col("sst") > 0.0, lit(1.5) * (lit(1.0)
+            - (col("ss1") + col("ss2") + col("ss3")) / col("sst")))
+            .otherwise(lit(Double.NaN)).as("alpha"))
+    }, Some("""
+      WITH items AS (SELECT
+          CAST(length(text) AS BIGINT) AS x1,
+          CAST(length(text)
+            - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+            AS BIGINT) AS x2,
+          CAST(len(regexp_extract_all(lower(text),
+            '\b(the|a|and|of|to|in|is|that)\b')) AS BIGINT) AS x3
+        FROM documents),
+      it2 AS (SELECT x1, x2, x3, x1 + x2 + x3 AS tt FROM items),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x1) AS BIGINT) AS s1,
+          CAST(sum(x1 * x1) AS BIGINT) AS q1,
+          CAST(sum(x2) AS BIGINT) AS s2,
+          CAST(sum(x2 * x2) AS BIGINT) AS q2,
+          CAST(sum(x3) AS BIGINT) AS s3,
+          CAST(sum(x3 * x3) AS BIGINT) AS q3,
+          CAST(sum(tt) AS BIGINT) AS st,
+          CAST(sum(tt * tt) AS BIGINT) AS qt
+        FROM it2),
+      sst AS (SELECT n,
+          CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS ss1,
+          CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+            - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS ss2,
+          CAST(n AS DOUBLE) * CAST(q3 AS DOUBLE)
+            - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) AS ss3,
+          CAST(n AS DOUBLE) * CAST(qt AS DOUBLE)
+            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) AS sst
+        FROM m)
+      SELECT n, ss1, ss2, ss3, sst,
+        CASE WHEN sst > 0.0
+          THEN 1.5 * (1.0 - (ss1 + ss2 + ss3) / sst)
+          ELSE CAST('nan' AS DOUBLE) END AS alpha
+      FROM sst""")),
+
+    // Cramér's V with Bergsma bias correction for the priority×status
+    // contingency: cells and margins exact BIGINT from one orders scan,
+    // χ² folds over the ≤15 SORTED cells (each term's expected count
+    // rᵢcⱼ/N from the broadcast margins), r and c COUNTED from the data
+    // rather than assumed. Ṽ uses φ̃² = max(0, φ²−(r−1)(c−1)/(N−1)) and
+    // the shrunken r̃/c̃; both denominators when-guarded (min dim 1 or
+    // N≤1 → NaN, never an ANSI trap).
+    QueryDef("q258_cramers_v", (s, d) => {
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("p"),
+          col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("obs"))
+      val rm = cells.groupBy("p").agg(sum("obs").as("rt"))
+      val cm = cells.groupBy("st").agg(sum("obs").as("ct"))
+      val tot = cells.agg(sum("obs").as("nn"),
+        countDistinct("p").as("r"), countDistinct("st").as("c"))
+      def dbl(c: Column) = c.cast("double")
+      val withTerm = cells
+        .join(broadcast(rm), "p").join(broadcast(cm), "st")
+        .crossJoin(broadcast(tot))
+        .withColumn("exp", dbl(col("rt")) * dbl(col("ct"))
+          / dbl(col("nn")))
+        .withColumn("term", (dbl(col("obs")) - col("exp"))
+          * (dbl(col("obs")) - col("exp")) / col("exp"))
+      val chi = withTerm
+        .agg(max("nn").as("nn"), max("r").as("r"), max("c").as("c"),
+          sort_array(collect_list(struct(col("p"), col("st"),
+            col("term")))).as("xs"))
+        .select(col("nn"), col("r"), col("c"),
+          aggregate(col("xs"), lit(0.0), (acc, x) =>
+            acc + x.getField("term")).as("chi2"))
+      val minDim = least(col("r"), col("c")).cast("double") - 1.0
+      val nD = dbl(col("nn"))
+      val phi2 = col("chi2") / nD
+      val bias = ((dbl(col("r")) - 1.0) * (dbl(col("c")) - 1.0)
+        / (nD - 1.0))
+      val rr = (dbl(col("r")) - (dbl(col("r")) - 1.0)
+        * (dbl(col("r")) - 1.0) / (nD - 1.0))
+      val cc = (dbl(col("c")) - (dbl(col("c")) - 1.0)
+        * (dbl(col("c")) - 1.0) / (nD - 1.0))
+      chi.select(col("nn"), col("r"), col("c"), col("chi2"),
+        when(minDim > 0.0 && nD > 0.0,
+          sqrt(col("chi2") / (nD * minDim)))
+          .otherwise(lit(Double.NaN)).as("v"),
+        when(minDim > 0.0 && nD > 1.0, {
+          val phi2c = greatest(phi2 - bias, lit(0.0))
+          val denom = least(rr, cc) - 1.0
+          when(denom > 0.0, sqrt(phi2c / denom))
+            .otherwise(lit(Double.NaN))
+        }).otherwise(lit(Double.NaN)).as("v_corrected"))
+    }, Some("""
+      WITH cells AS (SELECT o_orderpriority AS p, o_orderstatus AS st,
+          CAST(count(*) AS BIGINT) AS obs
+        FROM orders GROUP BY 1, 2),
+      rm AS (SELECT p, CAST(sum(obs) AS BIGINT) AS rt
+        FROM cells GROUP BY 1),
+      cm AS (SELECT st, CAST(sum(obs) AS BIGINT) AS ct
+        FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(obs) AS BIGINT) AS nn,
+          CAST(count(DISTINCT p) AS BIGINT) AS r,
+          CAST(count(DISTINCT st) AS BIGINT) AS c
+        FROM cells),
+      terms AS (SELECT p, st,
+          (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+            / CAST(nn AS DOUBLE))
+          * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+            / CAST(nn AS DOUBLE))
+          / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+            / CAST(nn AS DOUBLE)) AS term
+        FROM cells JOIN rm USING (p) JOIN cm USING (st), tot),
+      chi AS (SELECT max(nn) AS nn, max(r) AS r, max(c) AS c,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(struct_pack(p := p, st := st,
+              term := term))), x -> x.term)), (a, b) -> a + b) AS chi2
+        FROM terms, tot)
+      SELECT nn, r, c, chi2,
+        CASE WHEN CAST(least(r, c) AS DOUBLE) - 1.0 > 0.0
+             AND CAST(nn AS DOUBLE) > 0.0
+          THEN sqrt(chi2 / (CAST(nn AS DOUBLE)
+            * (CAST(least(r, c) AS DOUBLE) - 1.0)))
+          ELSE CAST('nan' AS DOUBLE) END AS v,
+        CASE WHEN CAST(least(r, c) AS DOUBLE) - 1.0 > 0.0
+             AND CAST(nn AS DOUBLE) > 1.0
+          THEN CASE WHEN least(
+              CAST(r AS DOUBLE) - (CAST(r AS DOUBLE) - 1.0)
+                * (CAST(r AS DOUBLE) - 1.0)
+                / (CAST(nn AS DOUBLE) - 1.0),
+              CAST(c AS DOUBLE) - (CAST(c AS DOUBLE) - 1.0)
+                * (CAST(c AS DOUBLE) - 1.0)
+                / (CAST(nn AS DOUBLE) - 1.0)) - 1.0 > 0.0
+            THEN sqrt(greatest(chi2 / CAST(nn AS DOUBLE)
+              - (CAST(r AS DOUBLE) - 1.0) * (CAST(c AS DOUBLE) - 1.0)
+                / (CAST(nn AS DOUBLE) - 1.0), 0.0)
+              / (least(
+                CAST(r AS DOUBLE) - (CAST(r AS DOUBLE) - 1.0)
+                  * (CAST(r AS DOUBLE) - 1.0)
+                  / (CAST(nn AS DOUBLE) - 1.0),
+                CAST(c AS DOUBLE) - (CAST(c AS DOUBLE) - 1.0)
+                  * (CAST(c AS DOUBLE) - 1.0)
+                  / (CAST(nn AS DOUBLE) - 1.0)) - 1.0))
+            ELSE CAST('nan' AS DOUBLE) END
+          ELSE CAST('nan' AS DOUBLE) END AS v_corrected
+      FROM chi"""))
   )
 }
