@@ -3299,8 +3299,15 @@ object Inference {
       val tot = cells.agg(sum("obs").as("nn"),
         countDistinct("p").as("r"), countDistinct("st").as("c"))
       def dbl(c: Column) = c.cast("double")
-      val withTerm = cells
-        .join(broadcast(rm), "p").join(broadcast(cm), "st")
+      // χ² sums over the FULL r×c grid, not just observed cells: an
+      // empty cell still contributes (0−e)²/e = e (the spec's diagonal
+      // 2×2 caught the observed-only fold reading N/2 instead of N).
+      // The dense grid is the margins' cross join — domain-bounded, and
+      // every expected count is positive because margins come from
+      // observed rows.
+      val withTerm = rm.crossJoin(cm)
+        .join(cells, Seq("p", "st"), "left")
+        .withColumn("obs", coalesce(col("obs"), lit(0L)))
         .crossJoin(broadcast(tot))
         .withColumn("exp", dbl(col("rt")) * dbl(col("ct"))
           / dbl(col("nn")))
@@ -3344,6 +3351,9 @@ object Inference {
           CAST(count(DISTINCT p) AS BIGINT) AS r,
           CAST(count(DISTINCT st) AS BIGINT) AS c
         FROM cells),
+      grid AS (SELECT p, st, rt, ct,
+          CAST(coalesce(obs, 0) AS BIGINT) AS obs
+        FROM rm CROSS JOIN cm LEFT JOIN cells USING (p, st)),
       terms AS (SELECT p, st,
           (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
             / CAST(nn AS DOUBLE))
@@ -3351,7 +3361,7 @@ object Inference {
             / CAST(nn AS DOUBLE))
           / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
             / CAST(nn AS DOUBLE)) AS term
-        FROM cells JOIN rm USING (p) JOIN cm USING (st), tot),
+        FROM grid, tot),
       chi AS (SELECT max(nn) AS nn, max(r) AS r, max(c) AS c,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(list_sort(list(struct_pack(p := p, st := st,

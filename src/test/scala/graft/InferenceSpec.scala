@@ -305,4 +305,78 @@ class InferenceSpec extends AnyFunSuite {
         s"efficiency identity broken: $p1 + $p2 vs ${v12 - v0}")
     }
   }
+
+  test("q256: mirrored arms give O1 = E1 exactly → chi2 = 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // Find user ids landing in each md5 arm, then build PAIRED users:
+    // for every lifetime/death profile one user in arm 0 and one in arm
+    // 1. Every death time then has n1 = n0 and d1 = dt/2, so
+    // E1 = Σ dt·(1/2) = O1 with /2 exact in IEEE → chi2 exactly 0.0.
+    def bucket(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val arm = (1L to 200L).groupBy(bucket)
+    val a0 = arm(0L).take(3).toIndexedSeq
+    val a1 = arm(1L).take(3).toIndexedSeq
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    def user(u: Long, span: Int, died: Boolean) = Seq(
+      (u * 10 + 1, ts(1), u, "view", 0.0, "{}"),
+      (u * 10 + 2, ts(span), u, if (died) "error" else "view", 0.0, "{}"))
+    val rows = (
+      user(a0(0), 3, died = true) ++ user(a1(0), 3, died = true) ++
+      user(a0(1), 5, died = true) ++ user(a1(1), 5, died = true) ++
+      user(a0(2), 5, died = false) ++ user(a1(2), 5, died = false))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = fixture("events" -> rows)
+    val r = q("q256_logrank", dir)
+      .select("o1", "e1", "v", "chi2_logrank")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(r._1.toDouble == r._2, s"mirrored arms must have O1=E1: $r")
+    assert(r._4 == 0.0, s"chi2 must be exactly 0: $r")
+  }
+
+  test("q257: two identical items plus a constant → alpha exactly 0.75") {
+    import spark.implicits._
+    // Punctuation-only docs "." × k: chars x1 = k and punct count
+    // x2 = k are IDENTICAL items, stopword hits x3 ≡ 0 is constant.
+    // Then SS₁ = SS₂ = SS, SS₃ = 0, and the total T = 2k has
+    // SS_T = 4·SS, so α = 1.5·(1 − 2SS/4SS) = 0.75 — exact in IEEE
+    // because every term is an integer-valued double and 2/4 is a
+    // power-of-two ratio. Also pins that a zero-variance item neither
+    // NaNs nor crashes the statistic.
+    val docs = Seq.tabulate(6)(i => (i.toLong, "." * (i + 1), "en"))
+      .toDF("doc_id", "text", "lang")
+    val dir = fixture("documents" -> docs)
+    val r = q("q257_cronbach", dir)
+      .select("ss3", "alpha").as[(Double, Double)].collect().head
+    assert(r._1 == 0.0, s"stopword item must be constant-zero: $r")
+    assert(r._2 == 0.75, s"two equal items + one constant: α = 0.75: $r")
+  }
+
+  test("q258: diagonal 2×2 → V = 1; independent table → V = 0") {
+    import spark.implicits._
+    val diag = ((1 to 10).map(i => (i.toLong, "1-URGENT", "F")) ++
+      (11 to 20).map(i => (i.toLong, "5-LOW", "O")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val d1 = fixture("orders" -> diag)
+    val r1 = q("q258_cramers_v", d1)
+      .select("chi2", "v", "v_corrected")
+      .as[(Double, Double, Double)].collect().head
+    assert(r1._2 == 1.0, s"perfect association must give V=1: $r1")
+    // Independence: every (priority, status) cell has the same count →
+    // every observed == expected exactly → chi2 = 0, V = 0, and the
+    // bias-corrected variant clamps at 0 (not negative, not NaN).
+    val indep = (0 until 40).map { i =>
+      (i.toLong, Seq("1-URGENT", "5-LOW")(i % 2), Seq("F", "O")(i / 2 % 2))
+    }.toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val d2 = fixture("orders" -> indep)
+    val r2 = q("q258_cramers_v", d2)
+      .select("chi2", "v", "v_corrected")
+      .as[(Double, Double, Double)].collect().head
+    assert(r2._1 == 0.0 && r2._2 == 0.0 && r2._3 == 0.0, s"$r2")
+  }
 }
