@@ -3394,6 +3394,205 @@ object Inference {
                   / (CAST(nn AS DOUBLE) - 1.0)) - 1.0))
             ELSE CAST('nan' AS DOUBLE) END
           ELSE CAST('nan' AS DOUBLE) END AS v_corrected
-      FROM chi"""))
+      FROM chi""")),
+
+    // Hosmer-Lemeshow calibration over the q231 odd/even train-eval
+    // split: the odd half learns a per-priority finished-rate p̂_g, the
+    // even half is scored in those same 5 groups, and
+    // χ²_HL = Σ (O_g − m_g·p̂_g)²/(m_g·p̂_g(1−p̂_g)) folds over the
+    // SORTED groups. Everything is exact BIGINT counts until the fixed
+    // per-group IEEE terms; a group with p̂∈{0,1} or no eval rows has
+    // an undefined HL term and is EXCLUDED (when-guarded, counted in
+    // g_used — the q254 ANSI lesson applied up front). Per-group rows
+    // ship with the statistic attached (the q231 readout shape).
+    QueryDef("q259_hosmer_lemeshow", (s, d) => {
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("g"))
+        .agg(
+          sum(when(col("o_orderkey") % 2 === 1, 1L).otherwise(0L))
+            .as("tn"),
+          sum(when(col("o_orderkey") % 2 === 1
+            && col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("ta"),
+          sum(when(col("o_orderkey") % 2 === 0, 1L).otherwise(0L))
+            .as("m"),
+          sum(when(col("o_orderkey") % 2 === 0
+            && col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("o"))
+      def dbl(c: Column) = c.cast("double")
+      val g = cells.select(col("g"), col("tn"), col("m"), col("o"),
+        when(col("tn") > 0, dbl(col("ta")) / dbl(col("tn")))
+          .otherwise(lit(Double.NaN)).as("p_g"))
+        .withColumn("e_g", dbl(col("m")) * col("p_g"))
+        .withColumn("usable", col("tn") > 0 && col("m") > 0
+          && col("p_g") > 0.0 && col("p_g") < 1.0)
+        .withColumn("term", when(col("usable"),
+          (dbl(col("o")) - col("e_g")) * (dbl(col("o")) - col("e_g"))
+            / (col("e_g") * (lit(1.0) - col("p_g"))))
+          .otherwise(lit(0.0)))
+      val hl = g.agg(
+          sort_array(collect_list(struct(col("g"), col("term"))))
+            .as("cs"),
+          sum(when(col("usable"), 1L).otherwise(0L)).as("g_used"))
+        .select(col("g_used"),
+          aggregate(col("cs"), lit(0.0), (acc, e) =>
+            acc + e.getField("term")).as("chi2_hl"))
+      g.select("g", "tn", "m", "o", "p_g", "e_g", "term")
+        .crossJoin(broadcast(hl))
+    }, Some("""
+      WITH cells AS (SELECT o_orderpriority AS g,
+          CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS tn,
+          CAST(sum(CASE WHEN o_orderkey % 2 = 1
+            AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+          CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS m,
+          CAST(sum(CASE WHEN o_orderkey % 2 = 0
+            AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS o
+        FROM orders GROUP BY 1),
+      g AS (SELECT g, tn, m, o,
+          CASE WHEN tn > 0 THEN CAST(ta AS DOUBLE) / CAST(tn AS DOUBLE)
+               ELSE CAST('nan' AS DOUBLE) END AS p_g
+        FROM cells),
+      g2 AS (SELECT g, tn, m, o, p_g,
+          CAST(m AS DOUBLE) * p_g AS e_g,
+          (tn > 0 AND m > 0 AND p_g > 0.0 AND p_g < 1.0) AS usable
+        FROM g),
+      g3 AS (SELECT g, tn, m, o, p_g, e_g,
+          CASE WHEN usable THEN
+            (CAST(o AS DOUBLE) - e_g) * (CAST(o AS DOUBLE) - e_g)
+              / (e_g * (1.0 - p_g))
+          ELSE 0.0 END AS term, usable
+        FROM g2),
+      hl AS (SELECT
+          CAST(sum(CASE WHEN usable THEN 1 ELSE 0 END) AS BIGINT)
+            AS g_used,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(struct_pack(g := g,
+              term := term))), x -> x.term)), (a, b) -> a + b)
+            AS chi2_hl
+        FROM g3)
+      SELECT g, tn, m, o, p_g, e_g, term, g_used, chi2_hl
+      FROM g3, hl""")),
+
+    // Somers' D of the ordinal priority score against the binary
+    // finished outcome — the rank-association form of the Gini/AUC
+    // readout: D = (C−D)/(C+D+X₀) over pairs that DIFFER on the
+    // outcome, where X₀ counts score-tied pairs among them, so
+    // D ≡ 2·AUC−1 (the q189 identity, spec-pinned against a
+    // brute-force pair count). The whole statistic lives on the ≤10
+    // (priority × outcome) cells: C/D/X₀ are exact BIGINT products
+    // from a cell pair join — at web scale the n·n products want
+    // decimal(38) accumulation, the same note as the Kendall cells.
+    QueryDef("q260_somers_d", (s, d) => {
+      val cells = t(s, d, "orders")
+        .select(col("o_orderpriority").as("x"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("n"))
+      val a = cells.select(col("x").as("ax"), col("y").as("ay"),
+        col("n").as("an"))
+      val b = cells.select(col("x").as("bx"), col("y").as("by"),
+        col("n").as("bn"))
+      val pairs = a.join(b, col("ax") < col("bx"))
+        .agg(
+          sum(when(col("ay") < col("by"), col("an") * col("bn"))
+            .otherwise(0L)).as("nc"),
+          sum(when(col("ay") > col("by"), col("an") * col("bn"))
+            .otherwise(0L)).as("nd"))
+      val tiedX = cells
+        .groupBy("x")
+        .agg((sum(when(col("y") === 1, col("n")).otherwise(0L))
+          * sum(when(col("y") === 0, col("n")).otherwise(0L))).as("t"))
+        .agg(sum("t").as("x0"))
+      pairs.crossJoin(broadcast(tiedX))
+        .select(
+          coalesce(col("nc"), lit(0L)).as("nc"),
+          coalesce(col("nd"), lit(0L)).as("nd"),
+          coalesce(col("x0"), lit(0L)).as("x0"))
+        .withColumn("somers_d",
+          when(col("nc") + col("nd") + col("x0") > 0,
+            (col("nc") - col("nd")).cast("double")
+              / (col("nc") + col("nd") + col("x0")).cast("double"))
+            .otherwise(lit(Double.NaN)))
+    }, Some("""
+      WITH cells AS (SELECT o_orderpriority AS x,
+          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+          CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2),
+      pairs AS (SELECT
+          CAST(coalesce(sum(CASE WHEN a.y < b.y THEN a.n * b.n
+            ELSE 0 END), 0) AS BIGINT) AS nc,
+          CAST(coalesce(sum(CASE WHEN a.y > b.y THEN a.n * b.n
+            ELSE 0 END), 0) AS BIGINT) AS nd
+        FROM cells a JOIN cells b ON a.x < b.x),
+      tx AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS x0
+        FROM (SELECT x,
+            sum(CASE WHEN y = 1 THEN n ELSE 0 END)
+              * sum(CASE WHEN y = 0 THEN n ELSE 0 END) AS t
+          FROM cells GROUP BY 1))
+      SELECT nc, nd, x0,
+        CASE WHEN nc + nd + x0 > 0
+          THEN CAST(nc - nd AS DOUBLE) / CAST(nc + nd + x0 AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS somers_d
+      FROM pairs, tx""")),
+
+    // Lin's concordance correlation between the two q254 covariates
+    // (per-order line count vs total quantity): agreement, not just
+    // correlation — CCC = 2s_xy/(s_x²+s_y²+(x̄−ȳ)²) penalizes scale and
+    // location shift. Multiplying through by n² gives the all-integer
+    // form 2(nΣxy−ΣxΣy) / (nΣx²−(Σx)² + nΣy²−(Σy)² + (Σx−Σy)²): one
+    // lineitem scan to exact BIGINT moments, one fixed IEEE tree,
+    // zero-denominator (both covariates constant and equal) guarded
+    // to NaN.
+    QueryDef("q261_lin_ccc", (s, d) => {
+      val per = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("x"),
+          sum(col("l_quantity").cast("long")).as("y"))
+      val m = per.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("qx"),
+        sum(col("y") * col("y")).as("qy"),
+        sum(col("x") * col("y")).as("sxy"))
+      def dbl(c: Column) = c.cast("double")
+      val num = lit(2.0) * (dbl(col("n")) * dbl(col("sxy"))
+        - dbl(col("sx")) * dbl(col("sy")))
+      val den = (dbl(col("n")) * dbl(col("qx"))
+        - dbl(col("sx")) * dbl(col("sx")))
+        .plus(dbl(col("n")) * dbl(col("qy"))
+          - dbl(col("sy")) * dbl(col("sy")))
+        .plus((dbl(col("sx")) - dbl(col("sy")))
+          * (dbl(col("sx")) - dbl(col("sy"))))
+      m.select(col("n"),
+        when(den > 0.0, num / den).otherwise(lit(Double.NaN))
+          .as("ccc"))
+    }, Some("""
+      WITH per AS (SELECT l_orderkey,
+          CAST(count(*) AS BIGINT) AS x,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * x) AS BIGINT) AS qx,
+          CAST(sum(y * y) AS BIGINT) AS qy,
+          CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM per)
+      SELECT n,
+        CASE WHEN (CAST(n AS DOUBLE) * CAST(qx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            + (CAST(n AS DOUBLE) * CAST(qy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+            + (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))
+              * (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE)) > 0.0
+          THEN 2.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / ((CAST(n AS DOUBLE) * CAST(qx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            + (CAST(n AS DOUBLE) * CAST(qy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+            + (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))
+              * (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE)))
+          ELSE CAST('nan' AS DOUBLE) END AS ccc
+      FROM m"""))
   )
 }

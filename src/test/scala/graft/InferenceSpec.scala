@@ -379,4 +379,89 @@ class InferenceSpec extends AnyFunSuite {
       .as[(Double, Double, Double)].collect().head
     assert(r2._1 == 0.0 && r2._2 == 0.0 && r2._3 == 0.0, s"$r2")
   }
+
+  test("q259: perfectly calibrated eval → chi2 = 0; degenerate p̂ excluded") {
+    import spark.implicits._
+    // Group A: train rate 1/2 and the eval half reproduces it exactly
+    // (O = m·p̂) → its HL term is exactly 0. Group B: train is ALL
+    // finished (p̂ = 1) → the term denominator e_g(1−p̂) would be 0, so
+    // the group must be EXCLUDED via the usable guard, not trip ANSI.
+    val a = Seq(
+      (1L, "1-URGENT", "F"), (3L, "1-URGENT", "O"),
+      (2L, "1-URGENT", "F"), (4L, "1-URGENT", "O"))
+    val b = Seq(
+      (5L, "5-LOW", "F"), (7L, "5-LOW", "F"),
+      (6L, "5-LOW", "F"), (8L, "5-LOW", "O"))
+    val orders = (a ++ b)
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val dir = fixture("orders" -> orders)
+    val rows = q("q259_hosmer_lemeshow", dir)
+      .select("g", "term", "g_used", "chi2_hl")
+      .as[(String, Double, Long, Double)].collect()
+    val byG = rows.map(r => r._1 -> r._2).toMap
+    assert(byG("1-URGENT") == 0.0, s"calibrated group term: $byG")
+    assert(byG("5-LOW") == 0.0, s"excluded group contributes 0: $byG")
+    assert(rows.head._3 == 1L, s"only group A usable: ${rows.head}")
+    assert(rows.head._4 == 0.0, s"chi2 must be exactly 0: ${rows.head}")
+  }
+
+  test("q260: Somers' D equals brute-force (C−D)/(C+D+X0) and 2·AUC−1") {
+    import spark.implicits._
+    val prio = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW")
+    val rnd = new scala.util.Random(23)
+    val data = (1 to 300).map { i =>
+      (i.toLong, prio(rnd.nextInt(5)),
+        if (rnd.nextInt(3) == 0) "F" else "O")
+    }
+    val dir = fixture("orders" ->
+      data.toDF("o_orderkey", "o_orderpriority", "o_orderstatus"))
+    val r = q("q260_somers_d", dir)
+      .select("nc", "nd", "x0", "somers_d")
+      .as[(Long, Long, Long, Double)].collect().head
+    // brute force over all unordered row pairs
+    val xs = data.map(t => (t._2, if (t._3 == "F") 1 else 0))
+    var c = 0L; var dd = 0L; var x0 = 0L
+    for (i <- xs.indices; k <- i + 1 until xs.size) {
+      val (xi, yi) = xs(i); val (xk, yk) = xs(k)
+      if (xi != xk && yi != yk) {
+        if ((xi < xk) == (yi < yk)) c += 1 else dd += 1
+      } else if (xi == xk && yi != yk) x0 += 1
+    }
+    assert((r._1, r._2, r._3) == ((c, dd, x0)),
+      s"cells ${(r._1, r._2, r._3)} vs brute ${(c, dd, x0)}")
+    assert(r._4 == (c - dd).toDouble / (c + dd + x0).toDouble, r)
+    // identity with AUC of the ordinal score for the binary outcome
+    val pos = xs.filter(_._2 == 1).map(_._1)
+    val neg = xs.filter(_._2 == 0).map(_._1)
+    val u = pos.map(p => neg.map(nn =>
+      if (p > nn) 1.0 else if (p == nn) 0.5 else 0.0).sum).sum
+    val auc = u / (pos.size.toDouble * neg.size.toDouble)
+    assert(math.abs(r._4 - (2.0 * auc - 1.0)) < 1e-12,
+      s"D ${r._4} vs 2AUC-1 ${2.0 * auc - 1.0}")
+  }
+
+  test("q261: identical covariates → CCC exactly 1; shift strictly shrinks it") {
+    import spark.implicits._
+    // Every line has quantity 1 ⇒ per-order totqty == nlines exactly ⇒
+    // numerator == denominator as the same IEEE expression ⇒ ccc == 1.
+    val l1 = (1 to 5).flatMap(o => (1 to o).map(_ => (o.toLong, 1)))
+      .toDF("l_orderkey", "l_quantity")
+    val r1 = q("q261_lin_ccc", fixture("lineitem" -> l1))
+      .select("ccc").as[Double].collect().head
+    assert(r1 == 1.0, s"identical covariates must give CCC=1: $r1")
+    // quantity 2 per line ⇒ y = 2x: perfectly correlated but not in
+    // agreement — CCC must drop strictly below 1 (scale penalty).
+    val l2 = (1 to 5).flatMap(o => (1 to o).map(_ => (o.toLong, 2)))
+      .toDF("l_orderkey", "l_quantity")
+    val r2 = q("q261_lin_ccc", fixture("lineitem" -> l2))
+      .select("ccc").as[Double].collect().head
+    assert(r2 > 0.0 && r2 < 1.0, s"scale shift must shrink CCC: $r2")
+    // constant equal covariates (one 1-qty line per order): zero
+    // denominator → NaN, never an ANSI trap.
+    val l3 = (1 to 4).map(o => (o.toLong, 1))
+      .toDF("l_orderkey", "l_quantity")
+    val r3 = q("q261_lin_ccc", fixture("lineitem" -> l3))
+      .select("ccc").as[Double].collect().head
+    assert(r3.isNaN, s"degenerate covariates must be NaN: $r3")
+  }
 }
