@@ -3593,6 +3593,238 @@ object Inference {
             + (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))
               * (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE)))
           ELSE CAST('nan' AS DOUBLE) END AS ccc
-      FROM m"""))
+      FROM m""")),
+
+    // Cochran's Q over binary repeated measures: blocks = users,
+    // treatments = the event types present in the data, xᵢⱼ = "user i
+    // logged ≥ 15 events of type j" (the threshold creates real 0/1
+    // variation — at the sf scales every user touches every type at
+    // least once, which would degenerate the raw-presence design to
+    // the NaN guard). Q = (k−1)(kΣC²−N²)/(kN−ΣR²) is ALL-INTEGER until
+    // the final division: N and the squared column/row sums come from
+    // the sparse (user,type) presence pairs — no dense grid needed,
+    // absent pairs contribute 0 to every sum. Σᵢ Rᵢ(k−Rᵢ) = 0 (every
+    // block constant) guards to NaN.
+    QueryDef("q262_cochran_q", (s, d) => {
+      val ev = t(s, d, "events")
+      val pres = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 15)
+      val kk = ev.agg(countDistinct("event_type").as("k"))
+      val nTot = pres.agg(count(lit(1)).as("nn"))
+      val sr2 = pres.groupBy("user_id").agg(count(lit(1)).as("r"))
+        .agg(coalesce(sum(col("r") * col("r")), lit(0L)).as("sum_r2"))
+      val sc2 = pres.groupBy("event_type").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("sum_c2"))
+      def dbl(c: Column) = c.cast("double")
+      kk.crossJoin(broadcast(nTot)).crossJoin(broadcast(sr2))
+        .crossJoin(broadcast(sc2))
+        .select(col("k"), col("nn"), col("sum_r2"), col("sum_c2"),
+          when(col("k") * col("nn") - col("sum_r2") > 0,
+            (dbl(col("k")) - 1.0)
+              * (dbl(col("k")) * dbl(col("sum_c2"))
+                - dbl(col("nn")) * dbl(col("nn")))
+              / (dbl(col("k")) * dbl(col("nn")) - dbl(col("sum_r2"))))
+            .otherwise(lit(Double.NaN)).as("q_cochran"))
+    }, Some("""
+      WITH pres AS (SELECT user_id, event_type
+        FROM events GROUP BY 1, 2 HAVING count(*) >= 15),
+      kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+        FROM events),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM pres),
+      sr AS (SELECT CAST(coalesce(sum(r * r), 0) AS BIGINT) AS sum_r2
+        FROM (SELECT CAST(count(*) AS BIGINT) AS r FROM pres
+          GROUP BY user_id)),
+      sc AS (SELECT CAST(coalesce(sum(c * c), 0) AS BIGINT) AS sum_c2
+        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM pres
+          GROUP BY event_type))
+      SELECT k, nn, sum_r2, sum_c2,
+        CASE WHEN k * nn - sum_r2 > 0
+          THEN (CAST(k AS DOUBLE) - 1.0)
+            * (CAST(k AS DOUBLE) * CAST(sum_c2 AS DOUBLE)
+              - CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+            / (CAST(k AS DOUBLE) * CAST(nn AS DOUBLE)
+              - CAST(sum_r2 AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS q_cochran
+      FROM kk, nt, sr, sc""")),
+
+    // Gwet's AC1 chance-corrected agreement between the engine's own
+    // lang-ID and the corpus label — the prevalence-robust counterpart
+    // of q218's Cohen's kappa (κ collapses when one category dominates;
+    // AC1's chance term π_q(1−π_q)/(Q−1) does not). The category set Q
+    // is the union OBSERVED across both raters (full-outer-joined
+    // marginals, absent side coalesced to 0), p_a and the marginal
+    // means are exact count rationals, and p_e folds over the SORTED
+    // category list. p_e = 1 (degenerate single category) guards to
+    // NaN.
+    QueryDef("q263_gwet_ac1", (s, d) => {
+      import graft.functions.TextFunctions
+      val scored = t(s, d, "documents")
+        .select(TextFunctions.langId(col("text")).as("r1"),
+          col("lang").as("r2"))
+      val tot = scored.agg(count(lit(1)).as("n"),
+        sum(when(col("r1") === col("r2"), 1L).otherwise(0L))
+          .as("agree"))
+      val m1 = scored.groupBy(col("r1").as("cat"))
+        .agg(count(lit(1)).as("c1"))
+      val m2 = scored.groupBy(col("r2").as("cat"))
+        .agg(count(lit(1)).as("c2"))
+      val cats = m1.join(m2, Seq("cat"), "full_outer")
+        .select(col("cat"), coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+      def dbl(c: Column) = c.cast("double")
+      val folded = cats.crossJoin(broadcast(tot))
+        .withColumn("pi", (dbl(col("c1")) / dbl(col("n"))
+          + dbl(col("c2")) / dbl(col("n"))) / 2.0)
+        .agg(max("n").as("n"), max("agree").as("agree"),
+          count(lit(1)).as("q"),
+          sort_array(collect_list(struct(col("cat"), col("pi"))))
+            .as("cs"))
+      folded
+        .select(col("n"), col("q"),
+          (dbl(col("agree")) / dbl(col("n"))).as("pa"),
+          when(col("q") > 1,
+            aggregate(col("cs"), lit(0.0), (acc, e) =>
+              acc + e.getField("pi") * (lit(1.0) - e.getField("pi")))
+              / (dbl(col("q")) - 1.0))
+            .otherwise(lit(Double.NaN)).as("pe"))
+        .withColumn("ac1", when(col("pe") < 1.0,
+          (col("pa") - col("pe")) / (lit(1.0) - col("pe")))
+          .otherwise(lit(Double.NaN)))
+    }, Some("""
+      WITH scored AS (SELECT (CASE
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b')) = 0
+            THEN 'und'
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+             AND len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'en'
+            WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'es'
+            ELSE 'de' END) AS r1, lang AS r2
+        FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS agree
+        FROM scored),
+      m1 AS (SELECT r1 AS cat, CAST(count(*) AS BIGINT) AS c1
+        FROM scored GROUP BY 1),
+      m2 AS (SELECT r2 AS cat, CAST(count(*) AS BIGINT) AS c2
+        FROM scored GROUP BY 1),
+      cats AS (SELECT cat,
+          CAST(coalesce(c1, 0) AS BIGINT) AS c1,
+          CAST(coalesce(c2, 0) AS BIGINT) AS c2
+        FROM m1 FULL OUTER JOIN m2 USING (cat)),
+      pis AS (SELECT cat,
+          (CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)
+            + CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0 AS pi,
+          n, agree
+        FROM cats, tot),
+      f AS (SELECT max(n) AS n, max(agree) AS agree,
+          CAST(count(*) AS BIGINT) AS q,
+          list_sort(list(struct_pack(cat := cat, pi := pi))) AS cs
+        FROM pis),
+      r AS (SELECT n, q,
+          CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS pa,
+          CASE WHEN q > 1
+            THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(cs, x -> x.pi * (1.0 - x.pi))),
+              (a, b) -> a + b) / (CAST(q AS DOUBLE) - 1.0)
+            ELSE CAST('nan' AS DOUBLE) END AS pe
+        FROM f)
+      SELECT n, q, pa, pe,
+        CASE WHEN pe < 1.0 THEN (pa - pe) / (1.0 - pe)
+          ELSE CAST('nan' AS DOUBLE) END AS ac1
+      FROM r""")),
+
+    // Tie-robust Friedman test: blocks = nations, ordered treatments =
+    // the 5 priorities, measurement = the nation's order count at that
+    // priority. The nation×priority grid is DENSIFIED from the margins
+    // (the q258 lesson — a nation with zero orders at a priority is a
+    // real 0 cell, not a missing row), average ranks within each block
+    // come from a bounded cell self-join (less + (tied+1)/2 — exact
+    // dyadic halves, so every sum below is order-independent in IEEE
+    // and plain SUMs are safe), and the ANOVA-on-ranks form
+    // χ² = (k−1)·Σⱼ(Rⱼ−n(k+1)/2)² / Σᵢⱼ(rᵢⱼ−(k+1)/2)² stays valid
+    // under ties (the textbook 12/nk(k+1) form does not). Zero rank
+    // variance guards to NaN.
+    QueryDef("q264_friedman", (s, d) => {
+      val counts = t(s, d, "orders")
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("b"),
+          col("o_orderpriority").as("tr"))
+        .agg(count(lit(1)).as("cnt"))
+      val blocks = counts.select("b").distinct()
+      val treats = counts.select("tr").distinct()
+      val grid = blocks.crossJoin(treats)
+        .join(counts, Seq("b", "tr"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val o = grid.select(col("b").as("ob"), col("tr").as("otr"),
+        col("cnt").as("ocnt"))
+      val ranked = grid.join(o, col("b") === col("ob"))
+        .groupBy("b", "tr")
+        .agg(
+          sum(when(col("ocnt") < col("cnt"), 1L).otherwise(0L))
+            .as("less"),
+          sum(when(col("ocnt") === col("cnt"), 1L).otherwise(0L))
+            .as("tied"))
+        .withColumn("r", col("less").cast("double")
+          + (col("tied").cast("double") + 1.0) / 2.0)
+      def dbl(c: Column) = c.cast("double")
+      val dims = ranked.agg(
+        countDistinct("b").as("n"), countDistinct("tr").as("k"))
+      val wd = ranked.crossJoin(broadcast(dims))
+        .withColumn("dev", col("r")
+          - (dbl(col("k")) + 1.0) / 2.0)
+      val den = wd.agg(sum(col("dev") * col("dev")).as("den"))
+      val num = wd.groupBy("tr")
+        .agg(max("n").as("n"), max("k").as("k"),
+          sum("r").as("rj"))
+        .withColumn("jdev", col("rj")
+          - dbl(col("n")) * (dbl(col("k")) + 1.0) / 2.0)
+        .agg(max("n").as("n"), max("k").as("k"),
+          sum(col("jdev") * col("jdev")).as("num"))
+      num.crossJoin(broadcast(den))
+        .select(col("n"), col("k"),
+          when(col("den") > 0.0,
+            (dbl(col("k")) - 1.0) * col("num") / col("den"))
+            .otherwise(lit(Double.NaN)).as("chi2_friedman"))
+    }, Some("""
+      WITH counts AS (SELECT c_nationkey AS b, o_orderpriority AS tr,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      grid AS (SELECT b, tr, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
+        FROM (SELECT DISTINCT b FROM counts)
+        CROSS JOIN (SELECT DISTINCT tr FROM counts)
+        LEFT JOIN counts USING (b, tr)),
+      ranked AS (SELECT g.b, g.tr,
+          CAST(sum(CASE WHEN o.cnt < g.cnt THEN 1 ELSE 0 END)
+            AS DOUBLE)
+          + (CAST(sum(CASE WHEN o.cnt = g.cnt THEN 1 ELSE 0 END)
+            AS DOUBLE) + 1.0) / 2.0 AS r
+        FROM grid g JOIN grid o ON o.b = g.b
+        GROUP BY 1, 2),
+      dims AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n,
+          CAST(count(DISTINCT tr) AS BIGINT) AS k
+        FROM ranked),
+      den AS (SELECT sum((r - (CAST(k AS DOUBLE) + 1.0) / 2.0)
+            * (r - (CAST(k AS DOUBLE) + 1.0) / 2.0)) AS den
+        FROM ranked, dims),
+      num AS (SELECT max(n) AS n, max(k) AS k,
+          sum(jdev * jdev) AS num
+        FROM (SELECT max(d.n) AS n, max(d.k) AS k,
+            sum(r) - CAST(max(d.n) AS DOUBLE)
+              * (CAST(max(d.k) AS DOUBLE) + 1.0) / 2.0 AS jdev
+          FROM ranked, dims d GROUP BY tr))
+      SELECT n, k,
+        CASE WHEN den > 0.0
+          THEN (CAST(k AS DOUBLE) - 1.0) * num / den
+          ELSE CAST('nan' AS DOUBLE) END AS chi2_friedman
+      FROM num, den"""))
   )
 }

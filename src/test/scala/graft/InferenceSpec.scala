@@ -464,4 +464,82 @@ class InferenceSpec extends AnyFunSuite {
       .select("ccc").as[Double].collect().head
     assert(r3.isNaN, s"degenerate covariates must be NaN: $r3")
   }
+
+  test("q262: hand-computed Q on a 3×2 design; constant blocks → NaN") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ts0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def burst(u: Long, tpe: String, n: Int) = (1 to n).map(i =>
+      (u * 1000 + i, ts0, u, tpe, 0.0, "{}"))
+    // u1: click+view above threshold; u2, u3: click only →
+    // k=2, N=4, ΣR²=6, ΣC²=10 → Q = 1·(2·10−16)/(2·4−6) = 2 exactly.
+    val ev = (burst(1, "click", 20) ++ burst(1, "view", 20) ++
+      burst(2, "click", 20) ++ burst(3, "click", 20))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = q("q262_cochran_q", fixture("events" -> ev))
+      .select("k", "nn", "sum_r2", "sum_c2", "q_cochran")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(r == ((2L, 4L, 6L, 10L, 2.0)), r)
+    // every block passes the threshold on every type → Σ Rᵢ(k−Rᵢ) = 0
+    // → the Q denominator is 0 and the guard must yield NaN.
+    val ev2 = (burst(1, "click", 20) ++ burst(1, "view", 20) ++
+      burst(2, "click", 20) ++ burst(2, "view", 20))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r2 = q("q262_cochran_q", fixture("events" -> ev2))
+      .select("q_cochran").as[Double].collect().head
+    assert(r2.isNaN, s"constant blocks must guard to NaN: $r2")
+  }
+
+  test("q263: perfect two-category agreement → AC1 exactly 1; single category → NaN") {
+    import spark.implicits._
+    val docs = (Seq.tabulate(4)(i =>
+      (i.toLong, s"the cat and the dog of $i", "en")) ++
+      Seq.tabulate(4)(i =>
+        (10L + i, s"el perro y la casa de que en los del $i", "es")))
+      .toDF("doc_id", "text", "lang")
+    val r = q("q263_gwet_ac1", fixture("documents" -> docs))
+      .select("q", "pa", "ac1").as[(Long, Double, Double)]
+      .collect().head
+    assert(r._1 == 2L && r._2 == 1.0 && r._3 == 1.0, r)
+    // all docs one category for BOTH raters → Q = 1 → p_e undefined →
+    // NaN, never a divide error.
+    val mono = Seq.tabulate(4)(i =>
+      (i.toLong, s"the cat and the dog of $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r2 = q("q263_gwet_ac1", fixture("documents" -> mono))
+      .select("pe", "ac1").as[(Double, Double)].collect().head
+    assert(r2._1.isNaN && r2._2.isNaN, s"single category must NaN: $r2")
+  }
+
+  test("q264: identical untied block rankings → chi2 = (k−1)·n; all-tied → NaN") {
+    import spark.implicits._
+    // 3 nations × 3 priorities, counts 1<2<3 in the same order in every
+    // block: every block ranks identically with no ties, so the
+    // ANOVA-on-ranks form must reach its maximum (k−1)·n = 6 exactly.
+    val prio = Seq("1-URGENT", "3-MEDIUM", "5-LOW")
+    var oid = 0L
+    val rows = for {
+      nat <- 1 to 3; (p, ci) <- prio.zipWithIndex
+      _ <- 1 to (ci + 1)
+    } yield { oid += 1; (oid, nat.toLong * 100, p) }
+    val customer = (1 to 3).map(n => (n.toLong * 100, n))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = rows.toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val r = q("q264_friedman",
+      fixture("orders" -> orders, "customer" -> customer))
+      .select("n", "k", "chi2_friedman")
+      .as[(Long, Long, Double)].collect().head
+    assert(r == ((3L, 3L, 6.0)), r)
+    // equal counts everywhere → every rank tied → zero rank variance →
+    // NaN.
+    var oid2 = 0L
+    val rows2 = for { nat <- 1 to 3; p <- prio } yield {
+      oid2 += 1; (oid2, nat.toLong * 100, p)
+    }
+    val r2 = q("q264_friedman",
+      fixture("orders" -> rows2.toDF("o_orderkey", "o_custkey",
+        "o_orderpriority"), "customer" -> customer))
+      .select("chi2_friedman").as[Double].collect().head
+    assert(r2.isNaN, s"all-tied ranks must guard to NaN: $r2")
+  }
 }
