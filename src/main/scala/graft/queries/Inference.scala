@@ -3825,6 +3825,253 @@ object Inference {
         CASE WHEN den > 0.0
           THEN (CAST(k AS DOUBLE) - 1.0) * num / den
           ELSE CAST('nan' AS DOUBLE) END AS chi2_friedman
-      FROM num, den"""))
+      FROM num, den""")),
+
+    // First-order partial correlation r_xy·z between per-order line
+    // count (x) and total quantity (y) CONTROLLING for order value —
+    // the "is the x–y link just both growing with order size?" readout.
+    // z is the price rounded to whole units and cast BIGINT (the raw
+    // DOUBLE would make Σz partition-order-dependent; rounding gives an
+    // exact integer covariate both engines derive identically — .5
+    // ties round away from zero in both). All three pairwise Pearson
+    // r's come from ONE joined scan's exact BIGINT moments (Σz² caps
+    // the safe range around sf~10; decimal accumulation is the web-
+    // scale variant), then r_xy·z = (r_xy − r_xz r_yz)/√((1−r_xz²)(1−r_yz²)),
+    // any zero variance or |r|=1 denominator when-guarded to NaN.
+    QueryDef("q265_partial_corr", (s, d) => {
+      val per = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("x"),
+          sum(col("l_quantity").cast("long")).as("y"))
+      val triple = per.join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("x"), col("y"),
+          round(col("o_totalprice")).cast("long").as("z"))
+      val m = triple.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+        sum(col("x") * col("x")).as("qx"),
+        sum(col("y") * col("y")).as("qy"),
+        sum(col("z") * col("z")).as("qz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"))
+      def dbl(c: Column) = c.cast("double")
+      def cov(sab: Column, sa: Column, sb: Column) =
+        dbl(col("n")) * dbl(sab) - dbl(sa) * dbl(sb)
+      def varOf(q: Column, sc: Column) =
+        dbl(col("n")) * dbl(q) - dbl(sc) * dbl(sc)
+      def r(sab: Column, sa: Column, sb: Column, qa: Column,
+          qb: Column) =
+        when(varOf(qa, sa) > 0.0 && varOf(qb, sb) > 0.0,
+          cov(sab, sa, sb) / sqrt(varOf(qa, sa) * varOf(qb, sb)))
+          .otherwise(lit(Double.NaN))
+      val withR = m.select(col("n"),
+        r(col("sxy"), col("sx"), col("sy"), col("qx"), col("qy"))
+          .as("r_xy"),
+        r(col("sxz"), col("sx"), col("sz"), col("qx"), col("qz"))
+          .as("r_xz"),
+        r(col("syz"), col("sy"), col("sz"), col("qy"), col("qz"))
+          .as("r_yz"))
+      withR.withColumn("r_partial", {
+        val den = (lit(1.0) - col("r_xz") * col("r_xz"))
+          .*(lit(1.0) - col("r_yz") * col("r_yz"))
+        when(den > 0.0,
+          (col("r_xy") - col("r_xz") * col("r_yz")) / sqrt(den))
+          .otherwise(lit(Double.NaN))
+      })
+    }, Some("""
+      WITH per AS (SELECT l_orderkey,
+          CAST(count(*) AS BIGINT) AS x,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1),
+      triple AS (SELECT x, y,
+          CAST(round(o_totalprice) AS BIGINT) AS z
+        FROM per JOIN orders ON l_orderkey = o_orderkey),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(z) AS BIGINT) AS sz,
+          CAST(sum(x * x) AS BIGINT) AS qx,
+          CAST(sum(y * y) AS BIGINT) AS qy,
+          CAST(sum(z * z) AS BIGINT) AS qz,
+          CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(x * z) AS BIGINT) AS sxz,
+          CAST(sum(y * z) AS BIGINT) AS syz
+        FROM triple),
+      rr AS (SELECT n,
+          CASE WHEN CAST(n AS DOUBLE) * CAST(qx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+               AND CAST(n AS DOUBLE) * CAST(qy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(qx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(qy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            ELSE CAST('nan' AS DOUBLE) END AS r_xy,
+          CASE WHEN CAST(n AS DOUBLE) * CAST(qx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+               AND CAST(n AS DOUBLE) * CAST(qz AS DOUBLE)
+                - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) > 0.0
+            THEN (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(qx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(qz AS DOUBLE)
+                - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+            ELSE CAST('nan' AS DOUBLE) END AS r_xz,
+          CASE WHEN CAST(n AS DOUBLE) * CAST(qy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+               AND CAST(n AS DOUBLE) * CAST(qz AS DOUBLE)
+                - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) > 0.0
+            THEN (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(qy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(qz AS DOUBLE)
+                - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+            ELSE CAST('nan' AS DOUBLE) END AS r_yz
+        FROM m)
+      SELECT n, r_xy, r_xz, r_yz,
+        CASE WHEN (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0.0
+          THEN (r_xy - r_xz * r_yz)
+            / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+          ELSE CAST('nan' AS DOUBLE) END AS r_partial
+      FROM rr""")),
+
+    // Distribution distance between the priority mix of finished vs
+    // open orders, three classical readouts from ONE densified cell
+    // table: Bhattacharyya coefficient Σ√(pᵢqᵢ), Hellinger distance
+    // √(max(0, 1−BC)) (the clamp absorbs the ≤1-ulp excess a perfect
+    // match can leave), and total-variation ½Σ|pᵢ−qᵢ|. The priority
+    // domain is densified from the observed margins (the q258 lesson);
+    // each side's probabilities are exact count rationals; both folds
+    // run over the SORTED priority list. An empty side guards to NaN.
+    QueryDef("q266_hellinger", (s, d) => {
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("p"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("cf"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+            .as("co"))
+      val tot = cells.agg(sum("cf").as("nf"), sum("co").as("no"))
+      def dbl(c: Column) = c.cast("double")
+      val folded = cells.crossJoin(broadcast(tot))
+        .withColumn("pp", dbl(col("cf")) / dbl(col("nf")))
+        .withColumn("qq", dbl(col("co")) / dbl(col("no")))
+        .agg(max("nf").as("nf"), max("no").as("no"),
+          sort_array(collect_list(struct(col("p"), col("pp"),
+            col("qq")))).as("cs"))
+      folded.select(col("nf"), col("no"),
+          when(col("nf") > 0 && col("no") > 0,
+            aggregate(col("cs"), lit(0.0), (acc, e) =>
+              acc + sqrt(e.getField("pp") * e.getField("qq"))))
+            .otherwise(lit(Double.NaN)).as("bc"),
+          when(col("nf") > 0 && col("no") > 0,
+            aggregate(col("cs"), lit(0.0), (acc, e) =>
+              acc + abs(e.getField("pp") - e.getField("qq"))) / 2.0)
+            .otherwise(lit(Double.NaN)).as("tvd"))
+        .withColumn("hellinger",
+          when(col("bc").isNaN, lit(Double.NaN))
+            .otherwise(sqrt(greatest(lit(1.0) - col("bc"), lit(0.0)))))
+    }, Some("""
+      WITH cells AS (SELECT o_orderpriority AS p,
+          CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS cf,
+          CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+            AS BIGINT) AS co
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(sum(cf) AS BIGINT) AS nf,
+          CAST(sum(co) AS BIGINT) AS no FROM cells),
+      f AS (SELECT max(nf) AS nf, max(no) AS no,
+          list_sort(list(struct_pack(p := p,
+            pp := CAST(cf AS DOUBLE) / CAST(nf AS DOUBLE),
+            qq := CAST(co AS DOUBLE) / CAST(no AS DOUBLE)))) AS cs
+        FROM cells, tot),
+      r AS (SELECT nf, no,
+          CASE WHEN nf > 0 AND no > 0
+            THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(cs, e -> sqrt(e.pp * e.qq))),
+              (a, b) -> a + b)
+            ELSE CAST('nan' AS DOUBLE) END AS bc,
+          CASE WHEN nf > 0 AND no > 0
+            THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(cs, e -> abs(e.pp - e.qq))),
+              (a, b) -> a + b) / 2.0
+            ELSE CAST('nan' AS DOUBLE) END AS tvd
+        FROM f)
+      SELECT nf, no, bc, tvd,
+        CASE WHEN isnan(bc) THEN CAST('nan' AS DOUBLE)
+          ELSE sqrt(greatest(1.0 - bc, 0.0)) END AS hellinger
+      FROM r""")),
+
+    // Theil's uncertainty coefficient U(status|priority) — the
+    // NORMALIZED, asymmetric form of q199's mutual information: what
+    // fraction of the outcome's entropy does knowing the priority
+    // remove? U = (H(Y)+H(X)−H(X,Y))/H(Y), every entropy the q138/q199
+    // shape — a sorted fold of c·ln c over dimension-bounded count
+    // lists with INTEGER-valued portable_ln arguments only, so all
+    // doubles are fixed IEEE trees. H(Y)=0 (single outcome) guards to
+    // NaN.
+    QueryDef("q267_theils_u", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def pln(c: Column) = call_function("portable_ln", c)
+      def foldClnC(cs: Column) = aggregate(cs, lit(0.0), (acc, x) =>
+        acc + x.cast("double") * pln(x.cast("double")))
+      val cells = t(s, d, "orders")
+        .select(col("o_orderpriority").as("x"),
+          col("o_orderstatus").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("c"))
+      val sxy = cells.agg(sort_array(collect_list(col("c"))).as("cs"),
+          sum("c").as("n"))
+        .select(foldClnC(col("cs")).as("sxy"), col("n"))
+      val sx = cells.groupBy("x").agg(sum("c").as("cx"))
+        .agg(sort_array(collect_list(col("cx"))).as("cs"))
+        .select(foldClnC(col("cs")).as("sx"))
+      val sy = cells.groupBy("y").agg(sum("c").as("cy"))
+        .agg(sort_array(collect_list(col("cy"))).as("cs"))
+        .select(foldClnC(col("cs")).as("sy"))
+      def dbl(c: Column) = c.cast("double")
+      sxy.crossJoin(sx).crossJoin(sy)
+        .select(col("n"),
+          (pln(dbl(col("n"))) - col("sx") / dbl(col("n"))).as("h_x"),
+          (pln(dbl(col("n"))) - col("sy") / dbl(col("n"))).as("h_y"),
+          (pln(dbl(col("n"))) - col("sxy") / dbl(col("n"))).as("h_xy"))
+        .select(col("n"), col("h_x"), col("h_y"), col("h_xy"),
+          when(col("h_y") > 0.0,
+            (col("h_x") + col("h_y") - col("h_xy")) / col("h_y"))
+            .otherwise(lit(Double.NaN)).as("u_y_given_x"))
+    }, Some("""
+      WITH cells AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+          CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2),
+      sxy AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(c)),
+              v -> CAST(v AS DOUBLE) * ln(CAST(v AS DOUBLE)))),
+            (a, b) -> a + b) AS sxy,
+          CAST(sum(c) AS BIGINT) AS n
+        FROM cells),
+      sx AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(cx)),
+              v -> CAST(v AS DOUBLE) * ln(CAST(v AS DOUBLE)))),
+            (a, b) -> a + b) AS sx
+        FROM (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells
+          GROUP BY 1)),
+      sy AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(cy)),
+              v -> CAST(v AS DOUBLE) * ln(CAST(v AS DOUBLE)))),
+            (a, b) -> a + b) AS sy
+        FROM (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells
+          GROUP BY 1)),
+      h AS (SELECT n,
+          ln(CAST(n AS DOUBLE)) - sx / CAST(n AS DOUBLE) AS h_x,
+          ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE) AS h_y,
+          ln(CAST(n AS DOUBLE)) - sxy / CAST(n AS DOUBLE) AS h_xy
+        FROM sxy, sx, sy)
+      SELECT n, h_x, h_y, h_xy,
+        CASE WHEN h_y > 0.0 THEN (h_x + h_y - h_xy) / h_y
+          ELSE CAST('nan' AS DOUBLE) END AS u_y_given_x
+      FROM h"""))
   )
 }

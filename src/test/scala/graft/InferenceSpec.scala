@@ -542,4 +542,74 @@ class InferenceSpec extends AnyFunSuite {
       .select("chi2_friedman").as[Double].collect().head
     assert(r2.isNaN, s"all-tied ranks must guard to NaN: $r2")
   }
+
+  test("q265: z orthogonal to x=y → partial r exactly 1; constant z → NaN") {
+    import spark.implicits._
+    // (x,y,z) = (1,1,1),(1,1,2),(2,2,2),(2,2,1): cov(x,z)=cov(y,z)=0
+    // EXACTLY (integer moments), x≡y → r_xy=1 → r_partial = 1.0 with
+    // no floating-point slack anywhere in the tree.
+    val orders = Seq((1L, 1.0), (2L, 2.0), (3L, 2.0), (4L, 1.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val lines = Seq((1L, 1), (2L, 1), (3L, 1), (3L, 1), (4L, 1),
+      (4L, 1)).toDF("l_orderkey", "l_quantity")
+    val r = q("q265_partial_corr",
+      fixture("orders" -> orders, "lineitem" -> lines))
+      .select("r_xy", "r_xz", "r_yz", "r_partial")
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(r._1 == 1.0 && r._2 == 0.0 && r._3 == 0.0 && r._4 == 1.0, r)
+    // constant z → var z = 0 → r_xz guards to NaN and the partial
+    // propagates NaN (the NaN-propagating den comparison is false).
+    val orders2 = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 5.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val r2 = q("q265_partial_corr",
+      fixture("orders" -> orders2, "lineitem" -> lines))
+      .select("r_xz", "r_partial").as[(Double, Double)].collect().head
+    assert(r2._1.isNaN && r2._2.isNaN, s"constant z must NaN: $r2")
+  }
+
+  test("q266: identical mixes → BC=1, H=0, TVD=0; disjoint → BC=0, H=1, TVD=1") {
+    import spark.implicits._
+    // Two priorities, 2 F + 2 O in each: both sides are exactly
+    // (1/2, 1/2) → BC = 2·√(1/4) = 1.0 exactly (dyadic rationals all
+    // the way), so Hellinger hits the clamp at exactly 0 and TVD = 0.
+    val same = (1 to 8).map { i =>
+      (i.toLong, Seq("1-URGENT", "5-LOW")(i % 2),
+        if (i <= 4) "F" else "O")
+    }.toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val r1 = q("q266_hellinger", fixture("orders" -> same))
+      .select("bc", "tvd", "hellinger")
+      .as[(Double, Double, Double)].collect().head
+    assert(r1 == ((1.0, 0.0, 0.0)), r1)
+    // Disjoint supports: every F urgent, every O low → BC = 0,
+    // Hellinger = 1, TVD = 1, all exact.
+    val disj = (1 to 8).map { i =>
+      val f = i <= 4
+      (i.toLong, if (f) "1-URGENT" else "5-LOW", if (f) "F" else "O")
+    }.toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val r2 = q("q266_hellinger", fixture("orders" -> disj))
+      .select("bc", "tvd", "hellinger")
+      .as[(Double, Double, Double)].collect().head
+    assert(r2 == ((0.0, 1.0, 1.0)), r2)
+  }
+
+  test("q267: status determined by priority → U exactly 1; single status → NaN") {
+    import spark.implicits._
+    // y = f(x): the (x,y) cell counts ARE the x margins, so the sxy and
+    // sx folds run over identical sorted lists and U collapses to
+    // H_y/H_y = exactly 1.0.
+    val det = (1 to 9).map { i =>
+      val p = Seq("1-URGENT", "3-MEDIUM", "5-LOW")(i % 3)
+      (i.toLong, p, Map("1-URGENT" -> "F", "3-MEDIUM" -> "O",
+        "5-LOW" -> "P")(p))
+    }.toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val r1 = q("q267_theils_u", fixture("orders" -> det))
+      .select("u_y_given_x").as[Double].collect().head
+    assert(r1 == 1.0, s"deterministic mapping must give U=1: $r1")
+    val mono = (1 to 6).map(i =>
+      (i.toLong, Seq("1-URGENT", "5-LOW")(i % 2), "F"))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val r2 = q("q267_theils_u", fixture("orders" -> mono))
+      .select("u_y_given_x").as[Double].collect().head
+    assert(r2.isNaN, s"H(Y)=0 must guard to NaN: $r2")
+  }
 }
