@@ -4072,6 +4072,220 @@ object Inference {
       SELECT n, h_x, h_y, h_xy,
         CASE WHEN h_y > 0.0 THEN (h_x + h_y - h_xy) / h_y
           ELSE CAST('nan' AS DOUBLE) END AS u_y_given_x
-      FROM h"""))
+      FROM h""")),
+
+    // Page's L trend test — the ORDERED-alternative sharpening of
+    // q264's Friedman (is the per-nation order count monotone in
+    // priority urgency, not merely different?). Reuses the densified
+    // grid + bounded-self-join average ranks (exact dyadic halves),
+    // then L = Σⱼ posⱼ·Rⱼ with posⱼ the treatment's 1..k position in
+    // lexicographic (= urgency) order, and the classical untied
+    // moments E[L] = nk(k+1)²/4, Var[L] = nk²(k+1)²(k−1)/144 give
+    // z = (L−E)/√Var (tie-corrected variance would shrink Var; with
+    // heavy ties |z| is conservative-UP, noted, the statistic itself
+    // exact). Var = 0 (k<2 or n=0) guards to NaN.
+    QueryDef("q268_page_trend", (s, d) => {
+      val counts = t(s, d, "orders")
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("b"),
+          col("o_orderpriority").as("tr"))
+        .agg(count(lit(1)).as("cnt"))
+      val blocks = counts.select("b").distinct()
+      val treats = counts.select("tr").distinct()
+      val grid = blocks.crossJoin(treats)
+        .join(counts, Seq("b", "tr"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val o = grid.select(col("b").as("ob"), col("tr").as("otr"),
+        col("cnt").as("ocnt"))
+      val ranked = grid.join(o, col("b") === col("ob"))
+        .groupBy("b", "tr")
+        .agg(sum(when(col("ocnt") < col("cnt"), 1L).otherwise(0L))
+            .as("less"),
+          sum(when(col("ocnt") === col("cnt"), 1L).otherwise(0L))
+            .as("tied"))
+        .withColumn("r", col("less").cast("double")
+          + (col("tied").cast("double") + 1.0) / 2.0)
+      // treatment position 1..k in lexicographic order, from a bounded
+      // self-join over the treatment list (window-free)
+      val t2 = treats.select(col("tr").as("tr2"))
+      val pos = treats.join(t2, col("tr2") <= col("tr"))
+        .groupBy("tr").agg(count(lit(1)).as("pos"))
+      def dbl(c: Column) = c.cast("double")
+      val dims = ranked.agg(countDistinct("b").as("n"),
+        countDistinct("tr").as("k"))
+      val l = ranked.join(broadcast(pos), "tr")
+        .groupBy("tr").agg(max("pos").as("pos"), sum("r").as("rj"))
+        .agg(sum(dbl(col("pos")) * col("rj")).as("l"))
+      l.crossJoin(broadcast(dims))
+        .select(col("n"), col("k"), col("l"),
+          (dbl(col("n")) * dbl(col("k"))
+            * (dbl(col("k")) + 1.0) * (dbl(col("k")) + 1.0) / 4.0)
+            .as("e_l"),
+          (dbl(col("n")) * dbl(col("k")) * dbl(col("k"))
+            * (dbl(col("k")) + 1.0) * (dbl(col("k")) + 1.0)
+            * (dbl(col("k")) - 1.0) / 144.0).as("var_l"))
+        .withColumn("z", when(col("var_l") > 0.0,
+          (col("l") - col("e_l")) / sqrt(col("var_l")))
+          .otherwise(lit(Double.NaN)))
+    }, Some("""
+      WITH counts AS (SELECT c_nationkey AS b, o_orderpriority AS tr,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      grid AS (SELECT b, tr, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
+        FROM (SELECT DISTINCT b FROM counts)
+        CROSS JOIN (SELECT DISTINCT tr FROM counts)
+        LEFT JOIN counts USING (b, tr)),
+      ranked AS (SELECT g.b, g.tr,
+          CAST(sum(CASE WHEN o.cnt < g.cnt THEN 1 ELSE 0 END)
+            AS DOUBLE)
+          + (CAST(sum(CASE WHEN o.cnt = g.cnt THEN 1 ELSE 0 END)
+            AS DOUBLE) + 1.0) / 2.0 AS r
+        FROM grid g JOIN grid o ON o.b = g.b
+        GROUP BY 1, 2),
+      pos AS (SELECT a.tr, CAST(count(*) AS BIGINT) AS pos
+        FROM (SELECT DISTINCT tr FROM counts) a
+        JOIN (SELECT DISTINCT tr FROM counts) b2 ON b2.tr <= a.tr
+        GROUP BY 1),
+      dims AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n,
+          CAST(count(DISTINCT tr) AS BIGINT) AS k
+        FROM ranked),
+      ll AS (SELECT sum(CAST(pos AS DOUBLE) * rj) AS l
+        FROM (SELECT tr, max(pos) AS pos, sum(r) AS rj
+          FROM ranked JOIN pos USING (tr) GROUP BY tr)),
+      mo AS (SELECT n, k, l,
+          CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+            * (CAST(k AS DOUBLE) + 1.0) * (CAST(k AS DOUBLE) + 1.0)
+            / 4.0 AS e_l,
+          CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+            * (CAST(k AS DOUBLE) + 1.0) * (CAST(k AS DOUBLE) + 1.0)
+            * (CAST(k AS DOUBLE) - 1.0) / 144.0 AS var_l
+        FROM ll, dims)
+      SELECT n, k, l, e_l, var_l,
+        CASE WHEN var_l > 0.0 THEN (l - e_l) / sqrt(var_l)
+          ELSE CAST('nan' AS DOUBLE) END AS z
+      FROM mo""")),
+
+    // Goodman-Kruskal λ in BOTH directions — proportional reduction in
+    // prediction error for categorical⇄categorical, and the rare
+    // statistic that stays ALL-INTEGER to the final division:
+    // λ(Y|X) = (Σₓ maxy c − maxy C)/(N − maxy C). Modal counts come
+    // from bounded per-margin aggregates (tie-breaking is irrelevant —
+    // only the max VALUE enters); a degenerate margin (single observed
+    // category → denominator 0) guards to NaN.
+    QueryDef("q269_gk_lambda", (s, d) => {
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("x"),
+          col("o_orderstatus").as("y"))
+        .agg(count(lit(1)).as("c"))
+      val sxmax = cells.groupBy("x").agg(max("c").as("mx"))
+        .agg(sum("mx").as("sum_max_y_given_x"))
+      val symax = cells.groupBy("y").agg(max("c").as("my"))
+        .agg(sum("my").as("sum_max_x_given_y"))
+      val margY = cells.groupBy("y").agg(sum("c").as("cy"))
+        .agg(max("cy").as("max_y"))
+      val margX = cells.groupBy("x").agg(sum("c").as("cx"))
+        .agg(max("cx").as("max_x"))
+      val n = cells.agg(sum("c").as("n"))
+      def dbl(c: Column) = c.cast("double")
+      n.crossJoin(broadcast(sxmax)).crossJoin(broadcast(symax))
+        .crossJoin(broadcast(margY)).crossJoin(broadcast(margX))
+        .select(col("n"), col("sum_max_y_given_x"),
+          col("sum_max_x_given_y"), col("max_y"), col("max_x"),
+          when(col("n") - col("max_y") > 0,
+            dbl(col("sum_max_y_given_x") - col("max_y"))
+              / dbl(col("n") - col("max_y")))
+            .otherwise(lit(Double.NaN)).as("lambda_y_given_x"),
+          when(col("n") - col("max_x") > 0,
+            dbl(col("sum_max_x_given_y") - col("max_x"))
+              / dbl(col("n") - col("max_x")))
+            .otherwise(lit(Double.NaN)).as("lambda_x_given_y"))
+    }, Some("""
+      WITH cells AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+          CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2),
+      sxm AS (SELECT CAST(sum(mx) AS BIGINT) AS sum_max_y_given_x
+        FROM (SELECT x, max(c) AS mx FROM cells GROUP BY 1)),
+      sym AS (SELECT CAST(sum(my) AS BIGINT) AS sum_max_x_given_y
+        FROM (SELECT y, max(c) AS my FROM cells GROUP BY 1)),
+      my2 AS (SELECT CAST(max(cy) AS BIGINT) AS max_y
+        FROM (SELECT y, sum(c) AS cy FROM cells GROUP BY 1)),
+      mx2 AS (SELECT CAST(max(cx) AS BIGINT) AS max_x
+        FROM (SELECT x, sum(c) AS cx FROM cells GROUP BY 1)),
+      nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+      SELECT n, sum_max_y_given_x, sum_max_x_given_y, max_y, max_x,
+        CASE WHEN n - max_y > 0
+          THEN CAST(sum_max_y_given_x - max_y AS DOUBLE)
+            / CAST(n - max_y AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS lambda_y_given_x,
+        CASE WHEN n - max_x > 0
+          THEN CAST(sum_max_x_given_y - max_x AS DOUBLE)
+            / CAST(n - max_x AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS lambda_x_given_y
+      FROM nt, sxm, sym, my2, mx2""")),
+
+    // Goodman-Kruskal γ and Stuart's τ-c for the ordinal priority ×
+    // ordinal status pair (F<O<P lexicographic in both engines) — the
+    // tie-IGNORING and the rectangular-table-corrected companions to
+    // q213's τ-b, from the same ≤15-cell contingency: C and D are
+    // exact BIGINT products over the x-ordered cell pair join,
+    // γ = (C−D)/(C+D) (no-untied-pairs → NaN) and
+    // τ-c = 2m(C−D)/(n²(m−1)) with m = min(r,c) counted from the data
+    // (m=1 → NaN).
+    QueryDef("q270_ordinal_gamma", (s, d) => {
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("x"),
+          col("o_orderstatus").as("y"))
+        .agg(count(lit(1)).as("cn"))
+      val a = cells.select(col("x").as("ax"), col("y").as("ay"),
+        col("cn").as("an"))
+      val b = cells.select(col("x").as("bx"), col("y").as("by"),
+        col("cn").as("bn"))
+      val pairs = a.join(b, col("ax") < col("bx"))
+        .agg(
+          coalesce(sum(when(col("ay") < col("by"),
+            col("an") * col("bn")).otherwise(0L)), lit(0L)).as("nc"),
+          coalesce(sum(when(col("ay") > col("by"),
+            col("an") * col("bn")).otherwise(0L)), lit(0L)).as("nd"))
+      val dims = cells.agg(sum("cn").as("n"),
+        countDistinct("x").as("r"), countDistinct("y").as("c"))
+      def dbl(c: Column) = c.cast("double")
+      pairs.crossJoin(broadcast(dims))
+        .withColumn("m", least(col("r"), col("c")))
+        .select(col("n"), col("nc"), col("nd"), col("m"),
+          when(col("nc") + col("nd") > 0,
+            dbl(col("nc") - col("nd")) / dbl(col("nc") + col("nd")))
+            .otherwise(lit(Double.NaN)).as("gamma"),
+          when(col("m") > 1,
+            lit(2.0) * dbl(col("m")) * dbl(col("nc") - col("nd"))
+              / (dbl(col("n")) * dbl(col("n"))
+                * (dbl(col("m")) - 1.0)))
+            .otherwise(lit(Double.NaN)).as("tau_c"))
+    }, Some("""
+      WITH cells AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+          CAST(count(*) AS BIGINT) AS cn
+        FROM orders GROUP BY 1, 2),
+      pairs AS (SELECT
+          CAST(coalesce(sum(CASE WHEN a.y < b.y THEN a.cn * b.cn
+            ELSE 0 END), 0) AS BIGINT) AS nc,
+          CAST(coalesce(sum(CASE WHEN a.y > b.y THEN a.cn * b.cn
+            ELSE 0 END), 0) AS BIGINT) AS nd
+        FROM cells a JOIN cells b ON a.x < b.x),
+      dims AS (SELECT CAST(sum(cn) AS BIGINT) AS n,
+          CAST(count(DISTINCT x) AS BIGINT) AS r,
+          CAST(count(DISTINCT y) AS BIGINT) AS c
+        FROM cells)
+      SELECT n, nc, nd, least(r, c) AS m,
+        CASE WHEN nc + nd > 0
+          THEN CAST(nc - nd AS DOUBLE) / CAST(nc + nd AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS gamma,
+        CASE WHEN least(r, c) > 1
+          THEN 2.0 * CAST(least(r, c) AS DOUBLE)
+            * CAST(nc - nd AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              * (CAST(least(r, c) AS DOUBLE) - 1.0))
+          ELSE CAST('nan' AS DOUBLE) END AS tau_c
+      FROM pairs, dims"""))
   )
 }

@@ -612,4 +612,70 @@ class InferenceSpec extends AnyFunSuite {
       .select("u_y_given_x").as[Double].collect().head
     assert(r2.isNaN, s"H(Y)=0 must guard to NaN: $r2")
   }
+
+  test("q268: perfectly monotone blocks hit Page's maximum, z exactly 2") {
+    import spark.implicits._
+    // 2 nations × 3 priorities with counts strictly increasing in
+    // priority order in both blocks: every rank equals its position →
+    // L = n(1+4+9) = 28, E = nk(k+1)²/4 = 24, Var = 4 → z = 2.0, all
+    // exact dyadic arithmetic.
+    val prio = Seq("1-URGENT", "3-MEDIUM", "5-LOW")
+    var oid = 0L
+    val rows = for {
+      nat <- 1 to 2; (p, ci) <- prio.zipWithIndex; _ <- 1 to (ci + 1)
+    } yield { oid += 1; (oid, nat.toLong * 100, p) }
+    val customer = (1 to 2).map(n => (n.toLong * 100, n))
+      .toDF("c_custkey", "c_nationkey")
+    val r = q("q268_page_trend", fixture(
+      "orders" -> rows.toDF("o_orderkey", "o_custkey",
+        "o_orderpriority"), "customer" -> customer))
+      .select("l", "e_l", "var_l", "z")
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(r == ((28.0, 24.0, 4.0, 2.0)), r)
+    // single treatment → Var = 0 → NaN guard
+    val mono = (1 to 4).map(i => (i.toLong, 100L, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val cust1 = Seq((100L, 1)).toDF("c_custkey", "c_nationkey")
+    val r2 = q("q268_page_trend",
+      fixture("orders" -> mono, "customer" -> cust1))
+      .select("z").as[Double].collect().head
+    assert(r2.isNaN, s"k=1 must guard to NaN: $r2")
+  }
+
+  test("q269: perfect prediction → λ(Y|X)=1; single outcome → NaN") {
+    import spark.implicits._
+    val det = (1 to 9).map { i =>
+      val p = Seq("1-URGENT", "3-MEDIUM", "5-LOW")(i % 3)
+      (i.toLong, p, Map("1-URGENT" -> "F", "3-MEDIUM" -> "O",
+        "5-LOW" -> "P")(p))
+    }.toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val r = q("q269_gk_lambda", fixture("orders" -> det))
+      .select("lambda_y_given_x", "lambda_x_given_y")
+      .as[(Double, Double)].collect().head
+    assert(r._1 == 1.0 && r._2 == 1.0, r)
+    val mono = (1 to 6).map(i =>
+      (i.toLong, Seq("1-URGENT", "5-LOW")(i % 2), "F"))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val r2 = q("q269_gk_lambda", fixture("orders" -> mono))
+      .select("lambda_y_given_x").as[Double].collect().head
+    assert(r2.isNaN, s"single outcome margin must NaN: $r2")
+  }
+
+  test("q270: concordant 2×2 diagonal → γ = τ-c = 1; one column → NaN γ") {
+    import spark.implicits._
+    val diag = ((1 to 2).map(i => (i.toLong, "1-URGENT", "F")) ++
+      (3 to 4).map(i => (i.toLong, "5-LOW", "O")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val r = q("q270_ordinal_gamma", fixture("orders" -> diag))
+      .select("nc", "nd", "gamma", "tau_c")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(r == ((4L, 0L, 1.0, 1.0)), r)
+    val one = (1 to 4).map(i => (i.toLong, "1-URGENT",
+      Seq("F", "O")(i % 2)))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val r2 = q("q270_ordinal_gamma", fixture("orders" -> one))
+      .select("gamma", "tau_c").as[(Double, Double)].collect().head
+    assert(r2._1.isNaN, s"no untied pairs → γ NaN: $r2")
+    assert(r2._2.isNaN, s"m=1 → τ-c NaN: $r2")
+  }
 }
