@@ -4286,6 +4286,313 @@ object Inference {
             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
               * (CAST(least(r, c) AS DOUBLE) - 1.0))
           ELSE CAST('nan' AS DOUBLE) END AS tau_c
-      FROM pairs, dims"""))
+      FROM pairs, dims""")),
+
+    // Breslow-Day homogeneity of odds ratios across nation strata —
+    // the diagnostic that must PASS before q219's CMH common OR is
+    // meaningful. Per stratum the 2×2 (urgent×finished) cells are
+    // conditional sums; ψ̂_MH folds Σaᵢdᵢ/Nᵢ / Σbᵢcᵢ/Nᵢ over the SORTED
+    // strata; each stratum's expected aₑ solves the margin-preserving
+    // quadratic (1−ψ)a² + (N−r₁−c₁+ψ(r₁+c₁))a − ψr₁c₁ = 0 — both
+    // roots are formed from the same IEEE discriminant in both
+    // engines and the admissible one (all four expected cells > 0) is
+    // selected by value, ψ=1 degenerating to the independence a via a
+    // guard rather than 0/0. Strata with an empty margin or no
+    // admissible root contribute 0 and are excluded from g_used.
+    // X²_BD = Σ (a−aₑ)²·(1/aₑ+1/bₑ+1/cₑ+1/dₑ).
+    QueryDef("q271_breslow_day", (s, d) => {
+      val cells = t(s, d, "orders")
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("st"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT"
+            && col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("a"),
+          sum(when(col("o_orderpriority") === "1-URGENT"
+            && col("o_orderstatus") =!= "F", 1L).otherwise(0L))
+            .as("b"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT"
+            && col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("c"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT"
+            && col("o_orderstatus") =!= "F", 1L).otherwise(0L))
+            .as("dd"))
+      def dbl(c: Column) = c.cast("double")
+      val withN = cells.withColumn("nn",
+        col("a") + col("b") + col("c") + col("dd"))
+      val psi = withN
+        .agg(sort_array(collect_list(struct(col("st"), col("a"),
+          col("b"), col("c"), col("dd"), col("nn")))).as("cs"))
+        .select(col("cs"),
+          aggregate(col("cs"), lit(0.0), (acc, e) =>
+            acc + dbl(e.getField("a")) * dbl(e.getField("dd"))
+              / dbl(e.getField("nn"))).as("sad"),
+          aggregate(col("cs"), lit(0.0), (acc, e) =>
+            acc + dbl(e.getField("b")) * dbl(e.getField("c"))
+              / dbl(e.getField("nn"))).as("sbc"))
+        .select(col("cs"), col("sad"), col("sbc"),
+          when(col("sbc") > 0.0, col("sad") / col("sbc"))
+            .otherwise(lit(Double.NaN)).as("psi_mh"))
+      val strata = psi.select(col("psi_mh"), col("sad"), col("sbc"),
+          explode(col("cs")).as("e"))
+        .select(col("psi_mh"), col("sad"), col("sbc"),
+          col("e.st").as("st"), dbl(col("e.a")).as("a"),
+          dbl(col("e.b")).as("b"), dbl(col("e.c")).as("c"),
+          dbl(col("e.dd")).as("dd"), dbl(col("e.nn")).as("nn"))
+        .withColumn("r1", col("a") + col("b"))
+        .withColumn("c1", col("a") + col("c"))
+        .withColumn("qa", lit(1.0) - col("psi_mh"))
+        .withColumn("qb", col("nn") - col("r1") - col("c1")
+          + col("psi_mh") * (col("r1") + col("c1")))
+        .withColumn("qc", -col("psi_mh") * col("r1") * col("c1"))
+        .withColumn("disc", col("qb") * col("qb")
+          - lit(4.0) * col("qa") * col("qc"))
+        .withColumn("root1", when(col("qa") =!= 0.0,
+          (-col("qb") + sqrt(greatest(col("disc"), lit(0.0))))
+            / (lit(2.0) * col("qa")))
+          .otherwise(col("r1") * col("c1") / col("nn")))
+        .withColumn("root2", when(col("qa") =!= 0.0,
+          (-col("qb") - sqrt(greatest(col("disc"), lit(0.0))))
+            / (lit(2.0) * col("qa")))
+          .otherwise(col("r1") * col("c1") / col("nn")))
+      def cellsOk(ae: Column) =
+        ae > 0.0 && (col("r1") - ae) > 0.0 && (col("c1") - ae) > 0.0 &&
+          (col("nn") - col("r1") - col("c1") + ae) > 0.0
+      val picked = strata
+        .withColumn("ae", when(cellsOk(col("root1")), col("root1"))
+          .when(cellsOk(col("root2")), col("root2"))
+          .otherwise(lit(Double.NaN)))
+        .withColumn("usable", !col("ae").isNaN && !col("psi_mh").isNaN)
+        .withColumn("term", when(col("usable"), {
+          val be = col("r1") - col("ae")
+          val ce = col("c1") - col("ae")
+          val de = col("nn") - col("r1") - col("c1") + col("ae")
+          ((col("a") - col("ae")) * (col("a") - col("ae"))
+            * (lit(1.0) / col("ae") + lit(1.0) / be + lit(1.0) / ce
+              + lit(1.0) / de))
+        }).otherwise(lit(0.0)))
+      picked
+        .agg(max("psi_mh").as("psi_mh"),
+          sum(when(col("usable"), 1L).otherwise(0L)).as("g_used"),
+          sort_array(collect_list(struct(col("st"), col("term"))))
+            .as("ts"))
+        .select(col("psi_mh"), col("g_used"),
+          aggregate(col("ts"), lit(0.0), (acc, e) =>
+            acc + e.getField("term")).as("chi2_bd"))
+    }, Some("""
+      WITH cells AS (SELECT c_nationkey AS st,
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+            AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+            AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT)
+            AS b,
+          CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+            AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+          CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+            AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT)
+            AS dd
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1),
+      wn AS (SELECT st, a, b, c, dd, a + b + c + dd AS nn FROM cells),
+      agg1 AS (SELECT
+          list_sort(list(struct_pack(st := st, a := a, b := b, c := c,
+            dd := dd, nn := nn))) AS cs,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(struct_pack(st := st, a := a,
+              b := b, c := c, dd := dd, nn := nn))),
+              e -> CAST(e.a AS DOUBLE) * CAST(e.dd AS DOUBLE)
+                / CAST(e.nn AS DOUBLE))), (x, y) -> x + y) AS sad,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(struct_pack(st := st, a := a,
+              b := b, c := c, dd := dd, nn := nn))),
+              e -> CAST(e.b AS DOUBLE) * CAST(e.c AS DOUBLE)
+                / CAST(e.nn AS DOUBLE))), (x, y) -> x + y) AS sbc
+        FROM wn),
+      psi AS (SELECT cs, sad, sbc,
+          CASE WHEN sbc > 0.0 THEN sad / sbc
+            ELSE CAST('nan' AS DOUBLE) END AS psi_mh
+        FROM agg1),
+      strata AS (SELECT psi_mh, e.st AS st,
+          CAST(e.a AS DOUBLE) AS a, CAST(e.b AS DOUBLE) AS b,
+          CAST(e.c AS DOUBLE) AS c, CAST(e.dd AS DOUBLE) AS dd,
+          CAST(e.nn AS DOUBLE) AS nn
+        FROM psi, unnest(cs) AS u(e)),
+      qd AS (SELECT *, a + b AS r1, a + c AS c1,
+          1.0 - psi_mh AS qa,
+          nn - (a + b) - (a + c) + psi_mh * ((a + b) + (a + c)) AS qb,
+          -psi_mh * (a + b) * (a + c) AS qc
+        FROM strata),
+      roots AS (SELECT *,
+          CASE WHEN qa <> 0.0
+            THEN (-qb + sqrt(greatest(qb * qb - 4.0 * qa * qc, 0.0)))
+              / (2.0 * qa)
+            ELSE r1 * c1 / nn END AS root1,
+          CASE WHEN qa <> 0.0
+            THEN (-qb - sqrt(greatest(qb * qb - 4.0 * qa * qc, 0.0)))
+              / (2.0 * qa)
+            ELSE r1 * c1 / nn END AS root2
+        FROM qd),
+      picked AS (SELECT *,
+          CASE WHEN root1 > 0.0 AND r1 - root1 > 0.0
+              AND c1 - root1 > 0.0
+              AND nn - r1 - c1 + root1 > 0.0 THEN root1
+            WHEN root2 > 0.0 AND r1 - root2 > 0.0
+              AND c1 - root2 > 0.0
+              AND nn - r1 - c1 + root2 > 0.0 THEN root2
+            ELSE CAST('nan' AS DOUBLE) END AS ae
+        FROM roots),
+      terms AS (SELECT st, psi_mh,
+          (NOT isnan(ae)) AND (NOT isnan(psi_mh)) AS usable,
+          CASE WHEN (NOT isnan(ae)) AND (NOT isnan(psi_mh))
+            THEN (a - ae) * (a - ae)
+              * (1.0 / ae + 1.0 / (r1 - ae) + 1.0 / (c1 - ae)
+                + 1.0 / (nn - r1 - c1 + ae))
+            ELSE 0.0 END AS term
+        FROM picked)
+      SELECT max(psi_mh) AS psi_mh,
+        CAST(sum(CASE WHEN usable THEN 1 ELSE 0 END) AS BIGINT)
+          AS g_used,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_sort(list(struct_pack(st := st,
+            term := term))), e -> e.term)), (x, y) -> x + y) AS chi2_bd
+      FROM terms""")),
+
+    // Kendall's coefficient of concordance W — how strongly the nation
+    // blocks AGREE on the priority ranking, the [0,1] normalization of
+    // q264's Friedman (tie-robust via the same ANOVA-on-ranks route:
+    // W = χ²_F/(n(k−1))). Same densified grid, same exact dyadic
+    // ranks; zero rank variance (all tied everywhere) guards to NaN.
+    QueryDef("q272_kendalls_w", (s, d) => {
+      val counts = t(s, d, "orders")
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("b"),
+          col("o_orderpriority").as("tr"))
+        .agg(count(lit(1)).as("cnt"))
+      val blocks = counts.select("b").distinct()
+      val treats = counts.select("tr").distinct()
+      val grid = blocks.crossJoin(treats)
+        .join(counts, Seq("b", "tr"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val o = grid.select(col("b").as("ob"), col("tr").as("otr"),
+        col("cnt").as("ocnt"))
+      val ranked = grid.join(o, col("b") === col("ob"))
+        .groupBy("b", "tr")
+        .agg(sum(when(col("ocnt") < col("cnt"), 1L).otherwise(0L))
+            .as("less"),
+          sum(when(col("ocnt") === col("cnt"), 1L).otherwise(0L))
+            .as("tied"))
+        .withColumn("r", col("less").cast("double")
+          + (col("tied").cast("double") + 1.0) / 2.0)
+      def dbl(c: Column) = c.cast("double")
+      val dims = ranked.agg(countDistinct("b").as("n"),
+        countDistinct("tr").as("k"))
+      val wd = ranked.crossJoin(broadcast(dims))
+        .withColumn("dev", col("r") - (dbl(col("k")) + 1.0) / 2.0)
+      val den = wd.agg(sum(col("dev") * col("dev")).as("den"))
+      val num = wd.groupBy("tr")
+        .agg(max("n").as("n"), max("k").as("k"), sum("r").as("rj"))
+        .withColumn("jdev", col("rj")
+          - dbl(col("n")) * (dbl(col("k")) + 1.0) / 2.0)
+        .agg(max("n").as("n"), max("k").as("k"),
+          sum(col("jdev") * col("jdev")).as("num"))
+      num.crossJoin(broadcast(den))
+        .select(col("n"), col("k"),
+          when(col("den") > 0.0 && col("k") > 1,
+            ((dbl(col("k")) - 1.0) * col("num") / col("den"))
+              / (dbl(col("n")) * (dbl(col("k")) - 1.0)))
+            .otherwise(lit(Double.NaN)).as("w"))
+    }, Some("""
+      WITH counts AS (SELECT c_nationkey AS b, o_orderpriority AS tr,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      grid AS (SELECT b, tr, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
+        FROM (SELECT DISTINCT b FROM counts)
+        CROSS JOIN (SELECT DISTINCT tr FROM counts)
+        LEFT JOIN counts USING (b, tr)),
+      ranked AS (SELECT g.b, g.tr,
+          CAST(sum(CASE WHEN o.cnt < g.cnt THEN 1 ELSE 0 END)
+            AS DOUBLE)
+          + (CAST(sum(CASE WHEN o.cnt = g.cnt THEN 1 ELSE 0 END)
+            AS DOUBLE) + 1.0) / 2.0 AS r
+        FROM grid g JOIN grid o ON o.b = g.b
+        GROUP BY 1, 2),
+      dims AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n,
+          CAST(count(DISTINCT tr) AS BIGINT) AS k
+        FROM ranked),
+      den AS (SELECT sum((r - (CAST(k AS DOUBLE) + 1.0) / 2.0)
+            * (r - (CAST(k AS DOUBLE) + 1.0) / 2.0)) AS den
+        FROM ranked, dims),
+      num AS (SELECT max(n) AS n, max(k) AS k, sum(jdev * jdev) AS num
+        FROM (SELECT max(d.n) AS n, max(d.k) AS k,
+            sum(r) - CAST(max(d.n) AS DOUBLE)
+              * (CAST(max(d.k) AS DOUBLE) + 1.0) / 2.0 AS jdev
+          FROM ranked, dims d GROUP BY tr))
+      SELECT n, k,
+        CASE WHEN den > 0.0 AND k > 1
+          THEN ((CAST(k AS DOUBLE) - 1.0) * num / den)
+            / (CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0))
+          ELSE CAST('nan' AS DOUBLE) END AS w
+      FROM num, den""")),
+
+    // Prevalence-adjusted bias-adjusted kappa (PABAK = 2p_a−1) plus the
+    // per-label recall of the corpus labels by the engine's own
+    // lang-ID — the companion readout to q218's κ and q263's AC1 that
+    // separates "chance-corrected agreement" from the raw hit rate a
+    // skewed prevalence can mask. Per-label rows are label-bounded;
+    // pa and every recall are exact count rationals; a label the
+    // detector can never emit (fr/zh here) shows recall 0, not an
+    // error.
+    QueryDef("q273_pabak", (s, d) => {
+      import graft.functions.TextFunctions
+      val scored = t(s, d, "documents")
+        .select(TextFunctions.langId(col("text")).as("r1"),
+          col("lang").as("r2"))
+      val per = scored.groupBy(col("r2").as("label"))
+        .agg(count(lit(1)).as("n_label"),
+          sum(when(col("r1") === col("r2"), 1L).otherwise(0L))
+            .as("hits"))
+        .withColumn("recall", col("hits").cast("double")
+          / col("n_label").cast("double"))
+      val tot = per.agg(sum("n_label").as("n"), sum("hits").as("agree"))
+        .select(col("n"), col("agree"),
+          (col("agree").cast("double") / col("n").cast("double"))
+            .as("pa"))
+        .withColumn("pabak", lit(2.0) * col("pa") - 1.0)
+      per.crossJoin(broadcast(tot))
+    }, Some("""
+      WITH scored AS (SELECT (CASE
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b')) = 0
+            THEN 'und'
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+             AND len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'en'
+            WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'es'
+            ELSE 'de' END) AS r1, lang AS r2
+        FROM documents),
+      per AS (SELECT r2 AS label,
+          CAST(count(*) AS BIGINT) AS n_label,
+          CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS hits
+        FROM scored GROUP BY 1),
+      per2 AS (SELECT label, n_label, hits,
+          CAST(hits AS DOUBLE) / CAST(n_label AS DOUBLE) AS recall
+        FROM per),
+      tot AS (SELECT CAST(sum(n_label) AS BIGINT) AS n,
+          CAST(sum(hits) AS BIGINT) AS agree,
+          CAST(sum(hits) AS DOUBLE) / CAST(sum(n_label) AS DOUBLE)
+            AS pa
+        FROM per)
+      SELECT label, n_label, hits, recall, n, agree, pa,
+        2.0 * pa - 1.0 AS pabak
+      FROM per2, tot"""))
   )
 }

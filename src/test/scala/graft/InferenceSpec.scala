@@ -678,4 +678,81 @@ class InferenceSpec extends AnyFunSuite {
     assert(r2._1.isNaN, s"no untied pairs → γ NaN: $r2")
     assert(r2._2.isNaN, s"m=1 → τ-c NaN: $r2")
   }
+
+  test("q271: identical strata are perfectly homogeneous; empty margin excluded") {
+    import spark.implicits._
+    // Two nations with the SAME 2×2 (a,b,c,d)=(4,2,3,6): ψ̂_MH equals
+    // each stratum's own OR = 4, the expected a solves back to the
+    // observed a up to root-finding ulps, so χ²_BD ≈ 0. A third nation
+    // with NO urgent orders (r1=0) has no admissible root and must be
+    // excluded from g_used, not crash.
+    def stratum(nat: Long, a: Int, b: Int, c: Int, dd: Int,
+        base: Long) = {
+      val mk = (i: Long, p: String, st: String) =>
+        (base + i, nat * 100, p, st)
+      (1 to a).map(i => mk(i, "1-URGENT", "F")) ++
+        (1 to b).map(i => mk(10 + i, "1-URGENT", "O")) ++
+        (1 to c).map(i => mk(20 + i, "5-LOW", "F")) ++
+        (1 to dd).map(i => mk(30 + i, "5-LOW", "O"))
+    }
+    val orders = (stratum(1, 4, 2, 3, 6, 0) ++
+      stratum(2, 4, 2, 3, 6, 100) ++
+      stratum(3, 0, 0, 3, 6, 200))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority",
+        "o_orderstatus")
+    val customer = (1 to 3).map(n => (n.toLong * 100, n))
+      .toDF("c_custkey", "c_nationkey")
+    val r = q("q271_breslow_day",
+      fixture("orders" -> orders, "customer" -> customer))
+      .select("psi_mh", "g_used", "chi2_bd")
+      .as[(Double, Long, Double)].collect().head
+    assert(math.abs(r._1 - 4.0) < 1e-12, s"psi must be the common OR: $r")
+    assert(r._2 == 2L, s"empty-margin stratum must be excluded: $r")
+    assert(r._3 >= 0.0 && r._3 < 1e-10,
+      s"identical strata must be homogeneous: $r")
+  }
+
+  test("q272: identical untied rankings → W exactly 1; all-tied → NaN") {
+    import spark.implicits._
+    val prio = Seq("1-URGENT", "3-MEDIUM", "5-LOW")
+    var oid = 0L
+    val rows = for {
+      nat <- 1 to 3; (p, ci) <- prio.zipWithIndex; _ <- 1 to (ci + 1)
+    } yield { oid += 1; (oid, nat.toLong * 100, p) }
+    val customer = (1 to 3).map(n => (n.toLong * 100, n))
+      .toDF("c_custkey", "c_nationkey")
+    val r = q("q272_kendalls_w", fixture(
+      "orders" -> rows.toDF("o_orderkey", "o_custkey",
+        "o_orderpriority"), "customer" -> customer))
+      .select("w").as[Double].collect().head
+    assert(r == 1.0, s"perfect concordance must give W=1: $r")
+    var oid2 = 0L
+    val rows2 = for { nat <- 1 to 3; p <- prio } yield {
+      oid2 += 1; (oid2, nat.toLong * 100, p)
+    }
+    val r2 = q("q272_kendalls_w", fixture(
+      "orders" -> rows2.toDF("o_orderkey", "o_custkey",
+        "o_orderpriority"), "customer" -> customer))
+      .select("w").as[Double].collect().head
+    assert(r2.isNaN, s"all-tied ranks must guard to NaN: $r2")
+  }
+
+  test("q273: undetectable label shows recall 0 and PABAK = 2p_a−1 exactly") {
+    import spark.implicits._
+    // 2 English docs the detector gets right + 2 French docs it cannot
+    // emit (no stopword family → 'und') → p_a = 1/2, PABAK = 0.0,
+    // recall(en)=1, recall(fr)=0 — prevalence-masked failure made
+    // visible.
+    val docs = (Seq.tabulate(2)(i =>
+      (i.toLong, s"the cat and the dog of $i", "en")) ++
+      Seq.tabulate(2)(i =>
+        (10L + i, s"bonjour monde numero $i", "fr")))
+      .toDF("doc_id", "text", "lang")
+    val rows = q("q273_pabak", fixture("documents" -> docs))
+      .select("label", "recall", "pabak")
+      .as[(String, Double, Double)].collect()
+    val byLabel = rows.map(r => r._1 -> r._2).toMap
+    assert(byLabel("en") == 1.0 && byLabel("fr") == 0.0, byLabel)
+    assert(rows.head._3 == 0.0, s"PABAK must be 2·(1/2)−1 = 0: $rows")
+  }
 }
