@@ -4593,6 +4593,279 @@ object Inference {
         FROM per)
       SELECT label, n_label, hits, recall, n, agree, pa,
         2.0 * pa - 1.0 AS pabak
-      FROM per2, tot"""))
+      FROM per2, tot""")),
+
+    // Fleiss' κ for THREE deterministic raters over two categories —
+    // the m>2 generalization q218 (Cohen) and q263 (AC1) cannot
+    // express. The raters are English-stopword thresholds 1/2/3 on the
+    // same text, so eᵢ ∈ {0..3} "en votes" per doc is one codegen
+    // scan; Σᵢ Σⱼ nᵢⱼ(nᵢⱼ−1) stays an exact BIGINT (per-doc values are
+    // bounded by m(m−1)=6), P̄ = S/(m(m−1)N) and
+    // P̄ₑ = (E² + (mN−E)²)/(mN)² are fixed IEEE trees over exact longs,
+    // κ = (P̄−P̄ₑ)/(1−P̄ₑ) with unanimous-everywhere (P̄ₑ=1) guarded to
+    // NaN.
+    QueryDef("q274_fleiss_kappa", (s, d) => {
+      val en = size(regexp_extract_all(lower(col("text")),
+        lit("\\b(the|a|and|of|to|in|is|that)\\b"), lit(0)))
+      val perDoc = t(s, d, "documents")
+        .select(((en >= 1).cast("long") + (en >= 2).cast("long")
+          + (en >= 3).cast("long")).as("e"))
+        .select(col("e"),
+          (col("e") * (col("e") - 1L)
+            + (lit(3L) - col("e")) * (lit(2L) - col("e"))).as("pairs"))
+      val m = perDoc.agg(count(lit(1)).as("n"), sum("e").as("ev"),
+        sum("pairs").as("sp"))
+      def dbl(c: Column) = c.cast("double")
+      m.select(col("n"), col("ev"), col("sp"),
+          (dbl(col("sp")) / (lit(6.0) * dbl(col("n")))).as("p_bar"),
+          ((dbl(col("ev")) * dbl(col("ev"))
+            + (lit(3.0) * dbl(col("n")) - dbl(col("ev")))
+              * (lit(3.0) * dbl(col("n")) - dbl(col("ev"))))
+            / (lit(9.0) * dbl(col("n")) * dbl(col("n")))).as("p_e"))
+        .withColumn("kappa_fleiss", when(col("p_e") < 1.0,
+          (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+          .otherwise(lit(Double.NaN)))
+    }, Some("""
+      WITH perdoc AS (SELECT e,
+          e * (e - 1) + (3 - e) * (2 - e) AS pairs
+        FROM (SELECT
+            (CASE WHEN len(regexp_extract_all(lower(text),
+              '\b(the|a|and|of|to|in|is|that)\b')) >= 1
+              THEN 1 ELSE 0 END)
+          + (CASE WHEN len(regexp_extract_all(lower(text),
+              '\b(the|a|and|of|to|in|is|that)\b')) >= 2
+              THEN 1 ELSE 0 END)
+          + (CASE WHEN len(regexp_extract_all(lower(text),
+              '\b(the|a|and|of|to|in|is|that)\b')) >= 3
+              THEN 1 ELSE 0 END) AS e
+          FROM documents)),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(e) AS BIGINT) AS ev,
+          CAST(sum(pairs) AS BIGINT) AS sp
+        FROM perdoc),
+      r AS (SELECT n, ev, sp,
+          CAST(sp AS DOUBLE) / (6.0 * CAST(n AS DOUBLE)) AS p_bar,
+          (CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)
+            + (3.0 * CAST(n AS DOUBLE) - CAST(ev AS DOUBLE))
+              * (3.0 * CAST(n AS DOUBLE) - CAST(ev AS DOUBLE)))
+            / (9.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS p_e
+        FROM m)
+      SELECT n, ev, sp, p_bar, p_e,
+        CASE WHEN p_e < 1.0 THEN (p_bar - p_e) / (1.0 - p_e)
+          ELSE CAST('nan' AS DOUBLE) END AS kappa_fleiss
+      FROM r""")),
+
+    // Youden's J threshold scan: treat priority urgency as a 5-level
+    // score for "order finishes", sweep every threshold t (predict
+    // positive when level ≤ t), and report per-threshold TPR/FPR/J
+    // plus the maximizing threshold — ties broken to the SMALLEST t by
+    // a relational argmax (max J then min t among exact-equal J's —
+    // both engines compare the same doubles, so the tie set is
+    // identical). Cumulative counts come from a bounded ≤ cell
+    // self-join, never a window; P=0 or N=0 guards every rate to NaN.
+    QueryDef("q275_youden_j", (s, d) => {
+      val cells = t(s, d, "orders")
+        .groupBy(substring(col("o_orderpriority"), 1, 1)
+          .cast("long").as("lvl"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("pos"),
+          sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L))
+            .as("neg"))
+      val tot = cells.agg(sum("pos").as("p"), sum("neg").as("nn"))
+      val c2 = cells.select(col("lvl").as("l2"), col("pos").as("p2"),
+        col("neg").as("n2"))
+      val cum = cells.join(c2, col("l2") <= col("lvl"))
+        .groupBy(col("lvl"))
+        .agg(sum("p2").as("cpos"), sum("n2").as("cneg"))
+      def dbl(c: Column) = c.cast("double")
+      val rates = cum.crossJoin(broadcast(tot))
+        .withColumn("tpr", when(col("p") > 0,
+          dbl(col("cpos")) / dbl(col("p"))).otherwise(lit(Double.NaN)))
+        .withColumn("fpr", when(col("nn") > 0,
+          dbl(col("cneg")) / dbl(col("nn"))).otherwise(lit(Double.NaN)))
+        .withColumn("j", col("tpr") - col("fpr"))
+      val best = rates.agg(max("j").as("bj"))
+      val bestT = rates.join(broadcast(best), col("j") === col("bj"))
+        .agg(min("lvl").as("best_lvl"), max("bj").as("best_j"))
+      rates.select("lvl", "cpos", "cneg", "tpr", "fpr", "j")
+        .crossJoin(broadcast(bestT))
+    }, Some("""
+      WITH cells AS (SELECT
+          CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS lvl,
+          CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS pos,
+          CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS neg
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+          CAST(sum(neg) AS BIGINT) AS nn FROM cells),
+      cum AS (SELECT a.lvl, CAST(sum(b.pos) AS BIGINT) AS cpos,
+          CAST(sum(b.neg) AS BIGINT) AS cneg
+        FROM cells a JOIN cells b ON b.lvl <= a.lvl GROUP BY 1),
+      rates AS (SELECT lvl, cpos, cneg,
+          CASE WHEN p > 0 THEN CAST(cpos AS DOUBLE) / CAST(p AS DOUBLE)
+            ELSE CAST('nan' AS DOUBLE) END AS tpr,
+          CASE WHEN nn > 0
+            THEN CAST(cneg AS DOUBLE) / CAST(nn AS DOUBLE)
+            ELSE CAST('nan' AS DOUBLE) END AS fpr
+        FROM cum, tot),
+      r2 AS (SELECT lvl, cpos, cneg, tpr, fpr, tpr - fpr AS j
+        FROM rates),
+      best AS (SELECT max(j) AS bj FROM r2),
+      bt AS (SELECT CAST(min(lvl) AS BIGINT) AS best_lvl,
+          max(bj) AS best_j
+        FROM r2, best WHERE j = bj)
+      SELECT lvl, cpos, cneg, tpr, fpr, j, best_lvl, best_j
+      FROM r2, bt""")),
+
+    // Multiclass Matthews correlation (the R_K statistic) plus
+    // macro-P/R/F1 over the lang-ID confusion matrix — the single-
+    // number and per-label views of multiclass quality that q244's
+    // binary MCC cannot give. The label set is the UNION of predicted
+    // and true labels (full-outer margins, the q258/q263 lesson), so
+    // an emitted-but-never-true label (und) and a true-but-never-
+    // emitted one (fr/zh) both stay in the denominator sums. Zero-
+    // division conventions are the standard ones — per-label P/R/F1
+    // degenerate to 0.0 (macro averages stay finite and honest),
+    // R_K's √(N²−Σp²)√(N²−Σt²) = 0 guards to NaN. Everything is exact
+    // BIGINT counts until the fixed per-label IEEE terms; macro sums
+    // fold over the SORTED label list.
+    QueryDef("q276_multiclass_mcc", (s, d) => {
+      import graft.functions.TextFunctions
+      val scored = t(s, d, "documents")
+        .select(TextFunctions.langId(col("text")).as("pred"),
+          col("lang").as("truth"))
+      val conf = scored.groupBy("pred", "truth")
+        .agg(count(lit(1)).as("cnt"))
+      val pm = conf.groupBy(col("pred").as("label"))
+        .agg(sum("cnt").as("pn"))
+      val tm = conf.groupBy(col("truth").as("label"))
+        .agg(sum("cnt").as("tn"))
+      val labels = pm.join(tm, Seq("label"), "full_outer")
+        .select(col("label"), coalesce(col("pn"), lit(0L)).as("pn"),
+          coalesce(col("tn"), lit(0L)).as("tn"))
+      val diag = conf.where(col("pred") === col("truth"))
+        .select(col("pred").as("label"), col("cnt").as("tp"))
+      def dbl(c: Column) = c.cast("double")
+      val per = labels.join(diag, Seq("label"), "left")
+        .withColumn("tp", coalesce(col("tp"), lit(0L)))
+        .withColumn("precision", when(col("pn") > 0,
+          dbl(col("tp")) / dbl(col("pn"))).otherwise(lit(0.0)))
+        .withColumn("recall", when(col("tn") > 0,
+          dbl(col("tp")) / dbl(col("tn"))).otherwise(lit(0.0)))
+        .withColumn("f1",
+          when(col("precision") + col("recall") > 0.0,
+            lit(2.0) * col("precision") * col("recall")
+              / (col("precision") + col("recall"))).otherwise(lit(0.0)))
+      val scal = per.agg(
+          sum("tp").as("c_diag"), sum("pn").as("n"),
+          sum(col("pn") * col("pn")).as("sp2"),
+          sum(col("tn") * col("tn")).as("st2"),
+          sum(dbl(col("pn")) * dbl(col("tn"))).as("spt"),
+          count(lit(1)).as("n_labels"),
+          sort_array(collect_list(struct(col("label"),
+            col("precision"), col("recall"), col("f1")))).as("cs"))
+        .select(col("c_diag"), col("n"), col("n_labels"),
+          aggregate(col("cs"), lit(0.0), (acc, e) =>
+            acc + e.getField("precision")).as("sum_p"),
+          aggregate(col("cs"), lit(0.0), (acc, e) =>
+            acc + e.getField("recall")).as("sum_r"),
+          aggregate(col("cs"), lit(0.0), (acc, e) =>
+            acc + e.getField("f1")).as("sum_f1"),
+          col("sp2"), col("st2"), col("spt"))
+        .select(col("n_labels"),
+          (col("sum_p") / dbl(col("n_labels"))).as("macro_precision"),
+          (col("sum_r") / dbl(col("n_labels"))).as("macro_recall"),
+          (col("sum_f1") / dbl(col("n_labels"))).as("macro_f1"),
+          when(
+            (dbl(col("n")) * dbl(col("n")) - dbl(col("sp2"))) > 0.0 &&
+            (dbl(col("n")) * dbl(col("n")) - dbl(col("st2"))) > 0.0,
+            // ONE sqrt of the product, not sqrt·sqrt: a perfect
+            // confusion matrix then lands on exactly 1.0 instead of
+            // 1±1ulp (the spec pin caught the two-sqrt form at
+            // 1.0000000000000002)
+            (dbl(col("n")) * dbl(col("c_diag")) - col("spt"))
+              / sqrt((dbl(col("n")) * dbl(col("n")) - dbl(col("sp2")))
+                * (dbl(col("n")) * dbl(col("n")) - dbl(col("st2")))))
+            .otherwise(lit(Double.NaN)).as("r_k"))
+      per.select("label", "pn", "tn", "tp", "precision", "recall",
+          "f1")
+        .crossJoin(broadcast(scal))
+    }, Some("""
+      WITH scored AS (SELECT (CASE
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b')) = 0
+            THEN 'und'
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+             AND len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'en'
+            WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'es'
+            ELSE 'de' END) AS pred, lang AS truth
+        FROM documents),
+      conf AS (SELECT pred, truth, CAST(count(*) AS BIGINT) AS cnt
+        FROM scored GROUP BY 1, 2),
+      pm AS (SELECT pred AS label, CAST(sum(cnt) AS BIGINT) AS pn
+        FROM conf GROUP BY 1),
+      tm AS (SELECT truth AS label, CAST(sum(cnt) AS BIGINT) AS tn
+        FROM conf GROUP BY 1),
+      labels AS (SELECT label, CAST(coalesce(pn, 0) AS BIGINT) AS pn,
+          CAST(coalesce(tn, 0) AS BIGINT) AS tn
+        FROM pm FULL OUTER JOIN tm USING (label)),
+      diag AS (SELECT pred AS label, CAST(cnt AS BIGINT) AS tp
+        FROM conf WHERE pred = truth),
+      per AS (SELECT label, pn, tn,
+          CAST(coalesce(tp, 0) AS BIGINT) AS tp
+        FROM labels LEFT JOIN diag USING (label)),
+      per2 AS (SELECT label, pn, tn, tp,
+          CASE WHEN pn > 0 THEN CAST(tp AS DOUBLE) / CAST(pn AS DOUBLE)
+            ELSE 0.0 END AS precision,
+          CASE WHEN tn > 0 THEN CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)
+            ELSE 0.0 END AS recall
+        FROM per),
+      per3 AS (SELECT *,
+          CASE WHEN precision + recall > 0.0
+            THEN 2.0 * precision * recall / (precision + recall)
+            ELSE 0.0 END AS f1
+        FROM per2),
+      scal AS (SELECT CAST(sum(tp) AS BIGINT) AS c_diag,
+          CAST(sum(pn) AS BIGINT) AS n,
+          CAST(sum(pn * pn) AS BIGINT) AS sp2,
+          CAST(sum(tn * tn) AS BIGINT) AS st2,
+          sum(CAST(pn AS DOUBLE) * CAST(tn AS DOUBLE)) AS spt,
+          CAST(count(*) AS BIGINT) AS n_labels,
+          list_sort(list(struct_pack(label := label,
+            prec := precision, recall := recall, f1 := f1)))
+            AS cs
+        FROM per3),
+      scal2 AS (SELECT n_labels,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, e -> e.prec)), (a, b) -> a + b)
+            / CAST(n_labels AS DOUBLE) AS macro_precision,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, e -> e.recall)), (a, b) -> a + b)
+            / CAST(n_labels AS DOUBLE) AS macro_recall,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, e -> e.f1)), (a, b) -> a + b)
+            / CAST(n_labels AS DOUBLE) AS macro_f1,
+          CASE WHEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(sp2 AS DOUBLE) > 0.0
+               AND CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(st2 AS DOUBLE) > 0.0
+            THEN (CAST(n AS DOUBLE) * CAST(c_diag AS DOUBLE) - spt)
+              / sqrt((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(sp2 AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(st2 AS DOUBLE)))
+            ELSE CAST('nan' AS DOUBLE) END AS r_k
+        FROM scal)
+      SELECT label, pn, tn, tp, precision, recall, f1,
+        n_labels, macro_precision, macro_recall, macro_f1, r_k
+      FROM per3, scal2"""))
   )
 }

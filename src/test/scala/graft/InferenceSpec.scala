@@ -755,4 +755,56 @@ class InferenceSpec extends AnyFunSuite {
     assert(byLabel("en") == 1.0 && byLabel("fr") == 0.0, byLabel)
     assert(rows.head._3 == 0.0, s"PABAK must be 2·(1/2)−1 = 0: $rows")
   }
+
+  test("q274: balanced unanimous raters → κ exactly 1; uniform corpus → NaN") {
+    import spark.implicits._
+    // Half the docs trip all three thresholds (e=3), half none (e=0):
+    // every subject is unanimous → P̄ = 1, and the balanced marginals
+    // make P̄ₑ = 1/2 exactly → κ = 1.0 with no slack.
+    val docs = (Seq.tabulate(3)(i =>
+      (i.toLong, "the of and to in is that a", "en")) ++
+      Seq.tabulate(3)(i => (10L + i, "perro casa mesa", "es")))
+      .toDF("doc_id", "text", "lang")
+    val r = q("q274_fleiss_kappa", fixture("documents" -> docs))
+      .select("p_bar", "p_e", "kappa_fleiss")
+      .as[(Double, Double, Double)].collect().head
+    assert(r == ((1.0, 0.5, 1.0)), r)
+    // Every doc e=0 → unanimous AND single category → P̄ₑ = 1 → NaN.
+    val mono = Seq.tabulate(4)(i => (i.toLong, "perro casa", "es"))
+      .toDF("doc_id", "text", "lang")
+    val r2 = q("q274_fleiss_kappa", fixture("documents" -> mono))
+      .select("kappa_fleiss").as[Double].collect().head
+    assert(r2.isNaN, s"degenerate chance agreement must NaN: $r2")
+  }
+
+  test("q275: a perfect separator reaches J = 1 at the split level") {
+    import spark.implicits._
+    // Levels 1–2 all finish, levels 3+ never do → threshold t=2 gives
+    // TPR=1, FPR=0, J=1.0 exactly, and the argmax must report lvl 2.
+    val orders = (Seq.tabulate(4)(i => (i.toLong,
+      Seq("1-URGENT", "2-HIGH")(i % 2), "F")) ++
+      Seq.tabulate(4)(i => (10L + i,
+        Seq("3-MEDIUM", "5-LOW")(i % 2), "O")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val r = q("q275_youden_j", fixture("orders" -> orders))
+      .select("best_lvl", "best_j").distinct()
+      .as[(Long, Double)].collect().head
+    assert(r == ((2L, 1.0)), r)
+  }
+
+  test("q276: a perfect classifier gives macro-F1 = R_K = exactly 1") {
+    import spark.implicits._
+    val docs = (Seq.tabulate(3)(i =>
+      (i.toLong, s"the cat and the dog of $i", "en")) ++
+      Seq.tabulate(3)(i =>
+        (10L + i, s"el perro y la casa de que en los del $i", "es")))
+      .toDF("doc_id", "text", "lang")
+    val rows = q("q276_multiclass_mcc", fixture("documents" -> docs))
+      .select("label", "f1", "macro_f1", "r_k")
+      .as[(String, Double, Double, Double)].collect()
+    assert(rows.length == 2, rows.toSeq)
+    rows.foreach { r =>
+      assert(r._2 == 1.0 && r._3 == 1.0 && r._4 == 1.0, r)
+    }
+  }
 }
