@@ -4866,6 +4866,222 @@ object Inference {
         FROM scal)
       SELECT label, pn, tn, tp, precision, recall, f1,
         n_labels, macro_precision, macro_recall, macro_f1, r_k
-      FROM per3, scal2"""))
+      FROM per3, scal2""")),
+
+    // Bowker's test of symmetry — the k×k generalization of q253's
+    // McNemar over the lang-ID confusion matrix: is mislabeling
+    // en→es as common as es→en, for every unordered label pair?
+    // χ² = Σᵢ<ⱼ (nᵢⱼ−nⱼᵢ)²/(nᵢⱼ+nⱼᵢ) over pairs with any discordance;
+    // both directions of each pair come from one full-outer join of
+    // the upper and (swapped) lower off-diagonal cells, absent
+    // directions coalesced to 0, empty pairs excluded and df counted.
+    // All-integer cells; the fold runs over the SORTED pair list.
+    QueryDef("q277_bowker", (s, d) => {
+      import graft.functions.TextFunctions
+      val conf = t(s, d, "documents")
+        .select(TextFunctions.langId(col("text")).as("pred"),
+          col("lang").as("truth"))
+        .groupBy("pred", "truth").agg(count(lit(1)).as("cnt"))
+        .where(col("pred") =!= col("truth"))
+      val up = conf.where(col("pred") < col("truth"))
+        .select(col("pred").as("i"), col("truth").as("j"),
+          col("cnt").as("nij"))
+      val lo = conf.where(col("pred") > col("truth"))
+        .select(col("truth").as("i"), col("pred").as("j"),
+          col("cnt").as("nji"))
+      val pairs = up.join(lo, Seq("i", "j"), "full_outer")
+        .select(col("i"), col("j"),
+          coalesce(col("nij"), lit(0L)).as("nij"),
+          coalesce(col("nji"), lit(0L)).as("nji"))
+      def dbl(c: Column) = c.cast("double")
+      pairs
+        .withColumn("term",
+          dbl((col("nij") - col("nji")) * (col("nij") - col("nji")))
+            / dbl(col("nij") + col("nji")))
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(struct(col("i"), col("j"),
+            col("term")))).as("cs"))
+        .select(col("df"),
+          aggregate(col("cs"), lit(0.0), (acc, e) =>
+            acc + e.getField("term")).as("chi2_bowker"))
+    }, Some("""
+      WITH conf AS (SELECT (CASE
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b')) = 0
+            THEN 'und'
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+             AND len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'en'
+            WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'es'
+            ELSE 'de' END) AS pred, lang AS truth,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2),
+      offd AS (SELECT * FROM conf WHERE pred <> truth),
+      up AS (SELECT pred AS i, truth AS j, cnt AS nij
+        FROM offd WHERE pred < truth),
+      lo AS (SELECT truth AS i, pred AS j, cnt AS nji
+        FROM offd WHERE pred > truth),
+      pairs AS (SELECT i, j,
+          CAST(coalesce(nij, 0) AS BIGINT) AS nij,
+          CAST(coalesce(nji, 0) AS BIGINT) AS nji
+        FROM up FULL OUTER JOIN lo USING (i, j)),
+      terms AS (SELECT i, j,
+          CAST((nij - nji) * (nij - nji) AS DOUBLE)
+            / CAST(nij + nji AS DOUBLE) AS term
+        FROM pairs)
+      SELECT CAST(count(*) AS BIGINT) AS df,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_sort(list(struct_pack(i := i, j := j,
+            term := term))), e -> e.term)), (a, b) -> a + b)
+          AS chi2_bowker
+      FROM terms""")),
+
+    // Woolf logit confidence bounds for the urgent×finished odds
+    // ratio, kept ENTIRELY on the log scale so every transcendental is
+    // portable_ln of an INTEGER count (the q162 contract — exp() would
+    // reintroduce the libm divergence portable_ln exists to avoid):
+    // ln OR = ln a − ln b − ln c + ln d, SE = √(1/a+1/b+1/c+1/d),
+    // bounds ± 1.96·SE. Any empty cell → NaN (no silent Haldane
+    // correction — 0.5 args would break the integer-ln contract).
+    QueryDef("q278_woolf_ci", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def pln(c: Column) = call_function("portable_ln", c)
+      val cells = t(s, d, "orders").agg(
+        sum(when(col("o_orderpriority") === "1-URGENT"
+          && col("o_orderstatus") === "F", 1L).otherwise(0L)).as("a"),
+        sum(when(col("o_orderpriority") === "1-URGENT"
+          && col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("b"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT"
+          && col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT"
+          && col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("dd"))
+      def dbl(c: Column) = c.cast("double")
+      val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 &&
+        col("dd") > 0
+      cells.select(col("a"), col("b"), col("c"), col("dd"),
+          when(ok, pln(dbl(col("a"))) - pln(dbl(col("b")))
+            - pln(dbl(col("c"))) + pln(dbl(col("dd"))))
+            .otherwise(lit(Double.NaN)).as("ln_or"),
+          when(ok, sqrt(lit(1.0) / dbl(col("a"))
+            + lit(1.0) / dbl(col("b")) + lit(1.0) / dbl(col("c"))
+            + lit(1.0) / dbl(col("dd"))))
+            .otherwise(lit(Double.NaN)).as("se"))
+        .withColumn("lo", col("ln_or") - lit(1.96) * col("se"))
+        .withColumn("hi", col("ln_or") + lit(1.96) * col("se"))
+    }, Some("""
+      WITH cells AS (SELECT
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+            AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+            AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT)
+            AS b,
+          CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+            AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+          CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+            AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT)
+            AS dd
+        FROM orders),
+      r AS (SELECT a, b, c, dd,
+          CASE WHEN a > 0 AND b > 0 AND c > 0 AND dd > 0
+            THEN ln(CAST(a AS DOUBLE)) - ln(CAST(b AS DOUBLE))
+              - ln(CAST(c AS DOUBLE)) + ln(CAST(dd AS DOUBLE))
+            ELSE CAST('nan' AS DOUBLE) END AS ln_or,
+          CASE WHEN a > 0 AND b > 0 AND c > 0 AND dd > 0
+            THEN sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+              + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(dd AS DOUBLE))
+            ELSE CAST('nan' AS DOUBLE) END AS se
+        FROM cells)
+      SELECT a, b, c, dd, ln_or, se,
+        ln_or - 1.96 * se AS lo, ln_or + 1.96 * se AS hi
+      FROM r""")),
+
+    // Ljung-Box portmanteau Q over the daily event-count series at
+    // lags 1–7 — "is the ingest series white noise at all?" where
+    // q209 reads one lag at a time. The global-mean autocorrelations
+    // are made EXACT by clearing denominators: uₜ = n·xₜ − S is an
+    // exact BIGINT residual, ρ̂ₖ = Σuₜuₜ₊ₖ / Σuₜ² an exact integer
+    // ratio (the n² factors cancel), lag pairing the same broadcast
+    // calendar join as q209 (observed days only, gaps drop pairs).
+    // Q = n(n+2)·Σₖ ρ̂ₖ²/(n−k) folds over the SORTED lag list; lags
+    // with n−k ≤ 0 are excluded and counted; Σu² = 0 (constant
+    // series) guards to NaN.
+    QueryDef("q279_ljung_box", (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum("c").as("ss"))
+      val u = daily.crossJoin(broadcast(tot))
+        .select(col("day"), col("n"),
+          (col("n") * col("c") - col("ss")).as("u"))
+      val lags = s.range(1, 8).select(col("id").as("lag"))
+      val den = u.agg(max("n").as("n"),
+        sum(col("u") * col("u")).as("su2"))
+      val pairs = u.select(col("day"), col("u").as("ua"))
+        .crossJoin(broadcast(lags))
+        .join(u.select(col("day").as("day_b"), col("u").as("ub")),
+          col("day_b") === date_add(col("day"), col("lag").cast("int")))
+        .groupBy("lag").agg(sum(col("ua") * col("ub")).as("suu"))
+      def dbl(c: Column) = c.cast("double")
+      pairs.crossJoin(broadcast(den))
+        .withColumn("rho", when(col("su2") > 0,
+          dbl(col("suu")) / dbl(col("su2")))
+          .otherwise(lit(Double.NaN)))
+        .withColumn("usable", col("n") - col("lag") > 0
+          && !col("rho").isNaN)
+        .agg(max("n").as("n"),
+          sum(when(col("usable"), 1L).otherwise(0L)).as("lags_used"),
+          sort_array(collect_list(struct(col("lag"),
+            when(col("usable"),
+              col("rho") * col("rho")
+                / dbl(col("n") - col("lag"))).otherwise(lit(0.0))
+              .as("term")))).as("cs"),
+          max(when(col("rho").isNaN, 1L).otherwise(0L)).as("had_nan"))
+        .select(col("n"), col("lags_used"),
+          when(col("had_nan") === 0,
+            dbl(col("n")) * (dbl(col("n")) + 2.0)
+              * aggregate(col("cs"), lit(0.0), (acc, e) =>
+                acc + e.getField("term")))
+            .otherwise(lit(Double.NaN)).as("q_lb"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(c) AS BIGINT) AS ss FROM daily),
+      u AS (SELECT day, n, CAST(n * c - ss AS BIGINT) AS u
+        FROM daily, tot),
+      den AS (SELECT max(n) AS n, CAST(sum(u * u) AS BIGINT) AS su2
+        FROM u),
+      lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+      pairs AS (SELECT l.lag, CAST(sum(a.u * b.u) AS BIGINT) AS suu
+        FROM u a, lags l
+        JOIN u b ON b.day = a.day + CAST(l.lag AS INTEGER)
+        GROUP BY 1),
+      terms AS (SELECT lag,
+          CASE WHEN su2 > 0 THEN CAST(suu AS DOUBLE)
+            / CAST(su2 AS DOUBLE) ELSE CAST('nan' AS DOUBLE) END
+            AS rho,
+          n, su2
+        FROM pairs, den),
+      t2 AS (SELECT lag, rho, n,
+          (n - lag > 0) AND (NOT isnan(rho)) AS usable
+        FROM terms)
+      SELECT max(n) AS n,
+        CAST(sum(CASE WHEN usable THEN 1 ELSE 0 END) AS BIGINT)
+          AS lags_used,
+        CASE WHEN max(CASE WHEN isnan(rho) THEN 1 ELSE 0 END) = 0
+          THEN CAST(max(n) AS DOUBLE) * (CAST(max(n) AS DOUBLE) + 2.0)
+            * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_sort(list(struct_pack(lag := lag,
+                term := CASE WHEN usable THEN rho * rho
+                  / CAST(n - lag AS DOUBLE) ELSE 0.0 END))),
+                e -> e.term)), (x, y) -> x + y)
+          ELSE CAST('nan' AS DOUBLE) END AS q_lb
+      FROM t2"""))
   )
 }

@@ -807,4 +807,72 @@ class InferenceSpec extends AnyFunSuite {
       assert(r._2 == 1.0 && r._3 == 1.0 && r._4 == 1.0, r)
     }
   }
+
+  test("q277: symmetric confusion → chi2 exactly 0; one-way pair → (b)²/b") {
+    import spark.implicits._
+    // Two en-texts labeled es and two es-texts labeled en: the only
+    // off-diagonal pair is (en,es) with 2 in each direction → term 0.
+    val sym = (Seq.tabulate(2)(i =>
+      (i.toLong, s"the cat and the dog of $i", "es")) ++
+      Seq.tabulate(2)(i =>
+        (10L + i, s"el perro y la casa de que en los del $i", "en")))
+      .toDF("doc_id", "text", "lang")
+    val r1 = q("q277_bowker", fixture("documents" -> sym))
+      .select("df", "chi2_bowker").as[(Long, Double)].collect().head
+    assert(r1 == ((1L, 0.0)), r1)
+    // All four miscalls in ONE direction (en-text labeled es, never
+    // the reverse) → χ² = (4−0)²/4 = 4 exactly.
+    val oneway = (Seq.tabulate(4)(i =>
+      (i.toLong, s"the cat and the dog of $i", "es")) ++
+      Seq.tabulate(2)(i =>
+        (10L + i, s"el perro y la casa de que en los del $i", "es")))
+      .toDF("doc_id", "text", "lang")
+    val r2 = q("q277_bowker", fixture("documents" -> oneway))
+      .select("df", "chi2_bowker").as[(Long, Double)].collect().head
+    assert(r2 == ((1L, 4.0)), r2)
+  }
+
+  test("q278: uniform 2×2 → ln OR exactly 0, SE exactly √2; empty cell → NaN") {
+    import spark.implicits._
+    val cells = Seq(("1-URGENT", "F"), ("1-URGENT", "O"),
+      ("5-LOW", "F"), ("5-LOW", "O"))
+    val orders = cells.zipWithIndex.flatMap { case ((p, st), ci) =>
+      (1 to 2).map(i => ((ci * 10 + i).toLong, p, st))
+    }.toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val r = q("q278_woolf_ci", fixture("orders" -> orders))
+      .select("ln_or", "se").as[(Double, Double)].collect().head
+    assert(r._1 == 0.0, s"uniform table must have ln OR = 0: $r")
+    assert(r._2 == math.sqrt(2.0), s"SE must be sqrt(4·1/2): $r")
+    val noUrgent = (1 to 4).map(i =>
+      (i.toLong, "5-LOW", Seq("F", "O")(i % 2)))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val r2 = q("q278_woolf_ci", fixture("orders" -> noUrgent))
+      .select("ln_or").as[Double].collect().head
+    assert(r2.isNaN, s"empty cell must guard to NaN: $r2")
+  }
+
+  test("q279: two-day series gives Q exactly 2; constant series → NaN") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, day: Int) = (id,
+      Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), 1L, "view",
+      0.0, "{}")
+    // counts (1, 2) → u = (−1, 1), Σu² = 2, lag-1 ρ = −1/2 →
+    // Q = n(n+2)·ρ²/(n−1) = 2·4·(1/4)/1 = 2.0 exactly; only lag 1
+    // has any pair.
+    val rows = Seq(ev(1, 1), ev(2, 2), ev(3, 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+    val r1 = q("q279_ljung_box", fixture("events" -> rows))
+      .select("n", "lags_used", "q_lb")
+      .as[(Long, Long, Double)].collect().head
+    assert(r1 == ((2L, 1L, 2.0)), r1)
+    // equal counts both days → all residuals 0 → ρ undefined → NaN.
+    val const = Seq(ev(1, 1), ev(2, 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+    val r2 = q("q279_ljung_box", fixture("events" -> const))
+      .select("q_lb").as[Double].collect().head
+    assert(r2.isNaN, s"constant series must guard to NaN: $r2")
+  }
 }
