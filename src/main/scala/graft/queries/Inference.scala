@@ -5082,6 +5082,296 @@ object Inference {
                   / CAST(n - lag AS DOUBLE) ELSE 0.0 END))),
                 e -> e.term)), (x, y) -> x + y)
           ELSE CAST('nan' AS DOUBLE) END AS q_lb
-      FROM t2"""))
+      FROM t2""")),
+
+    // Mann-Kendall trend test over the daily event-count series — the
+    // nonparametric "is ingest drifting?" monitor that q232's
+    // Theil-Sen slope estimates but never tests. S = Σᵢ<ⱼ sgn(xⱼ−xᵢ)
+    // over the day-ordered cells and the tie-corrected variance
+    // [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 are BOTH exact integers (the
+    // /18 cleared by computing 18·Var), z applies the ±1 continuity
+    // correction. Everything after the daily aggregation runs on the
+    // calendar-bounded cell pair join; Var ≤ 0 guards to NaN.
+    QueryDef("q280_mann_kendall", (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val b = daily.select(col("day").as("day_b"), col("c").as("cb"))
+      val sAgg = daily.join(b, col("day") < col("day_b"))
+        .agg(coalesce(sum(
+          when(col("cb") > col("c"), 1L)
+            .when(col("cb") < col("c"), -1L).otherwise(0L)), lit(0L))
+          .as("s_mk"))
+      val nn = daily.agg(count(lit(1)).as("n"))
+      val ties = daily.groupBy("c").agg(count(lit(1)).as("tsz"))
+        .agg(coalesce(sum(col("tsz") * (col("tsz") - 1L)
+          * (lit(2L) * col("tsz") + 5L)), lit(0L)).as("tie_term"))
+      def dbl(c: Column) = c.cast("double")
+      sAgg.crossJoin(broadcast(nn)).crossJoin(broadcast(ties))
+        .withColumn("var18", col("n") * (col("n") - 1L)
+          * (lit(2L) * col("n") + 5L) - col("tie_term"))
+        .select(col("n"), col("s_mk"), col("var18"),
+          when(col("var18") > 0,
+            when(col("s_mk") > 0, (dbl(col("s_mk")) - 1.0)
+              / sqrt(dbl(col("var18")) / 18.0))
+              .when(col("s_mk") < 0, (dbl(col("s_mk")) + 1.0)
+                / sqrt(dbl(col("var18")) / 18.0))
+              .otherwise(lit(0.0)))
+            .otherwise(lit(Double.NaN)).as("z_mk"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      sa AS (SELECT CAST(coalesce(sum(CASE WHEN b.c > a.c THEN 1
+            WHEN b.c < a.c THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_mk
+        FROM daily a JOIN daily b ON a.day < b.day),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+      ties AS (SELECT CAST(coalesce(sum(tsz * (tsz - 1)
+            * (2 * tsz + 5)), 0) AS BIGINT) AS tie_term
+        FROM (SELECT c, CAST(count(*) AS BIGINT) AS tsz
+          FROM daily GROUP BY 1)),
+      v AS (SELECT n, s_mk,
+          n * (n - 1) * (2 * n + 5) - tie_term AS var18
+        FROM sa, nn, ties)
+      SELECT n, s_mk, var18,
+        CASE WHEN var18 > 0 THEN
+          CASE WHEN s_mk > 0
+            THEN (CAST(s_mk AS DOUBLE) - 1.0)
+              / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+          WHEN s_mk < 0
+            THEN (CAST(s_mk AS DOUBLE) + 1.0)
+              / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+          ELSE 0.0 END
+        ELSE CAST('nan' AS DOUBLE) END AS z_mk
+      FROM v""")),
+
+    // Absolute-risk readout for the urgent×finished contrast — the
+    // numbers a decision-maker actually uses where q278 gives the
+    // ratio scale: risk difference with its Wald CI, number needed to
+    // treat (1/|RD|, sign-annotated), relative risk, and VanderWeele-
+    // Ding E-value on the RR scale (how strong an unmeasured
+    // confounder must be to explain the association away; RR < 1 uses
+    // the 1/RR transform). Everything from the four exact BIGINT
+    // cells; empty arms guard to NaN, RD = 0 reports NNT as NaN
+    // (infinite), RR = 1 gives E-value exactly 1.
+    QueryDef("q281_risk_readout", (s, d) => {
+      val cells = t(s, d, "orders").agg(
+        sum(when(col("o_orderpriority") === "1-URGENT"
+          && col("o_orderstatus") === "F", 1L).otherwise(0L)).as("a"),
+        sum(when(col("o_orderpriority") === "1-URGENT"
+          && col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("b"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT"
+          && col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT"
+          && col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("dd"))
+      def dbl(c: Column) = c.cast("double")
+      val n1 = col("a") + col("b")
+      val n0 = col("c") + col("dd")
+      val armsOk = n1 > 0 && n0 > 0
+      val p1 = dbl(col("a")) / dbl(n1)
+      val p0 = dbl(col("c")) / dbl(n0)
+      val base = cells.select(col("a"), col("b"), col("c"), col("dd"),
+        when(armsOk, p1).otherwise(lit(Double.NaN)).as("p1"),
+        when(armsOk, p0).otherwise(lit(Double.NaN)).as("p0"),
+        when(armsOk, p1 - p0).otherwise(lit(Double.NaN)).as("rd"),
+        when(armsOk && n1 > 0 && n0 > 0,
+          sqrt(p1 * (lit(1.0) - p1) / dbl(n1)
+            + p0 * (lit(1.0) - p0) / dbl(n0)))
+          .otherwise(lit(Double.NaN)).as("se_rd"),
+        when(armsOk && dbl(col("c")) > 0.0, p1 / p0)
+          .otherwise(lit(Double.NaN)).as("rr"))
+      base
+        .withColumn("rd_lo", col("rd") - lit(1.96) * col("se_rd"))
+        .withColumn("rd_hi", col("rd") + lit(1.96) * col("se_rd"))
+        .withColumn("nnt", when(col("rd") =!= 0.0,
+          lit(1.0) / abs(col("rd"))).otherwise(lit(Double.NaN)))
+        .withColumn("e_value", when(col("rr").isNaN, lit(Double.NaN))
+          .otherwise({
+            val rs = when(col("rr") >= 1.0, col("rr"))
+              .otherwise(lit(1.0) / col("rr"))
+            rs + sqrt(rs * (rs - lit(1.0)))
+          }))
+    }, Some("""
+      WITH cells AS (SELECT
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+            AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+            AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT)
+            AS b,
+          CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+            AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+          CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+            AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT)
+            AS dd
+        FROM orders),
+      base AS (SELECT a, b, c, dd,
+          CASE WHEN a + b > 0 AND c + dd > 0
+            THEN CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE)
+            ELSE CAST('nan' AS DOUBLE) END AS p1,
+          CASE WHEN a + b > 0 AND c + dd > 0
+            THEN CAST(c AS DOUBLE) / CAST(c + dd AS DOUBLE)
+            ELSE CAST('nan' AS DOUBLE) END AS p0
+        FROM cells),
+      b2 AS (SELECT a, b, c, dd, p1, p0, p1 - p0 AS rd,
+          CASE WHEN NOT isnan(p1)
+            THEN sqrt(p1 * (1.0 - p1) / CAST(a + b AS DOUBLE)
+              + p0 * (1.0 - p0) / CAST(c + dd AS DOUBLE))
+            ELSE CAST('nan' AS DOUBLE) END AS se_rd,
+          CASE WHEN NOT isnan(p1) AND CAST(c AS DOUBLE) > 0.0
+            THEN p1 / p0
+            ELSE CAST('nan' AS DOUBLE) END AS rr
+        FROM base)
+      SELECT a, b, c, dd, p1, p0, rd, se_rd, rr,
+        rd - 1.96 * se_rd AS rd_lo,
+        rd + 1.96 * se_rd AS rd_hi,
+        CASE WHEN rd <> 0.0 THEN 1.0 / abs(rd)
+          ELSE CAST('nan' AS DOUBLE) END AS nnt,
+        CASE WHEN isnan(rr) THEN CAST('nan' AS DOUBLE)
+          ELSE (CASE WHEN rr >= 1.0 THEN rr ELSE 1.0 / rr END)
+            + sqrt((CASE WHEN rr >= 1.0 THEN rr ELSE 1.0 / rr END)
+              * ((CASE WHEN rr >= 1.0 THEN rr ELSE 1.0 / rr END)
+                - 1.0)) END AS e_value
+      FROM b2""")),
+
+    // Single-breakpoint segmented trend over the daily event-count
+    // series: for every candidate split τ (≥2 days per side) fit OLS
+    // on each side from PREFIX-SUM moments over the calendar-bounded
+    // cells (SSE = (Syy − Sxy²/Sxx)/n in the n-cleared integer-moment
+    // form, evaluated as one fixed IEEE tree per candidate), pick the
+    // τ minimizing total SSE (ties → earliest, by relational argmin on
+    // exact-equal doubles), and report Chow's F for the break against
+    // the pooled single-line fit: F = ((SSEp−SSEs)/2)/(SSEs/(n−4)).
+    // Day index comes from a bounded ≤-join rank, never a global
+    // window; degenerate sides (zero x-variance cannot happen for
+    // distinct day indices) and n < 5 guard F to NaN.
+    QueryDef("q282_segmented_trend", (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val d2 = daily.select(col("day").as("day_b"), col("y").as("yb"))
+      val idx = daily.join(d2, col("day_b") <= col("day"))
+        .groupBy(col("day"), col("y"))
+        .agg(count(lit(1)).as("x"))
+      def mom(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      def dbl(c: Column) = c.cast("double")
+      def sse(n: Column, sx: Column, sy: Column, sxx: Column,
+          sxy: Column, syy: Column) = {
+        val vx = dbl(n) * dbl(sxx) - dbl(sx) * dbl(sx)
+        val vy = dbl(n) * dbl(syy) - dbl(sy) * dbl(sy)
+        val cxy = dbl(n) * dbl(sxy) - dbl(sx) * dbl(sy)
+        when(vx > 0.0, (vy - cxy * cxy / vx) / dbl(n))
+          .otherwise(lit(Double.NaN))
+      }
+      val tot = mom(idx)
+      val cand = idx.select(col("x").as("tau"))
+        .crossJoin(broadcast(tot))
+        .where(col("tau") >= 2 && col("tau") <= col("n") - 2)
+        .select("tau")
+      val pre = cand.join(idx, idx("x") <= cand("tau"))
+        .groupBy("tau")
+        .agg(count(lit(1)).as("nl"), sum("x").as("lsx"),
+          sum("y").as("lsy"), sum(col("x") * col("x")).as("lsxx"),
+          sum(col("x") * col("y")).as("lsxy"),
+          sum(col("y") * col("y")).as("lsyy"))
+      val scored = pre.crossJoin(broadcast(tot))
+        .withColumn("sse_l", sse(col("nl"), col("lsx"), col("lsy"),
+          col("lsxx"), col("lsxy"), col("lsyy")))
+        .withColumn("sse_r", sse(col("n") - col("nl"),
+          col("sx") - col("lsx"), col("sy") - col("lsy"),
+          col("sxx") - col("lsxx"), col("sxy") - col("lsxy"),
+          col("syy") - col("lsyy")))
+        .withColumn("sse_split", col("sse_l") + col("sse_r"))
+      val best = scored.agg(min("sse_split").as("bs"))
+      val bestT = scored.join(broadcast(best),
+          col("sse_split") === col("bs"))
+        .agg(min("tau").as("break_idx"), max("bs").as("sse_split"))
+      val pooled = tot.select(col("n"),
+        sse(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+          col("syy")).as("sse_pooled"))
+      bestT.crossJoin(broadcast(pooled))
+        .select(col("n"), col("break_idx"), col("sse_pooled"),
+          col("sse_split"),
+          when(col("n") > 4 && col("sse_split") > 0.0,
+            ((col("sse_pooled") - col("sse_split")) / 2.0)
+              / (col("sse_split") / (dbl(col("n")) - 4.0)))
+            .otherwise(lit(Double.NaN)).as("chow_f"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1),
+      idx AS (SELECT a.day, a.y, CAST(count(*) AS BIGINT) AS x
+        FROM daily a JOIN daily b ON b.day <= a.day
+        GROUP BY 1, 2),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(y * y) AS BIGINT) AS syy
+        FROM idx),
+      cand AS (SELECT x AS tau FROM idx, tot
+        WHERE x >= 2 AND x <= n - 2),
+      pre AS (SELECT tau, CAST(count(*) AS BIGINT) AS nl,
+          CAST(sum(x) AS BIGINT) AS lsx, CAST(sum(y) AS BIGINT) AS lsy,
+          CAST(sum(x * x) AS BIGINT) AS lsxx,
+          CAST(sum(x * y) AS BIGINT) AS lsxy,
+          CAST(sum(y * y) AS BIGINT) AS lsyy
+        FROM cand JOIN idx ON idx.x <= cand.tau GROUP BY 1),
+      scored AS (SELECT tau,
+          CASE WHEN CAST(nl AS DOUBLE) * CAST(lsxx AS DOUBLE)
+              - CAST(lsx AS DOUBLE) * CAST(lsx AS DOUBLE) > 0.0
+            THEN ((CAST(nl AS DOUBLE) * CAST(lsyy AS DOUBLE)
+                - CAST(lsy AS DOUBLE) * CAST(lsy AS DOUBLE))
+              - (CAST(nl AS DOUBLE) * CAST(lsxy AS DOUBLE)
+                - CAST(lsx AS DOUBLE) * CAST(lsy AS DOUBLE))
+                * (CAST(nl AS DOUBLE) * CAST(lsxy AS DOUBLE)
+                - CAST(lsx AS DOUBLE) * CAST(lsy AS DOUBLE))
+                / (CAST(nl AS DOUBLE) * CAST(lsxx AS DOUBLE)
+                - CAST(lsx AS DOUBLE) * CAST(lsx AS DOUBLE)))
+              / CAST(nl AS DOUBLE)
+            ELSE CAST('nan' AS DOUBLE) END
+          + CASE WHEN CAST(n - nl AS DOUBLE)
+              * CAST(sxx - lsxx AS DOUBLE)
+              - CAST(sx - lsx AS DOUBLE) * CAST(sx - lsx AS DOUBLE)
+              > 0.0
+            THEN ((CAST(n - nl AS DOUBLE) * CAST(syy - lsyy AS DOUBLE)
+                - CAST(sy - lsy AS DOUBLE) * CAST(sy - lsy AS DOUBLE))
+              - (CAST(n - nl AS DOUBLE) * CAST(sxy - lsxy AS DOUBLE)
+                - CAST(sx - lsx AS DOUBLE) * CAST(sy - lsy AS DOUBLE))
+                * (CAST(n - nl AS DOUBLE) * CAST(sxy - lsxy AS DOUBLE)
+                - CAST(sx - lsx AS DOUBLE) * CAST(sy - lsy AS DOUBLE))
+                / (CAST(n - nl AS DOUBLE) * CAST(sxx - lsxx AS DOUBLE)
+                - CAST(sx - lsx AS DOUBLE) * CAST(sx - lsx AS DOUBLE)))
+              / CAST(n - nl AS DOUBLE)
+            ELSE CAST('nan' AS DOUBLE) END AS sse_split
+        FROM pre, tot),
+      best AS (SELECT min(sse_split) AS bs FROM scored),
+      bt AS (SELECT CAST(min(tau) AS BIGINT) AS break_idx,
+          max(bs) AS sse_split
+        FROM scored, best WHERE sse_split = bs),
+      pooled AS (SELECT n,
+          CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+            THEN ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              / CAST(n AS DOUBLE)
+            ELSE CAST('nan' AS DOUBLE) END AS sse_pooled
+        FROM tot)
+      SELECT n, break_idx, sse_pooled, sse_split,
+        CASE WHEN n > 4 AND sse_split > 0.0
+          THEN ((sse_pooled - sse_split) / 2.0)
+            / (sse_split / (CAST(n AS DOUBLE) - 4.0))
+          ELSE CAST('nan' AS DOUBLE) END AS chow_f
+      FROM bt, pooled"""))
   )
 }

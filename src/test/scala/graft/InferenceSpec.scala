@@ -875,4 +875,69 @@ class InferenceSpec extends AnyFunSuite {
       .select("q_lb").as[Double].collect().head
     assert(r2.isNaN, s"constant series must guard to NaN: $r2")
   }
+
+  private def dayEvents(counts: Seq[Int]) = {
+    import spark.implicits._
+    import java.sql.Timestamp
+    var id = 0L
+    counts.zipWithIndex.flatMap { case (c, di) =>
+      (1 to c).map { _ =>
+        id += 1
+        (id, Timestamp.valueOf(f"2024-01-${di + 1}%02d 12:00:00"), 1L,
+          "view", 0.0, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("q280: strictly increasing series maxes S; constant series → NaN") {
+    import spark.implicits._
+    // counts 1<2<3<4: S = C(4,2) = 6, no ties → 18·Var = 4·3·13 = 156,
+    // z = (6−1)/√(156/18) — asserted as the same IEEE expression.
+    val r = q("q280_mann_kendall",
+      fixture("events" -> dayEvents(Seq(1, 2, 3, 4))))
+      .select("s_mk", "var18", "z_mk")
+      .as[(Long, Long, Double)].collect().head
+    assert(r._1 == 6L && r._2 == 156L, r)
+    assert(r._3 == 5.0 / math.sqrt(156.0 / 18.0), r)
+    val r2 = q("q280_mann_kendall",
+      fixture("events" -> dayEvents(Seq(5, 5, 5, 5))))
+      .select("s_mk", "z_mk").as[(Long, Double)].collect().head
+    assert(r2._1 == 0L && r2._2.isNaN,
+      s"all-tied series must guard to NaN: $r2")
+  }
+
+  test("q281: balanced 2×2 → RD 0, RR 1, E-value exactly 1, NNT NaN") {
+    import spark.implicits._
+    val cells = Seq(("1-URGENT", "F"), ("1-URGENT", "O"),
+      ("5-LOW", "F"), ("5-LOW", "O"))
+    val orders = cells.zipWithIndex.flatMap { case ((p, st), ci) =>
+      (1 to 3).map(i => ((ci * 10 + i).toLong, p, st))
+    }.toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val r = q("q281_risk_readout", fixture("orders" -> orders))
+      .select("rd", "rr", "e_value", "nnt")
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(r._1 == 0.0 && r._2 == 1.0 && r._3 == 1.0, r)
+    assert(r._4.isNaN, s"zero RD must report NNT as NaN (infinite): $r")
+  }
+
+  test("q282: exact level shift found at its true break with SSE 0; linear ties → earliest") {
+    import spark.implicits._
+    // 4 days at 10 then 4 days at 20: both segments are constant →
+    // τ=4 achieves sse_split exactly 0 (uniquely), and the perfect
+    // fit guards Chow's F to NaN rather than dividing by 0.
+    val r = q("q282_segmented_trend", fixture("events" ->
+      dayEvents(Seq(10, 10, 10, 10, 20, 20, 20, 20))))
+      .select("break_idx", "sse_split", "chow_f")
+      .as[(Long, Double, Double)].collect().head
+    assert(r._1 == 4L && r._2 == 0.0, r)
+    assert(r._3.isNaN, s"perfect split must guard F to NaN: $r")
+    // A perfectly linear series fits every split exactly → all
+    // candidates tie at 0 and the relational argmin must report the
+    // EARLIEST admissible τ = 2.
+    val r2 = q("q282_segmented_trend", fixture("events" ->
+      dayEvents(Seq(1, 2, 3, 4, 5, 6))))
+      .select("break_idx", "sse_split")
+      .as[(Long, Double)].collect().head
+    assert(r2 == ((2L, 0.0)), r2)
+  }
 }
