@@ -138,7 +138,7 @@ object Bench {
       effHigh) + "}"
   }
 
-  private def session(cpus: Int): SparkSession = {
+  private def build(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
@@ -150,6 +150,29 @@ object Bench {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** A fresh session, proof against a poisoned context registry: an
+    * interrupted `SparkContext.stop()` leaves the global registry pointing
+    * at a dead context that `getOrCreate` then hands out forever ("Cannot
+    * call methods on a stopped SparkContext" — window X lost all five
+    * KG-scaling rounds to one such race). Pre-clear any provably-stopped
+    * registry entry, and if `getOrCreate` STILL returns a stopped context,
+    * force-clear and rebuild once. */
+  private def session(cpus: Int): SparkSession = {
+    import org.apache.spark.GraftContextJanitor
+    GraftContextJanitor.clearIfStopped()
+    val s = build(cpus)
+    if (!GraftContextJanitor.isStopped(s.sparkContext)) s
+    else {
+      System.err.println(
+        "[bench] stale stopped SparkContext in registry — force-clearing")
+      GraftContextJanitor.clearIfStopped()
+      val s2 = build(cpus)
+      require(!GraftContextJanitor.isStopped(s2.sparkContext),
+        "SparkContext registry still poisoned after force-clear")
+      s2
+    }
   }
 
   private def kgJob(spark: SparkSession, nDocs: Long, parts: Int): Unit =
@@ -324,18 +347,31 @@ object Bench {
       // a crash at one level (OOM at the 32-core 4M-doc point is the
       // realistic case) must cost only that level's sample, never the
       // whole record: the round simply stays partial and the tail-
-      // surviving headline still prints
-      try {
-        val t = kgThroughput(c, n)
-        System.err.println(
-          f"[bench] kg scaling round $round cpus=$c%-3d ${t}%.0f docs/s " +
-          f"($n docs)")
-        roundRate(c) = t
-        if (t > best.getOrElse(c, 0.0)) { best(c) = t; docsUsed(c) = n }
-      } catch { case e: Throwable =>
-        System.err.println(
-          s"[bench] kg scaling round $round cpus=$c FAILED: ${e.getMessage}")
-      }
+      // surviving headline still prints. A context-shutdown-shaped
+      // failure (an external signal or a racing stop killed the context
+      // mid-job — window X) gets ONE in-place retry on a fresh session:
+      // session() has since cleared the poisoned registry, so the retry
+      // genuinely re-runs rather than re-hitting the same dead context.
+      def attempt(label: String): Boolean =
+        try {
+          val t = kgThroughput(c, n)
+          System.err.println(
+            f"[bench] kg scaling round $round cpus=$c%-3d ${t}%.0f docs/s " +
+            f"($n docs)$label")
+          roundRate(c) = t
+          if (t > best.getOrElse(c, 0.0)) { best(c) = t; docsUsed(c) = n }
+          true
+        } catch { case e: Throwable =>
+          val m = String.valueOf(e.getMessage)
+          System.err.println(
+            s"[bench] kg scaling round $round cpus=$c FAILED: $m")
+          val shutdownShaped = m.contains("stopped SparkContext") ||
+            m.contains("SparkContext was shut down")
+          if (shutdownShaped && label.isEmpty && deadline - elapsed > 60.0)
+            attempt(" (retry after context-shutdown failure)")
+          else false
+        }
+      attempt("")
       runsLeft -= 1
     }
     def runRound(round: Int): Unit = {
