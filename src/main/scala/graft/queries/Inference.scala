@@ -5372,6 +5372,233 @@ object Inference {
           THEN ((sse_pooled - sse_split) / 2.0)
             / (sse_split / (CAST(n AS DOUBLE) - 4.0))
           ELSE CAST('nan' AS DOUBLE) END AS chow_f
-      FROM bt, pooled"""))
+      FROM bt, pooled""")),
+
+    // Chao1 species-richness estimate over the document unigram
+    // vocabulary — "how many token types exist that the crawl has NOT
+    // seen yet?", the vocabulary-coverage readout a corpus-growth
+    // planner reads next to Heaps' law (q198) and Good–Turing (q227).
+    // The only row-scale step is one term-count aggregation; the
+    // estimator lives on three BIGINT counts (S_obs distinct types, F1
+    // singletons, F2 doubletons): bias-corrected Chao1 =
+    // S + F1(F1−1)/(2(F2+1)), the Chao-1987 SE from the ratio r=F1/F2
+    // (guarded to NaN when F2=0 — the ratio's divisor is CASE-pinned
+    // to 1 there so ANSI mode never sees a 0 divisor on the untaken
+    // branch), and Good's coverage Ĉ = 1 − F1/N. Every float op is an
+    // IEEE-exact division/sqrt on integer-valued doubles — the
+    // cross-engine-stable shape of the whole batch.
+    QueryDef("q283_chao1", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("r"))
+        .agg(
+          count(lit(1)).as("s_obs"),
+          coalesce(sum(when(col("r") === 1, 1L).otherwise(0L)), lit(0L))
+            .as("f1"),
+          coalesce(sum(when(col("r") === 2, 1L).otherwise(0L)), lit(0L))
+            .as("f2"),
+          coalesce(sum(col("r")), lit(0L)).as("n_tok"))
+        .withColumn("chao1", dbl(col("s_obs"))
+          + dbl(col("f1")) * (dbl(col("f1")) - 1.0)
+            / (lit(2.0) * (dbl(col("f2")) + 1.0)))
+        .withColumn("rr", dbl(col("f1"))
+          / dbl(when(col("f2") > 0, col("f2")).otherwise(lit(1L))))
+        .select(col("s_obs"), col("f1"), col("f2"), col("n_tok"),
+          col("chao1"),
+          when(col("f2") > 0, sqrt(dbl(col("f2"))
+            * (col("rr") * col("rr") / 2.0
+              + col("rr") * col("rr") * col("rr")
+              + col("rr") * col("rr") * col("rr") * col("rr") / 4.0)))
+            .otherwise(lit(Double.NaN)).as("se_chao1"),
+          when(col("n_tok") > 0,
+            lit(1.0) - dbl(col("f1")) / dbl(col("n_tok")))
+            .otherwise(lit(Double.NaN)).as("coverage"))
+    }, Some("""
+      WITH tc AS (SELECT term, CAST(count(*) AS BIGINT) AS r
+        FROM (SELECT unnest(string_split(text, ' ')) AS term
+          FROM documents)
+        WHERE len(term) > 0 GROUP BY 1),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS s_obs,
+        CAST(coalesce(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS f1,
+        CAST(coalesce(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS f2,
+        CAST(coalesce(sum(r), 0) AS BIGINT) AS n_tok FROM tc),
+      e AS (SELECT *,
+        CAST(s_obs AS DOUBLE) + CAST(f1 AS DOUBLE)
+          * (CAST(f1 AS DOUBLE) - 1.0)
+          / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) AS chao1,
+        CAST(f1 AS DOUBLE)
+          / CAST(CASE WHEN f2 > 0 THEN f2 ELSE 1 END AS DOUBLE) AS rr
+        FROM a)
+      SELECT s_obs, f1, f2, n_tok, chao1,
+        CASE WHEN f2 > 0 THEN sqrt(CAST(f2 AS DOUBLE)
+            * (rr * rr / 2.0 + rr * rr * rr
+              + rr * rr * rr * rr / 4.0))
+          ELSE CAST('nan' AS DOUBLE) END AS se_chao1,
+        CASE WHEN n_tok > 0
+          THEN 1.0 - CAST(f1 AS DOUBLE) / CAST(n_tok AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS coverage
+      FROM e""")),
+
+    // Gumbel block-maxima fit over the event stream — the
+    // extreme-value readout capacity planning actually uses ("what
+    // daily-peak load should we provision for?"), complementing the
+    // central-tendency suite: monthly maxima of the daily event count
+    // are the blocks, and the Gumbel location/scale come from the
+    // method of moments (β̂ = s·√6/π, μ̂ = x̄ − γβ̂ with
+    // Euler–Mascheroni γ). Maxima, their sum and sum of squares stay
+    // BIGINT; mean/variance/β̂/μ̂ and the standardized most-extreme
+    // block z = (max − μ̂)/β̂ are a fixed double tree (π enters as the
+    // same IEEE literal both engines expose; √6 via exact sqrt). A
+    // single block or an all-equal block set guards variance/z to NaN.
+    QueryDef("q284_gumbel_fit", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(date_trunc("month", col("day")).as("m"))
+        .agg(max(col("c")).as("mx"))
+        .agg(
+          count(lit(1)).as("n_blocks"),
+          coalesce(sum(col("mx")), lit(0L)).as("s1"),
+          coalesce(sum(col("mx") * col("mx")), lit(0L)).as("s2"),
+          coalesce(max(col("mx")), lit(0L)).as("m_top"))
+        .withColumn("mean_max",
+          when(col("n_blocks") > 0,
+            dbl(col("s1")) / dbl(col("n_blocks")))
+            .otherwise(lit(Double.NaN)))
+        .withColumn("var_max",
+          when(col("n_blocks") > 1,
+            dbl(col("n_blocks") * col("s2") - col("s1") * col("s1"))
+              / dbl(col("n_blocks") * (col("n_blocks") - 1L)))
+            .otherwise(lit(Double.NaN)))
+        .withColumn("sd_max", sqrt(col("var_max")))
+        .withColumn("beta_g",
+          col("sd_max") * sqrt(lit(6.0)) / lit(math.Pi))
+        .withColumn("mu_g",
+          col("mean_max") - lit(0.5772156649015329) * col("beta_g"))
+        .select(col("n_blocks"), col("m_top"), col("mean_max"),
+          col("sd_max"), col("mu_g"), col("beta_g"),
+          when(col("var_max") > 0,
+            (dbl(col("m_top")) - col("mu_g")) / col("beta_g"))
+            .otherwise(lit(Double.NaN)).as("z_extreme"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      blocks AS (SELECT date_trunc('month', day) AS m,
+          CAST(max(c) AS BIGINT) AS mx
+        FROM daily GROUP BY 1),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        CAST(coalesce(sum(mx), 0) AS BIGINT) AS s1,
+        CAST(coalesce(sum(mx * mx), 0) AS BIGINT) AS s2,
+        CAST(coalesce(max(mx), 0) AS BIGINT) AS m_top FROM blocks),
+      b AS (SELECT *,
+        CASE WHEN n_blocks > 0
+          THEN CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS mean_max,
+        CASE WHEN n_blocks > 1
+          THEN CAST(n_blocks * s2 - s1 * s1 AS DOUBLE)
+            / CAST(n_blocks * (n_blocks - 1) AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS var_max
+        FROM a),
+      c AS (SELECT *, sqrt(var_max) AS sd_max FROM b),
+      g AS (SELECT *, sd_max * sqrt(6.0) / pi() AS beta_g FROM c),
+      m AS (SELECT *,
+        mean_max - 0.5772156649015329 * beta_g AS mu_g FROM g)
+      SELECT n_blocks, m_top, mean_max, sd_max, mu_g, beta_g,
+        CASE WHEN var_max > 0
+          THEN (CAST(m_top AS DOUBLE) - mu_g) / beta_g
+          ELSE CAST('nan' AS DOUBLE) END AS z_extreme
+      FROM m""")),
+
+    // Jonckheere–Terpstra ordered-alternative trend test: does order
+    // size (lineitems per order, a small discrete response) trend
+    // monotonically across the ORDERED priority classes 1-URGENT →
+    // 5-LOW? The a-priori-ordered version of Kruskal–Wallis (q220) —
+    // strictly more powerful when the alternative is a dose-response
+    // trend. After one row-scale orders⋈lineitem aggregation the test
+    // lives on a ≤5×7-cell contingency table: pairwise between-group
+    // "less" and "tie" mass from a cell self-join on g < g' (BIGINT
+    // products), group sizes from the cell marginals, and
+    // 2U = 2·#less + #ties stays an exact BIGINT. The null mean
+    // (N²−Σnᵢ²)/4 is a /4.0 on an even BIGINT (exact in double); the
+    // no-ties null variance (N²(2N+3) − Σnᵢ²(2nᵢ+3))/72 is assembled
+    // in DOUBLE from the BIGINT aggregates (the cubic products would
+    // overflow BIGINT at web scale — the q228 rule); ties make it
+    // slightly conservative, stated here rather than hidden. A
+    // single-priority input has zero variance and guards z to NaN.
+    QueryDef("q285_jonckheere", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val v = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("v"))
+      val cells = t(s, d, "orders")
+        .select(col("o_orderkey"),
+          substring(col("o_orderpriority"), 1, 1).cast("int").as("g"))
+        .join(v, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      val b = cells.select(col("g").as("gb"), col("v").as("vb"),
+        col("cnt").as("cb"))
+      val pair = cells.join(b, col("g") < col("gb"))
+        .agg(
+          coalesce(sum(when(col("v") < col("vb"),
+            col("cnt") * col("cb")).otherwise(0L)), lit(0L))
+            .as("n_less"),
+          coalesce(sum(when(col("v") === col("vb"),
+            col("cnt") * col("cb")).otherwise(0L)), lit(0L))
+            .as("n_tie"))
+      val sizes = cells.groupBy("g").agg(sum(col("cnt")).as("ni"))
+        .agg(
+          coalesce(sum(col("ni")), lit(0L)).as("n_tot"),
+          coalesce(sum(col("ni") * col("ni")), lit(0L)).as("sum_ni2"),
+          coalesce(sum(col("ni") * col("ni")
+            * (lit(2L) * col("ni") + 3L)), lit(0L)).as("sum_ni23"))
+      pair.crossJoin(broadcast(sizes))
+        .withColumn("u2", lit(2L) * col("n_less") + col("n_tie"))
+        .withColumn("u_jt", dbl(col("u2")) / 2.0)
+        .withColumn("e_u",
+          dbl(col("n_tot") * col("n_tot") - col("sum_ni2")) / 4.0)
+        .withColumn("var_u",
+          (dbl(col("n_tot")) * dbl(col("n_tot"))
+            * (lit(2.0) * dbl(col("n_tot")) + 3.0)
+            - dbl(col("sum_ni23"))) / 72.0)
+        .select(col("n_tot"), col("n_less"), col("n_tie"), col("u_jt"),
+          when(col("var_u") > 0,
+            (col("u_jt") - col("e_u")) / sqrt(col("var_u")))
+            .otherwise(lit(Double.NaN)).as("z_jt"))
+    }, Some("""
+      WITH v AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1),
+      cells AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
+          v, CAST(count(*) AS BIGINT) AS cnt
+        FROM orders JOIN v ON o_orderkey = l_orderkey GROUP BY 1, 2),
+      pair AS (SELECT
+        CAST(coalesce(sum(CASE WHEN a.v < b.v
+          THEN a.cnt * b.cnt ELSE 0 END), 0) AS BIGINT) AS n_less,
+        CAST(coalesce(sum(CASE WHEN a.v = b.v
+          THEN a.cnt * b.cnt ELSE 0 END), 0) AS BIGINT) AS n_tie
+        FROM cells a JOIN cells b ON a.g < b.g),
+      sizes AS (SELECT
+        CAST(coalesce(sum(ni), 0) AS BIGINT) AS n_tot,
+        CAST(coalesce(sum(ni * ni), 0) AS BIGINT) AS sum_ni2,
+        CAST(coalesce(sum(ni * ni * (2 * ni + 3)), 0) AS BIGINT)
+          AS sum_ni23
+        FROM (SELECT g, CAST(sum(cnt) AS BIGINT) AS ni
+          FROM cells GROUP BY 1)),
+      u AS (SELECT *, 2 * n_less + n_tie AS u2,
+        CAST(n_tot * n_tot - sum_ni2 AS DOUBLE) / 4.0 AS e_u
+        FROM pair, sizes),
+      w AS (SELECT *, CAST(u2 AS DOUBLE) / 2.0 AS u_jt,
+        (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+          * (2.0 * CAST(n_tot AS DOUBLE) + 3.0)
+          - CAST(sum_ni23 AS DOUBLE)) / 72.0 AS var_u
+        FROM u)
+      SELECT n_tot, n_less, n_tie, u_jt,
+        CASE WHEN var_u > 0 THEN (u_jt - e_u) / sqrt(var_u)
+          ELSE CAST('nan' AS DOUBLE) END AS z_jt
+      FROM w"""))
   )
 }

@@ -940,4 +940,82 @@ class InferenceSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().head
     assert(r2 == ((2L, 0.0)), r2)
   }
+
+  test("q283: hand-counted vocabulary matches Chao1 closed form; F2=0 guards SE to NaN") {
+    import spark.implicits._
+    // tokens: a×3, b×2, c×1, d×1 → S=4, F1=2, F2=1, N=7.
+    // chao1 = 4 + 2·1/(2·2) = 4.5; r=F1/F2=2 →
+    // SE = √(1·(2²/2 + 2³ + 2⁴/4)) = √14; coverage = 1 − 2/7.
+    val docs = Seq("a a b", "a b c d").toDF("text")
+    val r = q("q283_chao1", fixture("documents" -> docs))
+      .select("s_obs", "f1", "f2", "n_tok", "chao1", "se_chao1",
+        "coverage")
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().head
+    assert((r._1, r._2, r._3, r._4) == ((4L, 2L, 1L, 7L)), r)
+    assert(r._5 == 4.5 && r._6 == math.sqrt(14.0), r)
+    assert(r._7 == 1.0 - 2.0 / 7.0, r)
+    // no doubletons: SE undefined (NaN), point estimate still closed
+    val r2 = q("q283_chao1", fixture("documents" ->
+      Seq("a b").toDF("text")))
+      .select("chao1", "se_chao1").as[(Double, Double)].collect().head
+    assert(r2._1 == 2.0 + 2.0 * 1.0 / 2.0 && r2._2.isNaN, r2)
+  }
+
+  test("q284: three-block maxima reproduce the moment fit; single block → NaN z") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // months 1/2/3 with daily-count maxima 4, 6, 8: mean 6,
+    // var = (3·116 − 18²)/(3·2) = 4, sd 2 — then the Gumbel moment
+    // chain asserted as the same IEEE expression tree.
+    def ev(month: Int, day: Int, c: Int, base: Long) =
+      (1 to c).map(i => (base + i,
+        Timestamp.valueOf(f"2024-$month%02d-$day%02d 12:00:00"),
+        1L, "view", 0.0, "{}"))
+    val events = (ev(1, 1, 2, 0) ++ ev(1, 2, 4, 100) ++
+      ev(2, 1, 6, 200) ++ ev(3, 1, 8, 300))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = q("q284_gumbel_fit", fixture("events" -> events))
+      .select("n_blocks", "m_top", "mean_max", "sd_max", "mu_g",
+        "beta_g", "z_extreme")
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(r._1 == 3L && r._2 == 8L && r._3 == 6.0 && r._4 == 2.0, r)
+    val beta = 2.0 * math.sqrt(6.0) / math.Pi
+    val mu = 6.0 - 0.5772156649015329 * beta
+    assert(r._5 == mu && r._6 == beta && r._7 == (8.0 - mu) / beta, r)
+    val r2 = q("q284_gumbel_fit", fixture("events" ->
+      ev(1, 1, 3, 0).toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props")))
+      .select("sd_max", "z_extreme").as[(Double, Double)]
+      .collect().head
+    assert(r2._1.isNaN && r2._2.isNaN,
+      s"single block must guard sd and z to NaN: $r2")
+  }
+
+  test("q285: perfectly ordered groups give U = n1·n2 and the exact z; one group → NaN") {
+    import spark.implicits._
+    // group 1 (URGENT): two orders of 1 lineitem; group 2 (HIGH): two
+    // orders of 2 → every cross pair is "less": U = 4. N=4, Σnᵢ²=8 →
+    // E[U]=2; var = (16·11 − 2·4·7)/72 = 120/72.
+    val orders = Seq((1L, "1-URGENT"), (2L, "1-URGENT"),
+      (3L, "2-HIGH"), (4L, "2-HIGH"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val li = Seq(1L, 2L, 3L, 3L, 4L, 4L).toDF("l_orderkey")
+    val r = q("q285_jonckheere", fixture("orders" -> orders,
+      "lineitem" -> li))
+      .select("n_tot", "n_less", "n_tie", "u_jt", "z_jt")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert((r._1, r._2, r._3, r._4) == ((4L, 4L, 0L, 4.0)), r)
+    val varU = (4.0 * 4.0 * (2.0 * 4.0 + 3.0) - 56.0) / 72.0
+    assert(r._5 == (4.0 - 2.0) / math.sqrt(varU), r)
+    // a single priority class has no between-group pairs and zero
+    // null variance — z must guard to NaN, not divide by zero
+    val r2 = q("q285_jonckheere", fixture(
+      "orders" -> Seq((1L, "1-URGENT"), (2L, "1-URGENT"))
+        .toDF("o_orderkey", "o_orderpriority"),
+      "lineitem" -> Seq(1L, 2L, 2L).toDF("l_orderkey")))
+      .select("u_jt", "z_jt").as[(Double, Double)].collect().head
+    assert(r2._1 == 0.0 && r2._2.isNaN, r2)
+  }
 }
