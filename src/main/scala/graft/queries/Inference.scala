@@ -5599,6 +5599,283 @@ object Inference {
       SELECT n_tot, n_less, n_tie, u_jt,
         CASE WHEN var_u > 0 THEN (u_jt - e_u) / sqrt(var_u)
           ELSE CAST('nan' AS DOUBLE) END AS z_jt
-      FROM w"""))
+      FROM w""")),
+
+    // Wald–Wolfowitz runs test on the daily event-count series: is the
+    // above/below-mean sign sequence random, or does load cluster into
+    // sticky regimes (the monitoring question behind q215's CUSUM,
+    // answered distribution-free)? The cutpoint comparison is the
+    // EXACT cross-multiplication c·nDays vs Σc (no double mean — days
+    // exactly at the mean drop, the standard treatment). The sign
+    // sequence is day-bounded, so the one global lag window for the
+    // run count runs on at most a few hundred rows; n1/n2/R stay
+    // BIGINT and the z = (R − μ)/σ chain is one fixed double tree.
+    // A one-sided (n1 or n2 = 0) or sub-2-day sequence guards to NaN.
+    QueryDef("q286_runs_test", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val tot = daily.agg(
+        coalesce(sum(col("c")), lit(0L)).as("s_tot"),
+        count(lit(1)).as("n_days"))
+      val signed = daily.crossJoin(broadcast(tot))
+        .where(col("c") * col("n_days") =!= col("s_tot"))
+        .select(col("day"),
+          when(col("c") * col("n_days") > col("s_tot"), 1L)
+            .otherwise(0L).as("sgn"))
+      val w = Window.orderBy("day")
+      signed
+        .withColumn("prev", lag(col("sgn"), 1).over(w))
+        .agg(
+          coalesce(sum(when(col("prev").isNull
+            || col("prev") =!= col("sgn"), 1L).otherwise(0L)), lit(0L))
+            .as("r_runs"),
+          coalesce(sum(col("sgn")), lit(0L)).as("n1"),
+          coalesce(sum(lit(1L) - col("sgn")), lit(0L)).as("n2"))
+        .withColumn("m2", lit(2L) * col("n1") * col("n2"))
+        .withColumn("nn", col("n1") + col("n2"))
+        .withColumn("mu_r",
+          when(col("nn") > 0,
+            lit(2.0) * dbl(col("n1")) * dbl(col("n2")) / dbl(col("nn"))
+              + 1.0)
+            .otherwise(lit(Double.NaN)))
+        .withColumn("var_r",
+          when(col("nn") > 1,
+            dbl(col("m2") * (col("m2") - col("nn")))
+              / dbl(col("nn") * col("nn") * (col("nn") - 1L)))
+            .otherwise(lit(Double.NaN)))
+        .select(col("n1"), col("n2"), col("r_runs"), col("mu_r"),
+          when(col("var_r") > 0,
+            (dbl(col("r_runs")) - col("mu_r")) / sqrt(col("var_r")))
+            .otherwise(lit(Double.NaN)).as("z_runs"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS s_tot,
+        CAST(count(*) AS BIGINT) AS n_days FROM daily),
+      signed AS (SELECT day,
+          CASE WHEN c * n_days > s_tot THEN 1 ELSE 0 END AS sgn
+        FROM daily, tot WHERE c * n_days <> s_tot),
+      lagged AS (SELECT sgn,
+          lag(sgn) OVER (ORDER BY day) AS prev FROM signed),
+      a AS (SELECT
+        CAST(coalesce(sum(CASE WHEN prev IS NULL OR prev <> sgn
+          THEN 1 ELSE 0 END), 0) AS BIGINT) AS r_runs,
+        CAST(coalesce(sum(sgn), 0) AS BIGINT) AS n1,
+        CAST(coalesce(sum(1 - sgn), 0) AS BIGINT) AS n2 FROM lagged),
+      b AS (SELECT *, 2 * n1 * n2 AS m2, n1 + n2 AS nn FROM a),
+      e AS (SELECT *,
+        CASE WHEN nn > 0 THEN 2.0 * CAST(n1 AS DOUBLE)
+            * CAST(n2 AS DOUBLE) / CAST(nn AS DOUBLE) + 1.0
+          ELSE CAST('nan' AS DOUBLE) END AS mu_r,
+        CASE WHEN nn > 1
+          THEN CAST(m2 * (m2 - nn) AS DOUBLE)
+            / CAST(nn * nn * (nn - 1) AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS var_r
+        FROM b)
+      SELECT n1, n2, r_runs, mu_r,
+        CASE WHEN var_r > 0
+          THEN (CAST(r_runs AS DOUBLE) - mu_r) / sqrt(var_r)
+          ELSE CAST('nan' AS DOUBLE) END AS z_runs
+      FROM e""")),
+
+    // Linearly-weighted Cohen's kappa between two ordinal customer
+    // segmentations — quintile by order COUNT vs quintile by biggest
+    // single order — "do the two tierings agree beyond chance, with
+    // near-misses counted as partial agreement?" (q218's unweighted κ
+    // treats a 1-vs-2 disagreement the same as 1-vs-5; ordinal tiers
+    // shouldn't). Quintiles come from the distributed PrefixSum CDF on
+    // distinct-value cells (the q194 rule: integer bin = 5·above DIV N,
+    // ties share a bin, no global ntile window). With disagreement
+    // weights v=|i−j|, κ_w = 1 − N·Σv·O / Σv·r·c is an exact BIGINT
+    // rational — ONE double division; the ≤5×5 observed and expected
+    // grids are cell joins, nothing row-scale past the per-customer
+    // aggregation. A degenerate expected grid (Σv·r·c = 0) guards NaN.
+    QueryDef("q287_weighted_kappa", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val per = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"), max(col("o_totalprice")).as("mx"))
+      def quintiles(values: org.apache.spark.sql.DataFrame,
+          vc: String, out: String) = {
+        val cells = values.groupBy(col(vc).as("sc"))
+          .agg(count(lit(1)).as("n"))
+        val nn = cells.agg(sum("n").as("nn"))
+        graft.operators.PrefixSum
+          .withRunningTotals(cells, "sc", Seq("n"))
+          .crossJoin(broadcast(nn))
+          .select(col("sc").as(vc),
+            expr("(5 * (nn - n_cum)) DIV nn").as(out))
+      }
+      val rated = per
+        .join(broadcast(quintiles(per, "cnt", "qa")), Seq("cnt"))
+        .join(broadcast(quintiles(per, "mx", "qb")), Seq("mx"))
+      val cells = rated.groupBy("qa", "qb").agg(count(lit(1)).as("c"))
+      val obs = cells.agg(
+        coalesce(sum(abs(col("qa") - col("qb")) * col("c")), lit(0L))
+          .as("d_obs"),
+        coalesce(sum(col("c")), lit(0L)).as("n"))
+      val rows = cells.groupBy(col("qa").as("i")).agg(sum("c").as("rc"))
+      val cols = cells.groupBy(col("qb").as("j")).agg(sum("c").as("cc"))
+      val exp_ = rows.crossJoin(cols)
+        .agg(coalesce(sum(abs(col("i") - col("j"))
+          * col("rc") * col("cc")), lit(0L)).as("d_exp"))
+      obs.crossJoin(broadcast(exp_))
+        .select(col("n"), col("d_obs"), col("d_exp"),
+          when(col("d_exp") > 0, lit(1.0)
+            - dbl(col("n")) * dbl(col("d_obs")) / dbl(col("d_exp")))
+            .otherwise(lit(Double.NaN)).as("kappa_w"))
+    }, Some("""
+      WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+          max(o_totalprice) AS mx
+        FROM orders GROUP BY 1),
+      ca AS (SELECT sc, n,
+          CAST(sum(n) OVER (ORDER BY sc
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_cum
+        FROM (SELECT cnt AS sc, CAST(count(*) AS BIGINT) AS n
+          FROM per GROUP BY 1)),
+      na AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM ca),
+      qa AS (SELECT sc AS cnt, (5 * (nn - n_cum)) // nn AS qa
+        FROM ca, na),
+      cb AS (SELECT sc, n,
+          CAST(sum(n) OVER (ORDER BY sc
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_cum
+        FROM (SELECT mx AS sc, CAST(count(*) AS BIGINT) AS n
+          FROM per GROUP BY 1)),
+      nb AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cb),
+      qb AS (SELECT sc AS mx, (5 * (nn - n_cum)) // nn AS qb
+        FROM cb, nb),
+      rated AS (SELECT p.o_custkey, a.qa, b.qb
+        FROM per p JOIN qa a ON p.cnt = a.cnt
+        JOIN qb b ON p.mx = b.mx),
+      cells AS (SELECT qa, qb, CAST(count(*) AS BIGINT) AS c
+        FROM rated GROUP BY 1, 2),
+      obs AS (SELECT
+        CAST(coalesce(sum(abs(qa - qb) * c), 0) AS BIGINT) AS d_obs,
+        CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cells),
+      r AS (SELECT qa AS i, CAST(sum(c) AS BIGINT) AS rc
+        FROM cells GROUP BY 1),
+      cl AS (SELECT qb AS j, CAST(sum(c) AS BIGINT) AS cc
+        FROM cells GROUP BY 1),
+      ex AS (SELECT CAST(coalesce(sum(abs(i - j) * rc * cc), 0)
+          AS BIGINT) AS d_exp
+        FROM r CROSS JOIN cl)
+      SELECT n, d_obs, d_exp,
+        CASE WHEN d_exp > 0 THEN 1.0 - CAST(n AS DOUBLE)
+            * CAST(d_obs AS DOUBLE) / CAST(d_exp AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS kappa_w
+      FROM obs, ex""")),
+
+    // Stuart–Maxwell marginal-homogeneity test over the en/es/de
+    // corner of the lang-ID confusion matrix: does the CLASSIFIER's
+    // label distribution match the TRUTH's, jointly across all three
+    // languages? Bowker (q277) asks about pairwise symmetry; this asks
+    // about the marginals — the drift question "is the classifier
+    // systematically over-calling English?". For k=3 the (k−1)×(k−1)
+    // covariance inverts in closed form, so χ²(df 2) =
+    // (S₂₂d₁² − 2S₁₂d₁d₂ + S₁₁d₂²)/(S₁₁S₂₂ − S₁₂²) with dᵢ the
+    // marginal differences, Sᵢᵢ = rᵢ+cᵢ−2nᵢᵢ, S₁₂ = −(n₁₂+n₂₁) — all
+    // BIGINT cells from one ≤9-cell pivot; the quadratic form is
+    // assembled in DOUBLE (the q228 web-scale-overflow rule) with one
+    // division, determinant ≤ 0 guarded to NaN.
+    QueryDef("q288_stuart_maxwell", (s, d) => {
+      import graft.functions.TextFunctions
+      def dbl(c: Column) = c.cast("double")
+      def idx(c: Column) = when(c === "en", 1)
+        .when(c === "es", 2).otherwise(3)
+      val cells = t(s, d, "documents")
+        .select(TextFunctions.langId(col("text")).as("pred"),
+          col("lang").as("truth"))
+        .where(col("pred").isin("en", "es", "de")
+          && col("truth").isin("en", "es", "de"))
+        .select(idx(col("truth")).as("i"), idx(col("pred")).as("j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("cnt"))
+      def cell(i: Int, j: Int) = coalesce(sum(
+        when(col("i") === i && col("j") === j, col("cnt"))
+          .otherwise(0L)), lit(0L))
+      cells.agg(
+          cell(1, 1).as("n11"), cell(1, 2).as("n12"), cell(1, 3).as("n13"),
+          cell(2, 1).as("n21"), cell(2, 2).as("n22"), cell(2, 3).as("n23"),
+          cell(3, 1).as("n31"), cell(3, 2).as("n32"), cell(3, 3).as("n33"))
+        .withColumn("d1", col("n11") + col("n12") + col("n13")
+          - (col("n11") + col("n21") + col("n31")))
+        .withColumn("d2", col("n21") + col("n22") + col("n23")
+          - (col("n12") + col("n22") + col("n32")))
+        .withColumn("s11", col("n11") + col("n12") + col("n13")
+          + col("n11") + col("n21") + col("n31")
+          - lit(2L) * col("n11"))
+        .withColumn("s22", col("n21") + col("n22") + col("n23")
+          + col("n12") + col("n22") + col("n32")
+          - lit(2L) * col("n22"))
+        .withColumn("s12", -(col("n12") + col("n21")))
+        .withColumn("det",
+          dbl(col("s11")) * dbl(col("s22"))
+            - dbl(col("s12")) * dbl(col("s12")))
+        .select(col("d1"), col("d2"), col("s11"), col("s22"),
+          col("s12"),
+          when(col("det") > 0,
+            (dbl(col("s22")) * dbl(col("d1")) * dbl(col("d1"))
+              - lit(2.0) * dbl(col("s12")) * dbl(col("d1"))
+                * dbl(col("d2"))
+              + dbl(col("s11")) * dbl(col("d2")) * dbl(col("d2")))
+              / col("det"))
+            .otherwise(lit(Double.NaN)).as("chi2_sm"))
+    }, Some("""
+      WITH conf AS (SELECT (CASE
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b')) = 0
+            THEN 'und'
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+             AND len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'en'
+            WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'es'
+            ELSE 'de' END) AS pred, lang AS truth
+        FROM documents),
+      cells AS (SELECT
+          CASE truth WHEN 'en' THEN 1 WHEN 'es' THEN 2 ELSE 3 END AS i,
+          CASE pred WHEN 'en' THEN 1 WHEN 'es' THEN 2 ELSE 3 END AS j,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM conf
+        WHERE pred IN ('en', 'es', 'de') AND truth IN ('en', 'es', 'de')
+        GROUP BY 1, 2),
+      p AS (SELECT
+        CAST(coalesce(sum(CASE WHEN i = 1 AND j = 1 THEN cnt ELSE 0 END), 0) AS BIGINT) AS n11,
+        CAST(coalesce(sum(CASE WHEN i = 1 AND j = 2 THEN cnt ELSE 0 END), 0) AS BIGINT) AS n12,
+        CAST(coalesce(sum(CASE WHEN i = 1 AND j = 3 THEN cnt ELSE 0 END), 0) AS BIGINT) AS n13,
+        CAST(coalesce(sum(CASE WHEN i = 2 AND j = 1 THEN cnt ELSE 0 END), 0) AS BIGINT) AS n21,
+        CAST(coalesce(sum(CASE WHEN i = 2 AND j = 2 THEN cnt ELSE 0 END), 0) AS BIGINT) AS n22,
+        CAST(coalesce(sum(CASE WHEN i = 2 AND j = 3 THEN cnt ELSE 0 END), 0) AS BIGINT) AS n23,
+        CAST(coalesce(sum(CASE WHEN i = 3 AND j = 1 THEN cnt ELSE 0 END), 0) AS BIGINT) AS n31,
+        CAST(coalesce(sum(CASE WHEN i = 3 AND j = 2 THEN cnt ELSE 0 END), 0) AS BIGINT) AS n32,
+        CAST(coalesce(sum(CASE WHEN i = 3 AND j = 3 THEN cnt ELSE 0 END), 0) AS BIGINT) AS n33
+        FROM cells),
+      m AS (SELECT *,
+        n11 + n12 + n13 - (n11 + n21 + n31) AS d1,
+        n21 + n22 + n23 - (n12 + n22 + n32) AS d2,
+        n11 + n12 + n13 + n11 + n21 + n31 - 2 * n11 AS s11,
+        n21 + n22 + n23 + n12 + n22 + n32 - 2 * n22 AS s22,
+        -(n12 + n21) AS s12
+        FROM p),
+      e AS (SELECT *, CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+          - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE) AS det
+        FROM m)
+      SELECT d1, d2, s11, s22, s12,
+        CASE WHEN det > 0
+          THEN (CAST(s22 AS DOUBLE) * CAST(d1 AS DOUBLE)
+              * CAST(d1 AS DOUBLE)
+            - 2.0 * CAST(s12 AS DOUBLE) * CAST(d1 AS DOUBLE)
+              * CAST(d2 AS DOUBLE)
+            + CAST(s11 AS DOUBLE) * CAST(d2 AS DOUBLE)
+              * CAST(d2 AS DOUBLE)) / det
+          ELSE CAST('nan' AS DOUBLE) END AS chi2_sm
+      FROM e"""))
   )
 }

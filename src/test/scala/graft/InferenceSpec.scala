@@ -1018,4 +1018,68 @@ class InferenceSpec extends AnyFunSuite {
       .select("u_jt", "z_jt").as[(Double, Double)].collect().head
     assert(r2._1 == 0.0 && r2._2.isNaN, r2)
   }
+
+  test("q286: alternating series counts max runs; constant series guards to NaN") {
+    import spark.implicits._
+    // counts (1,3,1,3): mean 2 → signs 0,1,0,1 → R=4, n1=n2=2:
+    // μ = 2·2·2/4 + 1 = 3, σ² = 8·(8−4)/(16·3) = 2/3.
+    val r = q("q286_runs_test",
+      fixture("events" -> dayEvents(Seq(1, 3, 1, 3))))
+      .select("n1", "n2", "r_runs", "mu_r", "z_runs")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert((r._1, r._2, r._3) == ((2L, 2L, 4L)), r)
+    assert(r._4 == 3.0, r)
+    assert(r._5 == (4.0 - 3.0) / math.sqrt(32.0 / 48.0), r)
+    // every day exactly at the mean → empty sign sequence → NaN
+    val r2 = q("q286_runs_test",
+      fixture("events" -> dayEvents(Seq(2, 2, 2))))
+      .select("r_runs", "z_runs").as[(Long, Double)].collect().head
+    assert(r2._1 == 0L && r2._2.isNaN, r2)
+  }
+
+  test("q287: concordant tierings give kappa 1; perfectly reversed give the exact negative") {
+    import spark.implicits._
+    // 5 customers, order count and max price perfectly aligned →
+    // identical quintile bins → zero observed disagreement
+    def orders(perCust: Seq[(Long, Int, Double)]) =
+      perCust.flatMap { case (ck, cnt, mx) =>
+        (1 to cnt).map(i => (ck * 100 + i, ck,
+          if (i == 1) mx else 1.0))
+      }.toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val aligned = orders(Seq((1L, 1, 10.0), (2L, 2, 20.0),
+      (3L, 3, 30.0), (4L, 4, 40.0), (5L, 5, 50.0)))
+    val r = q("q287_weighted_kappa", fixture("orders" -> aligned))
+      .select("n", "d_obs", "kappa_w")
+      .as[(Long, Long, Double)].collect().head
+    assert(r == ((5L, 0L, 1.0)), r)
+    // reversed: bins (4..0) vs (0..4) → Σ|qa−qb| = 12, Σ|i−j|·r·c = 40
+    // → κ_w = 1 − 5·12/40 = −0.5
+    val reversed = orders(Seq((1L, 1, 50.0), (2L, 2, 40.0),
+      (3L, 3, 30.0), (4L, 4, 20.0), (5L, 5, 10.0)))
+    val r2 = q("q287_weighted_kappa", fixture("orders" -> reversed))
+      .select("d_obs", "d_exp", "kappa_w")
+      .as[(Long, Long, Double)].collect().head
+    assert(r2 == ((12L, 40L, 1.0 - 5.0 * 12.0 / 40.0)), r2)
+  }
+
+  test("q288: hand-built asymmetric confusion gives chi2 3; pure-diagonal is singular → NaN") {
+    import spark.implicits._
+    // truth→pred cells: n11=1, n12=2, n22=1, n23=1, n33=1 →
+    // d=(2,−1), S11=2, S22=3, S12=−2, det=2 → χ² = (12−8+2)/2 = 3
+    val docs = Seq(("the and", "en"), ("el la", "en"), ("el la", "en"),
+      ("el la", "es"), ("der die", "es"), ("der die", "de"))
+      .toDF("text", "lang")
+    val r = q("q288_stuart_maxwell", fixture("documents" -> docs))
+      .select("d1", "d2", "s11", "s22", "s12", "chi2_sm")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(r == ((2L, -1L, 2L, 3L, -2L, 3.0)), r)
+    // perfect agreement: zero marginal differences AND a singular
+    // covariance — the determinant guard must report NaN, not 0/0
+    val diag = Seq(("the and", "en"), ("el la", "es"))
+      .toDF("text", "lang")
+    val r2 = q("q288_stuart_maxwell", fixture("documents" -> diag))
+      .select("d1", "d2", "chi2_sm")
+      .as[(Long, Long, Double)].collect().head
+    assert(r2._1 == 0L && r2._2 == 0L && r2._3.isNaN, r2)
+  }
 }
