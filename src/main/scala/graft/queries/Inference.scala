@@ -5876,6 +5876,213 @@ object Inference {
             + CAST(s11 AS DOUBLE) * CAST(d2 AS DOUBLE)
               * CAST(d2 AS DOUBLE)) / det
           ELSE CAST('nan' AS DOUBLE) END AS chi2_sm
-      FROM e"""))
+      FROM e""")),
+
+    // Attribute (categorical) assortativity of the trade multigraph:
+    // each lineitem is a directed edge customer-nation → supplier-
+    // nation, and the coefficient asks "do nations trade with
+    // themselves more than random mixing predicts?" — the KG-hygiene
+    // analogue is checking whether extracted entity links stay inside
+    // a source domain. Where q161 correlates DEGREES, this mixes
+    // LABELS: with E edges, D diagonal (same-nation) edges, and
+    // AB = Σᵢ outᵢ·inᵢ over the ≤25×25 mixing cells,
+    // r = (E·D − AB)/(E² − AB) — Cohen's-κ-shaped, exact BIGINT until
+    // one division (assembled in DOUBLE; E² would overflow BIGINT at
+    // web scale — the q228 rule). Perfectly concentrated mixing
+    // (E² = AB) guards to NaN. The only row-scale work is the
+    // orders⋈lineitem⋈customer⋈supplier chain feeding one cell count.
+    QueryDef("q289_attr_assortativity", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val cells = t(s, d, "lineitem")
+        .join(t(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer").select(col("c_custkey"),
+          col("c_nationkey").as("cn"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"),
+          col("s_nationkey").as("sn"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("cn", "sn").agg(count(lit(1)).as("c"))
+      val tot = cells.agg(
+        coalesce(sum(col("c")), lit(0L)).as("e_tot"),
+        coalesce(sum(when(col("cn") === col("sn"), col("c"))
+          .otherwise(0L)), lit(0L)).as("diag"))
+      val outs = cells.groupBy(col("cn").as("nat"))
+        .agg(sum("c").as("oc"))
+      val ins = cells.groupBy(col("sn").as("nat"))
+        .agg(sum("c").as("ic"))
+      val ab = outs.join(ins, Seq("nat"), "full_outer")
+        .agg(coalesce(sum(coalesce(col("oc"), lit(0L))
+          * coalesce(col("ic"), lit(0L))), lit(0L)).as("ab"))
+      tot.crossJoin(broadcast(ab))
+        .withColumn("num", dbl(col("e_tot")) * dbl(col("diag"))
+          - dbl(col("ab")))
+        .withColumn("den", dbl(col("e_tot")) * dbl(col("e_tot"))
+          - dbl(col("ab")))
+        .select(col("e_tot"), col("diag"), col("ab"),
+          when(col("den") =!= 0.0, col("num") / col("den"))
+            .otherwise(lit(Double.NaN)).as("r_attr"))
+    }, Some("""
+      WITH cells AS (SELECT c.c_nationkey AS cn, s.s_nationkey AS sn,
+          CAST(count(*) AS BIGINT) AS c
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS e_tot,
+        CAST(coalesce(sum(CASE WHEN cn = sn THEN c ELSE 0 END), 0)
+          AS BIGINT) AS diag FROM cells),
+      o2 AS (SELECT cn AS nat, CAST(sum(c) AS BIGINT) AS oc
+        FROM cells GROUP BY 1),
+      i2 AS (SELECT sn AS nat, CAST(sum(c) AS BIGINT) AS ic
+        FROM cells GROUP BY 1),
+      ab AS (SELECT CAST(coalesce(sum(coalesce(oc, 0)
+          * coalesce(ic, 0)), 0) AS BIGINT) AS ab
+        FROM o2 FULL OUTER JOIN i2 USING (nat)),
+      e AS (SELECT *,
+        CAST(e_tot AS DOUBLE) * CAST(diag AS DOUBLE)
+          - CAST(ab AS DOUBLE) AS num,
+        CAST(e_tot AS DOUBLE) * CAST(e_tot AS DOUBLE)
+          - CAST(ab AS DOUBLE) AS den
+        FROM tot, ab)
+      SELECT e_tot, diag, ab,
+        CASE WHEN den <> 0.0 THEN num / den
+          ELSE CAST('nan' AS DOUBLE) END AS r_attr
+      FROM e""")),
+
+    // Rich-club coefficient φ(k) of the deterministic synthetic
+    // digraph (the q161 construction: two functional edge maps over
+    // doc_id mod 389, self-loops excluded): among the nodes of total
+    // degree > k, what fraction of the possible directed edges
+    // actually exist? A rising φ(k) is the "hubs preferentially link
+    // to hubs" signature — for a KG it flags whether canonical
+    // high-degree entities form a densely self-referential core. One
+    // degree table, one edge⋈degree⋈degree filter per k ∈ {2,3,4}
+    // (a 3-row broadcast), counts BIGINT, one division
+    // φ = E_k/(n_k(n_k−1)), guarded NaN when fewer than 2 rich nodes.
+    QueryDef("q290_rich_club", (s, d) => {
+      import s.implicits._
+      def dbl(c: Column) = c.cast("double")
+      val nodes = t(s, d, "documents")
+        .select((col("doc_id") % 389).as("x")).distinct()
+      val edges = nodes
+        .select(col("x").as("src"),
+          ((col("x") * col("x") + 1) % 389).as("dst"))
+        .unionByName(nodes.select(col("x").as("src"),
+          ((col("x") * 7 + 5) % 389).as("dst")))
+        .where(col("src") =!= col("dst")).distinct()
+      val deg = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val ks = Seq(2L, 3L, 4L).toDF("k")
+      val nk = deg.crossJoin(broadcast(ks))
+        .where(col("deg") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_k"))
+      val ek = edges
+        .join(deg.select(col("node").as("src"), col("deg").as("ds")),
+          Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("dd")),
+          Seq("dst"))
+        .crossJoin(broadcast(ks))
+        .where(col("ds") > col("k") && col("dd") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("e_k"))
+      // anchor on the k list: a threshold with NO rich nodes must still
+      // emit its (0, 0, NaN) row, not vanish with the empty groupBy
+      ks.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+        .select(col("k"), coalesce(col("n_k"), lit(0L)).as("n_k"),
+          coalesce(col("e_k"), lit(0L)).as("e_k"))
+        .select(col("k"), col("n_k"), col("e_k"),
+          when(col("n_k") > 1, dbl(col("e_k"))
+            / dbl(col("n_k") * (col("n_k") - 1L)))
+            .otherwise(lit(Double.NaN)).as("phi"))
+    }, Some("""
+      WITH nodes0 AS (SELECT DISTINCT doc_id % 389 AS x FROM documents),
+      e AS (SELECT DISTINCT src, dst FROM (
+          SELECT x AS src, (x * x + 1) % 389 AS dst FROM nodes0
+          UNION ALL SELECT x, (x * 7 + 5) % 389 FROM nodes0)
+        WHERE src <> dst),
+      n AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        GROUP BY 1),
+      ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (2), (3), (4)) t(k)),
+      nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k
+        FROM n, ks WHERE deg > k GROUP BY 1),
+      ek AS (SELECT k, CAST(count(*) AS BIGINT) AS e_k
+        FROM e JOIN n a ON e.src = a.node JOIN n b ON e.dst = b.node,
+          ks
+        WHERE a.deg > k AND b.deg > k GROUP BY 1)
+      SELECT k, coalesce(n_k, 0) AS n_k, coalesce(e_k, 0) AS e_k,
+        CASE WHEN coalesce(n_k, 0) > 1
+          THEN CAST(coalesce(e_k, 0) AS DOUBLE)
+            / CAST(n_k * (n_k - 1) AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS phi
+      FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)""")),
+
+    // Truncated Katz centrality (walk length ≤ 3, attenuation β = ½)
+    // on the same synthetic digraph: katz(v) = Σₖ βᵏ·walksₖ(v) ranks
+    // nodes by attenuated inbound reachability — the "influence"
+    // readout between raw in-degree and full PageRank (q94), and the
+    // exact-arithmetic one: walk counts are BIGINT (w₁ = in-degree,
+    // wₖ₊₁(v) = Σ_{u→v} wₖ(u), two edge⋈count joins), and the dyadic
+    // weights ½/¼/⅛ make every katz value an EXACT double — no
+    // iteration-order or summation-order sensitivity anywhere. Each
+    // propagation is one shuffle on dst; at web scale the same plan
+    // runs per-iteration like the PageRank leg.
+    QueryDef("q291_katz3", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val nodes = t(s, d, "documents")
+        .select((col("doc_id") % 389).as("x")).distinct()
+      val edges = nodes
+        .select(col("x").as("src"),
+          ((col("x") * col("x") + 1) % 389).as("dst"))
+        .unionByName(nodes.select(col("x").as("src"),
+          ((col("x") * 7 + 5) % 389).as("dst")))
+        .where(col("src") =!= col("dst")).distinct()
+      val w1 = edges.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("w"))
+      def push(w: org.apache.spark.sql.DataFrame) = edges
+        .join(w.select(col("node").as("src"), col("w").as("wu")),
+          Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum("wu").as("w"))
+      val w2 = push(w1)
+      val w3 = push(w2)
+      nodes.select(col("x").as("node"))
+        .join(w1.select(col("node"), col("w").as("w1")), Seq("node"),
+          "left")
+        .join(w2.select(col("node"), col("w").as("w2")), Seq("node"),
+          "left")
+        .join(w3.select(col("node"), col("w").as("w3")), Seq("node"),
+          "left")
+        .select(col("node"),
+          coalesce(col("w1"), lit(0L)).as("w1"),
+          coalesce(col("w2"), lit(0L)).as("w2"),
+          coalesce(col("w3"), lit(0L)).as("w3"))
+        .select(col("node"), col("w1"), col("w2"), col("w3"),
+          (lit(0.5) * dbl(col("w1")) + lit(0.25) * dbl(col("w2"))
+            + lit(0.125) * dbl(col("w3"))).as("katz"))
+    }, Some("""
+      WITH nodes0 AS (SELECT DISTINCT doc_id % 389 AS x FROM documents),
+      e AS (SELECT DISTINCT src, dst FROM (
+          SELECT x AS src, (x * x + 1) % 389 AS dst FROM nodes0
+          UNION ALL SELECT x, (x * 7 + 5) % 389 FROM nodes0)
+        WHERE src <> dst),
+      w1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS w
+        FROM e GROUP BY 1),
+      w2 AS (SELECT e.dst AS node, CAST(sum(w1.w) AS BIGINT) AS w
+        FROM e JOIN w1 ON e.src = w1.node GROUP BY 1),
+      w3 AS (SELECT e.dst AS node, CAST(sum(w2.w) AS BIGINT) AS w
+        FROM e JOIN w2 ON e.src = w2.node GROUP BY 1)
+      SELECT x AS node,
+        CAST(coalesce(w1.w, 0) AS BIGINT) AS w1,
+        CAST(coalesce(w2.w, 0) AS BIGINT) AS w2,
+        CAST(coalesce(w3.w, 0) AS BIGINT) AS w3,
+        0.5 * CAST(coalesce(w1.w, 0) AS DOUBLE)
+          + 0.25 * CAST(coalesce(w2.w, 0) AS DOUBLE)
+          + 0.125 * CAST(coalesce(w3.w, 0) AS DOUBLE) AS katz
+      FROM nodes0
+      LEFT JOIN w1 ON nodes0.x = w1.node
+      LEFT JOIN w2 ON nodes0.x = w2.node
+      LEFT JOIN w3 ON nodes0.x = w3.node"""))
   )
 }

@@ -1082,4 +1082,66 @@ class InferenceSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().head
     assert(r2._1 == 0L && r2._2 == 0L && r2._3.isNaN, r2)
   }
+
+  private def tradeFixture(pairs: Seq[(Int, Int)]) = {
+    import spark.implicits._
+    // one order + one lineitem per (customerNation, supplierNation) edge
+    val rows = pairs.zipWithIndex.map { case ((cn, sn), i) =>
+      (i.toLong, 10L * cn, 20L * sn, cn, sn) }
+    fixture(
+      "lineitem" -> rows.map { case (ok, _, sk, _, _) => (ok, sk) }
+        .toDF("l_orderkey", "l_suppkey"),
+      "orders" -> rows.map { case (ok, ck, _, _, _) => (ok, ck) }
+        .distinct.toDF("o_orderkey", "o_custkey"),
+      "customer" -> rows.map { case (_, ck, _, cn, _) => (ck, cn) }
+        .distinct.toDF("c_custkey", "c_nationkey"),
+      "supplier" -> rows.map { case (_, _, sk, _, sn) => (sk, sn) }
+        .distinct.toDF("s_suppkey", "s_nationkey"))
+  }
+
+  test("q289: diagonal trade gives r 1, anti-diagonal -1, single cell guards NaN") {
+    import spark.implicits._
+    val r = q("q289_attr_assortativity",
+      tradeFixture(Seq((1, 1), (2, 2))))
+      .select("e_tot", "diag", "r_attr")
+      .as[(Long, Long, Double)].collect().head
+    assert(r == ((2L, 2L, 1.0)), r)
+    val r2 = q("q289_attr_assortativity",
+      tradeFixture(Seq((1, 2), (2, 1))))
+      .select("r_attr").as[Double].collect().head
+    assert(r2 == -1.0, r2)
+    // one nation trading only with itself: E² = AB, undefined mixing
+    val r3 = q("q289_attr_assortativity",
+      tradeFixture(Seq((1, 1), (1, 1))))
+      .select("r_attr").as[Double].collect().head
+    assert(r3.isNaN, s"concentrated mixing must guard to NaN: $r3")
+  }
+
+  test("q290/q291: hand-traced 4-node synthetic graph — rich club and Katz walk counts") {
+    import spark.implicits._
+    // doc_ids 0..3 → nodes {0,1,2,3}; edges x→x²+1 and x→7x+5 mod 389:
+    // 0→{1,5}, 1→{2,12}, 2→{5,19}, 3→{10,26}. Total degrees: 1 and 2
+    // have deg 3; only edge inside {1,2} is 1→2 → φ(2) = 1/(2·1).
+    val docs = (0L to 3L).toDF("doc_id")
+    val dir = fixture("documents" -> docs)
+    val rc = q("q290_rich_club", dir)
+      .select("k", "n_k", "e_k", "phi")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rc(2L)._1 == 2L && rc(2L)._2 == 1L && rc(2L)._3 == 0.5, rc)
+    assert(rc(3L)._1 == 0L && rc(3L)._3.isNaN, rc)
+    assert(rc(4L)._1 == 0L && rc(4L)._3.isNaN, rc)
+    // Katz over the SAME graph, emitted for the doc-derived nodes:
+    // in-degrees among them: w1(1)=1 (0→1), w1(2)=1 (1→2);
+    // w2(2)=w1(1)=1; everything else 0 → katz = .5·w1+.25·w2+.125·w3
+    val kz = q("q291_katz3", dir)
+      .select("node", "w1", "w2", "w3", "katz")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(kz.keySet == Set(0L, 1L, 2L, 3L), kz)
+    assert(kz(0L) == ((0L, 0L, 0L, 0.0)), kz)
+    assert(kz(1L) == ((1L, 0L, 0L, 0.5)), kz)
+    assert(kz(2L) == ((1L, 1L, 0L, 0.75)), kz)
+    assert(kz(3L) == ((0L, 0L, 0L, 0.0)), kz)
+  }
 }
