@@ -6083,6 +6083,714 @@ object Inference {
       FROM nodes0
       LEFT JOIN w1 ON nodes0.x = w1.node
       LEFT JOIN w2 ON nodes0.x = w2.node
-      LEFT JOIN w3 ON nodes0.x = w3.node"""))
+      LEFT JOIN w3 ON nodes0.x = w3.node""")),
+
+    // Grubbs' max-studentized-deviate test on the daily event-count
+    // series — "is the single most extreme crawl day a statistical
+    // outlier, or just the tail of normal volume?" (q282's Mann-Kendall
+    // asks about TREND; this asks about one point). All moments are
+    // exact BIGINT on the dimension-sized daily cells: with n days,
+    // S = Σc and M2n = n·Σc² − S², the deviation of day i is
+    // |n·cᵢ − S| (integer — no mean subtraction in floating point),
+    // and G = max|n·c − S| / (n·s) with s = √(M2n/(n(n−1))) — two
+    // IEEE ops total. The argmax day is reported via an ordered
+    // LIMIT 1 (TakeOrderedAndProject — a tie on the deviation picks
+    // the earliest day in both engines). Zero-variance series guards
+    // to NaN.
+    QueryDef("q292_grubbs", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val tot = daily.agg(
+          count(lit(1)).as("n"),
+          coalesce(sum(col("c")), lit(0L)).as("s_tot"),
+          coalesce(sum(col("c") * col("c")), lit(0L)).as("q_tot"))
+        .withColumn("m2n",
+          col("n") * col("q_tot") - col("s_tot") * col("s_tot"))
+      val dev = daily.crossJoin(broadcast(tot))
+        .select(col("day"), col("c"),
+          abs(col("n") * col("c") - col("s_tot")).as("dev"),
+          col("n"), col("m2n"))
+      val mx = dev.agg(coalesce(max(col("dev")), lit(0L)).as("mx"))
+      dev.crossJoin(broadcast(mx))
+        .where(col("dev") === col("mx"))
+        .select(col("day").as("day_out"), col("c").as("c_out"),
+          col("n").as("n_days"),
+          when(col("m2n") > 0 && col("n") > 1,
+            dbl(col("mx")) / (dbl(col("n"))
+              * sqrt(dbl(col("m2n"))
+                / dbl(col("n") * (col("n") - 1L)))))
+            .otherwise(lit(Double.NaN)).as("g_stat"))
+        .orderBy("day_out").limit(1)
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(c), 0) AS BIGINT) AS s_tot,
+          CAST(coalesce(sum(c * c), 0) AS BIGINT) AS q_tot
+        FROM daily),
+      t2 AS (SELECT *, n * q_tot - s_tot * s_tot AS m2n FROM tot),
+      dev AS (SELECT day, c, abs(n * c - s_tot) AS dev, n, m2n
+        FROM daily, t2),
+      mx AS (SELECT CAST(coalesce(max(dev), 0) AS BIGINT) AS mx
+        FROM dev)
+      SELECT day AS day_out, c AS c_out, n AS n_days,
+        CASE WHEN m2n > 0 AND n > 1
+          THEN CAST(mx AS DOUBLE) / (CAST(n AS DOUBLE)
+            * sqrt(CAST(m2n AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)))
+          ELSE CAST('nan' AS DOUBLE) END AS g_stat
+      FROM dev, mx WHERE dev = mx
+      ORDER BY day_out LIMIT 1""")),
+
+    // Bartlett's test for homogeneity of variance of order quantity
+    // across the three return-flag populations — the parametric
+    // complement to q227's Brown–Forsythe (which is robust but loses
+    // power when normality holds). Over a deterministic 1-in-101
+    // orderkey stratum (which keeps the common-denominator pooled
+    // numerator num = Σᵢ Mᵢ·Πⱼ≠ᵢnⱼ inside BIGINT — at full row scale
+    // this term is the one that overflows first, and the web-scale
+    // assembly would move it to DOUBLE per the q228 rule) every
+    // variance is the exact rational Mᵢ/(nᵢ(nᵢ−1)) with
+    // Mᵢ = nᵢΣx² − Sᵢ² from one 3-way conditional pivot, so
+    // ln s²ₚ = ln num − ln den − ln(N−k) and each ln sᵢ² =
+    // ln Mᵢ − ln nᵢ − ln(nᵢ−1) feed portable_ln INTEGER-valued
+    // arguments only; the statistic and its Bartlett correction C are
+    // a fixed-shape IEEE tree with explicit per-group terms (no fold
+    // needed at k=3). Degenerate groups (nᵢ ≤ 1 or Mᵢ ≤ 0) guard NaN.
+    QueryDef("q293_bartlett", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def dbl(c: Column) = c.cast("double")
+      def pln(c: Column) = call_function("portable_ln", c.cast("double"))
+      val x = t(s, d, "lineitem")
+        .where(col("l_orderkey") % 101 === 0)
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("x"))
+      def grp(flag: String, out: String) = Seq(
+        coalesce(sum(when(col("g") === flag, 1L).otherwise(0L)), lit(0L))
+          .as(s"n$out"),
+        coalesce(sum(when(col("g") === flag, col("x")).otherwise(0L)),
+          lit(0L)).as(s"s$out"),
+        coalesce(sum(when(col("g") === flag, col("x") * col("x"))
+          .otherwise(0L)), lit(0L)).as(s"q$out"))
+      val aggs = grp("A", "1") ++ grp("N", "2") ++ grp("R", "3")
+      val base = x.agg(aggs.head, aggs.tail: _*)
+      val m = base
+        .withColumn("m1", col("n1") * col("q1") - col("s1") * col("s1"))
+        .withColumn("m2", col("n2") * col("q2") - col("s2") * col("s2"))
+        .withColumn("m3", col("n3") * col("q3") - col("s3") * col("s3"))
+        .withColumn("nn", col("n1") + col("n2") + col("n3"))
+        .withColumn("num", col("m1") * col("n2") * col("n3")
+          + col("m2") * col("n1") * col("n3")
+          + col("m3") * col("n1") * col("n2"))
+        .withColumn("den", col("n1") * col("n2") * col("n3"))
+      m.select(col("n1"), col("n2"), col("n3"),
+        when(col("n1") > 1 && col("n2") > 1 && col("n3") > 1
+            && col("m1") > 0 && col("m2") > 0 && col("m3") > 0
+            && col("num") > 0,
+          ((dbl(col("nn") - 3L)
+              * (pln(col("num")) - pln(col("den"))
+                - pln(col("nn") - 3L))
+            - ((dbl(col("n1") - 1L) * (pln(col("m1")) - pln(col("n1"))
+                - pln(col("n1") - 1L)))
+              + (dbl(col("n2") - 1L) * (pln(col("m2")) - pln(col("n2"))
+                - pln(col("n2") - 1L)))
+              + (dbl(col("n3") - 1L) * (pln(col("m3")) - pln(col("n3"))
+                - pln(col("n3") - 1L)))))
+            / (lit(1.0)
+              + (lit(1.0) / dbl(col("n1") - 1L)
+                + lit(1.0) / dbl(col("n2") - 1L)
+                + lit(1.0) / dbl(col("n3") - 1L)
+                - lit(1.0) / dbl(col("nn") - 3L)) / lit(6.0))))
+          .otherwise(lit(Double.NaN)).as("chi2_bartlett"),
+        lit(2L).as("dof"))
+    }, Some("""
+      WITH x AS (SELECT l_returnflag AS g,
+          CAST(l_quantity AS BIGINT) AS x
+        FROM lineitem WHERE l_orderkey % 101 = 0),
+      p AS (SELECT
+        CAST(coalesce(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n1,
+        CAST(coalesce(sum(CASE WHEN g = 'A' THEN x ELSE 0 END), 0) AS BIGINT) AS s1,
+        CAST(coalesce(sum(CASE WHEN g = 'A' THEN x * x ELSE 0 END), 0) AS BIGINT) AS q1,
+        CAST(coalesce(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n2,
+        CAST(coalesce(sum(CASE WHEN g = 'N' THEN x ELSE 0 END), 0) AS BIGINT) AS s2,
+        CAST(coalesce(sum(CASE WHEN g = 'N' THEN x * x ELSE 0 END), 0) AS BIGINT) AS q2,
+        CAST(coalesce(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n3,
+        CAST(coalesce(sum(CASE WHEN g = 'R' THEN x ELSE 0 END), 0) AS BIGINT) AS s3,
+        CAST(coalesce(sum(CASE WHEN g = 'R' THEN x * x ELSE 0 END), 0) AS BIGINT) AS q3
+        FROM x),
+      m AS (SELECT *,
+        n1 * q1 - s1 * s1 AS m1,
+        n2 * q2 - s2 * s2 AS m2,
+        n3 * q3 - s3 * s3 AS m3,
+        n1 + n2 + n3 AS nn
+        FROM p),
+      f AS (SELECT *,
+        m1 * n2 * n3 + m2 * n1 * n3 + m3 * n1 * n2 AS num,
+        n1 * n2 * n3 AS den
+        FROM m)
+      SELECT n1, n2, n3,
+        CASE WHEN n1 > 1 AND n2 > 1 AND n3 > 1
+            AND m1 > 0 AND m2 > 0 AND m3 > 0 AND num > 0
+          THEN (CAST(nn - 3 AS DOUBLE)
+              * (ln(CAST(num AS DOUBLE)) - ln(CAST(den AS DOUBLE))
+                - ln(CAST(nn - 3 AS DOUBLE)))
+            - ((CAST(n1 - 1 AS DOUBLE) * (ln(CAST(m1 AS DOUBLE))
+                - ln(CAST(n1 AS DOUBLE)) - ln(CAST(n1 - 1 AS DOUBLE))))
+              + (CAST(n2 - 1 AS DOUBLE) * (ln(CAST(m2 AS DOUBLE))
+                - ln(CAST(n2 AS DOUBLE)) - ln(CAST(n2 - 1 AS DOUBLE))))
+              + (CAST(n3 - 1 AS DOUBLE) * (ln(CAST(m3 AS DOUBLE))
+                - ln(CAST(n3 AS DOUBLE)) - ln(CAST(n3 - 1 AS DOUBLE))))))
+            / (1.0 + (1.0 / CAST(n1 - 1 AS DOUBLE)
+                + 1.0 / CAST(n2 - 1 AS DOUBLE)
+                + 1.0 / CAST(n3 - 1 AS DOUBLE)
+                - 1.0 / CAST(nn - 3 AS DOUBLE)) / 6.0)
+          ELSE CAST('nan' AS DOUBLE) END AS chi2_bartlett,
+        CAST(2 AS BIGINT) AS dof
+      FROM f""")),
+
+    // Mood's median test: does the share of orders priced above the
+    // GRAND median differ across the five order priorities? The
+    // nonparametric k-sample location test that needs only the
+    // median — no rank sums (q214) and no variance assumptions
+    // (q226). The grand lower median is an exact type-1 order
+    // statistic from the distributed PrefixSum CDF over distinct-
+    // price cells (the q205 shape, rank (N+1) DIV 2, never an
+    // unpartitioned window); each priority contributes one
+    // above/not-above split, and the 5×2 chi-square folds in
+    // g-sorted order over the dimension-sized cell list (the q138
+    // bit-stability pattern) with expected counts from exact BIGINT
+    // margins. A degenerate column margin (everything on one side of
+    // the median) guards to NaN.
+    QueryDef("q294_mood_median", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_totalprice").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(cells, "v", Seq("c"))
+      val nn = cells.agg(coalesce(sum(col("c")), lit(0L)).as("nn"))
+        .select(col("nn"), expr("(nn + 1) DIV 2").as("rk"))
+      val med = cum.crossJoin(broadcast(nn))
+        .where(col("rk") > col("c_cum") - col("c")
+          && col("rk") <= col("c_cum"))
+        .select(col("v").as("med"), col("nn"))
+      val split = t(s, d, "orders")
+        .crossJoin(broadcast(med))
+        .select(substring(col("o_orderpriority"), 1, 1).cast("int")
+            .as("g"),
+          when(col("o_totalprice") > col("med"), 1L).otherwise(0L)
+            .as("above"),
+          col("med"), col("nn"))
+        .groupBy("g", "med", "nn")
+        .agg(coalesce(sum(col("above")), lit(0L)).as("a"),
+          coalesce(sum(lit(1L) - col("above")), lit(0L)).as("b"))
+      val margins = split.groupBy("med", "nn").agg(
+        coalesce(sum(col("a")), lit(0L)).as("ca"),
+        coalesce(sum(col("b")), lit(0L)).as("cb"))
+      val term = {
+        val r = col("a") + col("b")
+        val ea = dbl(r * col("ca")) / dbl(col("nn"))
+        val eb = dbl(r * col("cb")) / dbl(col("nn"))
+        (((dbl(col("a")) - ea) * (dbl(col("a")) - ea) / ea)
+          + ((dbl(col("b")) - eb) * (dbl(col("b")) - eb) / eb))
+      }
+      split.join(broadcast(margins), Seq("med", "nn"))
+        .select(col("med"), col("nn"), col("ca"), col("cb"),
+          struct(col("g"), term.as("term")).as("cell"))
+        .groupBy("med", "nn", "ca", "cb")
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(col("med").as("median_price"), col("nn").as("n"),
+          when(col("ca") > 0 && col("cb") > 0,
+            aggregate(col("cs"), lit(0.0),
+              (acc, x) => acc + x.getField("term")))
+            .otherwise(lit(Double.NaN)).as("chi2_mood"),
+          lit(4L).as("dof"))
+    }, Some("""
+      WITH cells AS (SELECT o_totalprice AS v,
+          CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1),
+      cum AS (SELECT v, c,
+          CAST(sum(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS c_cum
+        FROM cells),
+      nn AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS nn,
+          (coalesce(sum(c), 0) + 1) // 2 AS rk
+        FROM cells),
+      med AS (SELECT v AS med, nn FROM cum, nn
+        WHERE rk > c_cum - c AND rk <= c_cum),
+      split AS (SELECT
+          CAST(substring(o_orderpriority, 1, 1) AS INT) AS g, med, nn,
+          CAST(coalesce(sum(CASE WHEN o_totalprice > med THEN 1
+            ELSE 0 END), 0) AS BIGINT) AS a,
+          CAST(coalesce(sum(CASE WHEN o_totalprice > med THEN 0
+            ELSE 1 END), 0) AS BIGINT) AS b
+        FROM orders, med GROUP BY 1, 2, 3),
+      margins AS (SELECT med, nn,
+          CAST(coalesce(sum(a), 0) AS BIGINT) AS ca,
+          CAST(coalesce(sum(b), 0) AS BIGINT) AS cb
+        FROM split GROUP BY 1, 2),
+      folded AS (SELECT med, nn, ca, cb,
+          list_sort(list(struct_pack(g := g,
+            term := (CAST(a AS DOUBLE)
+                - CAST((a + b) * ca AS DOUBLE) / CAST(nn AS DOUBLE))
+              * (CAST(a AS DOUBLE)
+                - CAST((a + b) * ca AS DOUBLE) / CAST(nn AS DOUBLE))
+              / (CAST((a + b) * ca AS DOUBLE) / CAST(nn AS DOUBLE))
+              + (CAST(b AS DOUBLE)
+                - CAST((a + b) * cb AS DOUBLE) / CAST(nn AS DOUBLE))
+              * (CAST(b AS DOUBLE)
+                - CAST((a + b) * cb AS DOUBLE) / CAST(nn AS DOUBLE))
+              / (CAST((a + b) * cb AS DOUBLE) / CAST(nn AS DOUBLE)))))
+            AS cs
+        FROM split JOIN margins USING (med, nn)
+        GROUP BY 1, 2, 3, 4)
+      SELECT med AS median_price, nn AS n,
+        CASE WHEN ca > 0 AND cb > 0
+          THEN list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(cs, x -> x.term)),
+            (a, b) -> a + b)
+          ELSE CAST('nan' AS DOUBLE) END AS chi2_mood,
+        CAST(4 AS BIGINT) AS dof
+      FROM folded""")),
+
+    // Paired sign test AND Wilcoxon signed-rank on the per-customer
+    // open-minus-finished order-count difference — "do customers
+    // carry more open than finished orders?", the paired-location
+    // question q214's (independent-sample) Mann-Whitney can't ask.
+    // Differences are INTEGERS (two conditional counts), so the
+    // whole rank apparatus stays exact: zero differences drop (the
+    // standard treatment), midranks over |d| come from the
+    // distributed PrefixSum CDF on the ≤|d|-domain cells, and
+    // 2·W⁺ = Σ(2(cum−t)+t+1)·pos is an exact BIGINT — no
+    // row-scale floating-point sum anywhere, so no fold ordering to
+    // defend. Normal approximations: z_sign = (n⁺−n⁻)/√n and
+    // z_wilcoxon with the Σ(t³−t)/48 tie correction, each one
+    // fixed-shape IEEE tree; a degenerate variance guards NaN.
+    QueryDef("q295_sign_wilcoxon", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val diffs = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg((coalesce(sum(when(col("o_orderstatus") === "O", 1L)
+            .otherwise(0L)), lit(0L))
+          - coalesce(sum(when(col("o_orderstatus") === "F", 1L)
+            .otherwise(0L)), lit(0L))).as("diff"))
+        .where(col("diff") =!= 0L)
+      val cells = diffs
+        .groupBy(abs(col("diff")).as("ad"))
+        .agg(count(lit(1)).as("t"),
+          coalesce(sum(when(col("diff") > 0, 1L).otherwise(0L)),
+            lit(0L)).as("p"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(cells, "ad", Seq("t"))
+      cum.agg(
+          coalesce(sum(col("t")), lit(0L)).as("n"),
+          coalesce(sum(col("p")), lit(0L)).as("n_pos"),
+          coalesce(sum((lit(2L) * (col("t_cum") - col("t"))
+            + col("t") + 1L) * col("p")), lit(0L)).as("w2"),
+          coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+            lit(0L)).as("ties"))
+        .select(col("n").as("n_pairs"), col("n_pos"), col("w2"),
+          when(col("n") > 0,
+            (dbl(col("n_pos")) - dbl(col("n") - col("n_pos")))
+              / sqrt(dbl(col("n"))))
+            .otherwise(lit(Double.NaN)).as("z_sign"),
+          when(dbl(col("n") * (col("n") + 1L)
+              * (lit(2L) * col("n") + 1L)) / lit(24.0)
+              - dbl(col("ties")) / lit(48.0) > 0.0,
+            (dbl(col("w2")) / lit(2.0)
+              - dbl(col("n") * (col("n") + 1L)) / lit(4.0))
+              / sqrt(dbl(col("n") * (col("n") + 1L)
+                  * (lit(2L) * col("n") + 1L)) / lit(24.0)
+                - dbl(col("ties")) / lit(48.0)))
+            .otherwise(lit(Double.NaN)).as("z_wilcoxon"))
+    }, Some("""
+      WITH diffs AS (SELECT o_custkey,
+          CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1
+            ELSE 0 END), 0) AS BIGINT)
+          - CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1
+            ELSE 0 END), 0) AS BIGINT) AS diff
+        FROM orders GROUP BY 1 HAVING
+          coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0)
+          <> coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0)),
+      cells AS (SELECT abs(diff) AS ad, CAST(count(*) AS BIGINT) AS t,
+          CAST(coalesce(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS p
+        FROM diffs GROUP BY 1),
+      cum AS (SELECT *, CAST(sum(t) OVER (ORDER BY ad
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS t_cum FROM cells),
+      a AS (SELECT
+        CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+        CAST(coalesce(sum(p), 0) AS BIGINT) AS n_pos,
+        CAST(coalesce(sum((2 * (t_cum - t) + t + 1) * p), 0)
+          AS BIGINT) AS w2,
+        CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS ties
+        FROM cum)
+      SELECT n AS n_pairs, n_pos, w2,
+        CASE WHEN n > 0
+          THEN (CAST(n_pos AS DOUBLE) - CAST(n - n_pos AS DOUBLE))
+            / sqrt(CAST(n AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS z_sign,
+        CASE WHEN CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0
+            - CAST(ties AS DOUBLE) / 48.0 > 0.0
+          THEN (CAST(w2 AS DOUBLE) / 2.0
+              - CAST(n * (n + 1) AS DOUBLE) / 4.0)
+            / sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0
+              - CAST(ties AS DOUBLE) / 48.0)
+          ELSE CAST('nan' AS DOUBLE) END AS z_wilcoxon
+      FROM a""")),
+
+    // Cliff's delta and Vargha–Delaney A₁₂ between the returned (A)
+    // and refused (R) quantity distributions — the EFFECT-SIZE
+    // companions to the rank tests: "by how much does one population
+    // stochastically dominate the other?", robust and scale-free
+    // where q231's SMD assumes comparable variances. Quantity has a
+    // ≤50-value domain, so all n₁·n₂ pair comparisons collapse to a
+    // ≤50×50 value-cell theta join (broadcast — bounded by the
+    // domain product BY CONSTRUCTION, never row-scale): gt/lt/eq are
+    // exact BIGINT pair counts, δ = (gt−lt)/(n₁n₂) and
+    // A₁₂ = (2·gt+eq)/(2·n₁n₂) are each ONE double division.
+    QueryDef("q296_cliffs_delta", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val q = t(s, d, "lineitem")
+        .where(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("v"))
+      val ca = q.where(col("g") === "A").groupBy("v")
+        .agg(count(lit(1)).as("a"))
+      val cr = q.where(col("g") === "R")
+        .groupBy(col("v").as("v2")).agg(count(lit(1)).as("b"))
+      ca.crossJoin(broadcast(cr))
+        .agg(
+          coalesce(sum(when(col("v") > col("v2"),
+            col("a") * col("b")).otherwise(0L)), lit(0L)).as("gt"),
+          coalesce(sum(when(col("v") < col("v2"),
+            col("a") * col("b")).otherwise(0L)), lit(0L)).as("lt"),
+          coalesce(sum(when(col("v") === col("v2"),
+            col("a") * col("b")).otherwise(0L)), lit(0L)).as("eq"))
+        .select(col("gt"), col("lt"), col("eq"),
+          (col("gt") + col("lt") + col("eq")).as("n_pairs"),
+          when(col("gt") + col("lt") + col("eq") > 0,
+            (dbl(col("gt")) - dbl(col("lt")))
+              / dbl(col("gt") + col("lt") + col("eq")))
+            .otherwise(lit(Double.NaN)).as("delta_cliff"),
+          when(col("gt") + col("lt") + col("eq") > 0,
+            dbl(lit(2L) * col("gt") + col("eq"))
+              / dbl(lit(2L) * (col("gt") + col("lt") + col("eq"))))
+            .otherwise(lit(Double.NaN)).as("a12"))
+    }, Some("""
+      WITH ca AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+          CAST(count(*) AS BIGINT) AS a
+        FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+      cr AS (SELECT CAST(l_quantity AS BIGINT) AS v2,
+          CAST(count(*) AS BIGINT) AS b
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+      agg AS (SELECT
+        CAST(coalesce(sum(CASE WHEN v > v2 THEN a * b ELSE 0 END), 0)
+          AS BIGINT) AS gt,
+        CAST(coalesce(sum(CASE WHEN v < v2 THEN a * b ELSE 0 END), 0)
+          AS BIGINT) AS lt,
+        CAST(coalesce(sum(CASE WHEN v = v2 THEN a * b ELSE 0 END), 0)
+          AS BIGINT) AS eq
+        FROM ca CROSS JOIN cr)
+      SELECT gt, lt, eq, gt + lt + eq AS n_pairs,
+        CASE WHEN gt + lt + eq > 0
+          THEN (CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+            / CAST(gt + lt + eq AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS delta_cliff,
+        CASE WHEN gt + lt + eq > 0
+          THEN CAST(2 * gt + eq AS DOUBLE)
+            / CAST(2 * (gt + lt + eq) AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS a12
+      FROM agg""")),
+
+    // Chatterjee's ξ (xicor) of the daily event-count series against
+    // time — the modern dependence coefficient that detects ANY
+    // measurable y=f(x) relationship, not just monotone ones
+    // (q282's Mann-Kendall misses an oscillating load pattern; ξ
+    // doesn't). On the dimension-sized daily series the tie-aware
+    // formula ξ = 1 − n·Σ|r_{i+1}−r_i| / (2·Σ lᵢ(n−lᵢ)) is exact
+    // BIGINT until one division: y-ranks rᵢ = #{cⱼ ≤ cᵢ} and
+    // lᵢ = #{cⱼ ≥ cᵢ} come from value cells (no per-row window),
+    // adjacency from a lag over the ≤day-count frame. Days are
+    // unique, so the x-ordering is deterministic in both engines.
+    QueryDef("q297_chatterjee_xi", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val cells = daily.groupBy(col("c").as("cv"))
+        .agg(count(lit(1)).as("t"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(cells, "cv", Seq("t"))
+      val nn = cells.agg(coalesce(sum(col("t")), lit(0L)).as("n"))
+      val ranked = daily
+        .join(cum.select(col("cv").as("c"), col("t"), col("t_cum")),
+          Seq("c"))
+        .crossJoin(broadcast(nn))
+        .select(col("day"), col("t_cum").as("r"),
+          (col("n") - (col("t_cum") - col("t"))).as("l"), col("n"))
+      val w = Window.orderBy("day")
+      ranked
+        .withColumn("r_next", lead(col("r"), 1).over(w))
+        .agg(max(col("n")).as("n"),
+          coalesce(sum(when(col("r_next").isNotNull,
+            abs(col("r_next") - col("r"))).otherwise(0L)), lit(0L))
+            .as("sum_dr"),
+          coalesce(sum(col("l") * (col("n") - col("l"))),
+            lit(0L)).as("sum_l"))
+        .select(col("n").as("n_days"), col("sum_dr"),
+          (lit(2L) * col("sum_l")).as("denom"),
+          when(col("sum_l") > 0,
+            lit(1.0) - dbl(col("n") * col("sum_dr"))
+              / dbl(lit(2L) * col("sum_l")))
+            .otherwise(lit(Double.NaN)).as("xi"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      cells AS (SELECT c AS cv, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY 1),
+      cum AS (SELECT *, CAST(sum(t) OVER (ORDER BY cv
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS t_cum FROM cells),
+      nn AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n
+        FROM cells),
+      ranked AS (SELECT day, t_cum AS r,
+          n - (t_cum - t) AS l, n
+        FROM daily JOIN cum ON daily.c = cum.cv, nn),
+      led AS (SELECT r, l, n,
+          lead(r) OVER (ORDER BY day) AS r_next
+        FROM ranked),
+      a AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        CAST(coalesce(sum(CASE WHEN r_next IS NOT NULL
+          THEN abs(r_next - r) ELSE 0 END), 0) AS BIGINT) AS sum_dr,
+        CAST(coalesce(sum(l * (n - l)), 0) AS BIGINT) AS sum_l
+        FROM led)
+      SELECT n AS n_days, sum_dr, 2 * sum_l AS denom,
+        CASE WHEN sum_l > 0
+          THEN 1.0 - CAST(n * sum_dr AS DOUBLE)
+            / CAST(2 * sum_l AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS xi
+      FROM a""")),
+
+    // Pettitt changepoint test on the daily event-count series — the
+    // rank-based "WHEN did the level shift?" locator (q281's segmented
+    // trend fits slopes; Pettitt needs no model and resists
+    // outliers). Doubled midranks 2rᵢ = 2(cum−t)+t+1 from the value-
+    // cell CDF keep everything integer through ties; the Mann-
+    // Whitney-style drift Uₜ = Σᵢ≤ₜ2rᵢ − t(n+1) is a running BIGINT
+    // over the ≤day-count frame, K = max|Uₜ| (t<n) with the earliest
+    // argmax day via ordered LIMIT 1, and the approximate-p exponent
+    // 6K²/(n³+n²) (p ≈ 2e^(−x); reported as the exponent — exp()
+    // would reintroduce the libm divergence portable_ln avoids) is
+    // ONE double division.
+    QueryDef("q298_pettitt", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val cells = daily.groupBy(col("c").as("cv"))
+        .agg(count(lit(1)).as("t"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(cells, "cv", Seq("t"))
+        .select(col("cv").as("c"),
+          (lit(2L) * (col("t_cum") - col("t")) + col("t") + 1L)
+            .as("r2"))
+      val nn = daily.agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("day")
+      val u = daily.join(cum, Seq("c")).crossJoin(broadcast(nn))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("u",
+          sum(col("r2")).over(w) - col("i") * (col("n") + 1L))
+        .where(col("i") < col("n"))
+      val mx = u.agg(coalesce(max(abs(col("u"))), lit(0L)).as("k_u"))
+      u.crossJoin(broadcast(mx))
+        .where(abs(col("u")) === col("k_u"))
+        .select(col("day").as("day_break"), col("n").as("n_days"),
+          col("k_u"),
+          when(col("n") > 1,
+            lit(6.0) * dbl(col("k_u")) * dbl(col("k_u"))
+              / dbl(col("n") * col("n") * col("n")
+                + col("n") * col("n")))
+            .otherwise(lit(Double.NaN)).as("pettitt_stat"))
+        .orderBy("day_break").limit(1)
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      cells AS (SELECT c AS cv, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY 1),
+      cum AS (SELECT cv AS c,
+          2 * (CAST(sum(t) OVER (ORDER BY cv
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) - t) + t + 1 AS r2
+        FROM cells),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+      seq AS (SELECT day, r2, n,
+          CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+          CAST(sum(r2) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cr2
+        FROM daily JOIN cum USING (c), nn),
+      u AS (SELECT day, n, cr2 - i * (n + 1) AS u
+        FROM seq WHERE i < n),
+      mx AS (SELECT CAST(coalesce(max(abs(u)), 0) AS BIGINT) AS k_u
+        FROM u)
+      SELECT day AS day_break, n AS n_days, k_u,
+        CASE WHEN n > 1
+          THEN 6.0 * CAST(k_u AS DOUBLE) * CAST(k_u AS DOUBLE)
+            / CAST(n * n * n + n * n AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS pettitt_stat
+      FROM u, mx WHERE abs(u) = k_u
+      ORDER BY day_break LIMIT 1""")),
+
+    // Bartels' rank von Neumann ratio — the rank test of RANDOMNESS
+    // against serial dependence in the daily series (q286's runs
+    // test sees only the sign pattern around the mean; Bartels uses
+    // full rank magnitudes and is its more powerful cousin). With
+    // doubled midranks the mean doubles to exactly n+1, so BOTH sums
+    // are pure BIGINT: num₄ = Σ(2rᵢ−2rᵢ₊₁)² over the lead frame and
+    // den₄ = Σ(2rᵢ−(n+1))², the 4s cancelling in
+    // RVN = num₄/den₄ — one division; the normal approximation
+    // z = (RVN−2)/√(4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²)) is a fixed
+    // IEEE tree of integer-derived doubles. Constant series
+    // (den₄ = 0) guards NaN.
+    QueryDef("q299_bartels_rvn", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val cells = daily.groupBy(col("c").as("cv"))
+        .agg(count(lit(1)).as("t"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(cells, "cv", Seq("t"))
+        .select(col("cv").as("c"),
+          (lit(2L) * (col("t_cum") - col("t")) + col("t") + 1L)
+            .as("r2"))
+      val nn = daily.agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("day")
+      daily.join(cum, Seq("c")).crossJoin(broadcast(nn))
+        .withColumn("r2n", lead(col("r2"), 1).over(w))
+        .agg(max(col("n")).as("n"),
+          coalesce(sum(when(col("r2n").isNotNull,
+            (col("r2") - col("r2n")) * (col("r2") - col("r2n")))
+            .otherwise(0L)), lit(0L)).as("num4"),
+          coalesce(sum((col("r2") - (col("n") + 1L))
+            * (col("r2") - (col("n") + 1L))), lit(0L)).as("den4"))
+        .select(col("n").as("n_days"), col("num4"), col("den4"),
+          when(col("den4") > 0,
+            dbl(col("num4")) / dbl(col("den4")))
+            .otherwise(lit(Double.NaN)).as("rvn"),
+          when(col("den4") > 0 && col("n") > 2,
+            (dbl(col("num4")) / dbl(col("den4")) - lit(2.0))
+              / sqrt(dbl(lit(4L) * (col("n") - 2L)
+                  * (lit(5L) * col("n") * col("n")
+                    - lit(2L) * col("n") - 9L))
+                / dbl(lit(5L) * col("n") * (col("n") + 1L)
+                  * (col("n") - 1L) * (col("n") - 1L))))
+            .otherwise(lit(Double.NaN)).as("z_rvn"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      cells AS (SELECT c AS cv, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY 1),
+      cum AS (SELECT cv AS c,
+          2 * (CAST(sum(t) OVER (ORDER BY cv
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) - t) + t + 1 AS r2
+        FROM cells),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+      seq AS (SELECT day, r2, n,
+          lead(r2) OVER (ORDER BY day) AS r2n
+        FROM daily JOIN cum USING (c), nn),
+      a AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        CAST(coalesce(sum(CASE WHEN r2n IS NOT NULL
+          THEN (r2 - r2n) * (r2 - r2n) ELSE 0 END), 0)
+          AS BIGINT) AS num4,
+        CAST(coalesce(sum((r2 - (n + 1)) * (r2 - (n + 1))), 0)
+          AS BIGINT) AS den4
+        FROM seq)
+      SELECT n AS n_days, num4, den4,
+        CASE WHEN den4 > 0
+          THEN CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS rvn,
+        CASE WHEN den4 > 0 AND n > 2
+          THEN (CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) - 2.0)
+            / sqrt(CAST(4 * (n - 2) * (5 * n * n - 2 * n - 9)
+                AS DOUBLE)
+              / CAST(5 * n * (n + 1) * (n - 1) * (n - 1) AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS z_rvn
+      FROM a""")),
+
+    // Cox–Stuart trend test on the daily series: pair each day in
+    // the first half with its partner one half-length later (odd
+    // middle dropped), count rises vs falls, and read the binomial
+    // sign z — the assumption-free trend check whose power
+    // concentrates at the endpoints, complementing Mann-Kendall's
+    // all-pairs view (q282) at a fraction of the pair count. The
+    // pairing is a dimension-sized self-join on the day index (a
+    // row_number over the ≤day-count frame), differences are
+    // integer, zero differences drop, and the only floating-point
+    // op is z = (n⁺−n⁻)/√(n⁺+n⁻), NaN when no pair survives.
+    QueryDef("q300_cox_stuart", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val nn = daily.agg(count(lit(1)).as("n"))
+        .select(col("n"), expr("(n + 1) DIV 2").as("off"))
+      val w = Window.orderBy("day")
+      val idx = daily.crossJoin(broadcast(nn))
+        .withColumn("i", row_number().over(w).cast("long"))
+      val first_ = idx.where(col("i") <= col("n") - col("off"))
+        .select(col("i"), col("c").as("c1"))
+      val second = idx
+        .select((col("i") - col("off")).as("i"), col("c").as("c2"))
+      first_.join(second, Seq("i"))
+        .select(when(col("c2") > col("c1"), 1L)
+          .when(col("c2") < col("c1"), -1L).otherwise(0L).as("sgn"))
+        .agg(
+          coalesce(sum(when(col("sgn") === 1L, 1L).otherwise(0L)),
+            lit(0L)).as("n_pos"),
+          coalesce(sum(when(col("sgn") === -1L, 1L).otherwise(0L)),
+            lit(0L)).as("n_neg"))
+        .select(col("n_pos"), col("n_neg"),
+          (col("n_pos") + col("n_neg")).as("n_pairs"),
+          when(col("n_pos") + col("n_neg") > 0,
+            (dbl(col("n_pos")) - dbl(col("n_neg")))
+              / sqrt(dbl(col("n_pos") + col("n_neg"))))
+            .otherwise(lit(Double.NaN)).as("z_cox_stuart"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          (count(*) + 1) // 2 AS off FROM daily),
+      idx AS (SELECT day, c, n, off,
+          CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+        FROM daily, nn),
+      f AS (SELECT i, c AS c1 FROM idx WHERE i <= n - off),
+      s AS (SELECT i - off AS i, c AS c2 FROM idx),
+      sg AS (SELECT CASE WHEN c2 > c1 THEN 1
+          WHEN c2 < c1 THEN -1 ELSE 0 END AS sgn
+        FROM f JOIN s USING (i)),
+      a AS (SELECT
+        CAST(coalesce(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS n_pos,
+        CAST(coalesce(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS n_neg
+        FROM sg)
+      SELECT n_pos, n_neg, n_pos + n_neg AS n_pairs,
+        CASE WHEN n_pos + n_neg > 0
+          THEN (CAST(n_pos AS DOUBLE) - CAST(n_neg AS DOUBLE))
+            / sqrt(CAST(n_pos + n_neg AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS z_cox_stuart
+      FROM a"""))
   )
 }
