@@ -6791,6 +6791,215 @@ object Inference {
           THEN (CAST(n_pos AS DOUBLE) - CAST(n_neg AS DOUBLE))
             / sqrt(CAST(n_pos + n_neg AS DOUBLE))
           ELSE CAST('nan' AS DOUBLE) END AS z_cox_stuart
-      FROM a"""))
+      FROM a""")),
+
+    // Theil inequality indices of the per-customer order-count
+    // distribution — "how unequally is crawl/order volume spread
+    // across accounts?" as ONE number with an exact decomposition
+    // story (q193's Lorenz deciles show the curve; Theil T and the
+    // mean-log-deviation L summarize it and decompose additively by
+    // subgroup at lake scale). Counts have a tiny domain, so both
+    // indices reduce to folds over the value cells:
+    // T = (Σ m·x·ln x)/S − ln S + ln N and
+    // L = ln S − ln N − (Σ m·ln x)/N — every portable_ln argument an
+    // INTEGER (x ≤ ~40, well inside the 1..9169 libm-parity domain;
+    // ln S and ln N integer-valued too), folded in x-sorted order
+    // (the q138 pattern). Degenerate N = 0 or S = 0 guards NaN.
+    QueryDef("q301_theil_inequality", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def dbl(c: Column) = c.cast("double")
+      def pln(c: Column) = call_function("portable_ln", c.cast("double"))
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("m"))
+      cells
+        .select(struct(col("x"), col("m")).as("cell"))
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(col("cs"),
+          aggregate(col("cs"), lit(0L),
+            (acc, c) => acc + c.getField("m")).as("n"),
+          aggregate(col("cs"), lit(0L),
+            (acc, c) => acc + c.getField("m") * c.getField("x"))
+            .as("s_tot"))
+        .select(col("n"), col("s_tot"),
+          when(col("n") > 0 && col("s_tot") > 0,
+            aggregate(col("cs"), lit(0.0), (acc, c) =>
+              acc + dbl(c.getField("m") * c.getField("x"))
+                * pln(c.getField("x")))
+              / dbl(col("s_tot"))
+              - pln(col("s_tot")) + pln(col("n")))
+            .otherwise(lit(Double.NaN)).as("theil_t"),
+          when(col("n") > 0 && col("s_tot") > 0,
+            pln(col("s_tot")) - pln(col("n"))
+              - aggregate(col("cs"), lit(0.0), (acc, c) =>
+                acc + dbl(c.getField("m")) * pln(c.getField("x")))
+                / dbl(col("n")))
+            .otherwise(lit(Double.NaN)).as("theil_l"))
+    }, Some("""
+      WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+      cells AS (SELECT x, CAST(count(*) AS BIGINT) AS m
+        FROM per GROUP BY 1),
+      l AS (SELECT list_sort(list(struct_pack(x := x, m := m))) AS cs
+        FROM cells),
+      a AS (SELECT cs,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> c.m)), (a, b) -> a + b) AS n,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> c.m * c.x)), (a, b) -> a + b)
+          AS s_tot
+        FROM l)
+      SELECT n, s_tot,
+        CASE WHEN n > 0 AND s_tot > 0
+          THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(cs, c -> CAST(c.m * c.x AS DOUBLE)
+                * ln(CAST(c.x AS DOUBLE)))), (a, b) -> a + b)
+            / CAST(s_tot AS DOUBLE)
+            - ln(CAST(s_tot AS DOUBLE)) + ln(CAST(n AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS theil_t,
+        CASE WHEN n > 0 AND s_tot > 0
+          THEN ln(CAST(s_tot AS DOUBLE)) - ln(CAST(n AS DOUBLE))
+            - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(cs, c -> CAST(c.m AS DOUBLE)
+                * ln(CAST(c.x AS DOUBLE)))), (a, b) -> a + b)
+            / CAST(n AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS theil_l
+      FROM a""")),
+
+    // Simpson diversity profile of each source's language mix —
+    // "how concentrated is a crawl source on its dominant
+    // language?" per source, the ecology-standard trio: the
+    // unbiased Simpson index D = Σnᵢ(nᵢ−1)/(N(N−1)) (the
+    // probability two random docs share a language), its
+    // Gini–Simpson complement, and the Berger–Parker dominance
+    // max nᵢ/N. All numerators and denominators are exact BIGINT
+    // from the ≤source×lang cell table; two divisions per source
+    // row. Single-doc sources (N ≤ 1) guard NaN.
+    QueryDef("q302_simpson_diversity", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      t(s, d, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_docs"),
+          coalesce(sum(col("n") * (col("n") - 1L)), lit(0L)).as("num"),
+          coalesce(max(col("n")), lit(0L)).as("mx"))
+        .select(col("source"), col("n_docs"),
+          when(col("n_docs") > 1,
+            dbl(col("num")) / dbl(col("n_docs") * (col("n_docs") - 1L)))
+            .otherwise(lit(Double.NaN)).as("simpson_d"),
+          when(col("n_docs") > 1,
+            lit(1.0) - dbl(col("num"))
+              / dbl(col("n_docs") * (col("n_docs") - 1L)))
+            .otherwise(lit(Double.NaN)).as("gini_simpson"),
+          when(col("n_docs") > 0,
+            dbl(col("mx")) / dbl(col("n_docs")))
+            .otherwise(lit(Double.NaN)).as("berger_parker"))
+    }, Some("""
+      WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+      a AS (SELECT source,
+          CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs,
+          CAST(coalesce(sum(n * (n - 1)), 0) AS BIGINT) AS num,
+          CAST(coalesce(max(n), 0) AS BIGINT) AS mx
+        FROM cells GROUP BY 1)
+      SELECT source, n_docs,
+        CASE WHEN n_docs > 1
+          THEN CAST(num AS DOUBLE) / CAST(n_docs * (n_docs - 1) AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS simpson_d,
+        CASE WHEN n_docs > 1
+          THEN 1.0 - CAST(num AS DOUBLE)
+            / CAST(n_docs * (n_docs - 1) AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS gini_simpson,
+        CASE WHEN n_docs > 0
+          THEN CAST(mx AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS berger_parker
+      FROM a""")),
+
+    // Bray–Curtis dissimilarity and Morisita–Horn overlap for every
+    // source pair over the language-count composition — the
+    // community-ecology pair-matrix answering "which crawl sources
+    // have interchangeable language mixes?" (q144's vocab overlap
+    // compares term SETS; these weight by abundance). The shared-lang
+    // sums Σmin and Σn₁n₂ come from a lang-keyed inner self-join of
+    // the ≤source×lang cells (absent langs contribute 0 to both);
+    // per-source totals N and Σn² attach via two broadcast joins on
+    // the pair frame (s1 < s2 — ≤(sources choose 2) rows BY
+    // CONSTRUCTION). BC = 1 − 2Σmin/(N₁+N₂) is exact-BIGINT-until-
+    // one-division; the Morisita–Horn quotient
+    // 2Σn₁n₂·N₁N₂/(Σn₁²·N₂² + Σn₂²·N₁²) is assembled in DOUBLE (the
+    // four-factor products overflow BIGINT at web scale — q228 rule).
+    QueryDef("q303_bray_curtis", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val cells = t(s, d, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy(col("source"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("nt"),
+          coalesce(sum(col("n") * col("n")), lit(0L)).as("q2"))
+      val shared = cells.select(col("source").as("s1"), col("lang"),
+          col("n").as("n1"))
+        .join(cells.select(col("source").as("s2"), col("lang"),
+          col("n").as("n2")), Seq("lang"))
+        .where(col("s1") < col("s2"))
+        .groupBy("s1", "s2")
+        .agg(coalesce(sum(least(col("n1"), col("n2"))), lit(0L))
+            .as("sum_min"),
+          coalesce(sum(col("n1") * col("n2")), lit(0L)).as("sum_xy"))
+      val pairs = tot.select(col("source").as("s1"),
+          col("nt").as("nt1"), col("q2").as("q21"))
+        .crossJoin(broadcast(tot.select(col("source").as("s2"),
+          col("nt").as("nt2"), col("q2").as("q22"))))
+        .where(col("s1") < col("s2"))
+      pairs.join(shared, Seq("s1", "s2"), "left")
+        .select(col("s1"), col("s2"),
+          coalesce(col("sum_min"), lit(0L)).as("sum_min"),
+          coalesce(col("sum_xy"), lit(0L)).as("sum_xy"),
+          col("nt1"), col("nt2"), col("q21"), col("q22"))
+        .select(col("s1"), col("s2"),
+          when(col("nt1") + col("nt2") > 0,
+            lit(1.0) - dbl(lit(2L) * col("sum_min"))
+              / dbl(col("nt1") + col("nt2")))
+            .otherwise(lit(Double.NaN)).as("bray_curtis"),
+          when(dbl(col("q21")) * dbl(col("nt2")) * dbl(col("nt2"))
+              + dbl(col("q22")) * dbl(col("nt1")) * dbl(col("nt1"))
+              > 0.0,
+            lit(2.0) * dbl(col("sum_xy")) * dbl(col("nt1"))
+              * dbl(col("nt2"))
+              / (dbl(col("q21")) * dbl(col("nt2")) * dbl(col("nt2"))
+                + dbl(col("q22")) * dbl(col("nt1")) * dbl(col("nt1"))))
+            .otherwise(lit(Double.NaN)).as("morisita_horn"))
+    }, Some("""
+      WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+      tot AS (SELECT source, CAST(coalesce(sum(n), 0) AS BIGINT) AS nt,
+          CAST(coalesce(sum(n * n), 0) AS BIGINT) AS q2
+        FROM cells GROUP BY 1),
+      shared AS (SELECT a.source AS s1, b.source AS s2,
+          CAST(coalesce(sum(least(a.n, b.n)), 0) AS BIGINT) AS sum_min,
+          CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT) AS sum_xy
+        FROM cells a JOIN cells b ON a.lang = b.lang
+          AND a.source < b.source
+        GROUP BY 1, 2),
+      pairs AS (SELECT a.source AS s1, b.source AS s2,
+          a.nt AS nt1, b.nt AS nt2, a.q2 AS q21, b.q2 AS q22
+        FROM tot a CROSS JOIN tot b WHERE a.source < b.source)
+      SELECT s1, s2,
+        CASE WHEN nt1 + nt2 > 0
+          THEN 1.0 - CAST(2 * coalesce(sum_min, 0) AS DOUBLE)
+            / CAST(nt1 + nt2 AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS bray_curtis,
+        CASE WHEN CAST(q21 AS DOUBLE) * CAST(nt2 AS DOUBLE)
+            * CAST(nt2 AS DOUBLE)
+            + CAST(q22 AS DOUBLE) * CAST(nt1 AS DOUBLE)
+            * CAST(nt1 AS DOUBLE) > 0.0
+          THEN 2.0 * CAST(coalesce(sum_xy, 0) AS DOUBLE)
+            * CAST(nt1 AS DOUBLE) * CAST(nt2 AS DOUBLE)
+            / (CAST(q21 AS DOUBLE) * CAST(nt2 AS DOUBLE)
+              * CAST(nt2 AS DOUBLE)
+              + CAST(q22 AS DOUBLE) * CAST(nt1 AS DOUBLE)
+              * CAST(nt1 AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS morisita_horn
+      FROM pairs LEFT JOIN shared USING (s1, s2)"""))
   )
 }
