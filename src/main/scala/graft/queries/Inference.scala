@@ -7000,6 +7000,258 @@ object Inference {
               + CAST(q22 AS DOUBLE) * CAST(nt1 AS DOUBLE)
               * CAST(nt1 AS DOUBLE))
           ELSE CAST('nan' AS DOUBLE) END AS morisita_horn
-      FROM pairs LEFT JOIN shared USING (s1, s2)"""))
+      FROM pairs LEFT JOIN shared USING (s1, s2)""")),
+
+    // Krippendorff's nominal α between the n-gram language
+    // classifier and ground truth — the chance-corrected agreement
+    // coefficient that (unlike q218's Cohen κ) is built from a
+    // COINCIDENCE matrix, generalizes to missing data, and is the
+    // content-analysis standard. For two raters over N units the
+    // nominal form collapses to exact BIGINT margins:
+    // α = 1 − (n−1)·2·disagree / (n² − Σ_c n_c²) with n = 2N and
+    // n_c each category's count across BOTH raters (classifier
+    // 'und' verdicts are their own category — a disagreement with
+    // every truth label, which is exactly how Krippendorff treats
+    // a distinct value). One double division; a degenerate margin
+    // (single category) guards NaN.
+    QueryDef("q304_krippendorff", (s, d) => {
+      import graft.functions.TextFunctions
+      def dbl(c: Column) = c.cast("double")
+      val rated = t(s, d, "documents")
+        .select(TextFunctions.langId(col("text")).as("pred"),
+          col("lang").as("truth"))
+      val base = rated.agg(count(lit(1)).as("n_units"),
+        coalesce(sum(when(col("pred") =!= col("truth"), 1L)
+          .otherwise(0L)), lit(0L)).as("disagree"))
+      val margins = rated.select(col("pred").as("v"))
+        .unionByName(rated.select(col("truth").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("nc"))
+        .agg(coalesce(sum(col("nc") * col("nc")), lit(0L)).as("sq"))
+      base.crossJoin(broadcast(margins))
+        .withColumn("n2", lit(2L) * col("n_units"))
+        .select(col("n_units"), col("disagree"),
+          when(col("n2") * col("n2") - col("sq") > 0,
+            lit(1.0) - dbl((col("n2") - 1L) * lit(2L) * col("disagree"))
+              / dbl(col("n2") * col("n2") - col("sq")))
+            .otherwise(lit(Double.NaN)).as("alpha_k"))
+    }, Some("""
+      WITH rated AS (SELECT (CASE
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b')) = 0
+            THEN 'und'
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+             AND len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'en'
+            WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'es'
+            ELSE 'de' END) AS pred, lang AS truth
+        FROM documents),
+      base AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+          CAST(coalesce(sum(CASE WHEN pred <> truth THEN 1 ELSE 0 END),
+            0) AS BIGINT) AS disagree
+        FROM rated),
+      margins AS (SELECT CAST(coalesce(sum(nc * nc), 0) AS BIGINT) AS sq
+        FROM (SELECT v, CAST(count(*) AS BIGINT) AS nc
+          FROM (SELECT pred AS v FROM rated
+            UNION ALL SELECT truth FROM rated)
+          GROUP BY 1)),
+      a AS (SELECT *, 2 * n_units AS n2 FROM base, margins)
+      SELECT n_units, disagree,
+        CASE WHEN n2 * n2 - sq > 0
+          THEN 1.0 - CAST((n2 - 1) * 2 * disagree AS DOUBLE)
+            / CAST(n2 * n2 - sq AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS alpha_k
+      FROM a""")),
+
+    // One-way random-effects intraclass correlation ICC(1,1) of
+    // per-customer order counts grouped by nation — "how much of
+    // the variance in account activity is BETWEEN nations?" — the
+    // reliability companion to q226's ANOVA F (same decomposition,
+    // different readout), with the unequal-group-size correction
+    // k₀ = (N − Σnᵢ²/N)/(g−1). Per-group moments (nᵢ, Sᵢ) are exact
+    // BIGINT; the three rational reductions Σ Sᵢ²/nᵢ, Σnᵢ², and the
+    // grand terms fold in nation-sorted order over the ≤nation-count
+    // cell list (q138 pattern), and MSB/MSW/ICC are a fixed IEEE
+    // tree. Degenerate designs (g ≤ 1 or N ≤ g) guard NaN.
+    QueryDef("q305_icc1", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val per = t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey").as("nk"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("nk"), col("o_custkey"))
+        .agg(count(lit(1)).as("x"))
+      val grp = per.groupBy("nk")
+        .agg(count(lit(1)).as("ni"),
+          coalesce(sum(col("x")), lit(0L)).as("si"),
+          coalesce(sum(col("x") * col("x")), lit(0L)).as("qi"))
+      grp.select(struct(col("nk"), col("ni"), col("si"), col("qi"))
+          .as("cell"))
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(
+          aggregate(col("cs"), lit(0L),
+            (a, c) => a + lit(1L)).as("g"),
+          aggregate(col("cs"), lit(0L),
+            (a, c) => a + c.getField("ni")).as("n"),
+          aggregate(col("cs"), lit(0L),
+            (a, c) => a + c.getField("si")).as("s_tot"),
+          aggregate(col("cs"), lit(0L),
+            (a, c) => a + c.getField("qi")).as("q_tot"),
+          aggregate(col("cs"), lit(0L),
+            (a, c) => a + c.getField("ni") * c.getField("ni"))
+            .as("sn2"),
+          aggregate(col("cs"), lit(0.0),
+            (a, c) => a + dbl(c.getField("si") * c.getField("si"))
+              / dbl(c.getField("ni"))).as("sb"))
+        .withColumn("ssb", col("sb")
+          - dbl(col("s_tot") * col("s_tot")) / dbl(col("n")))
+        .withColumn("ssw", dbl(col("q_tot")) - col("sb"))
+        .withColumn("msb",
+          when(col("g") > 1, col("ssb") / dbl(col("g") - 1L)))
+        .withColumn("msw",
+          when(col("n") > col("g"),
+            col("ssw") / dbl(col("n") - col("g"))))
+        .withColumn("k0",
+          when(col("g") > 1,
+            (dbl(col("n")) - dbl(col("sn2")) / dbl(col("n")))
+              / dbl(col("g") - 1L)))
+        .select(col("g").as("n_groups"), col("n"),
+          col("msb"), col("msw"),
+          when(col("g") > 1 && col("n") > col("g")
+              && (col("msb") + (col("k0") - lit(1.0)) * col("msw"))
+                =!= 0.0,
+            (col("msb") - col("msw"))
+              / (col("msb") + (col("k0") - lit(1.0)) * col("msw")))
+            .otherwise(lit(Double.NaN)).as("icc1"))
+    }, Some("""
+      WITH per AS (SELECT c.c_nationkey AS nk, o.o_custkey,
+          CAST(count(*) AS BIGINT) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+      grp AS (SELECT nk, CAST(count(*) AS BIGINT) AS ni,
+          CAST(coalesce(sum(x), 0) AS BIGINT) AS si,
+          CAST(coalesce(sum(x * x), 0) AS BIGINT) AS qi
+        FROM per GROUP BY 1),
+      l AS (SELECT list_sort(list(struct_pack(nk := nk, ni := ni,
+          si := si, qi := qi))) AS cs FROM grp),
+      a AS (SELECT
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> CAST(1 AS BIGINT))),
+          (a, b) -> a + b) AS g,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> c.ni)), (a, b) -> a + b) AS n,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> c.si)), (a, b) -> a + b) AS s_tot,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> c.qi)), (a, b) -> a + b) AS q_tot,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> c.ni * c.ni)), (a, b) -> a + b)
+          AS sn2,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> CAST(c.si * c.si AS DOUBLE)
+            / CAST(c.ni AS DOUBLE))), (a, b) -> a + b) AS sb
+        FROM l),
+      m AS (SELECT *,
+        sb - CAST(s_tot * s_tot AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+        CAST(q_tot AS DOUBLE) - sb AS ssw
+        FROM a),
+      f AS (SELECT *,
+        CASE WHEN g > 1 THEN ssb / CAST(g - 1 AS DOUBLE) END AS msb,
+        CASE WHEN n > g THEN ssw / CAST(n - g AS DOUBLE) END AS msw,
+        CASE WHEN g > 1 THEN (CAST(n AS DOUBLE)
+            - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))
+          / CAST(g - 1 AS DOUBLE) END AS k0
+        FROM m)
+      SELECT g AS n_groups, n, msb, msw,
+        CASE WHEN g > 1 AND n > g
+            AND msb + (k0 - 1.0) * msw <> 0.0
+          THEN (msb - msw) / (msb + (k0 - 1.0) * msw)
+          ELSE CAST('nan' AS DOUBLE) END AS icc1
+      FROM f""")),
+
+    // Nelson–Aalen cumulative hazard over the q192 user-lifetime
+    // life-table — the additive counterpart to Kaplan–Meier's
+    // product (less bias at small at-risk counts, and the natural
+    // input to Cox-model diagnostics), plus its Poisson variance
+    // Σd/n². Identical cell machinery to q192 (domain-bounded
+    // durations, PrefixSum at-risk counts, factor lists from a cell
+    // self-join — never a correlated lambda), but each row's fold
+    // SUMS d/n in duration-sorted order with a left-join identity of
+    // exactly 0.0 (a true IEEE no-op, as 1.0 is for the product).
+    QueryDef("q306_nelson_aalen", (s, d) => {
+      val per = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          (datediff(max(col("ts")).cast("date"),
+            min(col("ts")).cast("date")) + 1).cast("long").as("t"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("last_type"))
+        .select(col("t"),
+          when(col("last_type") === "error", 1L).otherwise(0L)
+            .as("died"))
+      val cells = per.groupBy("t")
+        .agg(sum("died").as("d"), sum(lit(1L) - col("died")).as("c"))
+        .withColumn("n", col("d") + col("c"))
+      val tot = cells.agg(sum("n").as("tot"))
+      val enr = graft.operators.PrefixSum
+        .withRunningTotals(cells, "t", Seq("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("t"), col("d"), col("c"),
+          (col("tot") - col("n_cum") + col("n")).as("at_risk"))
+      val b = enr.select(col("t").as("bt"), col("d").as("bd"),
+        col("at_risk").as("bar")).where(col("bd") > 0)
+      enr.join(b, col("bt") <= col("t"), "left")
+        .groupBy("t", "at_risk", "d", "c")
+        .agg(sort_array(collect_list(struct(col("bt"), col("bd"),
+          col("bar")))).as("fs"))
+        .select(col("t"), col("at_risk"), col("d"), col("c"),
+          aggregate(col("fs"), lit(0.0), (acc, f) =>
+            acc + coalesce(f.getField("bd").cast("double") /
+              f.getField("bar").cast("double"), lit(0.0)))
+            .as("cum_hazard"),
+          aggregate(col("fs"), lit(0.0), (acc, f) =>
+            acc + coalesce(f.getField("bd").cast("double") /
+              (f.getField("bar").cast("double")
+                * f.getField("bar").cast("double")), lit(0.0)))
+            .as("var_na"))
+    }, Some("""
+      WITH l AS (SELECT user_id, event_type, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      died AS (SELECT user_id,
+          CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS died
+        FROM l WHERE rn = 1),
+      span AS (SELECT user_id, CAST(date_diff('day',
+            CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1 AS BIGINT)
+            AS t
+        FROM events GROUP BY 1),
+      cells AS (SELECT t, CAST(sum(died) AS BIGINT) AS d,
+          CAST(sum(1 - died) AS BIGINT) AS c
+        FROM span JOIN died USING (user_id) GROUP BY 1),
+      enr AS (SELECT t, d, c,
+          CAST(sum(d + c) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS at_risk
+        FROM cells),
+      fs AS (SELECT a.t, a.at_risk, a.d, a.c,
+          list_sort(list(struct_pack(bt := b.t, bd := b.d,
+            bar := b.at_risk))) AS fs
+        FROM enr a LEFT JOIN enr b ON b.t <= a.t AND b.d > 0
+        GROUP BY 1, 2, 3, 4)
+      SELECT t, at_risk, d, c,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(fs, f -> coalesce(
+            CAST(f.bd AS DOUBLE) / CAST(f.bar AS DOUBLE), 0.0))),
+          (a, b) -> a + b) AS cum_hazard,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(fs, f -> coalesce(
+            CAST(f.bd AS DOUBLE) / (CAST(f.bar AS DOUBLE)
+              * CAST(f.bar AS DOUBLE)), 0.0))),
+          (a, b) -> a + b) AS var_na
+      FROM fs"""))
   )
 }
