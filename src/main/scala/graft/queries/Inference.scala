@@ -7252,6 +7252,274 @@ object Inference {
             CAST(f.bd AS DOUBLE) / (CAST(f.bar AS DOUBLE)
               * CAST(f.bar AS DOUBLE)), 0.0))),
           (a, b) -> a + b) AS var_na
-      FROM fs"""))
+      FROM fs""")),
+
+    // Lo–MacKinlay variance-ratio statistic VR(5) on the daily
+    // event-count series — the random-walk diagnostic: if daily
+    // volumes are serially independent, the variance of overlapping
+    // 5-day sums is 5× the 1-day variance and VR = 1; VR > 1 flags
+    // positive persistence (load waves), VR < 1 mean reversion.
+    // Common-denominator form keeps it exact: with S = Σc the
+    // centered squares Σ(n·yᵢ−qS)² (5-day window sums yᵢ, a
+    // dimension-sized ROWS frame) and Σ(n·cᵢ−S)² are BIGINT, so
+    // VR = A(n−1)/(qBm) with m = n−q+1 is ONE double division, and
+    // the homoskedastic z = (VR−1)/√(2(2q−1)(q−1)/(3qn)) a fixed
+    // tree. Constant series (B = 0) or n ≤ q guard NaN.
+    QueryDef("q307_variance_ratio", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val q = 5
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val tot = daily.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("c")), lit(0L)).as("s_tot"))
+      val w = Window.orderBy("day")
+      daily.crossJoin(broadcast(tot))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("y",
+          sum(col("c")).over(w.rowsBetween(-(q - 1), 0)))
+        .agg(max(col("n")).as("n"),
+          coalesce(sum((col("n") * col("c") - col("s_tot"))
+            * (col("n") * col("c") - col("s_tot"))), lit(0L)).as("b"),
+          coalesce(sum(when(col("i") >= q,
+            (col("n") * col("y") - lit(q.toLong) * col("s_tot"))
+              * (col("n") * col("y") - lit(q.toLong) * col("s_tot")))
+            .otherwise(0L)), lit(0L)).as("a"))
+        .select(col("n").as("n_days"), lit(q.toLong).as("q"),
+          when(col("b") > 0 && col("n") > q,
+            dbl(col("a") * (col("n") - 1L))
+              / dbl(lit(q.toLong) * col("b")
+                * (col("n") - lit(q.toLong) + 1L)))
+            .otherwise(lit(Double.NaN)).as("vr"),
+          when(col("b") > 0 && col("n") > q,
+            (dbl(col("a") * (col("n") - 1L))
+              / dbl(lit(q.toLong) * col("b")
+                * (col("n") - lit(q.toLong) + 1L)) - lit(1.0))
+              / sqrt(dbl(lit(2L * (2 * q - 1) * (q - 1)))
+                / (lit(3.0 * q) * dbl(col("n")))))
+            .otherwise(lit(Double.NaN)).as("z_vr"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(c), 0) AS BIGINT) AS s_tot FROM daily),
+      seq AS (SELECT day, c, n, s_tot,
+          CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+          CAST(sum(c) OVER (ORDER BY day
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS y
+        FROM daily, tot),
+      agg AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        CAST(coalesce(sum((n * c - s_tot) * (n * c - s_tot)), 0)
+          AS BIGINT) AS b,
+        CAST(coalesce(sum(CASE WHEN i >= 5
+          THEN (n * y - 5 * s_tot) * (n * y - 5 * s_tot)
+          ELSE 0 END), 0) AS BIGINT) AS a
+        FROM seq)
+      SELECT n AS n_days, CAST(5 AS BIGINT) AS q,
+        CASE WHEN b > 0 AND n > 5
+          THEN CAST(a * (n - 1) AS DOUBLE)
+            / CAST(5 * b * (n - 5 + 1) AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS vr,
+        CASE WHEN b > 0 AND n > 5
+          THEN (CAST(a * (n - 1) AS DOUBLE)
+              / CAST(5 * b * (n - 5 + 1) AS DOUBLE) - 1.0)
+            / sqrt(CAST(72 AS DOUBLE) / (15.0 * CAST(n AS DOUBLE)))
+          ELSE CAST('nan' AS DOUBLE) END AS z_vr
+      FROM agg""")),
+
+    // Yule's K, Sichel's S, and Honoré's H — the classical
+    // vocabulary-richness trio over the corpus token-frequency
+    // spectrum, complementing q283's Chao1 (which extrapolates
+    // UNSEEN types; these characterize the observed repeat
+    // structure, and K is famously text-length-invariant). The
+    // spectrum identity Σₘ m²Vₘ = Σ_terms r² lets everything reduce
+    // to exact BIGINT moments of the term-count table (same
+    // whitespace tokenization as q283): K = 10⁴(Σr² − N)/N²
+    // (denominator assembled in DOUBLE — N² overflows BIGINT at
+    // web scale, the q228 rule), S = V₂/V, and
+    // H = 100·ln N·V/(V − V₁) with the only ln argument an
+    // integer-valued N. A hapax-only vocabulary (V = V₁) guards H
+    // to NaN.
+    QueryDef("q308_yule_k", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def dbl(c: Column) = c.cast("double")
+      def pln(c: Column) = call_function("portable_ln", c.cast("double"))
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("r"))
+        .agg(
+          count(lit(1)).as("v_types"),
+          coalesce(sum(col("r")), lit(0L)).as("n_tok"),
+          coalesce(sum(col("r") * col("r")), lit(0L)).as("sum_r2"),
+          coalesce(sum(when(col("r") === 1, 1L).otherwise(0L)),
+            lit(0L)).as("v1"),
+          coalesce(sum(when(col("r") === 2, 1L).otherwise(0L)),
+            lit(0L)).as("v2"))
+        .select(col("n_tok"), col("v_types"), col("v1"), col("v2"),
+          when(col("n_tok") > 0,
+            lit(10000.0) * (dbl(col("sum_r2")) - dbl(col("n_tok")))
+              / (dbl(col("n_tok")) * dbl(col("n_tok"))))
+            .otherwise(lit(Double.NaN)).as("yule_k"),
+          when(col("v_types") > 0,
+            dbl(col("v2")) / dbl(col("v_types")))
+            .otherwise(lit(Double.NaN)).as("sichel_s"),
+          when(col("v_types") > col("v1") && col("n_tok") > 0,
+            lit(100.0) * pln(col("n_tok")) * dbl(col("v_types"))
+              / dbl(col("v_types") - col("v1")))
+            .otherwise(lit(Double.NaN)).as("honore_h"))
+    }, Some("""
+      WITH tc AS (SELECT term, CAST(count(*) AS BIGINT) AS r
+        FROM (SELECT unnest(string_split(text, ' ')) AS term
+          FROM documents)
+        WHERE len(term) > 0 GROUP BY 1),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS v_types,
+        CAST(coalesce(sum(r), 0) AS BIGINT) AS n_tok,
+        CAST(coalesce(sum(r * r), 0) AS BIGINT) AS sum_r2,
+        CAST(coalesce(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS v1,
+        CAST(coalesce(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS v2
+        FROM tc)
+      SELECT n_tok, v_types, v1, v2,
+        CASE WHEN n_tok > 0
+          THEN 10000.0 * (CAST(sum_r2 AS DOUBLE) - CAST(n_tok AS DOUBLE))
+            / (CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS yule_k,
+        CASE WHEN v_types > 0
+          THEN CAST(v2 AS DOUBLE) / CAST(v_types AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS sichel_s,
+        CASE WHEN v_types > v1 AND n_tok > 0
+          THEN 100.0 * ln(CAST(n_tok AS DOUBLE))
+            * CAST(v_types AS DOUBLE)
+            / CAST(v_types - v1 AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS honore_h
+      FROM a""")),
+
+    // Inverse-variance meta-analysis across nations — each nation is
+    // a "study" of the urgent-priority → finished-status association
+    // (per-nation 2×2 log-odds ratio), pooled fixed-effect, with
+    // Cochran's Q heterogeneity, DerSimonian–Laird τ², and I² — the
+    // multi-site readout "is the effect consistent across markets,
+    // and how much true heterogeneity remains?" that q276's
+    // Breslow–Day only TESTS and CMH (q225) only pools. Each θᵢ =
+    // ln(aᵢdᵢ) − ln(bᵢcᵢ) keeps portable_ln arguments INTEGER;
+    // zero-cell nations drop (no Haldane 0.5 — it would feed
+    // non-integer lns; the drop is the documented policy). Weighted
+    // sums fold nation-sorted (q138), θ_F first, then Q in a second
+    // fold over the SAME retained list. τ² floors at 0; I² guards on
+    // Q > 0, τ² on a positive DL denominator.
+    QueryDef("q309_meta_fixed", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def dbl(c: Column) = c.cast("double")
+      def pln(c: Column) = call_function("portable_ln", c.cast("double"))
+      val cells = t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey").as("nk"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("nk")
+        .agg(
+          coalesce(sum(when(substring(col("o_orderpriority"), 1, 1)
+              === "1" && col("o_orderstatus") === "F", 1L)
+            .otherwise(0L)), lit(0L)).as("a"),
+          coalesce(sum(when(substring(col("o_orderpriority"), 1, 1)
+              === "1" && col("o_orderstatus") =!= "F", 1L)
+            .otherwise(0L)), lit(0L)).as("b"),
+          coalesce(sum(when(substring(col("o_orderpriority"), 1, 1)
+              =!= "1" && col("o_orderstatus") === "F", 1L)
+            .otherwise(0L)), lit(0L)).as("c"),
+          coalesce(sum(when(substring(col("o_orderpriority"), 1, 1)
+              =!= "1" && col("o_orderstatus") =!= "F", 1L)
+            .otherwise(0L)), lit(0L)).as("dd"))
+        .where(col("a") > 0 && col("b") > 0 && col("c") > 0
+          && col("dd") > 0)
+        .select(col("nk"),
+          (pln(col("a") * col("dd")) - pln(col("b") * col("c")))
+            .as("theta"),
+          (lit(1.0) / (lit(1.0) / dbl(col("a"))
+            + lit(1.0) / dbl(col("b")) + lit(1.0) / dbl(col("c"))
+            + lit(1.0) / dbl(col("dd")))).as("wt"))
+      cells.select(struct(col("nk"), col("theta"), col("wt"))
+          .as("cell"))
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(col("cs"),
+          size(col("cs")).cast("long").as("k"),
+          aggregate(col("cs"), lit(0.0),
+            (a, c) => a + c.getField("wt")).as("sw"),
+          aggregate(col("cs"), lit(0.0),
+            (a, c) => a + c.getField("wt") * c.getField("theta"))
+            .as("swt"),
+          aggregate(col("cs"), lit(0.0),
+            (a, c) => a + c.getField("wt") * c.getField("wt"))
+            .as("sw2"))
+        .withColumn("theta_fixed",
+          when(col("sw") > 0, col("swt") / col("sw")))
+        .withColumn("q_het",
+          aggregate(col("cs"), lit(0.0), (a, c) =>
+            a + c.getField("wt")
+              * (c.getField("theta") - col("theta_fixed"))
+              * (c.getField("theta") - col("theta_fixed"))))
+        .select(col("k").as("k_studies"), col("theta_fixed"),
+          col("q_het"),
+          when(col("k") > 1 && col("sw") - col("sw2") / col("sw") > 0,
+            greatest(lit(0.0),
+              (col("q_het") - dbl(col("k") - 1L))
+                / (col("sw") - col("sw2") / col("sw"))))
+            .otherwise(lit(Double.NaN)).as("tau2_dl"),
+          when(col("q_het") > 0,
+            greatest(lit(0.0),
+              (col("q_het") - dbl(col("k") - 1L)) / col("q_het")))
+            .otherwise(lit(Double.NaN)).as("i2"))
+    }, Some("""
+      WITH cells0 AS (SELECT c.c_nationkey AS nk,
+          CAST(coalesce(sum(CASE WHEN substring(o_orderpriority, 1, 1) = '1'
+            AND o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS a,
+          CAST(coalesce(sum(CASE WHEN substring(o_orderpriority, 1, 1) = '1'
+            AND o_orderstatus <> 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS b,
+          CAST(coalesce(sum(CASE WHEN substring(o_orderpriority, 1, 1) <> '1'
+            AND o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS c,
+          CAST(coalesce(sum(CASE WHEN substring(o_orderpriority, 1, 1) <> '1'
+            AND o_orderstatus <> 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS dd
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1),
+      cells AS (SELECT * FROM cells0
+        WHERE a > 0 AND b > 0 AND c > 0 AND dd > 0),
+      st AS (SELECT nk,
+          ln(CAST(a * dd AS DOUBLE)) - ln(CAST(b * c AS DOUBLE))
+            AS theta,
+          1.0 / (1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+            + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(dd AS DOUBLE))
+            AS wt
+        FROM cells),
+      l AS (SELECT list_sort(list(struct_pack(nk := nk,
+          theta := theta, wt := wt))) AS cs FROM st),
+      a1 AS (SELECT cs, CAST(len(cs) AS BIGINT) AS k,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> c.wt)), (a, b) -> a + b) AS sw,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> c.wt * c.theta)), (a, b) -> a + b)
+          AS swt,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> c.wt * c.wt)), (a, b) -> a + b)
+          AS sw2
+        FROM l),
+      a2 AS (SELECT *,
+        CASE WHEN sw > 0 THEN swt / sw END AS theta_fixed
+        FROM a1),
+      a3 AS (SELECT *,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> c.wt * (c.theta - theta_fixed)
+            * (c.theta - theta_fixed))), (a, b) -> a + b) AS q_het
+        FROM a2)
+      SELECT k AS k_studies, theta_fixed, q_het,
+        CASE WHEN k > 1 AND sw - sw2 / sw > 0
+          THEN greatest(0.0, (q_het - CAST(k - 1 AS DOUBLE))
+            / (sw - sw2 / sw))
+          ELSE CAST('nan' AS DOUBLE) END AS tau2_dl,
+        CASE WHEN q_het > 0
+          THEN greatest(0.0, (q_het - CAST(k - 1 AS DOUBLE)) / q_het)
+          ELSE CAST('nan' AS DOUBLE) END AS i2
+      FROM a3"""))
   )
 }
