@@ -7520,6 +7520,220 @@ object Inference {
         CASE WHEN q_het > 0
           THEN greatest(0.0, (q_het - CAST(k - 1 AS DOUBLE)) / q_het)
           ELSE CAST('nan' AS DOUBLE) END AS i2
-      FROM a3"""))
+      FROM a3""")),
+
+    // Per-node local clustering coefficient on the undirected view of
+    // the deterministic synthetic graph (the q161/q290 construction)
+    // — "how interconnected is each entity's neighborhood?", the
+    // node-level refinement of q148's global triangle census and the
+    // standard structural feature for KG-entity triage. Triangles
+    // are enumerated once in canonical a<b<c orientation (the
+    // merge-path shape that avoids counting each 3-cycle six times),
+    // exploded to their three corners, and counted per node;
+    // Cᵥ = 2Tᵥ/(degᵥ(degᵥ−1)) is one double division per node row,
+    // NaN for degree < 2. Every step is a keyed equi-join — the
+    // same plan runs on a billion-edge graph.
+    QueryDef("q310_local_clustering", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val nodes = t(s, d, "documents")
+        .select((col("doc_id") % 389).as("x")).distinct()
+      val dir = nodes
+        .select(col("x").as("src"),
+          ((col("x") * col("x") + 1) % 389).as("dst"))
+        .unionByName(nodes.select(col("x").as("src"),
+          ((col("x") * 7 + 5) % 389).as("dst")))
+        .where(col("src") =!= col("dst"))
+      val und = dir.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      val deg = und.select(col("a").as("node"))
+        .unionByName(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val tri = und.select(col("a"), col("b"))
+        .join(und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        .select(explode(array(col("a"), col("b"), col("c")))
+          .as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+      deg.join(tri, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .select(col("node"), col("deg"), col("tri"),
+          when(col("deg") > 1,
+            dbl(lit(2L) * col("tri"))
+              / dbl(col("deg") * (col("deg") - 1L)))
+            .otherwise(lit(Double.NaN)).as("c_local"))
+    }, Some("""
+      WITH nodes0 AS (SELECT DISTINCT doc_id % 389 AS x FROM documents),
+      dir AS (SELECT x AS src, (x * x + 1) % 389 AS dst FROM nodes0
+        UNION ALL SELECT x, (x * 7 + 5) % 389 FROM nodes0),
+      und AS (SELECT DISTINCT least(src, dst) AS a,
+          greatest(src, dst) AS b
+        FROM dir WHERE src <> dst),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1),
+      tri AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+          SELECT unnest([e1.a, e1.b, e2.c]) AS node
+          FROM und e1
+          JOIN (SELECT a AS b2, b AS c FROM und) e2 ON e1.b = e2.b2
+          JOIN (SELECT a, b AS c FROM und) e3
+            ON e1.a = e3.a AND e2.c = e3.c)
+        GROUP BY 1)
+      SELECT node, deg, coalesce(tri, 0) AS tri,
+        CASE WHEN deg > 1
+          THEN CAST(2 * coalesce(tri, 0) AS DOUBLE)
+            / CAST(deg * (deg - 1) AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS c_local
+      FROM deg LEFT JOIN tri USING (node)""")),
+
+    // Gini coefficient of the synthetic graph's total-degree
+    // distribution — "how hub-dominated is the graph?" as one exact
+    // number (q177 fits the tail exponent; Gini summarizes the WHOLE
+    // inequality, the standard scale-free-ness sanity check before
+    // skew-handling decisions). Fully exact: degree value-cells with
+    // multiplicity m at running count cum give the rank-weighted sum
+    // 2W = Σ v·m·(2·cum − m + 1) via the distributed PrefixSum CDF,
+    // and G = (2W − (n+1)S)/(nS) is exact BIGINT until ONE double
+    // division. Zero total degree guards NaN.
+    QueryDef("q311_degree_gini", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val nodes = t(s, d, "documents")
+        .select((col("doc_id") % 389).as("x")).distinct()
+      val edges = nodes
+        .select(col("x").as("src"),
+          ((col("x") * col("x") + 1) % 389).as("dst"))
+        .unionByName(nodes.select(col("x").as("src"),
+          ((col("x") * 7 + 5) % 389).as("dst")))
+        .where(col("src") =!= col("dst")).distinct()
+      val deg = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val cells = deg.groupBy(col("dg").as("v"))
+        .agg(count(lit(1)).as("m"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(cells, "v", Seq("m"))
+      cum.agg(
+          coalesce(sum(col("m")), lit(0L)).as("n"),
+          coalesce(sum(col("v") * col("m")), lit(0L)).as("s_deg"),
+          coalesce(sum(col("v") * col("m")
+            * (lit(2L) * col("m_cum") - col("m") + 1L)), lit(0L))
+            .as("w2"))
+        .select(col("n").as("n_nodes"), col("s_deg").as("sum_deg"),
+          when(col("n") > 0 && col("s_deg") > 0,
+            dbl(col("w2") - (col("n") + 1L) * col("s_deg"))
+              / dbl(col("n") * col("s_deg")))
+            .otherwise(lit(Double.NaN)).as("gini_degree"))
+    }, Some("""
+      WITH nodes0 AS (SELECT DISTINCT doc_id % 389 AS x FROM documents),
+      e AS (SELECT DISTINCT src, dst FROM (
+          SELECT x AS src, (x * x + 1) % 389 AS dst FROM nodes0
+          UNION ALL SELECT x, (x * 7 + 5) % 389 FROM nodes0)
+        WHERE src <> dst),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+          SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        GROUP BY 1),
+      cells AS (SELECT dg AS v, CAST(count(*) AS BIGINT) AS m
+        FROM deg GROUP BY 1),
+      cum AS (SELECT *, CAST(sum(m) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS m_cum FROM cells),
+      a AS (SELECT
+        CAST(coalesce(sum(m), 0) AS BIGINT) AS n,
+        CAST(coalesce(sum(v * m), 0) AS BIGINT) AS s_deg,
+        CAST(coalesce(sum(v * m * (2 * m_cum - m + 1)), 0)
+          AS BIGINT) AS w2
+        FROM cum)
+      SELECT n AS n_nodes, s_deg AS sum_deg,
+        CASE WHEN n > 0 AND s_deg > 0
+          THEN CAST(w2 - (n + 1) * s_deg AS DOUBLE)
+            / CAST(n * s_deg AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS gini_degree
+      FROM a""")),
+
+    // Truncated harmonic centrality (incoming distance ≤ 3) on the
+    // synthetic digraph — H(v) = Σᵤ 1/d(u,v), the centrality that
+    // stays well-defined on DISCONNECTED graphs where closeness
+    // diverges, truncated to the 3-hop horizon like q291's Katz (the
+    // difference: harmonic weights by exact hop DISTANCE, Katz by
+    // attenuated WALK counts — a node reached twice counts once
+    // here). Distance shells are set algebra on keyed joins:
+    // D₁ = predecessors, D₂ = preds(D₁) ∖ (D₁ ∪ self),
+    // D₃ = preds(D₂) ∖ (D₂ ∪ D₁ ∪ self) — left-anti joins, each
+    // shuffle keyed on the target node, the per-iteration shape that
+    // scales like the BFS/PageRank legs. H = |D₁| + |D₂|/2 + |D₃|/3
+    // is one fixed tree per node.
+    QueryDef("q312_harmonic", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val nodes = t(s, d, "documents")
+        .select((col("doc_id") % 389).as("x")).distinct()
+      val edges = nodes
+        .select(col("x").as("src"),
+          ((col("x") * col("x") + 1) % 389).as("dst"))
+        .unionByName(nodes.select(col("x").as("src"),
+          ((col("x") * 7 + 5) % 389).as("dst")))
+        .where(col("src") =!= col("dst")).distinct()
+      // distance-1 shell: direct predecessors of v
+      val d1 = edges.select(col("dst").as("v"), col("src").as("u"))
+        .distinct()
+      // distance-2: predecessors of the d1 shell, minus d1 and self
+      val d2 = d1.select(col("v"), col("u").as("mid"))
+        .join(edges.select(col("dst").as("mid"), col("src").as("u")),
+          Seq("mid"))
+        .select(col("v"), col("u")).distinct()
+        .where(col("u") =!= col("v"))
+        .join(d1, Seq("v", "u"), "left_anti")
+      val d3 = d2.select(col("v"), col("u").as("mid"))
+        .join(edges.select(col("dst").as("mid"), col("src").as("u")),
+          Seq("mid"))
+        .select(col("v"), col("u")).distinct()
+        .where(col("u") =!= col("v"))
+        .join(d1, Seq("v", "u"), "left_anti")
+        .join(d2, Seq("v", "u"), "left_anti")
+      def cnt(df: org.apache.spark.sql.DataFrame, out: String) =
+        df.groupBy(col("v")).agg(count(lit(1)).as(out))
+      nodes.select(col("x").as("v"))
+        .join(cnt(d1, "n1"), Seq("v"), "left")
+        .join(cnt(d2, "n2"), Seq("v"), "left")
+        .join(cnt(d3, "n3"), Seq("v"), "left")
+        .select(col("v").as("node"),
+          coalesce(col("n1"), lit(0L)).as("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"),
+          coalesce(col("n3"), lit(0L)).as("n3"))
+        .select(col("node"), col("n1"), col("n2"), col("n3"),
+          (dbl(col("n1")) + dbl(col("n2")) / lit(2.0)
+            + dbl(col("n3")) / lit(3.0)).as("harmonic"))
+    }, Some("""
+      WITH nodes0 AS (SELECT DISTINCT doc_id % 389 AS x FROM documents),
+      e AS (SELECT DISTINCT src, dst FROM (
+          SELECT x AS src, (x * x + 1) % 389 AS dst FROM nodes0
+          UNION ALL SELECT x, (x * 7 + 5) % 389 FROM nodes0)
+        WHERE src <> dst),
+      d1 AS (SELECT DISTINCT dst AS v, src AS u FROM e),
+      d2 AS (SELECT v, u FROM (
+          SELECT DISTINCT d1.v, e.src AS u
+          FROM d1 JOIN e ON d1.u = e.dst) p
+        WHERE u <> v AND NOT EXISTS (SELECT 1 FROM d1
+          WHERE d1.v = p.v AND d1.u = p.u)),
+      d3 AS (SELECT v, u FROM (
+          SELECT DISTINCT d2.v, e.src AS u
+          FROM d2 JOIN e ON d2.u = e.dst) p
+        WHERE u <> v AND NOT EXISTS (SELECT 1 FROM d1
+          WHERE d1.v = p.v AND d1.u = p.u)
+        AND NOT EXISTS (SELECT 1 FROM d2
+          WHERE d2.v = p.v AND d2.u = p.u)),
+      c1 AS (SELECT v, CAST(count(*) AS BIGINT) AS n1 FROM d1 GROUP BY 1),
+      c2 AS (SELECT v, CAST(count(*) AS BIGINT) AS n2 FROM d2 GROUP BY 1),
+      c3 AS (SELECT v, CAST(count(*) AS BIGINT) AS n3 FROM d3 GROUP BY 1)
+      SELECT x AS node,
+        CAST(coalesce(n1, 0) AS BIGINT) AS n1,
+        CAST(coalesce(n2, 0) AS BIGINT) AS n2,
+        CAST(coalesce(n3, 0) AS BIGINT) AS n3,
+        CAST(coalesce(n1, 0) AS DOUBLE)
+          + CAST(coalesce(n2, 0) AS DOUBLE) / 2.0
+          + CAST(coalesce(n3, 0) AS DOUBLE) / 3.0 AS harmonic
+      FROM nodes0
+      LEFT JOIN c1 ON nodes0.x = c1.v
+      LEFT JOIN c2 ON nodes0.x = c2.v
+      LEFT JOIN c3 ON nodes0.x = c3.v"""))
   )
 }
