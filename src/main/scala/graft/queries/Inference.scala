@@ -7734,6 +7734,260 @@ object Inference {
       FROM nodes0
       LEFT JOIN c1 ON nodes0.x = c1.v
       LEFT JOIN c2 ON nodes0.x = c2.v
-      LEFT JOIN c3 ON nodes0.x = c3.v"""))
+      LEFT JOIN c3 ON nodes0.x = c3.v""")),
+
+    // Directed association-rule quality — confidence, lift, leverage,
+    // conviction — for every frequent part pair (the q128 A-priori
+    // front end), emitted BOTH directions since conviction is
+    // asymmetric: "does a basket containing A commit it to B?" goes
+    // beyond q128's raw support exactly the way a recommender needs.
+    // Item and pair supports are exact BIGINT from the distinct
+    // basket-item table; the four metrics are fixed IEEE trees with
+    // the N² leverage denominator assembled in DOUBLE (q228 rule).
+    // A perfect rule (conf = 1) sends conviction to NaN explicitly
+    // rather than +Inf.
+    QueryDef("q313_rule_metrics", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val b = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")).distinct()
+      val nb = b.select(col("basket")).distinct()
+        .agg(count(lit(1)).as("n"))
+      val supp = b.groupBy("item").agg(count(lit(1)).as("s"))
+      val pairs = b.join(b.select(col("basket"),
+          col("item").as("item2")), Seq("basket"))
+        .where(col("item") < col("item2"))
+        .groupBy(col("item").as("ia"), col("item2").as("ib"))
+        .agg(count(lit(1)).as("sab"))
+        .where(col("sab") >= 3L)
+      val rules = pairs
+        .select(col("ia").as("ante"), col("ib").as("cons"), col("sab"))
+        .unionByName(pairs.select(col("ib").as("ante"),
+          col("ia").as("cons"), col("sab")))
+      rules
+        .join(broadcast(supp.select(col("item").as("ante"),
+          col("s").as("sa"))), Seq("ante"))
+        .join(broadcast(supp.select(col("item").as("cons"),
+          col("s").as("sc"))), Seq("cons"))
+        .crossJoin(broadcast(nb))
+        .select(col("ante"), col("cons"), col("sab"),
+          (dbl(col("sab")) / dbl(col("sa"))).as("conf"),
+          (dbl(col("n") * col("sab"))
+            / dbl(col("sa") * col("sc"))).as("lift"),
+          (dbl(col("sab")) / dbl(col("n"))
+            - dbl(col("sa")) * dbl(col("sc"))
+              / (dbl(col("n")) * dbl(col("n")))).as("leverage"),
+          when(col("sab") =!= col("sa"),
+            (lit(1.0) - dbl(col("sc")) / dbl(col("n")))
+              / (lit(1.0) - dbl(col("sab")) / dbl(col("sa"))))
+            .otherwise(lit(Double.NaN)).as("conviction"))
+    }, Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS basket,
+          l_partkey AS item FROM lineitem),
+      nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM b),
+      supp AS (SELECT item, CAST(count(*) AS BIGINT) AS s
+        FROM b GROUP BY 1),
+      pairs AS (SELECT a.item AS ia, bb.item AS ib,
+          CAST(count(*) AS BIGINT) AS sab
+        FROM b a JOIN b bb
+          ON a.basket = bb.basket AND a.item < bb.item
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      rules AS (SELECT ia AS ante, ib AS cons, sab FROM pairs
+        UNION ALL SELECT ib, ia, sab FROM pairs)
+      SELECT ante, cons, sab,
+        CAST(sab AS DOUBLE) / CAST(sa.s AS DOUBLE) AS conf,
+        CAST(n * sab AS DOUBLE)
+          / CAST(sa.s * sc.s AS DOUBLE) AS lift,
+        CAST(sab AS DOUBLE) / CAST(n AS DOUBLE)
+          - CAST(sa.s AS DOUBLE) * CAST(sc.s AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS leverage,
+        CASE WHEN sab <> sa.s
+          THEN (1.0 - CAST(sc.s AS DOUBLE) / CAST(n AS DOUBLE))
+            / (1.0 - CAST(sab AS DOUBLE) / CAST(sa.s AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS conviction
+      FROM rules
+      JOIN supp sa ON rules.ante = sa.item
+      JOIN supp sc ON rules.cons = sc.item
+      CROSS JOIN nb""")),
+
+    // Quade test — the block-weighted rank ANOVA over the
+    // nation × priority order-count design: like q264's Friedman it
+    // asks "do priorities rank consistently across nations?", but
+    // Quade WEIGHTS each nation-block by the rank of its range, so
+    // high-signal markets dominate — the more powerful choice at
+    // small k. Everything is integer to the last step: the
+    // nation-anchored 25×5 grid (absent cells are true zero counts),
+    // doubled within-block midranks from a block-local ≤5×5 cell
+    // self-join, doubled block-range ranks from the PrefixSum CDF,
+    // and the scaled scores S' = Q₂(r₂−(k+1)) whose common factor
+    // cancels in F = (n−1)·ΣS'ⱼ² / (n·ΣS'ᵢⱼ² − ΣS'ⱼ²) — ONE double
+    // division. A zero denominator (all blocks tie) guards NaN.
+    QueryDef("q314_quade", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val counts = t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey").as("nk"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("nk"),
+          substring(col("o_orderpriority"), 1, 1).cast("int").as("g"))
+        .agg(count(lit(1)).as("x0"))
+      val grid = t(s, d, "customer")
+        .select(col("c_nationkey").as("nk")).distinct()
+        .crossJoin(broadcast(t(s, d, "region")
+          .select((col("r_regionkey") + 1).cast("int").as("g"))))
+        .join(counts, Seq("nk", "g"), "left")
+        .select(col("nk"), col("g"),
+          coalesce(col("x0"), lit(0L)).as("x"))
+      val r2 = grid
+        .join(grid.select(col("nk"), col("x").as("xb")), Seq("nk"))
+        .groupBy("nk", "g", "x")
+        .agg((lit(2L) * sum(when(col("xb") < col("x"), 1L)
+            .otherwise(0L))
+          + sum(when(col("xb") === col("x"), 1L).otherwise(0L))
+          + 1L).as("r2"))
+      val rng = grid.groupBy("nk")
+        .agg((max(col("x")) - min(col("x"))).as("rng"))
+      val rcells = rng.groupBy(col("rng").as("rv"))
+        .agg(count(lit(1)).as("m"))
+      val q2 = graft.operators.PrefixSum
+        .withRunningTotals(rcells, "rv", Seq("m"))
+        .select(col("rv").as("rng"),
+          (lit(2L) * (col("m_cum") - col("m")) + col("m") + 1L)
+            .as("q2"))
+      val sp = r2.join(rng, Seq("nk")).join(broadcast(q2), Seq("rng"))
+        .select(col("nk"), col("g"),
+          (col("q2") * (col("r2") - 6L)).as("sp"))
+      val a4 = sp.agg(
+        count(lit(1)).as("cells"),
+        coalesce(sum(col("sp") * col("sp")), lit(0L)).as("a4"))
+      val b4 = sp.groupBy("g")
+        .agg(coalesce(sum(col("sp")), lit(0L)).as("sj"))
+        .agg(coalesce(sum(col("sj") * col("sj")), lit(0L)).as("b4"))
+      val n = rng.agg(count(lit(1)).as("n_blocks"))
+      a4.crossJoin(broadcast(b4)).crossJoin(broadcast(n))
+        .select(col("n_blocks"), lit(5L).as("k"), col("a4"), col("b4"),
+          when(col("n_blocks") * col("a4") - col("b4") > 0,
+            dbl((col("n_blocks") - 1L) * col("b4"))
+              / dbl(col("n_blocks") * col("a4") - col("b4")))
+            .otherwise(lit(Double.NaN)).as("f_quade"))
+    }, Some("""
+      WITH counts AS (SELECT c.c_nationkey AS nk,
+          CAST(substring(o_orderpriority, 1, 1) AS INT) AS g,
+          CAST(count(*) AS BIGINT) AS x0
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+      grid AS (SELECT nk, g, CAST(coalesce(x0, 0) AS BIGINT) AS x
+        FROM (SELECT DISTINCT c_nationkey AS nk FROM customer)
+        CROSS JOIN (SELECT CAST(r_regionkey + 1 AS INT) AS g
+          FROM region)
+        LEFT JOIN counts USING (nk, g)),
+      r2 AS (SELECT a.nk, a.g, a.x,
+          2 * CAST(sum(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+            AS BIGINT)
+          + CAST(sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END)
+            AS BIGINT) + 1 AS r2
+        FROM grid a JOIN grid b ON a.nk = b.nk
+        GROUP BY 1, 2, 3),
+      rng AS (SELECT nk, CAST(max(x) - min(x) AS BIGINT) AS rng
+        FROM grid GROUP BY 1),
+      rcells AS (SELECT rng AS rv, CAST(count(*) AS BIGINT) AS m
+        FROM rng GROUP BY 1),
+      q2 AS (SELECT rv AS rng,
+          2 * (CAST(sum(m) OVER (ORDER BY rv
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) - m) + m + 1 AS q2
+        FROM rcells),
+      sp AS (SELECT r2.nk, r2.g, q2.q2 * (r2.r2 - 6) AS sp
+        FROM r2 JOIN rng ON r2.nk = rng.nk
+        JOIN q2 ON rng.rng = q2.rng),
+      a4 AS (SELECT CAST(count(*) AS BIGINT) AS cells,
+          CAST(coalesce(sum(sp * sp), 0) AS BIGINT) AS a4 FROM sp),
+      b4 AS (SELECT CAST(coalesce(sum(sj * sj), 0) AS BIGINT) AS b4
+        FROM (SELECT g, CAST(coalesce(sum(sp), 0) AS BIGINT) AS sj
+          FROM sp GROUP BY 1)),
+      nb AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks FROM rng)
+      SELECT n_blocks, CAST(5 AS BIGINT) AS k, a4, b4,
+        CASE WHEN n_blocks * a4 - b4 > 0
+          THEN CAST((n_blocks - 1) * b4 AS DOUBLE)
+            / CAST(n_blocks * a4 - b4 AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS f_quade
+      FROM a4, b4, nb""")),
+
+    // Dunn's post-hoc test — all pairwise mean-rank comparisons
+    // between the five event-type value populations, the step AFTER
+    // q220's Kruskal-Wallis rejects: "WHICH groups differ?" Uses the
+    // identical global doubled-midrank machinery (PrefixSum CDF over
+    // value cells, per-group BIGINT rank sums r2, tie term Σ(t³−t)),
+    // so z_ij = (r2ᵢ/2nᵢ − r2ⱼ/2nⱼ) /
+    // √((N(N+1)/12 − TT/(12(N−1)))·(1/nᵢ+1/nⱼ)) shares every exact
+    // input with the omnibus test; the ≤k² pair frame is a broadcast
+    // self-join on the k-row group table. Degenerate variance
+    // guards NaN.
+    QueryDef("q315_dunn", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val etv = t(s, d, "events")
+        .groupBy(col("value").as("v"), col("event_type").as("et"))
+        .agg(count(lit(1)).as("c"))
+      val tv = etv.groupBy("v").agg(sum("c").as("t"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(tv, "v", Seq("t"))
+        .select(col("v"), col("t"), col("t_cum"))
+      val mid2 = lit(2L) * (col("t_cum") - col("t")) + col("t") + lit(1L)
+      val rj = etv.join(cum, Seq("v"))
+        .groupBy("et")
+        .agg(sum(col("c") * mid2).as("r2"), sum("c").as("nj"))
+      val tot = tv.agg(sum(col("t")).as("n"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
+      val prs = rj.select(col("et").as("g1"), col("r2").as("ra"),
+          col("nj").as("na"))
+        .crossJoin(broadcast(rj.select(col("et").as("g2"),
+          col("r2").as("rb"), col("nj").as("nb"))))
+        .where(col("g1") < col("g2"))
+      prs.crossJoin(broadcast(tot))
+        .withColumn("varf",
+          (dbl(col("n") * (col("n") + 1L)) / lit(12.0)
+            - dbl(col("tt"))
+              / (lit(12.0) * dbl(col("n") - 1L)))
+            * (lit(1.0) / dbl(col("na")) + lit(1.0) / dbl(col("nb"))))
+        .select(col("g1"), col("g2"),
+          (dbl(col("ra")) / (lit(2.0) * dbl(col("na")))).as("mr1"),
+          (dbl(col("rb")) / (lit(2.0) * dbl(col("nb")))).as("mr2"),
+          when(col("varf") > 0.0,
+            (dbl(col("ra")) / (lit(2.0) * dbl(col("na")))
+              - dbl(col("rb")) / (lit(2.0) * dbl(col("nb"))))
+              / sqrt(col("varf")))
+            .otherwise(lit(Double.NaN)).as("z_dunn"))
+    }, Some("""
+      WITH etv AS (SELECT value AS v, event_type AS et,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      tv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t
+        FROM etv GROUP BY 1),
+      cum AS (SELECT v, t, CAST(sum(t) OVER (ORDER BY v
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS t_cum FROM tv),
+      rj AS (SELECT et,
+          CAST(sum(c * (2 * (t_cum - t) + t + 1)) AS BIGINT) AS r2,
+          CAST(sum(c) AS BIGINT) AS nj
+        FROM etv JOIN cum USING (v) GROUP BY 1),
+      tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+          CAST(sum(t * t * t - t) AS BIGINT) AS tt FROM tv),
+      prs AS (SELECT a.et AS g1, a.r2 AS ra, a.nj AS na,
+          b.et AS g2, b.r2 AS rb, b.nj AS nb
+        FROM rj a CROSS JOIN rj b WHERE a.et < b.et),
+      vf AS (SELECT *,
+          (CAST(n * (n + 1) AS DOUBLE) / 12.0
+            - CAST(tt AS DOUBLE) / (12.0 * CAST(n - 1 AS DOUBLE)))
+          * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))
+            AS varf
+        FROM prs, tot)
+      SELECT g1, g2,
+        CAST(ra AS DOUBLE) / (2.0 * CAST(na AS DOUBLE)) AS mr1,
+        CAST(rb AS DOUBLE) / (2.0 * CAST(nb AS DOUBLE)) AS mr2,
+        CASE WHEN varf > 0.0
+          THEN (CAST(ra AS DOUBLE) / (2.0 * CAST(na AS DOUBLE))
+            - CAST(rb AS DOUBLE) / (2.0 * CAST(nb AS DOUBLE)))
+            / sqrt(varf)
+          ELSE CAST('nan' AS DOUBLE) END AS z_dunn
+      FROM vf"""))
   )
 }
