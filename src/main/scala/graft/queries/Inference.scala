@@ -7988,6 +7988,257 @@ object Inference {
             - CAST(rb AS DOUBLE) / (2.0 * CAST(nb AS DOUBLE)))
             / sqrt(varf)
           ELSE CAST('nan' AS DOUBLE) END AS z_dunn
-      FROM vf"""))
+      FROM vf""")),
+
+    // Blomqvist's β (medial correlation) between a customer's order
+    // COUNT and their biggest single order — the quadrant statistic:
+    // "do the two activity dimensions co-exceed their medians?" It
+    // is the maximally robust correlation (only medians and signs),
+    // reading the same pairing as q287's weighted κ through a 2×2
+    // lens. Both medians are exact type-1 order statistics from the
+    // PrefixSum CDF; exactly-median units drop (the classical
+    // treatment); β = ((n₁₁+n₂₂)−(n₁₂+n₂₁))/n and its normal
+    // z = β√n are one IEEE tree from four BIGINT quadrant counts.
+    // An empty off-median population guards NaN.
+    QueryDef("q316_blomqvist", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val per = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"), max(col("o_totalprice")).as("mx"))
+      def medianOf(vc: String) = {
+        val cells = per.groupBy(col(vc).as("v"))
+          .agg(count(lit(1)).as("c"))
+        val nn = cells.agg(coalesce(sum(col("c")), lit(0L)).as("nn"))
+          .select(col("nn"), expr("(nn + 1) DIV 2").as("rk"))
+        graft.operators.PrefixSum.withRunningTotals(cells, "v", Seq("c"))
+          .crossJoin(broadcast(nn))
+          .where(col("rk") > col("c_cum") - col("c")
+            && col("rk") <= col("c_cum"))
+          .select(col("v").as(s"med_$vc"))
+      }
+      per.crossJoin(broadcast(medianOf("cnt")))
+        .crossJoin(broadcast(medianOf("mx")))
+        .where(col("cnt") =!= col("med_cnt")
+          && col("mx") =!= col("med_mx"))
+        .agg(
+          coalesce(sum(when(col("cnt") > col("med_cnt")
+              === (col("mx") > col("med_mx")), 1L).otherwise(0L)),
+            lit(0L)).as("agree"),
+          count(lit(1)).as("n_used"))
+        .select(col("n_used"), col("agree"),
+          when(col("n_used") > 0,
+            (dbl(lit(2L) * col("agree") - col("n_used")))
+              / dbl(col("n_used")))
+            .otherwise(lit(Double.NaN)).as("beta_b"),
+          when(col("n_used") > 0,
+            (dbl(lit(2L) * col("agree") - col("n_used")))
+              / dbl(col("n_used")) * sqrt(dbl(col("n_used"))))
+            .otherwise(lit(Double.NaN)).as("z_blomqvist"))
+    }, Some("""
+      WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+          max(o_totalprice) AS mx
+        FROM orders GROUP BY 1),
+      cc AS (SELECT cnt AS v, CAST(count(*) AS BIGINT) AS c
+        FROM per GROUP BY 1),
+      ccum AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS c_cum FROM cc),
+      cnn AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS nn,
+          (coalesce(sum(c), 0) + 1) // 2 AS rk FROM cc),
+      medc AS (SELECT v AS med_cnt FROM ccum, cnn
+        WHERE rk > c_cum - c AND rk <= c_cum),
+      mc AS (SELECT mx AS v, CAST(count(*) AS BIGINT) AS c
+        FROM per GROUP BY 1),
+      mcum AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS c_cum FROM mc),
+      mnn AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS nn,
+          (coalesce(sum(c), 0) + 1) // 2 AS rk FROM mc),
+      medm AS (SELECT v AS med_mx FROM mcum, mnn
+        WHERE rk > c_cum - c AND rk <= c_cum),
+      a AS (SELECT
+          CAST(coalesce(sum(CASE WHEN (cnt > med_cnt) = (mx > med_mx)
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS agree,
+          CAST(count(*) AS BIGINT) AS n_used
+        FROM per, medc, medm
+        WHERE cnt <> med_cnt AND mx <> med_mx)
+      SELECT n_used, agree,
+        CASE WHEN n_used > 0
+          THEN CAST(2 * agree - n_used AS DOUBLE)
+            / CAST(n_used AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS beta_b,
+        CASE WHEN n_used > 0
+          THEN CAST(2 * agree - n_used AS DOUBLE)
+            / CAST(n_used AS DOUBLE) * sqrt(CAST(n_used AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS z_blomqvist
+      FROM a""")),
+
+    // Hodges–Lehmann estimator of the returned-vs-refused quantity
+    // shift — the median of ALL n₁·n₂ pairwise differences, the
+    // robust effect-SIZE companion to q296's Cliff δ (that one says
+    // "who dominates"; this says "by how many units"). The ≤50-value
+    // domain collapses the Θ(n₁n₂) pair set into a ≤99-cell
+    // difference distribution (one value-cell theta join, weights
+    // a·b exact BIGINT); the lower median of that weighted
+    // distribution is a type-1 order statistic from the PrefixSum
+    // CDF at rank (n₁n₂+1) DIV 2 — EXACT integer output, no
+    // floating point anywhere. Empty groups emit no row (the
+    // defined-on-data contract).
+    QueryDef("q317_hodges_lehmann", (s, d) => {
+      val q = t(s, d, "lineitem")
+        .where(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("v"))
+      val ca = q.where(col("g") === "A").groupBy("v")
+        .agg(count(lit(1)).as("a"))
+      val cr = q.where(col("g") === "R")
+        .groupBy(col("v").as("v2")).agg(count(lit(1)).as("b"))
+      val dcells = ca.crossJoin(broadcast(cr))
+        .groupBy((col("v") - col("v2")).as("dv"))
+        .agg(coalesce(sum(col("a") * col("b")), lit(0L)).as("w"))
+      val tot = dcells.agg(coalesce(sum(col("w")), lit(0L)).as("tw"))
+        .select(col("tw"), expr("(tw + 1) DIV 2").as("rk"))
+      graft.operators.PrefixSum.withRunningTotals(dcells, "dv", Seq("w"))
+        .crossJoin(broadcast(tot))
+        .where(col("rk") > col("w_cum") - col("w")
+          && col("rk") <= col("w_cum"))
+        .select(col("tw").as("n_pairs"), col("dv").as("hl_shift"))
+    }, Some("""
+      WITH ca AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+          CAST(count(*) AS BIGINT) AS a
+        FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+      cr AS (SELECT CAST(l_quantity AS BIGINT) AS v2,
+          CAST(count(*) AS BIGINT) AS b
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+      dcells AS (SELECT v - v2 AS dv,
+          CAST(coalesce(sum(a * b), 0) AS BIGINT) AS w
+        FROM ca CROSS JOIN cr GROUP BY 1),
+      cum AS (SELECT dv, w, CAST(sum(w) OVER (ORDER BY dv
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS w_cum FROM dcells),
+      tot AS (SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS tw,
+          (coalesce(sum(w), 0) + 1) // 2 AS rk FROM dcells)
+      SELECT tw AS n_pairs, dv AS hl_shift
+      FROM cum, tot WHERE rk > w_cum - w AND rk <= w_cum""")),
+
+    // Ansari–Bradley dispersion test: are returned (A) and refused
+    // (R) quantities equally SPREAD around their common center? The
+    // rank test q214/q296 can't ask — its scores run 1,2,…,⌈N/2⌉,…,
+    // 2,1 from both ends, so compressed distributions score high.
+    // Tie-exact on value cells: a cell occupying sorted positions
+    // (lo..hi) has score sum S_v = Σ min(i, N+1−i), two closed-form
+    // arithmetic series split at m = (N+1) DIV 2 — pure BIGINT; the
+    // per-item tie-average S_v/t_v and the sampling-without-
+    // replacement moments (E = n₁ΣS/N,
+    // Var = n₁n₂/(N(N−1))·(Σ S_v²/t_v − (ΣS)²/N)) are v-sorted
+    // folds of per-cell doubles (S_v² would overflow BIGINT at web
+    // scale — the q228 rule). Degenerate variance guards z to NaN.
+    QueryDef("q318_ansari_bradley", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val q = t(s, d, "lineitem")
+        .where(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("v"))
+      val cells = q.groupBy("v")
+        .agg(count(lit(1)).as("t"),
+          coalesce(sum(when(col("g") === "A", 1L).otherwise(0L)),
+            lit(0L)).as("a"))
+      val nn = cells.agg(coalesce(sum(col("t")), lit(0L)).as("n"),
+        coalesce(sum(col("a")), lit(0L)).as("n1"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(cells, "v", Seq("t"))
+        .crossJoin(broadcast(nn))
+      // score sum over positions lo..hi: Σ i for i ≤ m plus
+      // Σ (N+1−i) for i > m, m = (N+1) DIV 2; tri(x,y) = Σ_{x..y} i
+      val scored = cum
+        .withColumn("lo", col("t_cum") - col("t") + 1L)
+        .withColumn("hi", col("t_cum"))
+        .withColumn("m", expr("(n + 1) DIV 2"))
+        .withColumn("b1", least(col("hi"), col("m")))
+        .withColumn("a2", greatest(col("lo"), col("m") + 1L))
+        .withColumn("s_v",
+          when(col("b1") >= col("lo"),
+            expr("(b1 * (b1 + 1) - (lo - 1) * lo) DIV 2"))
+            .otherwise(lit(0L))
+          + when(col("hi") >= col("a2"),
+            (col("n") + 1L) * (col("hi") - col("a2") + 1L)
+              - expr("(hi * (hi + 1) - (a2 - 1) * a2) DIV 2"))
+            .otherwise(lit(0L)))
+      scored
+        .select(col("n"), col("n1"),
+          struct(col("v"), col("a"), col("t"), col("s_v")).as("cell"))
+        .groupBy("n", "n1")
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(col("n"), col("n1"),
+          aggregate(col("cs"), lit(0L),
+            (acc, c) => acc + c.getField("s_v")).as("ss"),
+          aggregate(col("cs"), lit(0.0),
+            (acc, c) => acc + dbl(c.getField("a") * c.getField("s_v"))
+              / dbl(c.getField("t"))).as("ab"),
+          aggregate(col("cs"), lit(0.0),
+            (acc, c) => acc + dbl(c.getField("s_v"))
+              * dbl(c.getField("s_v")) / dbl(c.getField("t")))
+            .as("ss2"))
+        .select(col("n1"), (col("n") - col("n1")).as("n2"), col("ab"),
+          when(col("n") > 1 && col("n1") > 0 && col("n") > col("n1")
+              && (col("ss2") - dbl(col("ss")) * dbl(col("ss"))
+                / dbl(col("n"))) > 0.0,
+            (col("ab") - dbl(col("n1")) * dbl(col("ss")) / dbl(col("n")))
+              / sqrt(dbl(col("n1")) * dbl(col("n") - col("n1"))
+                / (dbl(col("n")) * dbl(col("n") - 1L))
+                * (col("ss2") - dbl(col("ss")) * dbl(col("ss"))
+                  / dbl(col("n")))))
+            .otherwise(lit(Double.NaN)).as("z_ab"))
+    }, Some("""
+      WITH q AS (SELECT l_returnflag AS g,
+          CAST(l_quantity AS BIGINT) AS v
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      cells AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+          CAST(coalesce(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS a
+        FROM q GROUP BY 1),
+      nn AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+          CAST(coalesce(sum(a), 0) AS BIGINT) AS n1 FROM cells),
+      cum AS (SELECT v, t, a, CAST(sum(t) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS t_cum FROM cells),
+      scored AS (SELECT v, t, a, n, n1,
+          t_cum - t + 1 AS lo, t_cum AS hi, (n + 1) // 2 AS m
+        FROM cum, nn),
+      s2 AS (SELECT *, least(hi, m) AS b1,
+          greatest(lo, m + 1) AS a2 FROM scored),
+      s3 AS (SELECT v, t, a, n, n1,
+          (CASE WHEN b1 >= lo
+            THEN (b1 * (b1 + 1) - (lo - 1) * lo) // 2 ELSE 0 END)
+          + (CASE WHEN hi >= a2
+            THEN (n + 1) * (hi - a2 + 1)
+              - (hi * (hi + 1) - (a2 - 1) * a2) // 2 ELSE 0 END)
+            AS s_v
+        FROM s2),
+      l AS (SELECT n, n1, list_sort(list(struct_pack(v := v, a := a,
+          t := t, s_v := s_v))) AS cs
+        FROM s3 GROUP BY 1, 2),
+      agg AS (SELECT n, n1,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> c.s_v)), (x, y) -> x + y) AS ss,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> CAST(c.a * c.s_v AS DOUBLE)
+            / CAST(c.t AS DOUBLE))), (x, y) -> x + y) AS ab,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> CAST(c.s_v AS DOUBLE)
+            * CAST(c.s_v AS DOUBLE) / CAST(c.t AS DOUBLE))),
+          (x, y) -> x + y) AS ss2
+        FROM l)
+      SELECT n1, n - n1 AS n2, ab,
+        CASE WHEN n > 1 AND n1 > 0 AND n > n1
+            AND ss2 - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+              / CAST(n AS DOUBLE) > 0.0
+          THEN (ab - CAST(n1 AS DOUBLE) * CAST(ss AS DOUBLE)
+              / CAST(n AS DOUBLE))
+            / sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+              * (ss2 - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                / CAST(n AS DOUBLE)))
+          ELSE CAST('nan' AS DOUBLE) END AS z_ab
+      FROM agg"""))
   )
 }
