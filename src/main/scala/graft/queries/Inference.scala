@@ -8239,6 +8239,229 @@ object Inference {
               * (ss2 - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
                 / CAST(n AS DOUBLE)))
           ELSE CAST('nan' AS DOUBLE) END AS z_ab
-      FROM agg"""))
+      FROM agg""")),
+
+    // Page–Hinkley drift statistics on the daily event-count series —
+    // the sequential-monitoring companion to q298's Pettitt (that one
+    // asks retrospectively WHEN; PH is the running max-excursion a
+    // live monitor thresholds). Mean-centered WITHOUT a floating
+    // mean: Mₜ = Σᵢ≤ₜ(n·cᵢ − S) = n·cumₜ − t·S is exact BIGINT, the
+    // running min/max over the ≤day-count frame stay integer, and
+    // the two one-sided excursions max(Mₜ − min Mᵢ) (level-up) and
+    // max(max Mᵢ − Mₜ) (level-down) divide by n only at the end —
+    // two double divisions total. n = 0 guards NaN.
+    QueryDef("q319_page_hinkley", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val tot = daily.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("c")), lit(0L)).as("s_tot"))
+      val w = Window.orderBy("day")
+      daily.crossJoin(broadcast(tot))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("m",
+          sum(col("c")).over(w) * col("n") - col("i") * col("s_tot"))
+        .withColumn("runmin",
+          min(col("m")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("runmax",
+          max(col("m")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .agg(max(col("n")).as("n"),
+          coalesce(max(col("m") - col("runmin")), lit(0L)).as("m_inc"),
+          coalesce(max(col("runmax") - col("m")), lit(0L)).as("m_dec"))
+        .select(col("n").as("n_days"), col("m_inc"), col("m_dec"),
+          when(col("n") > 0, dbl(col("m_inc")) / dbl(col("n")))
+            .otherwise(lit(Double.NaN)).as("ph_inc"),
+          when(col("n") > 0, dbl(col("m_dec")) / dbl(col("n")))
+            .otherwise(lit(Double.NaN)).as("ph_dec"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(c), 0) AS BIGINT) AS s_tot FROM daily),
+      seq AS (SELECT day, c, n, s_tot,
+          CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+          CAST(sum(c) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum
+        FROM daily, tot),
+      m AS (SELECT day, n, cum * n - i * s_tot AS m FROM seq),
+      r AS (SELECT day, n, m,
+          min(m) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin,
+          max(m) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+        FROM m),
+      a AS (SELECT CAST(max(n) AS BIGINT) AS n,
+          CAST(coalesce(max(m - runmin), 0) AS BIGINT) AS m_inc,
+          CAST(coalesce(max(runmax - m), 0) AS BIGINT) AS m_dec
+        FROM r)
+      SELECT n AS n_days, m_inc, m_dec,
+        CASE WHEN n > 0 THEN CAST(m_inc AS DOUBLE) / CAST(n AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS ph_inc,
+        CASE WHEN n > 0 THEN CAST(m_dec AS DOUBLE) / CAST(n AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS ph_dec
+      FROM a""")),
+
+    // Shannon entropy and Pielou evenness of each source's language
+    // mix — the information-theoretic siblings of q302's Simpson
+    // trio (Simpson weights dominance quadratically; Shannon weights
+    // all abundances, and Pielou's J = H/ln k normalizes to "what
+    // fraction of the maximum possible diversity does this source
+    // achieve?"). H = ln N − (Σ n·ln n)/N keeps every portable_ln
+    // argument an INTEGER count; the per-source fold runs
+    // lang-sorted over ≤|langs| cells (q138). Monolingual sources
+    // (k = 1) guard J to NaN.
+    QueryDef("q320_evenness", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def dbl(c: Column) = c.cast("double")
+      def pln(c: Column) = call_function("portable_ln", c.cast("double"))
+      t(s, d, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(sort_array(collect_list(struct(col("lang"), col("n"))))
+          .as("cs"))
+        .select(col("source"),
+          aggregate(col("cs"), lit(0L),
+            (a, c) => a + c.getField("n")).as("n_docs"),
+          size(col("cs")).cast("long").as("k_langs"),
+          col("cs"))
+        .withColumn("shannon_h",
+          when(col("n_docs") > 0,
+            pln(col("n_docs"))
+              - aggregate(col("cs"), lit(0.0), (a, c) =>
+                a + dbl(c.getField("n")) * pln(c.getField("n")))
+                / dbl(col("n_docs")))
+            .otherwise(lit(Double.NaN)))
+        .select(col("source"), col("n_docs"), col("k_langs"),
+          col("shannon_h"),
+          when(col("k_langs") > 1,
+            col("shannon_h") / pln(col("k_langs")))
+            .otherwise(lit(Double.NaN)).as("pielou_j"))
+    }, Some("""
+      WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+      l AS (SELECT source, list_sort(list(struct_pack(lang := lang,
+          n := n))) AS cs FROM cells GROUP BY 1),
+      a AS (SELECT source, cs,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> c.n)), (x, y) -> x + y) AS n_docs,
+        CAST(len(cs) AS BIGINT) AS k_langs
+        FROM l),
+      h AS (SELECT source, n_docs, k_langs,
+        CASE WHEN n_docs > 0
+          THEN ln(CAST(n_docs AS DOUBLE))
+            - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(cs, c -> CAST(c.n AS DOUBLE)
+                * ln(CAST(c.n AS DOUBLE)))), (x, y) -> x + y)
+            / CAST(n_docs AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS shannon_h
+        FROM a)
+      SELECT source, n_docs, k_langs, shannon_h,
+        CASE WHEN k_langs > 1
+          THEN shannon_h / ln(CAST(k_langs AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS pielou_j
+      FROM h""")),
+
+    // Gehan–Breslow–Wilcoxon test — q256's log-rank with each death
+    // time weighted by the total at-risk count nₜ, which shifts the
+    // power toward EARLY differences (churn that hits in week one)
+    // where log-rank weights all times equally. The weighting makes
+    // the numerator EXACT: each term nₜ·d₁ₜ − dₜ·n₁ₜ is BIGINT, so
+    // U = Σ(nₜd₁ₜ − dₜn₁ₜ) carries no rounding at all, and only the
+    // variance Σ dₜ·n₁ₜ·n₀ₜ·(nₜ−dₜ)/(nₜ−1) folds per-term doubles
+    // (nₜ = 1 guarded to 0, the q254 ANSI lesson). Same md5-split
+    // arms and cell machinery as q256; χ² = U²/V, V = 0 NaN.
+    QueryDef("q321_gehan", (s, d) => {
+      import graft.functions.TextFunctions
+      def dbl(c: Column) = c.cast("double")
+      val per = t(s, d, "events")
+        .groupBy("user_id")
+        .agg((datediff(max(col("ts")).cast("date"),
+            min(col("ts")).cast("date")) + 1).cast("long").as("t"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("last_type"))
+        .select(col("user_id"), col("t"),
+          when(col("last_type") === "error", 1L).otherwise(0L)
+            .as("died"))
+        .withColumn("g", TextFunctions.hashBucket(col("user_id"), 2))
+      val cells = per.groupBy("g", "t")
+        .agg(sum("died").as("d"), count(lit(1)).as("n"))
+      val deaths = cells.groupBy(col("t").as("dtt"))
+        .agg(sum("d").as("dt")).where(col("dt") > 0)
+      val j = deaths.join(cells, cells("t") >= deaths("dtt"))
+        .groupBy("dtt", "dt")
+        .agg(sum(when(col("g") === 1, col("n")).otherwise(0L)).as("n1"),
+          sum(when(col("g") === 0, col("n")).otherwise(0L)).as("n0"),
+          sum(when(col("g") === 1 && col("t") === col("dtt"), col("d"))
+            .otherwise(0L)).as("d1"))
+      j.agg(
+          coalesce(sum((col("n1") + col("n0")) * col("d1")
+            - col("dt") * col("n1")), lit(0L)).as("u"),
+          sort_array(collect_list(struct(col("dtt"), col("dt"),
+            col("n1"), col("n0")))).as("xs"))
+        .select(col("u"),
+          aggregate(col("xs"), lit(0.0), (acc, x) => {
+            val nt = (x.getField("n1") + x.getField("n0")).cast("double")
+            acc + when(nt > 1.0,
+              x.getField("dt").cast("double")
+                * x.getField("n1").cast("double")
+                * x.getField("n0").cast("double")
+                * ((nt - x.getField("dt").cast("double")) / (nt - 1.0)))
+              .otherwise(lit(0.0))
+          }).as("v"))
+        .select(col("u"), col("v"),
+          when(col("v") > 0.0,
+            dbl(col("u")) * dbl(col("u")) / col("v"))
+            .otherwise(lit(Double.NaN)).as("chi2_gehan"))
+    }, Some("""
+      WITH l AS (SELECT user_id, event_type, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      dd AS (SELECT user_id,
+          CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS died
+        FROM l WHERE rn = 1),
+      span AS (SELECT user_id, CAST(date_diff('day',
+            CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1 AS BIGINT)
+            AS t
+        FROM events GROUP BY 1),
+      per AS (SELECT s.user_id, s.t, dd.died,
+          CAST('0x' || substr(md5(CAST(s.user_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 2 AS g
+        FROM span s JOIN dd USING (user_id)),
+      cells AS (SELECT g, t, CAST(sum(died) AS BIGINT) AS d,
+          CAST(count(*) AS BIGINT) AS n
+        FROM per GROUP BY 1, 2),
+      deaths AS (SELECT t AS dtt, CAST(sum(d) AS BIGINT) AS dt
+        FROM cells GROUP BY 1 HAVING sum(d) > 0),
+      j AS (SELECT dtt, dt,
+          CAST(sum(CASE WHEN g = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN g = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN g = 1 AND c.t = dtt THEN d ELSE 0 END)
+            AS BIGINT) AS d1
+        FROM deaths JOIN cells c ON c.t >= dtt GROUP BY 1, 2),
+      f AS (SELECT
+          CAST(coalesce(sum((n1 + n0) * d1 - dt * n1), 0) AS BIGINT)
+            AS u,
+          list_sort(list(struct_pack(dtt := dtt, dt := dt,
+            n1 := n1, n0 := n0))) AS xs
+        FROM j),
+      vv AS (SELECT u,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(xs, x -> CASE
+            WHEN CAST(x.n1 + x.n0 AS DOUBLE) > 1.0
+            THEN CAST(x.dt AS DOUBLE) * CAST(x.n1 AS DOUBLE)
+              * CAST(x.n0 AS DOUBLE)
+              * ((CAST(x.n1 + x.n0 AS DOUBLE) - CAST(x.dt AS DOUBLE))
+                / (CAST(x.n1 + x.n0 AS DOUBLE) - 1.0))
+            ELSE 0.0 END)), (a, b) -> a + b) AS v
+        FROM f)
+      SELECT u, v,
+        CASE WHEN v > 0.0
+          THEN CAST(u AS DOUBLE) * CAST(u AS DOUBLE) / v
+          ELSE CAST('nan' AS DOUBLE) END AS chi2_gehan
+      FROM vv"""))
   )
 }
