@@ -8462,6 +8462,346 @@ object Inference {
         CASE WHEN v > 0.0
           THEN CAST(u AS DOUBLE) * CAST(u AS DOUBLE) / v
           ELSE CAST('nan' AS DOUBLE) END AS chi2_gehan
-      FROM vv"""))
+      FROM vv""")),
+
+    // Goodman–Kruskal τ in both directions over the event-type ×
+    // day-quarter table — the proportional-reduction-in-VARIANCE
+    // association (Gini-based), the quantitative sibling of q273's
+    // λ (which only counts modal hits and often degenerates to 0 on
+    // flat tables; τ almost never does). Closed form on the ≤|X||Y|
+    // cells: τ_{Y|X} = (N·Σᵢⱼnᵢⱼ²/nᵢ· − Σⱼn·ⱼ²)/(N² − Σⱼn·ⱼ²) — the
+    // only non-integer term is the Σn²/nᵢ· fold (cell-sorted, q138);
+    // margins and N² assemble in DOUBLE (q228). Degenerate margins
+    // (one category holds everything) guard NaN.
+    QueryDef("q322_gk_tau", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val cells = t(s, d, "events")
+        .select(col("event_type").as("x"),
+          expr("CAST(hour(ts) div 6 AS INT)").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("n"))
+      val rx = cells.groupBy("x").agg(sum("n").as("nx"))
+      val ry = cells.groupBy("y").agg(sum("n").as("ny"))
+      val tot = cells.agg(coalesce(sum(col("n")), lit(0L)).as("nn"))
+      val sx = rx.agg(coalesce(sum(col("nx") * col("nx")), lit(0L))
+        .as("sx2"))
+      val sy = ry.agg(coalesce(sum(col("ny") * col("ny")), lit(0L))
+        .as("sy2"))
+      val folds = cells.join(rx, Seq("x")).join(ry, Seq("y"))
+        .select(struct(col("x"), col("y"), col("n"), col("nx"),
+          col("ny")).as("cell"))
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(
+          aggregate(col("cs"), lit(0.0), (a, c) =>
+            a + dbl(c.getField("n") * c.getField("n"))
+              / dbl(c.getField("nx"))).as("qx"),
+          aggregate(col("cs"), lit(0.0), (a, c) =>
+            a + dbl(c.getField("n") * c.getField("n"))
+              / dbl(c.getField("ny"))).as("qy"))
+      folds.crossJoin(broadcast(tot)).crossJoin(broadcast(sx))
+        .crossJoin(broadcast(sy))
+        .select(col("nn").as("n"),
+          when(dbl(col("nn")) * dbl(col("nn")) - dbl(col("sy2")) > 0.0,
+            (dbl(col("nn")) * col("qx") - dbl(col("sy2")))
+              / (dbl(col("nn")) * dbl(col("nn")) - dbl(col("sy2"))))
+            .otherwise(lit(Double.NaN)).as("tau_y_given_x"),
+          when(dbl(col("nn")) * dbl(col("nn")) - dbl(col("sx2")) > 0.0,
+            (dbl(col("nn")) * col("qy") - dbl(col("sx2")))
+              / (dbl(col("nn")) * dbl(col("nn")) - dbl(col("sx2"))))
+            .otherwise(lit(Double.NaN)).as("tau_x_given_y"))
+    }, Some("""
+      WITH cells AS (SELECT event_type AS x,
+          CAST(hour(ts) // 6 AS INT) AS y,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      rx AS (SELECT x, CAST(sum(n) AS BIGINT) AS nx
+        FROM cells GROUP BY 1),
+      ry AS (SELECT y, CAST(sum(n) AS BIGINT) AS ny
+        FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS nn
+        FROM cells),
+      sx AS (SELECT CAST(coalesce(sum(nx * nx), 0) AS BIGINT) AS sx2
+        FROM rx),
+      sy AS (SELECT CAST(coalesce(sum(ny * ny), 0) AS BIGINT) AS sy2
+        FROM ry),
+      l AS (SELECT list_sort(list(struct_pack(x := x, y := y, n := n,
+          nx := nx, ny := ny))) AS cs
+        FROM cells JOIN rx USING (x) JOIN ry USING (y)),
+      f AS (SELECT
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> CAST(c.n * c.n AS DOUBLE)
+            / CAST(c.nx AS DOUBLE))), (a, b) -> a + b) AS qx,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> CAST(c.n * c.n AS DOUBLE)
+            / CAST(c.ny AS DOUBLE))), (a, b) -> a + b) AS qy
+        FROM l)
+      SELECT nn AS n,
+        CASE WHEN CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+            - CAST(sy2 AS DOUBLE) > 0.0
+          THEN (CAST(nn AS DOUBLE) * qx - CAST(sy2 AS DOUBLE))
+            / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+              - CAST(sy2 AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS tau_y_given_x,
+        CASE WHEN CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+            - CAST(sx2 AS DOUBLE) > 0.0
+          THEN (CAST(nn AS DOUBLE) * qy - CAST(sx2 AS DOUBLE))
+            / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+              - CAST(sx2 AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS tau_x_given_y
+      FROM f, tot, sx, sy""")),
+
+    // Lepage combined location-scale test between the returned (A)
+    // and refused (R) quantity populations: L = z_W² + z_AB², the
+    // omnibus "did the distribution move OR change spread?" that a
+    // pure rank-sum (q214) or pure dispersion (q318) test each miss
+    // half of. Both components come from the SAME value-cell table:
+    // the doubled-midrank Wilcoxon sum 2W (exact BIGINT, tie
+    // variance with the Σ(t³−t)/(N(N−1)) correction) and the
+    // Ansari–Bradley score sum with its tie-average sampling
+    // moments (the q318 closed-form series). Every row-scale step is
+    // the one cell aggregation; folds run v-sorted; either
+    // degenerate variance sends L to NaN.
+    QueryDef("q323_lepage", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val q = t(s, d, "lineitem")
+        .where(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("v"))
+      val cells = q.groupBy("v")
+        .agg(count(lit(1)).as("t"),
+          coalesce(sum(when(col("g") === "A", 1L).otherwise(0L)),
+            lit(0L)).as("a"))
+      val nn = cells.agg(coalesce(sum(col("t")), lit(0L)).as("n"),
+        coalesce(sum(col("a")), lit(0L)).as("n1"),
+        coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+          lit(0L)).as("tt"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(cells, "v", Seq("t"))
+        .crossJoin(broadcast(nn))
+      val scored = cum
+        .withColumn("mid2",
+          lit(2L) * (col("t_cum") - col("t")) + col("t") + 1L)
+        .withColumn("lo", col("t_cum") - col("t") + 1L)
+        .withColumn("hi", col("t_cum"))
+        .withColumn("m", expr("(n + 1) DIV 2"))
+        .withColumn("b1", least(col("hi"), col("m")))
+        .withColumn("a2", greatest(col("lo"), col("m") + 1L))
+        .withColumn("s_v",
+          when(col("b1") >= col("lo"),
+            expr("(b1 * (b1 + 1) - (lo - 1) * lo) DIV 2"))
+            .otherwise(lit(0L))
+          + when(col("hi") >= col("a2"),
+            (col("n") + 1L) * (col("hi") - col("a2") + 1L)
+              - expr("(hi * (hi + 1) - (a2 - 1) * a2) DIV 2"))
+            .otherwise(lit(0L)))
+      scored
+        .select(col("n"), col("n1"), col("tt"),
+          struct(col("v"), col("a"), col("t"), col("mid2"),
+            col("s_v")).as("cell"))
+        .groupBy("n", "n1", "tt")
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(col("n"), col("n1"), col("tt"),
+          aggregate(col("cs"), lit(0L),
+            (acc, c) => acc + c.getField("a") * c.getField("mid2"))
+            .as("w2"),
+          aggregate(col("cs"), lit(0L),
+            (acc, c) => acc + c.getField("s_v")).as("ss"),
+          aggregate(col("cs"), lit(0.0),
+            (acc, c) => acc + dbl(c.getField("a") * c.getField("s_v"))
+              / dbl(c.getField("t"))).as("ab"),
+          aggregate(col("cs"), lit(0.0),
+            (acc, c) => acc + dbl(c.getField("s_v"))
+              * dbl(c.getField("s_v")) / dbl(c.getField("t")))
+            .as("ss2"))
+        .withColumn("n2", col("n") - col("n1"))
+        .withColumn("var_w",
+          when(col("n") > 1,
+            dbl(col("n1")) * dbl(col("n2")) / lit(12.0)
+              * (dbl(col("n") + 1L)
+                - dbl(col("tt"))
+                  / (dbl(col("n")) * dbl(col("n") - 1L)))))
+        .withColumn("var_ab",
+          when(col("n") > 1,
+            dbl(col("n1")) * dbl(col("n2"))
+              / (dbl(col("n")) * dbl(col("n") - 1L))
+              * (col("ss2") - dbl(col("ss")) * dbl(col("ss"))
+                / dbl(col("n")))))
+        .withColumn("z_w",
+          when(col("var_w") > 0.0,
+            (dbl(col("w2")) - dbl(col("n1") * (col("n") + 1L)))
+              / (lit(2.0) * sqrt(col("var_w")))))
+        .withColumn("z_ab",
+          when(col("var_ab") > 0.0,
+            (col("ab") - dbl(col("n1")) * dbl(col("ss"))
+              / dbl(col("n"))) / sqrt(col("var_ab"))))
+        .select(col("n1"), col("n2"), col("z_w"), col("z_ab"),
+          when(col("z_w").isNotNull && col("z_ab").isNotNull,
+            col("z_w") * col("z_w") + col("z_ab") * col("z_ab"))
+            .otherwise(lit(Double.NaN)).as("lepage_l"))
+    }, Some("""
+      WITH q AS (SELECT l_returnflag AS g,
+          CAST(l_quantity AS BIGINT) AS v
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      cells AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+          CAST(coalesce(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS a
+        FROM q GROUP BY 1),
+      nn AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+          CAST(coalesce(sum(a), 0) AS BIGINT) AS n1,
+          CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tt
+        FROM cells),
+      cum AS (SELECT v, t, a, CAST(sum(t) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS t_cum FROM cells),
+      scored AS (SELECT v, t, a, n, n1, tt,
+          2 * (t_cum - t) + t + 1 AS mid2,
+          t_cum - t + 1 AS lo, t_cum AS hi, (n + 1) // 2 AS m
+        FROM cum, nn),
+      s2 AS (SELECT *, least(hi, m) AS b1,
+          greatest(lo, m + 1) AS a2 FROM scored),
+      s3 AS (SELECT v, t, a, n, n1, tt, mid2,
+          (CASE WHEN b1 >= lo
+            THEN (b1 * (b1 + 1) - (lo - 1) * lo) // 2 ELSE 0 END)
+          + (CASE WHEN hi >= a2
+            THEN (n + 1) * (hi - a2 + 1)
+              - (hi * (hi + 1) - (a2 - 1) * a2) // 2 ELSE 0 END)
+            AS s_v
+        FROM s2),
+      l AS (SELECT n, n1, tt, list_sort(list(struct_pack(v := v,
+          a := a, t := t, mid2 := mid2, s_v := s_v))) AS cs
+        FROM s3 GROUP BY 1, 2, 3),
+      agg AS (SELECT n, n1, tt,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> c.a * c.mid2)), (x, y) -> x + y)
+          AS w2,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> c.s_v)), (x, y) -> x + y) AS ss,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> CAST(c.a * c.s_v AS DOUBLE)
+            / CAST(c.t AS DOUBLE))), (x, y) -> x + y) AS ab,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> CAST(c.s_v AS DOUBLE)
+            * CAST(c.s_v AS DOUBLE) / CAST(c.t AS DOUBLE))),
+          (x, y) -> x + y) AS ss2
+        FROM l),
+      vv AS (SELECT *, n - n1 AS n2,
+        CASE WHEN n > 1
+          THEN CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0
+            * (CAST(n + 1 AS DOUBLE)
+              - CAST(tt AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+          END AS var_w,
+        CASE WHEN n > 1
+          THEN CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+            * (ss2 - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+              / CAST(n AS DOUBLE))
+          END AS var_ab
+        FROM agg),
+      zz AS (SELECT n1, n2,
+        CASE WHEN var_w > 0.0
+          THEN (CAST(w2 AS DOUBLE) - CAST(n1 * (n + 1) AS DOUBLE))
+            / (2.0 * sqrt(var_w)) END AS z_w,
+        CASE WHEN var_ab > 0.0
+          THEN (ab - CAST(n1 AS DOUBLE) * CAST(ss AS DOUBLE)
+            / CAST(n AS DOUBLE)) / sqrt(var_ab) END AS z_ab
+        FROM vv)
+      SELECT n1, n2, z_w, z_ab,
+        CASE WHEN z_w IS NOT NULL AND z_ab IS NOT NULL
+          THEN z_w * z_w + z_ab * z_ab
+          ELSE CAST('nan' AS DOUBLE) END AS lepage_l
+      FROM zz""")),
+
+    // Moran's I and Geary's C of node degree over the undirected
+    // synthetic graph — graph autocorrelation: "do high-degree
+    // entities NEIGHBOR high-degree entities?" — the edge-level
+    // complement to q289's label mixing and q161's degree
+    // correlation, and the standard pre-check before any
+    // neighborhood-smoothing feature. Mean-centering is exact by
+    // n-scaling: over symmetric edge list W (both directions),
+    // num_I = Σ_edges (n·xᵢ−S)(n·xⱼ−S) and num_C = n²Σ(xᵢ−xⱼ)² are
+    // BIGINT, den = Σ(n·xᵢ−S)², so I = n·num_I/(W·den) and
+    // C = (n−1)·num_C/(2W·den) are each ONE double division.
+    // Degenerate variance (all degrees equal) guards both to NaN.
+    QueryDef("q324_moran_geary", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val nodes = t(s, d, "documents")
+        .select((col("doc_id") % 389).as("x")).distinct()
+      val dir = nodes
+        .select(col("x").as("src"),
+          ((col("x") * col("x") + 1) % 389).as("dst"))
+        .unionByName(nodes.select(col("x").as("src"),
+          ((col("x") * 7 + 5) % 389).as("dst")))
+        .where(col("src") =!= col("dst"))
+      val und = dir.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      val sym = und.select(col("a").as("i"), col("b").as("j"))
+        .unionByName(und.select(col("b").as("i"), col("a").as("j")))
+      val deg = sym.groupBy(col("i").as("node"))
+        .agg(count(lit(1)).as("dg"))
+      val tot = deg.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dg")), lit(0L)).as("s_deg"),
+        coalesce(sum(col("dg") * col("dg")), lit(0L)).as("q_deg"))
+      val pairs = sym
+        .join(deg.select(col("node").as("i"), col("dg").as("xi")),
+          Seq("i"))
+        .join(deg.select(col("node").as("j"), col("dg").as("xj")),
+          Seq("j"))
+        .crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("w_tot"),
+          coalesce(sum((col("n") * col("xi") - col("s_deg"))
+            * (col("n") * col("xj") - col("s_deg"))), lit(0L))
+            .as("num_i"),
+          coalesce(sum((col("xi") - col("xj"))
+            * (col("xi") - col("xj"))), lit(0L)).as("sum_d2"),
+          max(col("n")).as("n"), max(col("s_deg")).as("s_deg"),
+          max(col("q_deg")).as("q_deg"))
+        .withColumn("den",
+          col("n") * col("q_deg") - col("s_deg") * col("s_deg"))
+      pairs.select(col("n").as("n_nodes"), col("w_tot"),
+        when(col("den") > 0,
+          dbl(col("n") * col("num_i"))
+            / dbl(col("w_tot") * col("den")))
+          .otherwise(lit(Double.NaN)).as("moran_i"),
+        when(col("den") > 0,
+          dbl((col("n") - 1L) * col("n") * col("n") * col("sum_d2"))
+            / dbl(lit(2L) * col("w_tot") * col("den")))
+          .otherwise(lit(Double.NaN)).as("geary_c"))
+    }, Some("""
+      WITH nodes0 AS (SELECT DISTINCT doc_id % 389 AS x FROM documents),
+      dir AS (SELECT x AS src, (x * x + 1) % 389 AS dst FROM nodes0
+        UNION ALL SELECT x, (x * 7 + 5) % 389 FROM nodes0),
+      und AS (SELECT DISTINCT least(src, dst) AS a,
+          greatest(src, dst) AS b
+        FROM dir WHERE src <> dst),
+      sym AS (SELECT a AS i, b AS j FROM und
+        UNION ALL SELECT b, a FROM und),
+      deg AS (SELECT i AS node, CAST(count(*) AS BIGINT) AS dg
+        FROM sym GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(dg), 0) AS BIGINT) AS s_deg,
+          CAST(coalesce(sum(dg * dg), 0) AS BIGINT) AS q_deg
+        FROM deg),
+      pr AS (SELECT CAST(count(*) AS BIGINT) AS w_tot,
+          CAST(coalesce(sum((n * a.dg - s_deg) * (n * b.dg - s_deg)),
+            0) AS BIGINT) AS num_i,
+          CAST(coalesce(sum((a.dg - b.dg) * (a.dg - b.dg)), 0)
+            AS BIGINT) AS sum_d2,
+          CAST(max(n) AS BIGINT) AS n,
+          CAST(max(s_deg) AS BIGINT) AS s_deg,
+          CAST(max(q_deg) AS BIGINT) AS q_deg
+        FROM sym
+        JOIN deg a ON sym.i = a.node
+        JOIN deg b ON sym.j = b.node, tot),
+      e AS (SELECT *, n * q_deg - s_deg * s_deg AS den FROM pr)
+      SELECT n AS n_nodes, w_tot,
+        CASE WHEN den > 0
+          THEN CAST(n * num_i AS DOUBLE)
+            / CAST(w_tot * den AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS moran_i,
+        CASE WHEN den > 0
+          THEN CAST((n - 1) * n * n * sum_d2 AS DOUBLE)
+            / CAST(2 * w_tot * den AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS geary_c
+      FROM e"""))
   )
 }
