@@ -8802,6 +8802,299 @@ object Inference {
           THEN CAST((n - 1) * n * n * sum_d2 AS DOUBLE)
             / CAST(2 * w_tot * den AS DOUBLE)
           ELSE CAST('nan' AS DOUBLE) END AS geary_c
-      FROM e"""))
+      FROM e""")),
+
+    // Jarque–Bera normality test on the daily event-count series —
+    // the omnibus skewness+kurtosis check that decides whether the
+    // z-approximations the monitoring suite leans on (q292's Grubbs,
+    // q284's Gumbel moments) are even admissible. The four raw power
+    // sums Σc, Σc², Σc³, Σc⁴ are exact BIGINT over the dimension-
+    // sized daily cells; central moments, g₁ = m₃/m₂^1.5,
+    // g₂ = m₄/m₂², and JB = n(g₁²/6 + (g₂−3)²/24) are one fixed
+    // IEEE tree from those integers. Zero variance guards NaN.
+    QueryDef("q325_jarque_bera", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("c")), lit(0L)).as("s1"),
+          coalesce(sum(col("c") * col("c")), lit(0L)).as("s2"),
+          coalesce(sum(col("c") * col("c") * col("c")), lit(0L))
+            .as("s3"),
+          coalesce(sum(col("c") * col("c") * col("c") * col("c")),
+            lit(0L)).as("s4"))
+        .withColumn("mu", dbl(col("s1")) / dbl(col("n")))
+        .withColumn("m2",
+          dbl(col("s2")) / dbl(col("n")) - col("mu") * col("mu"))
+        .withColumn("m3",
+          dbl(col("s3")) / dbl(col("n"))
+            - lit(3.0) * col("mu") * dbl(col("s2")) / dbl(col("n"))
+            + lit(2.0) * col("mu") * col("mu") * col("mu"))
+        .withColumn("m4",
+          dbl(col("s4")) / dbl(col("n"))
+            - lit(4.0) * col("mu") * dbl(col("s3")) / dbl(col("n"))
+            + lit(6.0) * col("mu") * col("mu") * dbl(col("s2"))
+              / dbl(col("n"))
+            - lit(3.0) * col("mu") * col("mu") * col("mu")
+              * col("mu"))
+        .withColumn("g1",
+          when(col("m2") > 0.0,
+            col("m3") / (col("m2") * sqrt(col("m2")))))
+        .withColumn("g2",
+          when(col("m2") > 0.0,
+            col("m4") / (col("m2") * col("m2"))))
+        .select(col("n").as("n_days"), col("g1").as("skewness"),
+          col("g2").as("kurtosis"),
+          when(col("m2") > 0.0,
+            dbl(col("n")) * (col("g1") * col("g1") / lit(6.0)
+              + (col("g2") - lit(3.0)) * (col("g2") - lit(3.0))
+                / lit(24.0)))
+            .otherwise(lit(Double.NaN)).as("jb"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(coalesce(sum(c), 0) AS BIGINT) AS s1,
+        CAST(coalesce(sum(c * c), 0) AS BIGINT) AS s2,
+        CAST(coalesce(sum(c * c * c), 0) AS BIGINT) AS s3,
+        CAST(coalesce(sum(c * c * c * c), 0) AS BIGINT) AS s4
+        FROM daily),
+      m AS (SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+        FROM p),
+      cm AS (SELECT *,
+        CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mu * mu AS m2,
+        CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+          - 3.0 * mu * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          + 2.0 * mu * mu * mu AS m3,
+        CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+          - 4.0 * mu * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+          + 6.0 * mu * mu * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          - 3.0 * mu * mu * mu * mu AS m4
+        FROM m),
+      g AS (SELECT *,
+        CASE WHEN m2 > 0.0 THEN m3 / (m2 * sqrt(m2)) END AS g1,
+        CASE WHEN m2 > 0.0 THEN m4 / (m2 * m2) END AS g2
+        FROM cm)
+      SELECT n AS n_days, g1 AS skewness, g2 AS kurtosis,
+        CASE WHEN m2 > 0.0
+          THEN CAST(n AS DOUBLE) * (g1 * g1 / 6.0
+            + (g2 - 3.0) * (g2 - 3.0) / 24.0)
+          ELSE CAST('nan' AS DOUBLE) END AS jb
+      FROM g""")),
+
+    // Tarone–Ware test — the √nₜ-weighted member completing the
+    // survival trilogy (q256 log-rank weights 1, q321 Gehan weights
+    // nₜ): the compromise that hedges between early- and late-
+    // difference sensitivity, which is what one runs when the churn
+    // mechanism is unknown. Same md5 arms and life-table cells; the
+    // numerator Σ√nₜ(d₁ₜ − dₜn₁ₜ/nₜ) and variance Σnₜ·vₜ fold
+    // per-term doubles over the SORTED death list (√ makes exactness
+    // impossible by construction — both engines evaluate the same
+    // IEEE tree in the same order); nₜ = 1 guarded to 0, V = 0 NaN.
+    QueryDef("q326_tarone_ware", (s, d) => {
+      import graft.functions.TextFunctions
+      def dbl(c: Column) = c.cast("double")
+      val per = t(s, d, "events")
+        .groupBy("user_id")
+        .agg((datediff(max(col("ts")).cast("date"),
+            min(col("ts")).cast("date")) + 1).cast("long").as("t"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("last_type"))
+        .select(col("user_id"), col("t"),
+          when(col("last_type") === "error", 1L).otherwise(0L)
+            .as("died"))
+        .withColumn("g", TextFunctions.hashBucket(col("user_id"), 2))
+      val cells = per.groupBy("g", "t")
+        .agg(sum("died").as("d"), count(lit(1)).as("n"))
+      val deaths = cells.groupBy(col("t").as("dtt"))
+        .agg(sum("d").as("dt")).where(col("dt") > 0)
+      val j = deaths.join(cells, cells("t") >= deaths("dtt"))
+        .groupBy("dtt", "dt")
+        .agg(sum(when(col("g") === 1, col("n")).otherwise(0L)).as("n1"),
+          sum(when(col("g") === 0, col("n")).otherwise(0L)).as("n0"),
+          sum(when(col("g") === 1 && col("t") === col("dtt"), col("d"))
+            .otherwise(0L)).as("d1"))
+      j.agg(sort_array(collect_list(struct(col("dtt"), col("dt"),
+          col("n1"), col("n0"), col("d1")))).as("xs"))
+        .select(
+          aggregate(col("xs"), lit(0.0), (acc, x) => {
+            val nt = (x.getField("n1") + x.getField("n0")).cast("double")
+            acc + sqrt(nt) * (x.getField("d1").cast("double")
+              - x.getField("dt").cast("double")
+                * x.getField("n1").cast("double") / nt)
+          }).as("u"),
+          aggregate(col("xs"), lit(0.0), (acc, x) => {
+            val nt = (x.getField("n1") + x.getField("n0")).cast("double")
+            acc + when(nt > 1.0,
+              nt * (x.getField("dt").cast("double")
+                * (x.getField("n1").cast("double") / nt)
+                * (x.getField("n0").cast("double") / nt)
+                * ((nt - x.getField("dt").cast("double"))
+                  / (nt - 1.0))))
+              .otherwise(lit(0.0))
+          }).as("v"))
+        .select(col("u"), col("v"),
+          when(col("v") > 0.0, col("u") * col("u") / col("v"))
+            .otherwise(lit(Double.NaN)).as("chi2_tarone_ware"))
+    }, Some("""
+      WITH l AS (SELECT user_id, event_type, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      dd AS (SELECT user_id,
+          CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS died
+        FROM l WHERE rn = 1),
+      span AS (SELECT user_id, CAST(date_diff('day',
+            CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1 AS BIGINT)
+            AS t
+        FROM events GROUP BY 1),
+      per AS (SELECT s.user_id, s.t, dd.died,
+          CAST('0x' || substr(md5(CAST(s.user_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 2 AS g
+        FROM span s JOIN dd USING (user_id)),
+      cells AS (SELECT g, t, CAST(sum(died) AS BIGINT) AS d,
+          CAST(count(*) AS BIGINT) AS n
+        FROM per GROUP BY 1, 2),
+      deaths AS (SELECT t AS dtt, CAST(sum(d) AS BIGINT) AS dt
+        FROM cells GROUP BY 1 HAVING sum(d) > 0),
+      j AS (SELECT dtt, dt,
+          CAST(sum(CASE WHEN g = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN g = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN g = 1 AND c.t = dtt THEN d ELSE 0 END)
+            AS BIGINT) AS d1
+        FROM deaths JOIN cells c ON c.t >= dtt GROUP BY 1, 2),
+      f AS (SELECT list_sort(list(struct_pack(dtt := dtt, dt := dt,
+          n1 := n1, n0 := n0, d1 := d1))) AS xs FROM j),
+      uv AS (SELECT
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(xs, x -> sqrt(CAST(x.n1 + x.n0 AS DOUBLE))
+            * (CAST(x.d1 AS DOUBLE) - CAST(x.dt AS DOUBLE)
+              * CAST(x.n1 AS DOUBLE)
+              / CAST(x.n1 + x.n0 AS DOUBLE)))), (a, b) -> a + b) AS u,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(xs, x -> CASE
+            WHEN CAST(x.n1 + x.n0 AS DOUBLE) > 1.0
+            THEN CAST(x.n1 + x.n0 AS DOUBLE)
+              * (CAST(x.dt AS DOUBLE)
+                * (CAST(x.n1 AS DOUBLE) / CAST(x.n1 + x.n0 AS DOUBLE))
+                * (CAST(x.n0 AS DOUBLE) / CAST(x.n1 + x.n0 AS DOUBLE))
+                * ((CAST(x.n1 + x.n0 AS DOUBLE)
+                    - CAST(x.dt AS DOUBLE))
+                  / (CAST(x.n1 + x.n0 AS DOUBLE) - 1.0)))
+            ELSE 0.0 END)), (a, b) -> a + b) AS v
+        FROM f)
+      SELECT u, v,
+        CASE WHEN v > 0.0 THEN u * u / v
+          ELSE CAST('nan' AS DOUBLE) END AS chi2_tarone_ware
+      FROM uv""")),
+
+    // Cucconi test — the ORIGINAL joint location-scale rank test
+    // (predating Lepage, q323) built from squared ranks taken from
+    // both ends: U standardizes ΣR², V standardizes Σ(N+1−R)², and
+    // C = (U² + V² − 2ρUV)/(2(1−ρ²)) with the closed-form
+    // ρ = 2(N²−4)/((2N+1)(8N+11)) − 1. With doubled midranks the two
+    // score sums stay EXACT: Σa·mid2² and Σa·(2(N+1)−mid2)² are
+    // BIGINT (= 4ΣR² and 4Σ(N+1−R)²), so both numerators
+    // 3·S − 2n₁(N+1)(2N+1) are integers halved once; the moment
+    // denominators assemble in DOUBLE (five-factor products — q228).
+    // Degenerate ρ² = 1 or empty groups guard NaN.
+    QueryDef("q327_cucconi", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val q = t(s, d, "lineitem")
+        .where(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("v"))
+      val cells = q.groupBy("v")
+        .agg(count(lit(1)).as("t"),
+          coalesce(sum(when(col("g") === "A", 1L).otherwise(0L)),
+            lit(0L)).as("a"))
+      val nn = cells.agg(coalesce(sum(col("t")), lit(0L)).as("n"),
+        coalesce(sum(col("a")), lit(0L)).as("n1"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(cells, "v", Seq("t"))
+        .crossJoin(broadcast(nn))
+        .withColumn("mid2",
+          lit(2L) * (col("t_cum") - col("t")) + col("t") + 1L)
+        .withColumn("rev2", lit(2L) * (col("n") + 1L) - col("mid2"))
+      val agg = cum.agg(
+        max(col("n")).as("n"), max(col("n1")).as("n1"),
+        coalesce(sum(col("a") * col("mid2") * col("mid2")), lit(0L))
+          .as("s4f"),
+        coalesce(sum(col("a") * col("rev2") * col("rev2")), lit(0L))
+          .as("s4r"))
+      agg
+        .withColumn("n2", col("n") - col("n1"))
+        .withColumn("numu",
+          dbl(lit(3L) * col("s4f")
+            - lit(2L) * col("n1") * (col("n") + 1L)
+              * (lit(2L) * col("n") + 1L)) / lit(2.0))
+        .withColumn("numv",
+          dbl(lit(3L) * col("s4r")
+            - lit(2L) * col("n1") * (col("n") + 1L)
+              * (lit(2L) * col("n") + 1L)) / lit(2.0))
+        .withColumn("den",
+          sqrt(dbl(col("n1")) * dbl(col("n2")) * dbl(col("n") + 1L)
+            * dbl(lit(2L) * col("n") + 1L)
+            * dbl(lit(8L) * col("n") + 11L) / lit(5.0)))
+        .withColumn("rho",
+          lit(2.0) * (dbl(col("n")) * dbl(col("n")) - lit(4.0))
+            / (dbl(lit(2L) * col("n") + 1L)
+              * dbl(lit(8L) * col("n") + 11L)) - lit(1.0))
+        .withColumn("u",
+          when(col("den") > 0.0, col("numu") / col("den")))
+        .withColumn("vv",
+          when(col("den") > 0.0, col("numv") / col("den")))
+        .select(col("n1"), col("n2"), col("u"), col("vv").as("v"),
+          col("rho"),
+          when(col("den") > 0.0
+              && lit(1.0) - col("rho") * col("rho") > 0.0,
+            (col("u") * col("u") + col("vv") * col("vv")
+              - lit(2.0) * col("rho") * col("u") * col("vv"))
+              / (lit(2.0) * (lit(1.0) - col("rho") * col("rho"))))
+            .otherwise(lit(Double.NaN)).as("cucconi_c"))
+    }, Some("""
+      WITH q AS (SELECT l_returnflag AS g,
+          CAST(l_quantity AS BIGINT) AS v
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      cells AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+          CAST(coalesce(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS a
+        FROM q GROUP BY 1),
+      nn AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+          CAST(coalesce(sum(a), 0) AS BIGINT) AS n1 FROM cells),
+      cum AS (SELECT v, t, a, n, n1,
+          2 * (CAST(sum(t) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) - t) + t + 1 AS mid2
+        FROM cells, nn),
+      r AS (SELECT *, 2 * (n + 1) - mid2 AS rev2 FROM cum),
+      agg AS (SELECT CAST(max(n) AS BIGINT) AS n,
+          CAST(max(n1) AS BIGINT) AS n1,
+          CAST(coalesce(sum(a * mid2 * mid2), 0) AS BIGINT) AS s4f,
+          CAST(coalesce(sum(a * rev2 * rev2), 0) AS BIGINT) AS s4r
+        FROM r),
+      e AS (SELECT *, n - n1 AS n2,
+        CAST(3 * s4f - 2 * n1 * (n + 1) * (2 * n + 1) AS DOUBLE)
+          / 2.0 AS numu,
+        CAST(3 * s4r - 2 * n1 * (n + 1) * (2 * n + 1) AS DOUBLE)
+          / 2.0 AS numv,
+        sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+          * CAST(n + 1 AS DOUBLE) * CAST(2 * n + 1 AS DOUBLE)
+          * CAST(8 * n + 11 AS DOUBLE) / 5.0) AS den,
+        2.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 4.0)
+          / (CAST(2 * n + 1 AS DOUBLE) * CAST(8 * n + 11 AS DOUBLE))
+          - 1.0 AS rho
+        FROM agg),
+      z AS (SELECT *,
+        CASE WHEN den > 0.0 THEN numu / den END AS u,
+        CASE WHEN den > 0.0 THEN numv / den END AS vv
+        FROM e)
+      SELECT n1, n2, u, vv AS v, rho,
+        CASE WHEN den > 0.0 AND 1.0 - rho * rho > 0.0
+          THEN (u * u + vv * vv - 2.0 * rho * u * vv)
+            / (2.0 * (1.0 - rho * rho))
+          ELSE CAST('nan' AS DOUBLE) END AS cucconi_c
+      FROM z"""))
   )
 }
