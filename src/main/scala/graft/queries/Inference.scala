@@ -9095,6 +9095,250 @@ object Inference {
           THEN (u * u + vv * vv - 2.0 * rho * u * vv)
             / (2.0 * (1.0 - rho * rho))
           ELSE CAST('nan' AS DOUBLE) END AS cucconi_c
-      FROM z"""))
+      FROM z""")),
+
+    // Poisson dispersion (index-of-dispersion) test on the daily
+    // event counts — the FIRST question about any count series:
+    // "is arrival volume Poisson, or over-dispersed?" (everything
+    // downstream — q284's extremes, q325's normality — reads
+    // differently if clumping is real). The algebra collapses
+    // beautifully exact: with S = Σc and M2n = n·Σc² − S², the
+    // χ²(n−1) statistic D = (n−1)s²/x̄ is EXACTLY M2n/S — one
+    // BIGINT ratio — and the variance-to-mean ratio is
+    // M2n/((n−1)S); the Wilson–Hilferty normal approximation
+    // z = √(2D) − √(2(n−1)−1) is two sqrts. S = 0 guards NaN.
+    QueryDef("q328_poisson_dispersion", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("c")), lit(0L)).as("s_tot"),
+          coalesce(sum(col("c") * col("c")), lit(0L)).as("q_tot"))
+        .withColumn("m2n",
+          col("n") * col("q_tot") - col("s_tot") * col("s_tot"))
+        .select(col("n").as("n_days"),
+          when(col("s_tot") > 0,
+            dbl(col("m2n")) / dbl(col("s_tot")))
+            .otherwise(lit(Double.NaN)).as("dispersion_d"),
+          when(col("s_tot") > 0 && col("n") > 1,
+            dbl(col("m2n")) / dbl((col("n") - 1L) * col("s_tot")))
+            .otherwise(lit(Double.NaN)).as("vmr"),
+          when(col("s_tot") > 0 && col("n") > 1,
+            sqrt(lit(2.0) * dbl(col("m2n")) / dbl(col("s_tot")))
+              - sqrt(dbl(lit(2L) * (col("n") - 1L) - 1L)))
+            .otherwise(lit(Double.NaN)).as("z_dispersion"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(coalesce(sum(c), 0) AS BIGINT) AS s_tot,
+        CAST(coalesce(sum(c * c), 0) AS BIGINT) AS q_tot
+        FROM daily),
+      m AS (SELECT *, n * q_tot - s_tot * s_tot AS m2n FROM p)
+      SELECT n AS n_days,
+        CASE WHEN s_tot > 0
+          THEN CAST(m2n AS DOUBLE) / CAST(s_tot AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS dispersion_d,
+        CASE WHEN s_tot > 0 AND n > 1
+          THEN CAST(m2n AS DOUBLE) / CAST((n - 1) * s_tot AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS vmr,
+        CASE WHEN s_tot > 0 AND n > 1
+          THEN sqrt(2.0 * CAST(m2n AS DOUBLE) / CAST(s_tot AS DOUBLE))
+            - sqrt(CAST(2 * (n - 1) - 1 AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS z_dispersion
+      FROM m""")),
+
+    // Adjusted Rand index between the n-gram language classifier's
+    // partition and the ground-truth partition of the corpus — the
+    // chance-corrected PAIR-counting agreement (q304's α corrects
+    // item-level agreement; ARI asks whether pairs land together),
+    // the standard external clustering metric. Every term is a
+    // binomial C(x,2) = x(x−1)/2 over exact BIGINT contingency
+    // cells/margins; the expected-index product and the final ratio
+    // assemble in DOUBLE (ΣC(aᵢ,2)·ΣC(bⱼ,2) overflows BIGINT at web
+    // scale — q228). The plain Rand index rides along from the same
+    // pair table. A degenerate partition pair (max = expected)
+    // guards NaN.
+    QueryDef("q329_adjusted_rand", (s, d) => {
+      import graft.functions.TextFunctions
+      def dbl(c: Column) = c.cast("double")
+      // DOUBLED pair counts x(x−1) = 2·C(x,2): the common factor 2
+      // cancels in every ratio below, so no halving division ever
+      // happens (Spark's `/` on longs is double division — avoided)
+      def c22(c: Column) = c * (c - 1L)
+      val cellsRaw = t(s, d, "documents")
+        .select(TextFunctions.langId(col("text")).as("pa"),
+          col("lang").as("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("nij"))
+      val sij = cellsRaw.agg(
+        coalesce(sum(c22(col("nij"))), lit(0L)).as("sij"),
+        coalesce(sum(col("nij")), lit(0L)).as("n"))
+      val sa = cellsRaw.groupBy("pa").agg(sum("nij").as("ai"))
+        .agg(coalesce(sum(c22(col("ai"))), lit(0L)).as("sa"))
+      val sb = cellsRaw.groupBy("pb").agg(sum("nij").as("bj"))
+        .agg(coalesce(sum(c22(col("bj"))), lit(0L)).as("sb"))
+      sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .withColumn("cn2", c22(col("n")))
+        .withColumn("expected",
+          dbl(col("sa")) * dbl(col("sb")) / dbl(col("cn2")))
+        .withColumn("maxi",
+          (dbl(col("sa")) + dbl(col("sb"))) / lit(2.0))
+        .select(col("n").as("n_docs"), col("sij"), col("sa"),
+          col("sb"),
+          when(col("cn2") > 0,
+            (dbl(col("cn2")) - dbl(col("sa")) - dbl(col("sb"))
+              + lit(2.0) * dbl(col("sij"))) / dbl(col("cn2")))
+            .otherwise(lit(Double.NaN)).as("rand_index"),
+          when(col("cn2") > 0
+              && col("maxi") - col("expected") =!= 0.0,
+            (dbl(col("sij")) - col("expected"))
+              / (col("maxi") - col("expected")))
+            .otherwise(lit(Double.NaN)).as("ari"))
+    }, Some("""
+      WITH conf AS (SELECT (CASE
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b')) = 0
+            THEN 'und'
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+             AND len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'en'
+            WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'es'
+            ELSE 'de' END) AS pa, lang AS pb
+        FROM documents),
+      cells AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS nij
+        FROM conf GROUP BY 1, 2),
+      sij AS (SELECT
+          CAST(coalesce(sum(nij * (nij - 1)), 0) AS BIGINT) AS sij,
+          CAST(coalesce(sum(nij), 0) AS BIGINT) AS n FROM cells),
+      sa AS (SELECT CAST(coalesce(sum(ai * (ai - 1)), 0)
+          AS BIGINT) AS sa
+        FROM (SELECT pa, CAST(sum(nij) AS BIGINT) AS ai
+          FROM cells GROUP BY 1)),
+      sb AS (SELECT CAST(coalesce(sum(bj * (bj - 1)), 0)
+          AS BIGINT) AS sb
+        FROM (SELECT pb, CAST(sum(nij) AS BIGINT) AS bj
+          FROM cells GROUP BY 1)),
+      e AS (SELECT *, n * (n - 1) AS cn2,
+        CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+          / CAST(n * (n - 1) AS DOUBLE) AS expected,
+        (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0 AS maxi
+        FROM sij, sa, sb)
+      SELECT n AS n_docs, sij, sa, sb,
+        CASE WHEN cn2 > 0
+          THEN (CAST(cn2 AS DOUBLE) - CAST(sa AS DOUBLE)
+            - CAST(sb AS DOUBLE) + 2.0 * CAST(sij AS DOUBLE))
+            / CAST(cn2 AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS rand_index,
+        CASE WHEN cn2 > 0 AND maxi - expected <> 0.0
+          THEN (CAST(sij AS DOUBLE) - expected) / (maxi - expected)
+          ELSE CAST('nan' AS DOUBLE) END AS ari
+      FROM e""")),
+
+    // Fowlkes–Mallows index and B-cubed precision/recall for the
+    // same classifier-vs-truth partition pair — the geometric-mean
+    // pair view (FM = TP/√((TP+FP)(TP+FN))) and the per-ITEM view
+    // (B³ precision = Σnᵢⱼ²/aᵢ /N weights every document's own
+    // neighborhood, catching the small-cluster failures ARI's global
+    // pair count dilutes). TP/FP/FN are exact BIGINT from C(·,2)
+    // sums; the two B³ rational folds run cell-sorted (q138); the
+    // FM square root assembles in DOUBLE (q228). Degenerate
+    // partitions (no same-cluster pairs) guard NaN.
+    QueryDef("q330_fowlkes_bcubed", (s, d) => {
+      import graft.functions.TextFunctions
+      def dbl(c: Column) = c.cast("double")
+      // doubled pair counts (q329 note) — the factor cancels in FM
+      def c22(c: Column) = c * (c - 1L)
+      val cells = t(s, d, "documents")
+        .select(TextFunctions.langId(col("text")).as("pa"),
+          col("lang").as("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("nij"))
+      val ai = cells.groupBy("pa").agg(sum("nij").as("ai"))
+      val bj = cells.groupBy("pb").agg(sum("nij").as("bj"))
+      val tp = cells.agg(
+        coalesce(sum(c22(col("nij"))), lit(0L)).as("tp2"),
+        coalesce(sum(col("nij")), lit(0L)).as("n"))
+      val pa2 = ai.agg(coalesce(sum(c22(col("ai"))), lit(0L)).as("pa2"))
+      val pb2 = bj.agg(coalesce(sum(c22(col("bj"))), lit(0L)).as("pb2"))
+      val folds = cells.join(broadcast(ai), Seq("pa"))
+        .join(broadcast(bj), Seq("pb"))
+        .select(struct(col("pa"), col("pb"), col("nij"), col("ai"),
+          col("bj")).as("cell"))
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(
+          aggregate(col("cs"), lit(0.0), (a, c) =>
+            a + dbl(c.getField("nij") * c.getField("nij"))
+              / dbl(c.getField("ai"))).as("bp"),
+          aggregate(col("cs"), lit(0.0), (a, c) =>
+            a + dbl(c.getField("nij") * c.getField("nij"))
+              / dbl(c.getField("bj"))).as("br"))
+      tp.crossJoin(broadcast(pa2)).crossJoin(broadcast(pb2))
+        .crossJoin(broadcast(folds))
+        .select(col("n").as("n_docs"), col("tp2"),
+          when(col("pa2") > 0 && col("pb2") > 0,
+            dbl(col("tp2"))
+              / sqrt(dbl(col("pa2")) * dbl(col("pb2"))))
+            .otherwise(lit(Double.NaN)).as("fowlkes_mallows"),
+          when(col("n") > 0, col("bp") / dbl(col("n")))
+            .otherwise(lit(Double.NaN)).as("bcubed_precision"),
+          when(col("n") > 0, col("br") / dbl(col("n")))
+            .otherwise(lit(Double.NaN)).as("bcubed_recall"))
+    }, Some("""
+      WITH conf AS (SELECT (CASE
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b')) = 0
+             AND len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b')) = 0
+            THEN 'und'
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+             AND len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'en'
+            WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht|ist|von|mit)\b'))
+            THEN 'es'
+            ELSE 'de' END) AS pa, lang AS pb
+        FROM documents),
+      cells AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS nij
+        FROM conf GROUP BY 1, 2),
+      ai AS (SELECT pa, CAST(sum(nij) AS BIGINT) AS ai
+        FROM cells GROUP BY 1),
+      bj AS (SELECT pb, CAST(sum(nij) AS BIGINT) AS bj
+        FROM cells GROUP BY 1),
+      tp AS (SELECT
+          CAST(coalesce(sum(nij * (nij - 1)), 0) AS BIGINT) AS tp2,
+          CAST(coalesce(sum(nij), 0) AS BIGINT) AS n FROM cells),
+      p2 AS (SELECT CAST(coalesce(sum(ai * (ai - 1)), 0)
+          AS BIGINT) AS pa2 FROM ai),
+      q2 AS (SELECT CAST(coalesce(sum(bj * (bj - 1)), 0)
+          AS BIGINT) AS pb2 FROM bj),
+      l AS (SELECT list_sort(list(struct_pack(pa := cells.pa,
+          pb := cells.pb, nij := nij, ai := ai.ai, bj := bj.bj)))
+          AS cs
+        FROM cells JOIN ai USING (pa) JOIN bj USING (pb)),
+      f AS (SELECT
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> CAST(c.nij * c.nij AS DOUBLE)
+            / CAST(c.ai AS DOUBLE))), (x, y) -> x + y) AS bp,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> CAST(c.nij * c.nij AS DOUBLE)
+            / CAST(c.bj AS DOUBLE))), (x, y) -> x + y) AS br
+        FROM l)
+      SELECT n AS n_docs, tp2,
+        CASE WHEN pa2 > 0 AND pb2 > 0
+          THEN CAST(tp2 AS DOUBLE)
+            / sqrt(CAST(pa2 AS DOUBLE) * CAST(pb2 AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS fowlkes_mallows,
+        CASE WHEN n > 0 THEN bp / CAST(n AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS bcubed_precision,
+        CASE WHEN n > 0 THEN br / CAST(n AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS bcubed_recall
+      FROM tp, p2, q2, f"""))
   )
 }
