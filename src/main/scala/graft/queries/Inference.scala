@@ -9339,6 +9339,336 @@ object Inference {
           ELSE CAST('nan' AS DOUBLE) END AS bcubed_precision,
         CASE WHEN n > 0 THEN br / CAST(n AS DOUBLE)
           ELSE CAST('nan' AS DOUBLE) END AS bcubed_recall
-      FROM tp, p2, q2, f"""))
+      FROM tp, p2, q2, f""")),
+
+    // Variance inflation factors for the three q257 text features
+    // (char length, token count, stopword hits) — the
+    // collinearity diagnostic run BEFORE trusting any regression on
+    // them (q159's group regression, q238's WoE screening): at k = 3
+    // each R²ⱼ has the closed form
+    // (r²ⱼₐ + r²ⱼᵦ − 2rⱼₐrⱼᵦrₐᵦ)/(1 − r²ₐᵦ) over the pairwise
+    // correlations, and VIFⱼ = 1/(1−R²ⱼ). Every correlation is
+    // assembled from exact BIGINT raw moments (n·Σxy − SₓSᵧ over
+    // √-scaled SS), one fixed IEEE tree; a singular pair (rₐᵦ² = 1)
+    // or R²ⱼ = 1 guards that VIF to NaN.
+    QueryDef("q331_vif", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val txt = col("text")
+      val x1 = length(txt).cast("long")
+      val x2 = (length(txt) - length(regexp_replace(txt,
+        " ", "")) + 1).cast("long")
+      val x3 = size(regexp_extract_all(lower(txt),
+        lit("\\b(the|a|and|of|to|in|is|that)\\b"), lit(0))).cast("long")
+      val m = t(s, d, "documents")
+        .select(x1.as("x1"), x2.as("x2"), x3.as("x3"))
+        .agg(count(lit(1)).as("n"),
+          sum("x1").as("s1"), sum(col("x1") * col("x1")).as("q1"),
+          sum("x2").as("s2"), sum(col("x2") * col("x2")).as("q2"),
+          sum("x3").as("s3"), sum(col("x3") * col("x3")).as("q3"),
+          sum(col("x1") * col("x2")).as("p12"),
+          sum(col("x1") * col("x3")).as("p13"),
+          sum(col("x2") * col("x3")).as("p23"))
+      def ssx(q: String, sc: String) =
+        dbl(col("n")) * dbl(col(q)) - dbl(col(sc)) * dbl(col(sc))
+      def cov(p: String, sa: String, sb: String) =
+        dbl(col("n")) * dbl(col(p)) - dbl(col(sa)) * dbl(col(sb))
+      // a CONSTANT item (zero SS — the synthetic corpus really has
+      // one if the item is chosen badly, e.g. punctuation) must read
+      // NaN, not trip ANSI's double divide-by-zero
+      def corr(p: String, sa: String, qa: String, sb: String,
+          qb: String) =
+        when(ssx(qa, sa) * ssx(qb, sb) > 0.0,
+          cov(p, sa, sb) / sqrt(ssx(qa, sa) * ssx(qb, sb)))
+          .otherwise(lit(Double.NaN))
+      val withR = m
+        .withColumn("r12", corr("p12", "s1", "q1", "s2", "q2"))
+        .withColumn("r13", corr("p13", "s1", "q1", "s3", "q3"))
+        .withColumn("r23", corr("p23", "s2", "q2", "s3", "q3"))
+      def r2of(ra: Column, rb: Column, rc: Column) =
+        ((ra * ra + rb * rb - lit(2.0) * ra * rb * rc)
+          / (lit(1.0) - rc * rc))
+      def vif(r2: Column) =
+        when(lit(1.0) - r2 =!= 0.0, lit(1.0) / (lit(1.0) - r2))
+          .otherwise(lit(Double.NaN))
+      withR.select(col("n"), col("r12"), col("r13"), col("r23"),
+        when(lit(1.0) - col("r23") * col("r23") =!= 0.0,
+          vif(r2of(col("r12"), col("r13"), col("r23"))))
+          .otherwise(lit(Double.NaN)).as("vif1"),
+        when(lit(1.0) - col("r13") * col("r13") =!= 0.0,
+          vif(r2of(col("r12"), col("r23"), col("r13"))))
+          .otherwise(lit(Double.NaN)).as("vif2"),
+        when(lit(1.0) - col("r12") * col("r12") =!= 0.0,
+          vif(r2of(col("r13"), col("r23"), col("r12"))))
+          .otherwise(lit(Double.NaN)).as("vif3"))
+    }, Some("""
+      WITH items AS (SELECT
+          CAST(length(text) AS BIGINT) AS x1,
+          CAST(length(text)
+            - length(replace(text, ' ', '')) + 1
+            AS BIGINT) AS x2,
+          CAST(len(regexp_extract_all(lower(text),
+            '\b(the|a|and|of|to|in|is|that)\b')) AS BIGINT) AS x3
+        FROM documents),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x1 * x1) AS BIGINT) AS q1,
+        CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(x2 * x2) AS BIGINT) AS q2,
+        CAST(sum(x3) AS BIGINT) AS s3, CAST(sum(x3 * x3) AS BIGINT) AS q3,
+        CAST(sum(x1 * x2) AS BIGINT) AS p12,
+        CAST(sum(x1 * x3) AS BIGINT) AS p13,
+        CAST(sum(x2 * x3) AS BIGINT) AS p23
+        FROM items),
+      r AS (SELECT n,
+        (CAST(n AS DOUBLE) * CAST(p12 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS r12,
+        (CAST(n AS DOUBLE) * CAST(p13 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(q3 AS DOUBLE)
+              - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))) AS r13,
+        (CAST(n AS DOUBLE) * CAST(p23 AS DOUBLE)
+          - CAST(s2 AS DOUBLE) * CAST(s3 AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(q3 AS DOUBLE)
+              - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))) AS r23
+        FROM m)
+      SELECT n, r12, r13, r23,
+        CASE WHEN 1.0 - r23 * r23 <> 0.0
+          AND 1.0 - (r12 * r12 + r13 * r13
+            - 2.0 * r12 * r13 * r23) / (1.0 - r23 * r23) <> 0.0
+          THEN 1.0 / (1.0 - (r12 * r12 + r13 * r13
+            - 2.0 * r12 * r13 * r23) / (1.0 - r23 * r23))
+          ELSE CAST('nan' AS DOUBLE) END AS vif1,
+        CASE WHEN 1.0 - r13 * r13 <> 0.0
+          AND 1.0 - (r12 * r12 + r23 * r23
+            - 2.0 * r12 * r23 * r13) / (1.0 - r13 * r13) <> 0.0
+          THEN 1.0 / (1.0 - (r12 * r12 + r23 * r23
+            - 2.0 * r12 * r23 * r13) / (1.0 - r13 * r13))
+          ELSE CAST('nan' AS DOUBLE) END AS vif2,
+        CASE WHEN 1.0 - r12 * r12 <> 0.0
+          AND 1.0 - (r13 * r13 + r23 * r23
+            - 2.0 * r13 * r23 * r12) / (1.0 - r12 * r12) <> 0.0
+          THEN 1.0 / (1.0 - (r13 * r13 + r23 * r23
+            - 2.0 * r13 * r23 * r12) / (1.0 - r12 * r12))
+          ELSE CAST('nan' AS DOUBLE) END AS vif3
+      FROM r""")),
+
+    // Top-10 multivariate outliers by Mahalanobis distance over the
+    // same three text features — the joint-outlier lens that catches
+    // documents whose FEATURE COMBINATION is anomalous even when
+    // every marginal looks normal (q105's MAD flags marginals only).
+    // The 3×3 sample covariance comes from exact BIGINT moments, its
+    // inverse from the closed-form adjugate (one broadcast 1-row
+    // frame — no per-row matrix algebra), and each document's
+    // d² = Σ invⱼₖ(xⱼ−μⱼ)(xₖ−μₖ) is a fixed per-row tree, ranked
+    // with a deterministic (d² DESC, doc_id) TakeOrderedAndProject.
+    // A singular covariance (det = 0) yields no rows by the guard.
+    QueryDef("q332_mahalanobis", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val txt = col("text")
+      val x1 = length(txt).cast("long")
+      val x2 = (length(txt) - length(regexp_replace(txt,
+        " ", "")) + 1).cast("long")
+      val x3 = size(regexp_extract_all(lower(txt),
+        lit("\\b(the|a|and|of|to|in|is|that)\\b"), lit(0))).cast("long")
+      val items = t(s, d, "documents")
+        .select(col("doc_id"), x1.as("x1"), x2.as("x2"), x3.as("x3"))
+      val m = items
+        .agg(count(lit(1)).as("n"),
+          sum("x1").as("s1"), sum(col("x1") * col("x1")).as("q1"),
+          sum("x2").as("s2"), sum(col("x2") * col("x2")).as("q2"),
+          sum("x3").as("s3"), sum(col("x3") * col("x3")).as("q3"),
+          sum(col("x1") * col("x2")).as("p12"),
+          sum(col("x1") * col("x3")).as("p13"),
+          sum(col("x2") * col("x3")).as("p23"))
+        .withColumn("dn", dbl(col("n")) * dbl(col("n") - 1L))
+        .withColumn("c11", (dbl(col("n")) * dbl(col("q1"))
+          - dbl(col("s1")) * dbl(col("s1"))) / col("dn"))
+        .withColumn("c22", (dbl(col("n")) * dbl(col("q2"))
+          - dbl(col("s2")) * dbl(col("s2"))) / col("dn"))
+        .withColumn("c33", (dbl(col("n")) * dbl(col("q3"))
+          - dbl(col("s3")) * dbl(col("s3"))) / col("dn"))
+        .withColumn("c12", (dbl(col("n")) * dbl(col("p12"))
+          - dbl(col("s1")) * dbl(col("s2"))) / col("dn"))
+        .withColumn("c13", (dbl(col("n")) * dbl(col("p13"))
+          - dbl(col("s1")) * dbl(col("s3"))) / col("dn"))
+        .withColumn("c23", (dbl(col("n")) * dbl(col("p23"))
+          - dbl(col("s2")) * dbl(col("s3"))) / col("dn"))
+        .withColumn("det",
+          col("c11") * (col("c22") * col("c33")
+            - col("c23") * col("c23"))
+          - col("c12") * (col("c12") * col("c33")
+            - col("c23") * col("c13"))
+          + col("c13") * (col("c12") * col("c23")
+            - col("c22") * col("c13")))
+        .where(col("det") =!= 0.0)
+        .withColumn("i11", (col("c22") * col("c33")
+          - col("c23") * col("c23")) / col("det"))
+        .withColumn("i22", (col("c11") * col("c33")
+          - col("c13") * col("c13")) / col("det"))
+        .withColumn("i33", (col("c11") * col("c22")
+          - col("c12") * col("c12")) / col("det"))
+        .withColumn("i12", (col("c13") * col("c23")
+          - col("c12") * col("c33")) / col("det"))
+        .withColumn("i13", (col("c12") * col("c23")
+          - col("c13") * col("c22")) / col("det"))
+        .withColumn("i23", (col("c12") * col("c13")
+          - col("c11") * col("c23")) / col("det"))
+        .withColumn("m1", dbl(col("s1")) / dbl(col("n")))
+        .withColumn("m2", dbl(col("s2")) / dbl(col("n")))
+        .withColumn("m3", dbl(col("s3")) / dbl(col("n")))
+        .select("i11", "i22", "i33", "i12", "i13", "i23",
+          "m1", "m2", "m3")
+      items.crossJoin(broadcast(m))
+        .withColumn("d1", dbl(col("x1")) - col("m1"))
+        .withColumn("d2", dbl(col("x2")) - col("m2"))
+        .withColumn("d3", dbl(col("x3")) - col("m3"))
+        .select(col("doc_id"),
+          (col("i11") * col("d1") * col("d1")
+            + col("i22") * col("d2") * col("d2")
+            + col("i33") * col("d3") * col("d3")
+            + lit(2.0) * col("i12") * col("d1") * col("d2")
+            + lit(2.0) * col("i13") * col("d1") * col("d3")
+            + lit(2.0) * col("i23") * col("d2") * col("d3"))
+            .as("d2_maha"))
+        .orderBy(col("d2_maha").desc, col("doc_id"))
+        .limit(10)
+    }, Some("""
+      WITH items AS (SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS x1,
+          CAST(length(text)
+            - length(replace(text, ' ', '')) + 1
+            AS BIGINT) AS x2,
+          CAST(len(regexp_extract_all(lower(text),
+            '\b(the|a|and|of|to|in|is|that)\b')) AS BIGINT) AS x3
+        FROM documents),
+      mm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x1 * x1) AS BIGINT) AS q1,
+        CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(x2 * x2) AS BIGINT) AS q2,
+        CAST(sum(x3) AS BIGINT) AS s3, CAST(sum(x3 * x3) AS BIGINT) AS q3,
+        CAST(sum(x1 * x2) AS BIGINT) AS p12,
+        CAST(sum(x1 * x3) AS BIGINT) AS p13,
+        CAST(sum(x2 * x3) AS BIGINT) AS p23
+        FROM items),
+      cv AS (SELECT *,
+        CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS dn FROM mm),
+      c2 AS (SELECT *,
+        (CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / dn AS c11,
+        (CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / dn AS c22,
+        (CAST(n AS DOUBLE) * CAST(q3 AS DOUBLE)
+          - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)) / dn AS c33,
+        (CAST(n AS DOUBLE) * CAST(p12 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)) / dn AS c12,
+        (CAST(n AS DOUBLE) * CAST(p13 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)) / dn AS c13,
+        (CAST(n AS DOUBLE) * CAST(p23 AS DOUBLE)
+          - CAST(s2 AS DOUBLE) * CAST(s3 AS DOUBLE)) / dn AS c23
+        FROM cv),
+      dt AS (SELECT *,
+        c11 * (c22 * c33 - c23 * c23)
+          - c12 * (c12 * c33 - c23 * c13)
+          + c13 * (c12 * c23 - c22 * c13) AS det
+        FROM c2),
+      iv AS (SELECT
+        (c22 * c33 - c23 * c23) / det AS i11,
+        (c11 * c33 - c13 * c13) / det AS i22,
+        (c11 * c22 - c12 * c12) / det AS i33,
+        (c13 * c23 - c12 * c33) / det AS i12,
+        (c12 * c23 - c13 * c22) / det AS i13,
+        (c12 * c13 - c11 * c23) / det AS i23,
+        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+        CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+        CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3
+        FROM dt WHERE det <> 0.0),
+      dd AS (SELECT doc_id,
+        CAST(x1 AS DOUBLE) - m1 AS d1,
+        CAST(x2 AS DOUBLE) - m2 AS d2,
+        CAST(x3 AS DOUBLE) - m3 AS d3,
+        i11, i22, i33, i12, i13, i23
+        FROM items, iv)
+      SELECT doc_id,
+        i11 * d1 * d1 + i22 * d2 * d2 + i33 * d3 * d3
+          + 2.0 * i12 * d1 * d2 + 2.0 * i13 * d1 * d3
+          + 2.0 * i23 * d2 * d3 AS d2_maha
+      FROM dd
+      ORDER BY d2_maha DESC, doc_id LIMIT 10""")),
+
+    // 2-D PCA in closed form over (char length, stopword hits): the
+    // covariance eigenpair λ± = ((a+c) ± √((a−c)² + 4b²))/2 gives
+    // the principal variance split and the explained-variance ratio
+    // λ₊/(a+c) — the "is this feature pair effectively
+    // one-dimensional?" readout that decides whether downstream
+    // joins can bucket on a single projected key. Moments exact
+    // BIGINT; the eigen tree is fixed IEEE; a zero-trace covariance
+    // guards the ratio to NaN.
+    QueryDef("q333_pca2", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val txt = col("text")
+      val x1 = length(txt).cast("long")
+      val x3 = size(regexp_extract_all(lower(txt),
+        lit("\\b(the|a|and|of|to|in|is|that)\\b"), lit(0))).cast("long")
+      t(s, d, "documents")
+        .select(x1.as("x1"), x3.as("x3"))
+        .agg(count(lit(1)).as("n"),
+          sum("x1").as("s1"), sum(col("x1") * col("x1")).as("q1"),
+          sum("x3").as("s3"), sum(col("x3") * col("x3")).as("q3"),
+          sum(col("x1") * col("x3")).as("p13"))
+        .withColumn("dn", dbl(col("n")) * dbl(col("n") - 1L))
+        .withColumn("a", (dbl(col("n")) * dbl(col("q1"))
+          - dbl(col("s1")) * dbl(col("s1"))) / col("dn"))
+        .withColumn("c", (dbl(col("n")) * dbl(col("q3"))
+          - dbl(col("s3")) * dbl(col("s3"))) / col("dn"))
+        .withColumn("b", (dbl(col("n")) * dbl(col("p13"))
+          - dbl(col("s1")) * dbl(col("s3"))) / col("dn"))
+        .withColumn("disc",
+          sqrt((col("a") - col("c")) * (col("a") - col("c"))
+            + lit(4.0) * col("b") * col("b")))
+        .select(col("n"), col("a").as("var_len"),
+          col("c").as("var_stop"), col("b").as("cov_ls"),
+          ((col("a") + col("c") + col("disc")) / lit(2.0))
+            .as("lambda1"),
+          ((col("a") + col("c") - col("disc")) / lit(2.0))
+            .as("lambda2"),
+          when(col("a") + col("c") =!= 0.0,
+            (col("a") + col("c") + col("disc")) / lit(2.0)
+              / (col("a") + col("c")))
+            .otherwise(lit(Double.NaN)).as("evr1"))
+    }, Some("""
+      WITH items AS (SELECT
+          CAST(length(text) AS BIGINT) AS x1,
+          CAST(len(regexp_extract_all(lower(text),
+            '\b(the|a|and|of|to|in|is|that)\b')) AS BIGINT) AS x3
+        FROM documents),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x1 * x1) AS BIGINT) AS q1,
+        CAST(sum(x3) AS BIGINT) AS s3, CAST(sum(x3 * x3) AS BIGINT) AS q3,
+        CAST(sum(x1 * x3) AS BIGINT) AS p13
+        FROM items),
+      cv AS (SELECT *,
+        CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS dn FROM m),
+      e AS (SELECT n,
+        (CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / dn AS a,
+        (CAST(n AS DOUBLE) * CAST(q3 AS DOUBLE)
+          - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)) / dn AS c,
+        (CAST(n AS DOUBLE) * CAST(p13 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)) / dn AS b
+        FROM cv),
+      f AS (SELECT *,
+        sqrt((a - c) * (a - c) + 4.0 * b * b) AS disc FROM e)
+      SELECT n, a AS var_len, c AS var_stop, b AS cov_ls,
+        (a + c + disc) / 2.0 AS lambda1,
+        (a + c - disc) / 2.0 AS lambda2,
+        CASE WHEN a + c <> 0.0
+          THEN (a + c + disc) / 2.0 / (a + c)
+          ELSE CAST('nan' AS DOUBLE) END AS evr1
+      FROM f"""))
   )
 }
