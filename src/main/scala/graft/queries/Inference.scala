@@ -9669,6 +9669,187 @@ object Inference {
         CASE WHEN a + c <> 0.0
           THEN (a + c + disc) / 2.0 / (a + c)
           ELSE CAST('nan' AS DOUBLE) END AS evr1
-      FROM f"""))
+      FROM f""")),
+
+    // Dixon's Q ratios for the daily event-count series — the
+    // small-sample outlier screen (the classic bench-chemistry test)
+    // complementing q292's Grubbs: Q_upper = gap to the runner-up
+    // over the range, and the lower analog — pure order-statistic
+    // ratios, no variance estimate at all, so one wild day can't
+    // mask itself by inflating s. Extremes and runners-up come from
+    // conditional BIGINT aggregates over the dimension-sized daily
+    // cells (runner-up = extreme of the values strictly inside the
+    // hull, so exact ties collapse the gap to 0 — the standard
+    // reading); each Q is ONE double division, range 0 guards NaN.
+    QueryDef("q334_dixon_q", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val ext = daily.agg(max(col("c")).as("mx"), min(col("c")).as("mn"),
+        count(lit(1)).as("n"))
+      daily.crossJoin(broadcast(ext))
+        .agg(max(col("n")).as("n"), max(col("mx")).as("mx"),
+          max(col("mn")).as("mn"),
+          coalesce(max(when(col("c") < col("mx"), col("c"))),
+            max(col("mx"))).as("mx2"),
+          coalesce(min(when(col("c") > col("mn"), col("c"))),
+            min(col("mn"))).as("mn2"))
+        .select(col("n").as("n_days"), col("mx"), col("mn"),
+          when(col("mx") > col("mn"),
+            dbl(col("mx") - col("mx2")) / dbl(col("mx") - col("mn")))
+            .otherwise(lit(Double.NaN)).as("q_upper"),
+          when(col("mx") > col("mn"),
+            dbl(col("mn2") - col("mn")) / dbl(col("mx") - col("mn")))
+            .otherwise(lit(Double.NaN)).as("q_lower"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      ext AS (SELECT CAST(max(c) AS BIGINT) AS mx,
+          CAST(min(c) AS BIGINT) AS mn,
+          CAST(count(*) AS BIGINT) AS n FROM daily),
+      a AS (SELECT CAST(max(n) AS BIGINT) AS n,
+          CAST(max(mx) AS BIGINT) AS mx, CAST(max(mn) AS BIGINT) AS mn,
+          CAST(coalesce(max(CASE WHEN c < mx THEN c END), max(mx))
+            AS BIGINT) AS mx2,
+          CAST(coalesce(min(CASE WHEN c > mn THEN c END), min(mn))
+            AS BIGINT) AS mn2
+        FROM daily, ext)
+      SELECT n AS n_days, mx, mn,
+        CASE WHEN mx > mn
+          THEN CAST(mx - mx2 AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS q_upper,
+        CASE WHEN mx > mn
+          THEN CAST(mn2 - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS q_lower
+      FROM a""")),
+
+    // Poisson likelihood-ratio goodness-of-fit G² for the daily
+    // counts against a constant rate — the deviance companion to
+    // q328's moment-based dispersion index (G² is the test a GLM
+    // would run; they disagree exactly when the departure is in the
+    // tails). The identity Σc·ln(c·n/S) = Σc·ln c + S·ln n − S·ln S
+    // keeps every portable_ln argument an INTEGER (zero-count days
+    // contribute 0 by the 0·ln 0 = 0 convention, handled by the
+    // guard); the cell fold runs day-sorted (q138) and
+    // G² = 2·(that sum). S = 0 guards NaN.
+    QueryDef("q335_poisson_gof", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def dbl(c: Column) = c.cast("double")
+      def pln(c: Column) = call_function("portable_ln", c.cast("double"))
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      daily
+        .select(struct(col("day"), col("c")).as("cell"))
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(col("cs"),
+          size(col("cs")).cast("long").as("n"),
+          aggregate(col("cs"), lit(0L),
+            (a, c) => a + c.getField("c")).as("s_tot"))
+        .select(col("n").as("n_days"), col("s_tot"),
+          when(col("s_tot") > 0 && col("n") > 0,
+            lit(2.0) * (aggregate(col("cs"), lit(0.0), (a, c) =>
+              a + when(c.getField("c") > 0,
+                dbl(c.getField("c")) * pln(c.getField("c")))
+                .otherwise(lit(0.0)))
+              + dbl(col("s_tot")) * pln(col("n"))
+              - dbl(col("s_tot")) * pln(col("s_tot"))))
+            .otherwise(lit(Double.NaN)).as("g2_poisson"),
+          (col("n") - 1L).as("dof"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      l AS (SELECT list_sort(list(struct_pack(day := day, c := c)))
+          AS cs FROM daily),
+      a AS (SELECT cs, CAST(len(cs) AS BIGINT) AS n,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> c.c)), (x, y) -> x + y) AS s_tot
+        FROM l)
+      SELECT n AS n_days, s_tot,
+        CASE WHEN s_tot > 0 AND n > 0
+          THEN 2.0 * (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(cs, c -> CASE WHEN c.c > 0
+                THEN CAST(c.c AS DOUBLE) * ln(CAST(c.c AS DOUBLE))
+                ELSE 0.0 END)), (x, y) -> x + y)
+            + CAST(s_tot AS DOUBLE) * ln(CAST(n AS DOUBLE))
+            - CAST(s_tot AS DOUBLE) * ln(CAST(s_tot AS DOUBLE)))
+          ELSE CAST('nan' AS DOUBLE) END AS g2_poisson,
+        n - 1 AS dof
+      FROM a""")),
+
+    // First-order Markov entropy rate of the per-user event-type
+    // sequence — "how predictable is the NEXT event given the
+    // current one?" in nats/event, the sequential refinement of the
+    // marginal entropy suite (q320) and the scalar summary of the
+    // q118 transition matrix. H = (Σᵢ nᵢ·ln nᵢ − Σᵢⱼ nᵢⱼ·ln nᵢⱼ)/T
+    // over bigram counts keeps every portable_ln argument an
+    // INTEGER; transitions come from a per-user lag (PARTITIONED
+    // window, ts+event_id tie-broken), and both ≤k²-cell folds run
+    // sorted (q138). T = 0 guards NaN.
+    QueryDef("q336_entropy_rate", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def dbl(c: Column) = c.cast("double")
+      def pln(c: Column) = call_function("portable_ln", c.cast("double"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val big = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("b"))
+        .withColumn("a", lag(col("b"), 1).over(w))
+        .where(col("a").isNotNull)
+        .groupBy("a", "b").agg(count(lit(1)).as("nij"))
+      val sij = big
+        .select(struct(col("a"), col("b"), col("nij")).as("cell"))
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(
+          aggregate(col("cs"), lit(0L),
+            (x, c) => x + c.getField("nij")).as("t_tot"),
+          aggregate(col("cs"), lit(0.0), (x, c) =>
+            x + dbl(c.getField("nij")) * pln(c.getField("nij")))
+            .as("sij"))
+      val si = big.groupBy("a").agg(sum("nij").as("ni"))
+        .select(struct(col("a"), col("ni")).as("cell"))
+        .agg(sort_array(collect_list(col("cell"))).as("ms"))
+        .select(aggregate(col("ms"), lit(0.0), (x, c) =>
+          x + dbl(c.getField("ni")) * pln(c.getField("ni")))
+          .as("si"))
+      sij.crossJoin(broadcast(si))
+        .select(col("t_tot").as("n_transitions"),
+          when(col("t_tot") > 0,
+            (col("si") - col("sij")) / dbl(col("t_tot")))
+            .otherwise(lit(Double.NaN)).as("entropy_rate"))
+    }, Some("""
+      WITH seq AS (SELECT event_type AS b,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS a
+        FROM events),
+      big AS (SELECT a, b, CAST(count(*) AS BIGINT) AS nij
+        FROM seq WHERE a IS NOT NULL GROUP BY 1, 2),
+      lj AS (SELECT list_sort(list(struct_pack(a := a, b := b,
+          nij := nij))) AS cs FROM big),
+      sij AS (SELECT
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> c.nij)), (x, y) -> x + y) AS t_tot,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> CAST(c.nij AS DOUBLE)
+            * ln(CAST(c.nij AS DOUBLE)))), (x, y) -> x + y) AS sij
+        FROM lj),
+      mg AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ni
+        FROM big GROUP BY 1),
+      lm AS (SELECT list_sort(list(struct_pack(a := a, ni := ni)))
+          AS ms FROM mg),
+      si AS (SELECT
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(ms, c -> CAST(c.ni AS DOUBLE)
+            * ln(CAST(c.ni AS DOUBLE)))), (x, y) -> x + y) AS si
+        FROM lm)
+      SELECT t_tot AS n_transitions,
+        CASE WHEN t_tot > 0
+          THEN (si - sij) / CAST(t_tot AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS entropy_rate
+      FROM sij, si"""))
   )
 }
