@@ -9850,6 +9850,187 @@ object Inference {
         CASE WHEN t_tot > 0
           THEN (si - sij) / CAST(t_tot AS DOUBLE)
           ELSE CAST('nan' AS DOUBLE) END AS entropy_rate
-      FROM sij, si"""))
+      FROM sij, si""")),
+
+    // Coefficient of variation and quartile coefficient of
+    // dispersion for the per-customer order-count distribution —
+    // the moment-based and order-statistic-based relative-spread
+    // pair (CV breaks on heavy tails exactly where QCD stays
+    // stable, so their DISAGREEMENT is the tail alarm). CV comes
+    // from exact BIGINT moments (s via the n-scaled M2n identity);
+    // Q1/Q3 are type-1 order statistics at ranks (n+1) DIV 4 and
+    // (3(n+1)) DIV 4 (clamped to [1,n]) from ONE PrefixSum CDF
+    // pass; QCD = (Q3−Q1)/(Q3+Q1). Degenerate spread guards NaN.
+    QueryDef("q337_cv_qcd", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val per = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("x"))
+      val cells = per.groupBy(col("x").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cells.agg(
+          coalesce(sum(col("c")), lit(0L)).as("n"),
+          coalesce(sum(col("v") * col("c")), lit(0L)).as("s_tot"),
+          coalesce(sum(col("v") * col("v") * col("c")), lit(0L))
+            .as("q_tot"))
+        .withColumn("m2n",
+          col("n") * col("q_tot") - col("s_tot") * col("s_tot"))
+        .withColumn("rk1",
+          greatest(lit(1L), expr("(n + 1) DIV 4")))
+        .withColumn("rk3",
+          least(col("n"), expr("(3 * (n + 1)) DIV 4")))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(cells, "v", Seq("c"))
+        .crossJoin(broadcast(tot))
+      val q1 = cum.where(col("rk1") > col("c_cum") - col("c")
+          && col("rk1") <= col("c_cum"))
+        .select(col("v").as("q1"))
+      val q3 = cum.where(col("rk3") > col("c_cum") - col("c")
+          && col("rk3") <= col("c_cum"))
+        .select(col("v").as("q3"))
+      tot.crossJoin(broadcast(q1)).crossJoin(broadcast(q3))
+        .select(col("n"), col("q1"), col("q3"),
+          when(col("s_tot") > 0 && col("n") > 1,
+            sqrt(dbl(col("m2n")) / dbl(col("n") * (col("n") - 1L)))
+              / (dbl(col("s_tot")) / dbl(col("n"))))
+            .otherwise(lit(Double.NaN)).as("cv"),
+          when(col("q1") + col("q3") > 0,
+            dbl(col("q3") - col("q1")) / dbl(col("q3") + col("q1")))
+            .otherwise(lit(Double.NaN)).as("qcd"))
+    }, Some("""
+      WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+      cells AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c
+        FROM per GROUP BY 1),
+      tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+          CAST(coalesce(sum(v * c), 0) AS BIGINT) AS s_tot,
+          CAST(coalesce(sum(v * v * c), 0) AS BIGINT) AS q_tot
+        FROM cells),
+      t2 AS (SELECT *, n * q_tot - s_tot * s_tot AS m2n,
+          greatest(1, (n + 1) // 4) AS rk1,
+          least(n, (3 * (n + 1)) // 4) AS rk3
+        FROM tot),
+      cum AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS c_cum FROM cells),
+      qq1 AS (SELECT v AS q1 FROM cum, t2
+        WHERE rk1 > c_cum - c AND rk1 <= c_cum),
+      qq3 AS (SELECT v AS q3 FROM cum, t2
+        WHERE rk3 > c_cum - c AND rk3 <= c_cum)
+      SELECT n, q1, q3,
+        CASE WHEN s_tot > 0 AND n > 1
+          THEN sqrt(CAST(m2n AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+            / (CAST(s_tot AS DOUBLE) / CAST(n AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS cv,
+        CASE WHEN q1 + q3 > 0
+          THEN CAST(q3 - q1 AS DOUBLE) / CAST(q3 + q1 AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS qcd
+      FROM t2, qq1, qq3""")),
+
+    // Lorenz asymmetry coefficient S = F(μ) + L(μ) of the
+    // per-customer order-count distribution — WHERE the inequality
+    // lives: S < 1 means it's driven by many small accounts, S > 1
+    // by a few giants (two distributions can share q311's Gini and
+    // differ here, and the answer decides skew strategy: salting
+    // hot keys vs pruning a long tail). The mean never
+    // materializes: x < μ compares as the exact integer n·x < S,
+    // so F(μ) and L(μ) are two BIGINT cell sums over the value-cell
+    // table with two final divisions. Empty input guards NaN.
+    QueryDef("q338_lorenz_asymmetry", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val cells = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy(col("x").as("v")).agg(count(lit(1)).as("c"))
+      val tot = cells.agg(
+        coalesce(sum(col("c")), lit(0L)).as("n"),
+        coalesce(sum(col("v") * col("c")), lit(0L)).as("s_tot"))
+      cells.crossJoin(broadcast(tot))
+        .agg(max(col("n")).as("n"), max(col("s_tot")).as("s_tot"),
+          coalesce(sum(when(col("v") * col("n") < col("s_tot"),
+            col("c")).otherwise(0L)), lit(0L)).as("n_below"),
+          coalesce(sum(when(col("v") * col("n") < col("s_tot"),
+            col("v") * col("c")).otherwise(0L)), lit(0L)).as("s_below"))
+        .select(col("n").as("n_customers"), col("n_below"),
+          when(col("n") > 0 && col("s_tot") > 0,
+            dbl(col("n_below")) / dbl(col("n"))
+              + dbl(col("s_below")) / dbl(col("s_tot")))
+            .otherwise(lit(Double.NaN)).as("lorenz_asymmetry"))
+    }, Some("""
+      WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+      cells AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c
+        FROM per GROUP BY 1),
+      tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+          CAST(coalesce(sum(v * c), 0) AS BIGINT) AS s_tot
+        FROM cells),
+      a AS (SELECT CAST(max(n) AS BIGINT) AS n,
+          CAST(max(s_tot) AS BIGINT) AS s_tot,
+          CAST(coalesce(sum(CASE WHEN v * n < s_tot THEN c
+            ELSE 0 END), 0) AS BIGINT) AS n_below,
+          CAST(coalesce(sum(CASE WHEN v * n < s_tot THEN v * c
+            ELSE 0 END), 0) AS BIGINT) AS s_below
+        FROM cells, tot)
+      SELECT n AS n_customers, n_below,
+        CASE WHEN n > 0 AND s_tot > 0
+          THEN CAST(n_below AS DOUBLE) / CAST(n AS DOUBLE)
+            + CAST(s_below AS DOUBLE) / CAST(s_tot AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS lorenz_asymmetry
+      FROM a""")),
+
+    // Atkinson inequality (ε = 1) in log form — the welfare-
+    // economics index whose sensitivity dial ε = 1 makes the
+    // equally-distributed-equivalent the GEOMETRIC mean:
+    // A = 1 − geomean/mean. To stay portable the query reports
+    // ln(1−A) = (Σ m·ln x)/N − ln S + ln N (exp() would reintroduce
+    // the libm divergence portable_ln exists to avoid — the q162
+    // rule), which is ≤ 0 with equality iff perfectly equal; every
+    // ln argument is an INTEGER and the cell fold runs value-sorted
+    // (q138). Zero counts can't occur (groupBy implies ≥ 1); empty
+    // input guards NaN.
+    QueryDef("q339_atkinson_log", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def dbl(c: Column) = c.cast("double")
+      def pln(c: Column) = call_function("portable_ln", c.cast("double"))
+      t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy(col("x").as("v")).agg(count(lit(1)).as("m"))
+        .select(struct(col("v"), col("m")).as("cell"))
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(
+          aggregate(col("cs"), lit(0L),
+            (a, c) => a + c.getField("m")).as("n"),
+          aggregate(col("cs"), lit(0L),
+            (a, c) => a + c.getField("m") * c.getField("v"))
+            .as("s_tot"),
+          aggregate(col("cs"), lit(0.0), (a, c) =>
+            a + dbl(c.getField("m")) * pln(c.getField("v")))
+            .as("slnx"))
+        .select(col("n").as("n_customers"), col("s_tot"),
+          when(col("n") > 0 && col("s_tot") > 0,
+            col("slnx") / dbl(col("n")) - pln(col("s_tot"))
+              + pln(col("n")))
+            .otherwise(lit(Double.NaN)).as("atkinson_log_ede"))
+    }, Some("""
+      WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+      cells AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS m
+        FROM per GROUP BY 1),
+      l AS (SELECT list_sort(list(struct_pack(v := v, m := m))) AS cs
+        FROM cells),
+      a AS (SELECT
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> c.m)), (x, y) -> x + y) AS n,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> c.m * c.v)), (x, y) -> x + y)
+          AS s_tot,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> CAST(c.m AS DOUBLE)
+            * ln(CAST(c.v AS DOUBLE)))), (x, y) -> x + y) AS slnx
+        FROM l)
+      SELECT n AS n_customers, s_tot,
+        CASE WHEN n > 0 AND s_tot > 0
+          THEN slnx / CAST(n AS DOUBLE) - ln(CAST(s_tot AS DOUBLE))
+            + ln(CAST(n AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS atkinson_log_ede
+      FROM a"""))
   )
 }
