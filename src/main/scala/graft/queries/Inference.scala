@@ -10031,6 +10031,413 @@ object Inference {
           THEN slnx / CAST(n AS DOUBLE) - ln(CAST(s_tot AS DOUBLE))
             + ln(CAST(n AS DOUBLE))
           ELSE CAST('nan' AS DOUBLE) END AS atkinson_log_ede
-      FROM a"""))
+      FROM a""")),
+
+    // Brunner–Munzel test between the returned (A) and refused (R)
+    // quantity populations — the modern replacement for
+    // Mann-Whitney (q214) when variances differ: it tests the
+    // relative effect p = P(X<Y)+½P(X=Y) WITHOUT the equal-spread
+    // assumption, using within- vs combined-rank variances. One
+    // value-cell pass carries all three rank systems (global,
+    // within-A, within-R — a single multi-column PrefixSum), each
+    // doubled to stay BIGINT through ties; the per-group deviation
+    // sums Σa(m2−mA2)² are exact integers and v₁/v₂/Ŵ assemble as
+    // one fixed IEEE tree (lawstat's form
+    // W = n₁n₂(R̄₂−R̄₁)/(N√(n₁v₁+n₂v₂))). Degenerate variance
+    // guards W to NaN; p̂ always reports.
+    QueryDef("q340_brunner_munzel", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val q = t(s, d, "lineitem")
+        .where(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("v"))
+      val cells = q.groupBy("v")
+        .agg(count(lit(1)).as("t"),
+          coalesce(sum(when(col("g") === "A", 1L).otherwise(0L)),
+            lit(0L)).as("a"))
+        .withColumn("r", col("t") - col("a"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(cells, "v", Seq("t", "a", "r"))
+        .withColumn("m2",
+          lit(2L) * (col("t_cum") - col("t")) + col("t") + 1L)
+        .withColumn("ma2",
+          lit(2L) * (col("a_cum") - col("a")) + col("a") + 1L)
+        .withColumn("mr2",
+          lit(2L) * (col("r_cum") - col("r")) + col("r") + 1L)
+      cum.agg(
+          coalesce(sum(col("a")), lit(0L)).as("n1"),
+          coalesce(sum(col("r")), lit(0L)).as("n2"),
+          coalesce(sum(col("a") * col("m2")), lit(0L)).as("sra2"),
+          coalesce(sum(col("r") * col("m2")), lit(0L)).as("srb2"),
+          coalesce(sum(col("a") * (col("m2") - col("ma2"))
+            * (col("m2") - col("ma2"))), lit(0L)).as("da2"),
+          coalesce(sum(col("r") * (col("m2") - col("mr2"))
+            * (col("m2") - col("mr2"))), lit(0L)).as("db2"))
+        .withColumn("nn", col("n1") + col("n2"))
+        .withColumn("rb1", dbl(col("sra2")) / (lit(2.0) * dbl(col("n1"))))
+        .withColumn("rb2", dbl(col("srb2")) / (lit(2.0) * dbl(col("n2"))))
+        // vᵢ = [Σa·((m2−mA2)/2)² − nᵢ·(R̄ᵢ−(nᵢ+1)/2)²]/(nᵢ−1)
+        .withColumn("v1",
+          when(col("n1") > 1,
+            (dbl(col("da2")) / lit(4.0)
+              - dbl(col("n1"))
+                * (col("rb1") - dbl(col("n1") + 1L) / lit(2.0))
+                * (col("rb1") - dbl(col("n1") + 1L) / lit(2.0)))
+              / dbl(col("n1") - 1L)))
+        .withColumn("v2",
+          when(col("n2") > 1,
+            (dbl(col("db2")) / lit(4.0)
+              - dbl(col("n2"))
+                * (col("rb2") - dbl(col("n2") + 1L) / lit(2.0))
+                * (col("rb2") - dbl(col("n2") + 1L) / lit(2.0)))
+              / dbl(col("n2") - 1L)))
+        .select(col("n1"), col("n2"),
+          ((col("rb2") - dbl(col("n2") + 1L) / lit(2.0))
+            / dbl(col("n1"))).as("p_hat"),
+          when(col("v1").isNotNull && col("v2").isNotNull
+              && dbl(col("n1")) * col("v1")
+                + dbl(col("n2")) * col("v2") > 0.0,
+            dbl(col("n1")) * dbl(col("n2"))
+              * (col("rb2") - col("rb1"))
+              / (dbl(col("nn"))
+                * sqrt(dbl(col("n1")) * col("v1")
+                  + dbl(col("n2")) * col("v2"))))
+            .otherwise(lit(Double.NaN)).as("w_bm"))
+    }, Some("""
+      WITH q AS (SELECT l_returnflag AS g,
+          CAST(l_quantity AS BIGINT) AS v
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      cells AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+          CAST(coalesce(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS a
+        FROM q GROUP BY 1),
+      c2 AS (SELECT *, t - a AS r FROM cells),
+      cum AS (SELECT v, t, a, r,
+          CAST(sum(t) OVER w AS BIGINT) AS t_cum,
+          CAST(sum(a) OVER w AS BIGINT) AS a_cum,
+          CAST(sum(r) OVER w AS BIGINT) AS r_cum
+        FROM c2 WINDOW w AS (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      mk AS (SELECT *,
+          2 * (t_cum - t) + t + 1 AS m2,
+          2 * (a_cum - a) + a + 1 AS ma2,
+          2 * (r_cum - r) + r + 1 AS mr2
+        FROM cum),
+      agg AS (SELECT
+          CAST(coalesce(sum(a), 0) AS BIGINT) AS n1,
+          CAST(coalesce(sum(r), 0) AS BIGINT) AS n2,
+          CAST(coalesce(sum(a * m2), 0) AS BIGINT) AS sra2,
+          CAST(coalesce(sum(r * m2), 0) AS BIGINT) AS srb2,
+          CAST(coalesce(sum(a * (m2 - ma2) * (m2 - ma2)), 0)
+            AS BIGINT) AS da2,
+          CAST(coalesce(sum(r * (m2 - mr2) * (m2 - mr2)), 0)
+            AS BIGINT) AS db2
+        FROM mk),
+      e AS (SELECT *, n1 + n2 AS nn,
+        CAST(sra2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) AS rb1,
+        CAST(srb2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE)) AS rb2
+        FROM agg),
+      vv AS (SELECT *,
+        CASE WHEN n1 > 1
+          THEN (CAST(da2 AS DOUBLE) / 4.0
+            - CAST(n1 AS DOUBLE)
+              * (rb1 - CAST(n1 + 1 AS DOUBLE) / 2.0)
+              * (rb1 - CAST(n1 + 1 AS DOUBLE) / 2.0))
+            / CAST(n1 - 1 AS DOUBLE) END AS v1,
+        CASE WHEN n2 > 1
+          THEN (CAST(db2 AS DOUBLE) / 4.0
+            - CAST(n2 AS DOUBLE)
+              * (rb2 - CAST(n2 + 1 AS DOUBLE) / 2.0)
+              * (rb2 - CAST(n2 + 1 AS DOUBLE) / 2.0))
+            / CAST(n2 - 1 AS DOUBLE) END AS v2
+        FROM e)
+      SELECT n1, n2,
+        (rb2 - CAST(n2 + 1 AS DOUBLE) / 2.0)
+          / CAST(n1 AS DOUBLE) AS p_hat,
+        CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL
+            AND CAST(n1 AS DOUBLE) * v1 + CAST(n2 AS DOUBLE) * v2 > 0.0
+          THEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (rb2 - rb1)
+            / (CAST(nn AS DOUBLE)
+              * sqrt(CAST(n1 AS DOUBLE) * v1
+                + CAST(n2 AS DOUBLE) * v2))
+          ELSE CAST('nan' AS DOUBLE) END AS w_bm
+      FROM vv""")),
+
+    // Partial Kendall τ — the rank association between order
+    // priority and order status CONTROLLING for the price quintile:
+    // τ_xy·z = (τxy − τxz·τyz)/√((1−τxz²)(1−τyz²)), the ordinal
+    // analogue of q266's Pearson partial correlation. All three
+    // pairwise τ-b's reuse the q213 machinery on GLOBAL tiny-domain
+    // pairs (priority 1–5 × status 1–3 × PrefixSum-CDF price
+    // quintile): concordant-minus-discordant from ≤|dom|² cell
+    // self-joins, tie terms from margins, every count BIGINT until
+    // the three √ divisions. A saturated control (τxz² or τyz² = 1)
+    // guards NaN.
+    QueryDef("q341_partial_tau", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val priced = {
+        val cellsP = t(s, d, "orders")
+          .groupBy(col("o_totalprice").as("pv"))
+          .agg(count(lit(1)).as("pc"))
+        val nn = cellsP.agg(coalesce(sum(col("pc")), lit(0L)).as("nn"))
+        val zq = graft.operators.PrefixSum
+          .withRunningTotals(cellsP, "pv", Seq("pc"))
+          .crossJoin(broadcast(nn))
+          .select(col("pv").as("o_totalprice"),
+            expr("(5 * (nn - pc_cum)) DIV nn").as("z"))
+        t(s, d, "orders")
+          .join(zq, Seq("o_totalprice"))
+          .select(
+            substring(col("o_orderpriority"), 1, 1).cast("int").as("x"),
+            when(col("o_orderstatus") === "F", 1)
+              .when(col("o_orderstatus") === "O", 2).otherwise(3)
+              .as("y"),
+            col("z").cast("int").as("z"))
+      }
+      def taub(u: String, w: String): org.apache.spark.sql.DataFrame = {
+        val cells = priced.groupBy(col(u).as("u"), col(w).as("w"))
+          .agg(count(lit(1)).as("c"))
+        val tu = cells.groupBy("u").agg(sum("c").as("tc"))
+          .agg(coalesce(sum(expr("tc * (tc - 1) DIV 2")), lit(0L))
+            .as("n1t"))
+        val tw = cells.groupBy("w").agg(sum("c").as("tc"))
+          .agg(coalesce(sum(expr("tc * (tc - 1) DIV 2")), lit(0L))
+            .as("n2t"))
+        val n0 = cells.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+          .select(expr("n * (n - 1) DIV 2").as("n0"))
+        val cd = cells.select(col("u").as("u1"), col("w").as("w1"),
+            col("c").as("c1"))
+          .crossJoin(broadcast(cells.select(col("u").as("u2"),
+            col("w").as("w2"), col("c").as("c2"))))
+          .where(col("u1") < col("u2"))
+          .agg(coalesce(sum(
+            when(col("w1") < col("w2"), col("c1") * col("c2"))
+              .when(col("w1") > col("w2"), -col("c1") * col("c2"))
+              .otherwise(0L)), lit(0L)).as("cmd"))
+        cd.crossJoin(broadcast(tu)).crossJoin(broadcast(tw))
+          .crossJoin(broadcast(n0))
+          .select(
+            // the (n0−n1t)(n0−n2t) guard product overflows BIGINT at
+            // row scale (n0 ~ n²/2) — compare in DOUBLE (q228 rule)
+            when(dbl(col("n0") - col("n1t"))
+                * dbl(col("n0") - col("n2t")) > 0.0,
+              dbl(col("cmd"))
+                / sqrt(dbl(col("n0") - col("n1t"))
+                  * dbl(col("n0") - col("n2t"))))
+              .otherwise(lit(Double.NaN)).as(s"tau_$u$w"))
+      }
+      taub("x", "y").crossJoin(broadcast(taub("x", "z")))
+        .crossJoin(broadcast(taub("y", "z")))
+        .select(col("tau_xy"), col("tau_xz"), col("tau_yz"),
+          when((lit(1.0) - col("tau_xz") * col("tau_xz"))
+              * (lit(1.0) - col("tau_yz") * col("tau_yz")) > 0.0,
+            (col("tau_xy") - col("tau_xz") * col("tau_yz"))
+              / sqrt((lit(1.0) - col("tau_xz") * col("tau_xz"))
+                * (lit(1.0) - col("tau_yz") * col("tau_yz"))))
+            .otherwise(lit(Double.NaN)).as("partial_tau"))
+    }, Some("""
+      WITH cellsp AS (SELECT o_totalprice AS pv,
+          CAST(count(*) AS BIGINT) AS pc
+        FROM orders GROUP BY 1),
+      nn AS (SELECT CAST(coalesce(sum(pc), 0) AS BIGINT) AS nn
+        FROM cellsp),
+      zc AS (SELECT pv, pc, CAST(sum(pc) OVER (ORDER BY pv
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS pc_cum FROM cellsp),
+      zq AS (SELECT pv AS o_totalprice,
+          CAST((5 * (nn - pc_cum)) // nn AS INT) AS z
+        FROM zc, nn),
+      xyz AS (SELECT
+          CAST(substring(o_orderpriority, 1, 1) AS INT) AS x,
+          CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2
+            ELSE 3 END AS y,
+          z
+        FROM orders JOIN zq USING (o_totalprice)),
+      cxy AS (SELECT x AS u, y AS w, CAST(count(*) AS BIGINT) AS c
+        FROM xyz GROUP BY 1, 2),
+      cxz AS (SELECT x AS u, z AS w, CAST(count(*) AS BIGINT) AS c
+        FROM xyz GROUP BY 1, 2),
+      cyz AS (SELECT y AS u, z AS w, CAST(count(*) AS BIGINT) AS c
+        FROM xyz GROUP BY 1, 2),
+      txy AS (SELECT
+        (SELECT CAST(coalesce(sum(
+            CASE WHEN a.w < b.w THEN a.c * b.c
+              WHEN a.w > b.w THEN -a.c * b.c ELSE 0 END), 0) AS BIGINT)
+          FROM cxy a, cxy b WHERE a.u < b.u) AS cmd,
+        (SELECT CAST(coalesce(sum(tc * (tc - 1) // 2), 0) AS BIGINT)
+          FROM (SELECT u, CAST(sum(c) AS BIGINT) AS tc
+            FROM cxy GROUP BY 1)) AS n1t,
+        (SELECT CAST(coalesce(sum(tc * (tc - 1) // 2), 0) AS BIGINT)
+          FROM (SELECT w, CAST(sum(c) AS BIGINT) AS tc
+            FROM cxy GROUP BY 1)) AS n2t,
+        (SELECT n * (n - 1) // 2 FROM
+          (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cxy))
+          AS n0),
+      txz AS (SELECT
+        (SELECT CAST(coalesce(sum(
+            CASE WHEN a.w < b.w THEN a.c * b.c
+              WHEN a.w > b.w THEN -a.c * b.c ELSE 0 END), 0) AS BIGINT)
+          FROM cxz a, cxz b WHERE a.u < b.u) AS cmd,
+        (SELECT CAST(coalesce(sum(tc * (tc - 1) // 2), 0) AS BIGINT)
+          FROM (SELECT u, CAST(sum(c) AS BIGINT) AS tc
+            FROM cxz GROUP BY 1)) AS n1t,
+        (SELECT CAST(coalesce(sum(tc * (tc - 1) // 2), 0) AS BIGINT)
+          FROM (SELECT w, CAST(sum(c) AS BIGINT) AS tc
+            FROM cxz GROUP BY 1)) AS n2t,
+        (SELECT n * (n - 1) // 2 FROM
+          (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cxz))
+          AS n0),
+      tyz AS (SELECT
+        (SELECT CAST(coalesce(sum(
+            CASE WHEN a.w < b.w THEN a.c * b.c
+              WHEN a.w > b.w THEN -a.c * b.c ELSE 0 END), 0) AS BIGINT)
+          FROM cyz a, cyz b WHERE a.u < b.u) AS cmd,
+        (SELECT CAST(coalesce(sum(tc * (tc - 1) // 2), 0) AS BIGINT)
+          FROM (SELECT u, CAST(sum(c) AS BIGINT) AS tc
+            FROM cyz GROUP BY 1)) AS n1t,
+        (SELECT CAST(coalesce(sum(tc * (tc - 1) // 2), 0) AS BIGINT)
+          FROM (SELECT w, CAST(sum(c) AS BIGINT) AS tc
+            FROM cyz GROUP BY 1)) AS n2t,
+        (SELECT n * (n - 1) // 2 FROM
+          (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cyz))
+          AS n0),
+      tv AS (SELECT
+        CASE WHEN CAST(txy.n0 - txy.n1t AS DOUBLE)
+            * CAST(txy.n0 - txy.n2t AS DOUBLE) > 0
+          THEN CAST(txy.cmd AS DOUBLE)
+            / sqrt(CAST(txy.n0 - txy.n1t AS DOUBLE)
+              * CAST(txy.n0 - txy.n2t AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS tau_xy,
+        CASE WHEN CAST(txz.n0 - txz.n1t AS DOUBLE)
+            * CAST(txz.n0 - txz.n2t AS DOUBLE) > 0
+          THEN CAST(txz.cmd AS DOUBLE)
+            / sqrt(CAST(txz.n0 - txz.n1t AS DOUBLE)
+              * CAST(txz.n0 - txz.n2t AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS tau_xz,
+        CASE WHEN CAST(tyz.n0 - tyz.n1t AS DOUBLE)
+            * CAST(tyz.n0 - tyz.n2t AS DOUBLE) > 0
+          THEN CAST(tyz.cmd AS DOUBLE)
+            / sqrt(CAST(tyz.n0 - tyz.n1t AS DOUBLE)
+              * CAST(tyz.n0 - tyz.n2t AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS tau_yz
+        FROM txy, txz, tyz)
+      SELECT tau_xy, tau_xz, tau_yz,
+        CASE WHEN (1.0 - tau_xz * tau_xz)
+            * (1.0 - tau_yz * tau_yz) > 0.0
+          THEN (tau_xy - tau_xz * tau_yz)
+            / sqrt((1.0 - tau_xz * tau_xz)
+              * (1.0 - tau_yz * tau_yz))
+          ELSE CAST('nan' AS DOUBLE) END AS partial_tau
+      FROM tv""")),
+
+    // Mean-centered Levene test for equal quantity variances across
+    // the three return flags — the classical variant whose power
+    // beats q227's median-centered Brown–Forsythe under
+    // near-normality (run BOTH: their disagreement localizes the
+    // asymmetry). The absolute deviations never leave exact
+    // arithmetic: per value-cell |nᵍx − Sᵍ| is an integer, so the
+    // group z-moments are rationals with known denominators and the
+    // one-way ANOVA W = ((N−k)/(k−1))·SSB_z/SSW_z assembles as one
+    // fixed tree from per-group (Σz, Σz²) pairs folded in flag
+    // order. Degenerate SSW = 0 guards NaN.
+    QueryDef("q342_levene_mean", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val cells = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      val grp = cells.groupBy("g")
+        .agg(coalesce(sum(col("c")), lit(0L)).as("ng"),
+          coalesce(sum(col("v") * col("c")), lit(0L)).as("sg"))
+      val z = cells.join(broadcast(grp), Seq("g"))
+        .select(col("g"), col("ng"),
+          col("c"),
+          abs(col("ng") * col("v") - col("sg")).as("zn"))
+        .groupBy("g", "ng")
+        .agg(
+          coalesce(sum(col("c") * col("zn")), lit(0L)).as("sz"),
+          coalesce(sum(col("c") * col("zn") * col("zn")), lit(0L))
+            .as("qz"))
+        .select(col("g"), col("ng"),
+          (dbl(col("sz")) / dbl(col("ng"))).as("szd"),
+          (dbl(col("qz")) / (dbl(col("ng")) * dbl(col("ng"))))
+            .as("qzd"))
+      z.select(struct(col("g"), col("ng"), col("szd"), col("qzd"))
+          .as("cell"))
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(col("cs"),
+          size(col("cs")).cast("long").as("k"),
+          aggregate(col("cs"), lit(0L),
+            (a, c) => a + c.getField("ng")).as("n"),
+          aggregate(col("cs"), lit(0.0),
+            (a, c) => a + c.getField("szd")).as("sza"),
+          aggregate(col("cs"), lit(0.0),
+            (a, c) => a + c.getField("qzd")).as("qza"))
+        .withColumn("zbar",
+          aggregate(col("cs"), lit(0.0), (a, c) =>
+            a + c.getField("szd")) / dbl(col("n")))
+        .withColumn("ssb",
+          aggregate(col("cs"), lit(0.0), (a, c) =>
+            a + dbl(c.getField("ng"))
+              * (c.getField("szd") / dbl(c.getField("ng"))
+                - col("zbar"))
+              * (c.getField("szd") / dbl(c.getField("ng"))
+                - col("zbar"))))
+        .withColumn("ssw",
+          aggregate(col("cs"), lit(0.0), (a, c) =>
+            a + (c.getField("qzd")
+              - c.getField("szd") * c.getField("szd")
+                / dbl(c.getField("ng")))))
+        .select(col("k"), col("n"),
+          when(col("ssw") > 0.0 && col("k") > 1
+              && col("n") > col("k"),
+            (dbl(col("n") - col("k")) / dbl(col("k") - 1L))
+              * (col("ssb") / col("ssw")))
+            .otherwise(lit(Double.NaN)).as("w_levene"))
+    }, Some("""
+      WITH cells AS (SELECT l_returnflag AS g,
+          CAST(l_quantity AS BIGINT) AS v,
+          CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2),
+      grp AS (SELECT g, CAST(coalesce(sum(c), 0) AS BIGINT) AS ng,
+          CAST(coalesce(sum(v * c), 0) AS BIGINT) AS sg
+        FROM cells GROUP BY 1),
+      z AS (SELECT cells.g, ng,
+          CAST(coalesce(sum(c * abs(ng * v - sg)), 0) AS BIGINT) AS sz,
+          CAST(coalesce(sum(c * abs(ng * v - sg) * abs(ng * v - sg)),
+            0) AS BIGINT) AS qz
+        FROM cells JOIN grp ON cells.g = grp.g
+        GROUP BY 1, 2),
+      zd AS (SELECT g, ng,
+          CAST(sz AS DOUBLE) / CAST(ng AS DOUBLE) AS szd,
+          CAST(qz AS DOUBLE)
+            / (CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE)) AS qzd
+        FROM z),
+      l AS (SELECT list_sort(list(struct_pack(g := g, ng := ng,
+          szd := szd, qzd := qzd))) AS cs FROM zd),
+      a AS (SELECT cs, CAST(len(cs) AS BIGINT) AS k,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> c.ng)), (x, y) -> x + y) AS n,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> c.szd)), (x, y) -> x + y) AS sza
+        FROM l),
+      b AS (SELECT *, sza / CAST(n AS DOUBLE) AS zbar FROM a),
+      f AS (SELECT *,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> CAST(c.ng AS DOUBLE)
+            * (c.szd / CAST(c.ng AS DOUBLE) - zbar)
+            * (c.szd / CAST(c.ng AS DOUBLE) - zbar))),
+          (x, y) -> x + y) AS ssb,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> c.qzd
+            - c.szd * c.szd / CAST(c.ng AS DOUBLE))),
+          (x, y) -> x + y) AS ssw
+        FROM b)
+      SELECT k, n,
+        CASE WHEN ssw > 0.0 AND k > 1 AND n > k
+          THEN (CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+            * (ssb / ssw)
+          ELSE CAST('nan' AS DOUBLE) END AS w_levene
+      FROM f"""))
   )
 }
