@@ -10438,6 +10438,228 @@ object Inference {
           THEN (CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
             * (ssb / ssw)
           ELSE CAST('nan' AS DOUBLE) END AS w_levene
-      FROM f"""))
+      FROM f""")),
+
+    // Seasonal Mann-Kendall on the daily series — q280's trend test
+    // with all comparisons restricted to SAME-WEEKDAY pairs, so a
+    // strong weekly cycle (q248's seasonality indices measure it)
+    // can neither mask nor fake a monotone drift: S = Σ_g S_g and
+    // Var = Σ_g (n_g(n_g−1)(2n_g+5) − Σt(t−1)(2t+5))/18 sum over
+    // the seven weekday strata, every count BIGINT from the
+    // dimension-sized within-stratum pair join; the continuity-
+    // corrected z is one fixed tree. Weekday parity: Spark's
+    // dayofweek (1=Sun) minus 1 equals DuckDB's dow (0=Sun).
+    // Degenerate variance guards NaN.
+    QueryDef("q343_seasonal_mk", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("wd", (dayofweek(col("day")) - 1).cast("int"))
+      val b = daily.select(col("wd"), col("day").as("day_b"),
+        col("c").as("cb"))
+      val sAgg = daily.join(b, Seq("wd"))
+        .where(col("day") < col("day_b"))
+        .agg(coalesce(sum(
+          when(col("cb") > col("c"), 1L)
+            .when(col("cb") < col("c"), -1L).otherwise(0L)), lit(0L))
+          .as("s_smk"))
+      val varAgg = daily.groupBy("wd")
+        .agg(count(lit(1)).as("ng"))
+        .agg(coalesce(sum(col("ng") * (col("ng") - 1L)
+          * (lit(2L) * col("ng") + 5L)), lit(0L)).as("nterm"),
+          coalesce(sum(col("ng")), lit(0L)).as("n"))
+      val ties = daily.groupBy("wd", "c").agg(count(lit(1)).as("tsz"))
+        .agg(coalesce(sum(col("tsz") * (col("tsz") - 1L)
+          * (lit(2L) * col("tsz") + 5L)), lit(0L)).as("tie_term"))
+      sAgg.crossJoin(broadcast(varAgg)).crossJoin(broadcast(ties))
+        .withColumn("var18", col("nterm") - col("tie_term"))
+        .select(col("n").as("n_days"), col("s_smk"), col("var18"),
+          when(col("var18") > 0,
+            when(col("s_smk") > 0, (dbl(col("s_smk")) - 1.0)
+              / sqrt(dbl(col("var18")) / 18.0))
+              .when(col("s_smk") < 0, (dbl(col("s_smk")) + 1.0)
+                / sqrt(dbl(col("var18")) / 18.0))
+              .otherwise(lit(0.0)))
+            .otherwise(lit(Double.NaN)).as("z_smk"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      wdd AS (SELECT day, c,
+          CAST(date_part('dow', day) AS INT) AS wd FROM daily),
+      sa AS (SELECT CAST(coalesce(sum(CASE WHEN b.c > a.c THEN 1
+            WHEN b.c < a.c THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_smk
+        FROM wdd a JOIN wdd b ON a.wd = b.wd AND a.day < b.day),
+      va AS (SELECT CAST(coalesce(sum(ng * (ng - 1) * (2 * ng + 5)),
+            0) AS BIGINT) AS nterm,
+          CAST(coalesce(sum(ng), 0) AS BIGINT) AS n
+        FROM (SELECT wd, CAST(count(*) AS BIGINT) AS ng
+          FROM wdd GROUP BY 1)),
+      ties AS (SELECT CAST(coalesce(sum(tsz * (tsz - 1)
+            * (2 * tsz + 5)), 0) AS BIGINT) AS tie_term
+        FROM (SELECT wd, c, CAST(count(*) AS BIGINT) AS tsz
+          FROM wdd GROUP BY 1, 2)),
+      v AS (SELECT n, s_smk, nterm - tie_term AS var18
+        FROM sa, va, ties)
+      SELECT n AS n_days, s_smk, var18,
+        CASE WHEN var18 > 0 THEN
+          CASE WHEN s_smk > 0
+            THEN (CAST(s_smk AS DOUBLE) - 1.0)
+              / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+          WHEN s_smk < 0
+            THEN (CAST(s_smk AS DOUBLE) + 1.0)
+              / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+          ELSE 0.0 END
+        ELSE CAST('nan' AS DOUBLE) END AS z_smk
+      FROM v""")),
+
+    // Spearman's footrule between the 1997 and 1998 item-popularity
+    // rankings — the L1 rank-displacement distance: where q207's RBO
+    // weights the head and q213's τ counts inversions, the footrule
+    // answers "how far do items MOVE on average?", the churn metric
+    // a cache/index planner wants. Doubled midranks from two
+    // PrefixSum CDF passes keep the displacement sum
+    // F₂ = Σ|m2₁−m2₂| = 2F exact BIGINT through ties; the
+    // normalization divides by the permutation-reversal maximum
+    // ⌊n²/2⌋ once. Empty catalogs guard NaN.
+    QueryDef("q344_footrule", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val items = t(s, d, "lineitem")
+        .select((col("l_partkey") % 199).as("item"),
+          year(col("l_shipdate")).as("y"))
+        .groupBy("item")
+        .agg(coalesce(sum(when(col("y") < 1998, 1L).otherwise(0L)),
+            lit(0L)).as("c1"),
+          coalesce(sum(when(col("y") >= 1998, 1L).otherwise(0L)),
+            lit(0L)).as("c2"))
+      def mid2Of(vc: String, out: String) = {
+        val cells = items.groupBy(col(vc).as("v"))
+          .agg(count(lit(1)).as("t"))
+        graft.operators.PrefixSum.withRunningTotals(cells, "v", Seq("t"))
+          .select(col("v").as(vc),
+            (lit(2L) * (col("t_cum") - col("t")) + col("t") + 1L)
+              .as(out))
+      }
+      val ranked = items
+        .join(broadcast(mid2Of("c1", "m2a")), Seq("c1"))
+        .join(broadcast(mid2Of("c2", "m2b")), Seq("c2"))
+      ranked.agg(count(lit(1)).as("n"),
+          coalesce(sum(abs(col("m2a") - col("m2b"))), lit(0L))
+            .as("f2"))
+        .select(col("n").as("n_items"), col("f2"),
+          (dbl(col("f2")) / lit(2.0)).as("footrule"),
+          when(col("n") > 1,
+            dbl(col("f2")) / dbl(lit(2L) * expr("(n * n) DIV 2")))
+            .otherwise(lit(Double.NaN)).as("footrule_norm"))
+    }, Some("""
+      WITH items AS (SELECT l_partkey % 199 AS item,
+          CAST(coalesce(sum(CASE WHEN year(l_shipdate) < 1998 THEN 1
+            ELSE 0 END), 0) AS BIGINT) AS c1,
+          CAST(coalesce(sum(CASE WHEN year(l_shipdate) >= 1998 THEN 1
+            ELSE 0 END), 0) AS BIGINT) AS c2
+        FROM lineitem GROUP BY 1),
+      ca AS (SELECT v, t, CAST(sum(t) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS t_cum
+        FROM (SELECT c1 AS v, CAST(count(*) AS BIGINT) AS t
+          FROM items GROUP BY 1)),
+      ma AS (SELECT v AS c1, 2 * (t_cum - t) + t + 1 AS m2a FROM ca),
+      cb AS (SELECT v, t, CAST(sum(t) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS t_cum
+        FROM (SELECT c2 AS v, CAST(count(*) AS BIGINT) AS t
+          FROM items GROUP BY 1)),
+      mb AS (SELECT v AS c2, 2 * (t_cum - t) + t + 1 AS m2b FROM cb),
+      r AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(abs(m2a - m2b)), 0) AS BIGINT) AS f2
+        FROM items JOIN ma USING (c1) JOIN mb USING (c2))
+      SELECT n AS n_items, f2,
+        CAST(f2 AS DOUBLE) / 2.0 AS footrule,
+        CASE WHEN n > 1
+          THEN CAST(f2 AS DOUBLE) / CAST(2 * ((n * n) // 2) AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS footrule_norm
+      FROM r""")),
+
+    // Newman modularity of a deterministic 4-community partition
+    // (node mod 4) on the undirected synthetic graph — the
+    // partition-quality score every community detector optimizes
+    // (q140's label propagation FINDS communities; this EVALUATES a
+    // partition), per community and in total:
+    // Q = Σ_c (4m·e_c − d_c²)/(4m²) keeps each community's
+    // contribution an exact BIGINT numerator over one double
+    // denominator. Edge and degree sums are keyed aggregates; the
+    // ≤4-row community table carries per-community e_c, d_c,
+    // q_contrib, and the folded total. m = 0 guards NaN.
+    QueryDef("q345_modularity", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val nodes = t(s, d, "documents")
+        .select((col("doc_id") % 389).as("x")).distinct()
+      val dir = nodes
+        .select(col("x").as("src"),
+          ((col("x") * col("x") + 1) % 389).as("dst"))
+        .unionByName(nodes.select(col("x").as("src"),
+          ((col("x") * 7 + 5) % 389).as("dst")))
+        .where(col("src") =!= col("dst"))
+      val und = dir.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      val m = und.agg(count(lit(1)).as("m"))
+      val ec = und.where(col("a") % 4 === col("b") % 4)
+        .groupBy((col("a") % 4).as("com"))
+        .agg(count(lit(1)).as("e_c"))
+      val dc = und.select(col("a").as("node"))
+        .unionByName(und.select(col("b").as("node")))
+        .groupBy((col("node") % 4).as("com"))
+        .agg(count(lit(1)).as("d_c"))
+      val per = dc.join(ec, Seq("com"), "left")
+        .select(col("com"), coalesce(col("e_c"), lit(0L)).as("e_c"),
+          col("d_c"))
+        .crossJoin(broadcast(m))
+        .withColumn("num",
+          lit(4L) * col("m") * col("e_c") - col("d_c") * col("d_c"))
+        .withColumn("q_contrib",
+          when(col("m") > 0, dbl(col("num"))
+            / (lit(4.0) * dbl(col("m")) * dbl(col("m"))))
+            .otherwise(lit(Double.NaN)))
+      val tot = per
+        .select(struct(col("com"), col("num")).as("cell"), col("m"))
+        .groupBy("m")
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(col("m").as("m2"),
+          when(col("m") > 0,
+            dbl(aggregate(col("cs"), lit(0L),
+              (a, c) => a + c.getField("num")))
+              / (lit(4.0) * dbl(col("m")) * dbl(col("m"))))
+            .otherwise(lit(Double.NaN)).as("q_mod"))
+      per.select(col("com"), col("e_c"), col("d_c"), col("q_contrib"))
+        .crossJoin(broadcast(tot.select(col("q_mod"))))
+    }, Some("""
+      WITH nodes0 AS (SELECT DISTINCT doc_id % 389 AS x FROM documents),
+      dir AS (SELECT x AS src, (x * x + 1) % 389 AS dst FROM nodes0
+        UNION ALL SELECT x, (x * 7 + 5) % 389 FROM nodes0),
+      und AS (SELECT DISTINCT least(src, dst) AS a,
+          greatest(src, dst) AS b
+        FROM dir WHERE src <> dst),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+      ec AS (SELECT a % 4 AS com, CAST(count(*) AS BIGINT) AS e_c
+        FROM und WHERE a % 4 = b % 4 GROUP BY 1),
+      dc AS (SELECT node % 4 AS com, CAST(count(*) AS BIGINT) AS d_c
+        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1),
+      per AS (SELECT com, coalesce(e_c, 0) AS e_c, d_c,
+          4 * m * coalesce(e_c, 0) - d_c * d_c AS num, m
+        FROM dc LEFT JOIN ec USING (com), m),
+      tot AS (SELECT CASE WHEN max(m) > 0
+          THEN CAST(sum(num) AS DOUBLE)
+            / (4.0 * CAST(max(m) AS DOUBLE) * CAST(max(m) AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS q_mod
+        FROM per)
+      SELECT com, e_c, d_c,
+        CASE WHEN m > 0
+          THEN CAST(num AS DOUBLE)
+            / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS q_contrib,
+        q_mod
+      FROM per, tot"""))
   )
 }
