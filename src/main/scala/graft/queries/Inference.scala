@@ -10660,6 +10660,281 @@ object Inference {
             / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
           ELSE CAST('nan' AS DOUBLE) END AS q_contrib,
         q_mod
-      FROM per, tot"""))
+      FROM per, tot""")),
+
+    // Burrows' Delta between every source pair over the corpus's 20
+    // most frequent terms — the stylometry-standard "which crawl
+    // sources write alike?" distance (frequency PROFILES, where
+    // q303's Bray–Curtis compares composition and q144's overlap
+    // compares sets). The marker list is deterministic (count desc,
+    // term asc, TakeOrderedAndProject); per-source relative
+    // frequencies are single rational divisions; per-term
+    // cross-source mean/sd and the z-scores live on the ≤20×20
+    // marker×source cells (population sd — Burrows' original), and
+    // Δ(s₁,s₂) = mean|z₁−z₂| folds term-sorted per pair. A
+    // zero-variance marker term contributes 0 to every pair (its z
+    // is identically 0 by the guard, the degenerate-marker
+    // convention).
+    QueryDef("q346_burrows_delta", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val toks = t(s, d, "documents")
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+      val top = toks.groupBy("term").agg(count(lit(1)).as("tc"))
+        .orderBy(col("tc").desc, col("term")).limit(20)
+        .select(col("term"))
+      val stot = toks.groupBy("source").agg(count(lit(1)).as("nt"))
+      val cells = toks.join(broadcast(top), Seq("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      // anchor the full source×term grid: a source missing a marker
+      // has relative frequency exactly 0, not a dropped row
+      val grid = stot.crossJoin(broadcast(top))
+        .join(cells, Seq("source", "term"), "left")
+        .select(col("source"), col("term"),
+          (dbl(coalesce(col("c"), lit(0L))) / dbl(col("nt")))
+            .as("f"))
+      val stats = grid
+        .select(col("term"), struct(col("source"), col("f")).as("sf"))
+        .groupBy("term")
+        .agg(sort_array(collect_list(col("sf"))).as("fs"))
+        .select(col("term"),
+          size(col("fs")).cast("long").as("ns"),
+          aggregate(col("fs"), lit(0.0),
+            (a, c) => a + c.getField("f")).as("sf1"),
+          aggregate(col("fs"), lit(0.0),
+            (a, c) => a + c.getField("f") * c.getField("f"))
+            .as("sf2"))
+        .withColumn("mu", col("sf1") / dbl(col("ns")))
+        .withColumn("sd",
+          sqrt(greatest(lit(0.0),
+            col("sf2") / dbl(col("ns")) - col("mu") * col("mu"))))
+      val z = grid.join(broadcast(stats.select(col("term"), col("mu"),
+          col("sd"))), Seq("term"))
+        .select(col("source"), col("term"),
+          when(col("sd") > 0.0, (col("f") - col("mu")) / col("sd"))
+            .otherwise(lit(0.0)).as("z"))
+      z.select(col("source").as("s1"), col("term"), col("z").as("z1"))
+        .join(z.select(col("source").as("s2"), col("term"),
+          col("z").as("z2")), Seq("term"))
+        .where(col("s1") < col("s2"))
+        .select(col("s1"), col("s2"),
+          struct(col("term"), abs(col("z1") - col("z2")).as("az"))
+            .as("cell"))
+        .groupBy("s1", "s2")
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(col("s1"), col("s2"),
+          (aggregate(col("cs"), lit(0.0),
+            (a, c) => a + c.getField("az"))
+            / dbl(size(col("cs")))).as("burrows_delta"))
+    }, Some("""
+      WITH toks AS (SELECT source,
+          unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tk AS (SELECT source, term FROM toks WHERE len(term) > 0),
+      top AS (SELECT term FROM (SELECT term,
+            CAST(count(*) AS BIGINT) AS tc
+          FROM tk GROUP BY 1)
+        ORDER BY tc DESC, term LIMIT 20),
+      stot AS (SELECT source, CAST(count(*) AS BIGINT) AS nt
+        FROM tk GROUP BY 1),
+      cells AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        FROM tk JOIN top USING (term) GROUP BY 1, 2),
+      grid AS (SELECT stot.source, top.term,
+          CAST(coalesce(c, 0) AS DOUBLE) / CAST(nt AS DOUBLE) AS f
+        FROM stot CROSS JOIN top
+        LEFT JOIN cells ON cells.source = stot.source
+          AND cells.term = top.term),
+      st AS (SELECT term, cs, CAST(len(cs) AS BIGINT) AS ns,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, c -> c.f)), (x, y) -> x + y) AS sf1,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, c -> c.f * c.f)), (x, y) -> x + y)
+            AS sf2
+        FROM (SELECT term, list_sort(list(struct_pack(
+            source := source, f := f))) AS cs
+          FROM grid GROUP BY 1)),
+      ms AS (SELECT term, sf1 / CAST(ns AS DOUBLE) AS mu,
+          sqrt(greatest(0.0, sf2 / CAST(ns AS DOUBLE)
+            - (sf1 / CAST(ns AS DOUBLE))
+              * (sf1 / CAST(ns AS DOUBLE)))) AS sd
+        FROM st),
+      z AS (SELECT source, grid.term,
+          CASE WHEN sd > 0.0 THEN (f - mu) / sd ELSE 0.0 END AS z
+        FROM grid JOIN ms ON grid.term = ms.term),
+      pr AS (SELECT a.s1, a.s2, list_sort(list(struct_pack(
+            term := a.term, az := a.az))) AS cs
+        FROM (SELECT z1.source AS s1, z2.source AS s2, z1.term,
+            abs(z1.z - z2.z) AS az
+          FROM z z1 JOIN z z2 ON z1.term = z2.term
+            AND z1.source < z2.source) a
+        GROUP BY 1, 2)
+      SELECT s1, s2,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> c.az)), (x, y) -> x + y)
+          / CAST(len(cs) AS DOUBLE) AS burrows_delta
+      FROM pr""")),
+
+    // Per-term χ² feature selection for English-vs-rest — "which
+    // terms most separate the target language?", the vocabulary
+    // screening every classifier pipeline runs before training
+    // (q234's WoE/IV screens FEATURES; this screens the open term
+    // vocabulary and keeps only the top 20). Per term the
+    // document-presence 2×2 against the binary label is exact
+    // BIGINT (distinct doc-term pairs, margins broadcast), and
+    // χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) assembles in DOUBLE
+    // (both the squared numerator and the four-margin product
+    // overflow BIGINT at web scale — q228). Deterministic
+    // TakeOrderedAndProject: χ² desc, term asc. Degenerate margins
+    // guard to 0 so constants never rank.
+    QueryDef("q347_chi2_terms", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("y"), col("text"))
+      val tot = docs.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("y")), lit(0L)).as("npos"))
+      val dt = docs
+        .select(col("doc_id"), col("y"),
+          explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+        .select(col("doc_id"), col("y"), col("term")).distinct()
+      dt.groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          coalesce(sum(col("y")), lit(0L)).as("a"))
+        .crossJoin(broadcast(tot))
+        .withColumn("b", col("df") - col("a"))
+        .withColumn("c", col("npos") - col("a"))
+        .withColumn("dd", col("n") - col("npos") - col("b"))
+        .withColumn("den",
+          dbl(col("a") + col("b")) * dbl(col("c") + col("dd"))
+            * dbl(col("a") + col("c")) * dbl(col("b") + col("dd")))
+        .select(col("term"), col("a"), col("b"), col("c"), col("dd"),
+          when(col("den") > 0.0,
+            dbl(col("n"))
+              * (dbl(col("a")) * dbl(col("dd"))
+                - dbl(col("b")) * dbl(col("c")))
+              * (dbl(col("a")) * dbl(col("dd"))
+                - dbl(col("b")) * dbl(col("c")))
+              / col("den"))
+            .otherwise(lit(0.0)).as("chi2_term"))
+        .orderBy(col("chi2_term").desc, col("term"))
+        .limit(20)
+    }, Some("""
+      WITH docs AS (SELECT doc_id,
+          CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+          text
+        FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(y), 0) AS BIGINT) AS npos FROM docs),
+      dt AS (SELECT DISTINCT doc_id, y, term FROM (
+          SELECT doc_id, y, unnest(string_split(text, ' ')) AS term
+          FROM docs)
+        WHERE len(term) > 0),
+      cells AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+          CAST(coalesce(sum(y), 0) AS BIGINT) AS a
+        FROM dt GROUP BY 1),
+      e AS (SELECT term, a, df - a AS b, npos - a AS c,
+          n - npos - (df - a) AS dd, n
+        FROM cells, tot),
+      f AS (SELECT *,
+        CAST(a + b AS DOUBLE) * CAST(c + dd AS DOUBLE)
+          * CAST(a + c AS DOUBLE) * CAST(b + dd AS DOUBLE) AS den
+        FROM e)
+      SELECT term, a, b, c, dd,
+        CASE WHEN den > 0.0
+          THEN CAST(n AS DOUBLE)
+            * (CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+              - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+            * (CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+              - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+            / den
+          ELSE 0.0 END AS chi2_term
+      FROM f
+      ORDER BY chi2_term DESC, term LIMIT 20""")),
+
+    // Dunning log-likelihood keyness — the top-20 terms most
+    // characteristic of source src0 versus the rest of the corpus,
+    // by token-frequency G². The corpus-linguistics standard that
+    // behaves where raw χ² explodes on rare terms, and here it is
+    // EXACT-friendly: the 2×2 G² expands to
+    // 2(Σ_cells O·ln O + N·ln N − Σ_margins M·ln M), every single
+    // logarithm argument an INTEGER count — the same identity family
+    // as q335, so portable_ln carries the whole statistic. Zero
+    // cells contribute 0 (the 0·ln 0 convention); the signed
+    // keyness (positive = over-represented in src0) orders the
+    // deterministic TakeOrderedAndProject (G² desc, term asc).
+    QueryDef("q348_llr_keyness", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def dbl(c: Column) = c.cast("double")
+      def pln(c: Column) = call_function("portable_ln", c.cast("double"))
+      def xlx(c: Column) =
+        when(c > 0, dbl(c) * pln(c)).otherwise(lit(0.0))
+      val toks = t(s, d, "documents")
+        .select((col("source") === "src0").cast("long").as("g"),
+          explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+      val tot = toks.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("g")), lit(0L)).as("n1"))
+      toks.groupBy("term")
+        .agg(count(lit(1)).as("tf"),
+          coalesce(sum(col("g")), lit(0L)).as("a"))
+        .crossJoin(broadcast(tot))
+        .withColumn("b", col("tf") - col("a"))
+        .withColumn("c", col("n1") - col("a"))
+        .withColumn("dd", col("n") - col("n1") - col("b"))
+        .withColumn("g2",
+          lit(2.0) * (xlx(col("a")) + xlx(col("b")) + xlx(col("c"))
+            + xlx(col("dd")) + xlx(col("n"))
+            - xlx(col("a") + col("b")) - xlx(col("c") + col("dd"))
+            - xlx(col("a") + col("c")) - xlx(col("b") + col("dd"))))
+        .select(col("term"), col("a"), col("b"),
+          when(dbl(col("a")) * dbl(col("n"))
+              >= dbl(col("a") + col("b")) * dbl(col("n1")),
+            col("g2")).otherwise(-col("g2")).as("keyness_g2"))
+        .orderBy(abs(col("keyness_g2")).desc, col("term"))
+        .limit(20)
+    }, Some("""
+      WITH toks AS (SELECT
+          CAST(CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS BIGINT)
+            AS g,
+          unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tk AS (SELECT g, term FROM toks WHERE len(term) > 0),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(g), 0) AS BIGINT) AS n1 FROM tk),
+      cells AS (SELECT term, CAST(count(*) AS BIGINT) AS tf,
+          CAST(coalesce(sum(g), 0) AS BIGINT) AS a
+        FROM tk GROUP BY 1),
+      e AS (SELECT term, a, tf - a AS b, n1 - a AS c,
+          n - n1 - (tf - a) AS dd, n, n1
+        FROM cells, tot),
+      f AS (SELECT term, a, b,
+        2.0 * ((CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
+            * ln(CAST(a AS DOUBLE)) ELSE 0.0 END)
+          + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE)
+            * ln(CAST(b AS DOUBLE)) ELSE 0.0 END)
+          + (CASE WHEN c > 0 THEN CAST(c AS DOUBLE)
+            * ln(CAST(c AS DOUBLE)) ELSE 0.0 END)
+          + (CASE WHEN dd > 0 THEN CAST(dd AS DOUBLE)
+            * ln(CAST(dd AS DOUBLE)) ELSE 0.0 END)
+          + (CASE WHEN n > 0 THEN CAST(n AS DOUBLE)
+            * ln(CAST(n AS DOUBLE)) ELSE 0.0 END)
+          - (CASE WHEN a + b > 0 THEN CAST(a + b AS DOUBLE)
+            * ln(CAST(a + b AS DOUBLE)) ELSE 0.0 END)
+          - (CASE WHEN c + dd > 0 THEN CAST(c + dd AS DOUBLE)
+            * ln(CAST(c + dd AS DOUBLE)) ELSE 0.0 END)
+          - (CASE WHEN a + c > 0 THEN CAST(a + c AS DOUBLE)
+            * ln(CAST(a + c AS DOUBLE)) ELSE 0.0 END)
+          - (CASE WHEN b + dd > 0 THEN CAST(b + dd AS DOUBLE)
+            * ln(CAST(b + dd AS DOUBLE)) ELSE 0.0 END)) AS g2,
+        CAST(a AS DOUBLE) * CAST(n AS DOUBLE) AS lhs,
+        CAST(a + b AS DOUBLE) * CAST(n1 AS DOUBLE) AS rhs
+        FROM e)
+      SELECT term, a, b,
+        CASE WHEN lhs >= rhs THEN g2 ELSE -g2 END AS keyness_g2
+      FROM f
+      ORDER BY abs(CASE WHEN lhs >= rhs THEN g2 ELSE -g2 END) DESC,
+        term LIMIT 20"""))
   )
 }
