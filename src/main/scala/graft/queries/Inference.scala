@@ -10935,6 +10935,240 @@ object Inference {
         CASE WHEN lhs >= rhs THEN g2 ELSE -g2 END AS keyness_g2
       FROM f
       ORDER BY abs(CASE WHEN lhs >= rhs THEN g2 ELSE -g2 END) DESC,
-        term LIMIT 20"""))
+        term LIMIT 20""")),
+
+    // ABC (Pareto) classification of parts by line-item volume — the
+    // inventory-policy workhorse: A = the head items covering 80% of
+    // cumulative volume, B = the next 15%, C = the tail — plus each
+    // class's item and volume share. The cumulative ranking runs on
+    // the distributed PrefixSum CDF over (count, partkey)-unique
+    // keys (descending volume via the ascending scan of negated
+    // counts), the 80/95 thresholds compare as exact integers
+    // 20·cum ≥ 16·total etc. (no percentage doubles until the final
+    // shares), and the ≤3-row class table divides twice per row.
+    QueryDef("q349_abc_analysis", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val vols = t(s, d, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("v"))
+      // unique order key for the CDF: (-v, partkey) ascending = volume
+      // descending, deterministic tie order
+      val keyed = vols.select(col("l_partkey"), col("v"),
+        struct((-col("v")).as("nv"), col("l_partkey").as("pk"))
+          .as("ok"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(keyed.select(col("ok"), col("v")), "ok",
+          Seq("v"))
+      val tot = vols.agg(coalesce(sum(col("v")), lit(0L)).as("tv"),
+        count(lit(1)).as("ti"))
+      cum.crossJoin(broadcast(tot))
+        .select(
+          when(lit(20L) * col("v_cum") <= lit(16L) * col("tv"), "A")
+            .when(lit(20L) * col("v_cum") <= lit(19L) * col("tv"), "B")
+            .otherwise("C").as("abc"),
+          col("v"))
+        .groupBy("abc")
+        .agg(count(lit(1)).as("n_items"),
+          coalesce(sum(col("v")), lit(0L)).as("vol"))
+        .crossJoin(broadcast(tot))
+        .select(col("abc"), col("n_items"), col("vol"),
+          (dbl(col("n_items")) / dbl(col("ti"))).as("item_share"),
+          (dbl(col("vol")) / dbl(col("tv"))).as("vol_share"))
+    }, Some("""
+      WITH vols AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1),
+      cum AS (SELECT l_partkey, v,
+          CAST(sum(v) OVER (ORDER BY v DESC, l_partkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS v_cum
+        FROM vols),
+      tot AS (SELECT CAST(coalesce(sum(v), 0) AS BIGINT) AS tv,
+          CAST(count(*) AS BIGINT) AS ti FROM vols),
+      cls AS (SELECT CASE
+            WHEN 20 * v_cum <= 16 * tv THEN 'A'
+            WHEN 20 * v_cum <= 19 * tv THEN 'B'
+            ELSE 'C' END AS abc, v
+        FROM cum, tot),
+      g AS (SELECT abc, CAST(count(*) AS BIGINT) AS n_items,
+          CAST(coalesce(sum(v), 0) AS BIGINT) AS vol
+        FROM cls GROUP BY 1)
+      SELECT abc, n_items, vol,
+        CAST(n_items AS DOUBLE) / CAST(ti AS DOUBLE) AS item_share,
+        CAST(vol AS DOUBLE) / CAST(tv AS DOUBLE) AS vol_share
+      FROM g, tot""")),
+
+    // XmR (individuals / moving-range) control chart for the daily
+    // event counts — the SPC readout an on-call engineer puts on a
+    // dashboard: center line, the 2.66·MR̄ natural process limits,
+    // and how many days breach them (q215's CUSUM finds sustained
+    // small shifts; XmR flags single excursions). The moving range
+    // uses a lag over the dimension-sized day frame; both means are
+    // single rational divisions of BIGINT sums, the limit
+    // comparisons run in doubles on the fixed tree, and the breach
+    // counts are exact. Fewer than 2 days guards the limits to NaN.
+    QueryDef("q350_xmr_control", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("day")
+      val mr = daily
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("c")), lit(0L)).as("s_tot"),
+          coalesce(sum(when(col("prev").isNotNull,
+            abs(col("c") - col("prev"))).otherwise(0L)), lit(0L))
+            .as("mr_sum"),
+          coalesce(sum(when(col("prev").isNotNull, 1L).otherwise(0L)),
+            lit(0L)).as("mr_n"))
+        .withColumn("xbar", dbl(col("s_tot")) / dbl(col("n")))
+        .withColumn("mrbar",
+          when(col("mr_n") > 0, dbl(col("mr_sum")) / dbl(col("mr_n"))))
+        .withColumn("ucl", col("xbar") + lit(2.66) * col("mrbar"))
+        .withColumn("lcl", col("xbar") - lit(2.66) * col("mrbar"))
+      daily.crossJoin(broadcast(mr))
+        .agg(max(col("n")).as("n_days"), max(col("xbar")).as("xbar"),
+          max(col("mrbar")).as("mrbar"), max(col("ucl")).as("ucl"),
+          max(col("lcl")).as("lcl"),
+          coalesce(sum(when(dbl(col("c")) > col("ucl"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_above"),
+          coalesce(sum(when(dbl(col("c")) < col("lcl"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_below"))
+        .select(col("n_days"), col("xbar"),
+          coalesce(col("mrbar"), lit(Double.NaN)).as("mrbar"),
+          coalesce(col("ucl"), lit(Double.NaN)).as("ucl"),
+          coalesce(col("lcl"), lit(Double.NaN)).as("lcl"),
+          col("n_above"), col("n_below"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      lagged AS (SELECT day, c,
+          lag(c) OVER (ORDER BY day) AS prev FROM daily),
+      mr AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(c), 0) AS BIGINT) AS s_tot,
+          CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
+            THEN abs(c - prev) ELSE 0 END), 0) AS BIGINT) AS mr_sum,
+          CAST(coalesce(sum(CASE WHEN prev IS NOT NULL THEN 1
+            ELSE 0 END), 0) AS BIGINT) AS mr_n
+        FROM lagged),
+      lim AS (SELECT *,
+          CAST(s_tot AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+          CASE WHEN mr_n > 0 THEN CAST(mr_sum AS DOUBLE)
+            / CAST(mr_n AS DOUBLE) END AS mrbar
+        FROM mr),
+      lim2 AS (SELECT *, xbar + 2.66 * mrbar AS ucl,
+          xbar - 2.66 * mrbar AS lcl FROM lim),
+      a AS (SELECT CAST(max(n) AS BIGINT) AS n_days,
+          max(xbar) AS xbar, max(mrbar) AS mrbar,
+          max(ucl) AS ucl, max(lcl) AS lcl,
+          CAST(coalesce(sum(CASE WHEN CAST(c AS DOUBLE) > ucl THEN 1
+            ELSE 0 END), 0) AS BIGINT) AS n_above,
+          CAST(coalesce(sum(CASE WHEN CAST(c AS DOUBLE) < lcl THEN 1
+            ELSE 0 END), 0) AS BIGINT) AS n_below
+        FROM daily, lim2)
+      SELECT n_days, xbar,
+        coalesce(mrbar, CAST('nan' AS DOUBLE)) AS mrbar,
+        coalesce(ucl, CAST('nan' AS DOUBLE)) AS ucl,
+        coalesce(lcl, CAST('nan' AS DOUBLE)) AS lcl,
+        n_above, n_below
+      FROM a""")),
+
+    // Partial autocorrelation of the daily series at lags 1–3 via
+    // the closed-form Durbin–Levinson recursion — "is the
+    // day-over-day dependence DIRECT, or just lag-1 echoing?", the
+    // AR-order diagnostic q209's raw ACF can't answer: φ₁₁ = r₁,
+    // φ₂₂ = (r₂−r₁²)/(1−r₁²), and φ₃₃ from the order-2 step. The
+    // lag autocovariances use the n-scaled exact form
+    // Σ(n·cₜ−S)(n·cₜ₊ₖ−S) over BIGINT with the LAG-0 denominator,
+    // so each rₖ is one division and the recursion a fixed tree.
+    // Degenerate denominators guard NaN.
+    QueryDef("q351_pacf", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val tot = daily.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("c")), lit(0L)).as("s_tot"))
+      val w = Window.orderBy("day")
+      val base = daily.crossJoin(broadcast(tot))
+        .withColumn("d0", col("n") * col("c") - col("s_tot"))
+        .withColumn("d1", lead(col("n") * col("c") - col("s_tot"), 1)
+          .over(w))
+        .withColumn("d2", lead(col("n") * col("c") - col("s_tot"), 2)
+          .over(w))
+        .withColumn("d3", lead(col("n") * col("c") - col("s_tot"), 3)
+          .over(w))
+      val acv = base.agg(
+        coalesce(sum(col("d0") * col("d0")), lit(0L)).as("g0"),
+        coalesce(sum(when(col("d1").isNotNull, col("d0") * col("d1"))
+          .otherwise(0L)), lit(0L)).as("g1"),
+        coalesce(sum(when(col("d2").isNotNull, col("d0") * col("d2"))
+          .otherwise(0L)), lit(0L)).as("g2"),
+        coalesce(sum(when(col("d3").isNotNull, col("d0") * col("d3"))
+          .otherwise(0L)), lit(0L)).as("g3"))
+      acv
+        .withColumn("r1",
+          when(col("g0") > 0, dbl(col("g1")) / dbl(col("g0"))))
+        .withColumn("r2",
+          when(col("g0") > 0, dbl(col("g2")) / dbl(col("g0"))))
+        .withColumn("r3",
+          when(col("g0") > 0, dbl(col("g3")) / dbl(col("g0"))))
+        .withColumn("phi22",
+          when(lit(1.0) - col("r1") * col("r1") =!= 0.0,
+            (col("r2") - col("r1") * col("r1"))
+              / (lit(1.0) - col("r1") * col("r1"))))
+        .withColumn("phi21", col("r1") - col("phi22") * col("r1"))
+        .withColumn("den3",
+          lit(1.0) - col("phi21") * col("r1")
+            - col("phi22") * col("r2"))
+        .select(
+          coalesce(col("r1"), lit(Double.NaN)).as("pacf1"),
+          coalesce(col("phi22"), lit(Double.NaN)).as("pacf2"),
+          coalesce(
+            when(col("den3") =!= 0.0,
+              (col("r3") - col("phi21") * col("r2")
+                - col("phi22") * col("r1")) / col("den3")),
+            lit(Double.NaN)).as("pacf3"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(c), 0) AS BIGINT) AS s_tot FROM daily),
+      base AS (SELECT day, n * c - s_tot AS d0,
+          lead(n * c - s_tot, 1) OVER (ORDER BY day) AS d1,
+          lead(n * c - s_tot, 2) OVER (ORDER BY day) AS d2,
+          lead(n * c - s_tot, 3) OVER (ORDER BY day) AS d3
+        FROM daily, tot),
+      acv AS (SELECT
+        CAST(coalesce(sum(d0 * d0), 0) AS BIGINT) AS g0,
+        CAST(coalesce(sum(CASE WHEN d1 IS NOT NULL THEN d0 * d1
+          ELSE 0 END), 0) AS BIGINT) AS g1,
+        CAST(coalesce(sum(CASE WHEN d2 IS NOT NULL THEN d0 * d2
+          ELSE 0 END), 0) AS BIGINT) AS g2,
+        CAST(coalesce(sum(CASE WHEN d3 IS NOT NULL THEN d0 * d3
+          ELSE 0 END), 0) AS BIGINT) AS g3
+        FROM base),
+      r AS (SELECT
+        CASE WHEN g0 > 0 THEN CAST(g1 AS DOUBLE) / CAST(g0 AS DOUBLE)
+          END AS r1,
+        CASE WHEN g0 > 0 THEN CAST(g2 AS DOUBLE) / CAST(g0 AS DOUBLE)
+          END AS r2,
+        CASE WHEN g0 > 0 THEN CAST(g3 AS DOUBLE) / CAST(g0 AS DOUBLE)
+          END AS r3
+        FROM acv),
+      p2 AS (SELECT *,
+        CASE WHEN 1.0 - r1 * r1 <> 0.0
+          THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi22
+        FROM r),
+      p3 AS (SELECT *, r1 - phi22 * r1 AS phi21 FROM p2),
+      p4 AS (SELECT *, 1.0 - phi21 * r1 - phi22 * r2 AS den3
+        FROM p3)
+      SELECT coalesce(r1, CAST('nan' AS DOUBLE)) AS pacf1,
+        coalesce(phi22, CAST('nan' AS DOUBLE)) AS pacf2,
+        coalesce(CASE WHEN den3 <> 0.0
+          THEN (r3 - phi21 * r2 - phi22 * r1) / den3 END,
+          CAST('nan' AS DOUBLE)) AS pacf3
+      FROM p4"""))
   )
 }
