@@ -11169,6 +11169,245 @@ object Inference {
         coalesce(CASE WHEN den3 <> 0.0
           THEN (r3 - phi21 * r2 - phi22 * r1) / den3 END,
           CAST('nan' AS DOUBLE)) AS pacf3
-      FROM p4"""))
+      FROM p4""")),
+
+    // RFM segmentation — every customer scored into recency ×
+    // frequency × monetary quintiles and the population counted per
+    // segment, the classical activation/churn map (q107's cohort
+    // retention slices by TIME; RFM slices by BEHAVIOR). All three
+    // dimensions stay exact: R = days since last order (integer vs
+    // the global max date), F = order count, M = the biggest single
+    // order (max, not a float sum — no cross-row double
+    // accumulation); each quintile is the distributed PrefixSum CDF
+    // integer bin of q287 (ties share a bin); the bin formula gives
+    // SMALL values HIGH bins, so R quintile 4 = most recent (small
+    // gap) and F/M quintile 4 = least active — consistent, and each
+    // axis's direction documented here. Output is the ≤5³-segment
+    // count table with each segment's share.
+    QueryDef("q352_rfm_segments", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val maxd = t(s, d, "orders")
+        .agg(max(col("o_orderdate").cast("date")).as("dmax"))
+      val per = t(s, d, "orders").crossJoin(broadcast(maxd))
+        .groupBy(col("o_custkey"))
+        .agg(min(datediff(col("dmax"),
+            col("o_orderdate").cast("date"))).cast("long").as("r"),
+          count(lit(1)).as("f"), max(col("o_totalprice")).as("m"))
+      def quintile(vc: String, out: String) = {
+        val cells = per.groupBy(col(vc).as("sc"))
+          .agg(count(lit(1)).as("n"))
+        val nn = cells.agg(coalesce(sum(col("n")), lit(0L)).as("nn"))
+        graft.operators.PrefixSum
+          .withRunningTotals(cells, "sc", Seq("n"))
+          .crossJoin(broadcast(nn))
+          .select(col("sc").as(vc),
+            expr("(5 * (nn - n_cum)) DIV nn").as(out))
+      }
+      val tot = per.agg(count(lit(1)).as("nc"))
+      per
+        .join(broadcast(quintile("r", "rq")), Seq("r"))
+        .join(broadcast(quintile("f", "fq")), Seq("f"))
+        .join(broadcast(quintile("m", "mq")), Seq("m"))
+        .groupBy("rq", "fq", "mq")
+        .agg(count(lit(1)).as("n_customers"))
+        .crossJoin(broadcast(tot))
+        .select(col("rq"), col("fq"), col("mq"), col("n_customers"),
+          (dbl(col("n_customers")) / dbl(col("nc"))).as("share"))
+    }, Some("""
+      WITH maxd AS (SELECT max(CAST(o_orderdate AS DATE)) AS dmax
+        FROM orders),
+      per AS (SELECT o_custkey,
+          CAST(min(date_diff('day', CAST(o_orderdate AS DATE), dmax))
+            AS BIGINT) AS r,
+          CAST(count(*) AS BIGINT) AS f,
+          max(o_totalprice) AS m
+        FROM orders, maxd GROUP BY 1),
+      rc AS (SELECT sc, n, CAST(sum(n) OVER (ORDER BY sc
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS n_cum
+        FROM (SELECT r AS sc, CAST(count(*) AS BIGINT) AS n
+          FROM per GROUP BY 1)),
+      rn AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM rc),
+      rq AS (SELECT sc AS r, (5 * (nn - n_cum)) // nn AS rq
+        FROM rc, rn),
+      fc AS (SELECT sc, n, CAST(sum(n) OVER (ORDER BY sc
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS n_cum
+        FROM (SELECT f AS sc, CAST(count(*) AS BIGINT) AS n
+          FROM per GROUP BY 1)),
+      fn AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM fc),
+      fq AS (SELECT sc AS f, (5 * (nn - n_cum)) // nn AS fq
+        FROM fc, fn),
+      mc AS (SELECT sc, n, CAST(sum(n) OVER (ORDER BY sc
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS n_cum
+        FROM (SELECT m AS sc, CAST(count(*) AS BIGINT) AS n
+          FROM per GROUP BY 1)),
+      mn AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM mc),
+      mq AS (SELECT sc AS m, (5 * (nn - n_cum)) // nn AS mq
+        FROM mc, mn),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM per),
+      seg AS (SELECT rq.rq, fq.fq, mq.mq,
+          CAST(count(*) AS BIGINT) AS n_customers
+        FROM per JOIN rq ON per.r = rq.r
+        JOIN fq ON per.f = fq.f
+        JOIN mq ON per.m = mq.m
+        GROUP BY 1, 2, 3)
+      SELECT rq, fq, mq, n_customers,
+        CAST(n_customers AS DOUBLE) / CAST(nc AS DOUBLE) AS share
+      FROM seg, tot""")),
+
+    // 80%-survival time from the q192 Kaplan–Meier curve — "when
+    // has a fifth of the cohort churned?", the quantile review
+    // number (this corpus's censoring-heavy curve bottoms out near
+    // 0.77, so the MEDIAN never exists — the 0.8 quantile is the
+    // deepest round quantile the data reaches at every SF), read as
+    // the earliest life-table time whose KM survival drops to
+    // ≤ 0.8. Same cell machinery as q192 end-to-end; the crossing
+    // is a filtered deterministic ordered LIMIT 1 — never a
+    // driver-side scan.
+    QueryDef("q353_km_quantile", (s, d) => {
+      val per = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          (datediff(max(col("ts")).cast("date"),
+            min(col("ts")).cast("date")) + 1).cast("long").as("t"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("last_type"))
+        .select(col("t"),
+          when(col("last_type") === "error", 1L).otherwise(0L)
+            .as("died"))
+      val cells = per.groupBy("t")
+        .agg(sum("died").as("d"), sum(lit(1L) - col("died")).as("c"))
+        .withColumn("n", col("d") + col("c"))
+      val tot = cells.agg(sum("n").as("tot"))
+      val enr = graft.operators.PrefixSum
+        .withRunningTotals(cells, "t", Seq("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("t"), col("d"), col("c"),
+          (col("tot") - col("n_cum") + col("n")).as("at_risk"))
+      val b = enr.select(col("t").as("bt"), col("d").as("bd"),
+        col("at_risk").as("bar")).where(col("bd") > 0)
+      enr.join(b, col("bt") <= col("t"), "left")
+        .groupBy("t", "at_risk", "d", "c")
+        .agg(sort_array(collect_list(struct(col("bt"), col("bd"),
+          col("bar")))).as("fs"))
+        .select(col("t"),
+          aggregate(col("fs"), lit(1.0), (acc, f) =>
+            acc * coalesce(lit(1.0) - f.getField("bd").cast("double") /
+              f.getField("bar").cast("double"), lit(1.0))).as("surv"))
+        .where(col("surv") <= 0.8)
+        .orderBy("t").limit(1)
+        .select(col("t").as("t_q80"), col("surv").as("surv_at_q80"))
+    }, Some("""
+      WITH l AS (SELECT user_id, event_type, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      died AS (SELECT user_id,
+          CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS died
+        FROM l WHERE rn = 1),
+      span AS (SELECT user_id, CAST(date_diff('day',
+            CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1 AS BIGINT)
+            AS t
+        FROM events GROUP BY 1),
+      cells AS (SELECT t, CAST(sum(died) AS BIGINT) AS d,
+          CAST(sum(1 - died) AS BIGINT) AS c
+        FROM span JOIN died USING (user_id) GROUP BY 1),
+      enr AS (SELECT t, d, c,
+          CAST(sum(d + c) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS at_risk
+        FROM cells),
+      fs AS (SELECT a.t, a.at_risk, a.d, a.c,
+          list_sort(list(struct_pack(bt := b.t, bd := b.d,
+            bar := b.at_risk))) AS fs
+        FROM enr a LEFT JOIN enr b ON b.t <= a.t AND b.d > 0
+        GROUP BY 1, 2, 3, 4),
+      sv AS (SELECT t,
+        list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+          list_transform(fs, f -> coalesce(
+            1.0 - CAST(f.bd AS DOUBLE) / CAST(f.bar AS DOUBLE), 1.0))),
+          (a, b) -> a * b) AS surv
+        FROM fs)
+      SELECT t AS t_q80, surv AS surv_at_q80
+      FROM sv WHERE surv <= 0.8
+      ORDER BY t LIMIT 1""")),
+
+    // Piecewise-exponential hazard over the q192 lifetimes — the
+    // actuarial rate table: deaths per person-day within the bands
+    // [1,10), [10,20), [20,∞), each band's exposure summed exactly
+    // (a user of lifetime t contributes min(t,hi)−lo+1 days to a
+    // band once t ≥ lo — closed-form integer arithmetic on the
+    // duration cells, no per-day explode), so every λ̂ is one
+    // BIGINT/BIGINT division. This is what q306's Nelson–Aalen
+    // looks like after smoothing to constant-rate intervals — and
+    // the form a capacity model actually consumes. Zero-exposure
+    // bands guard NaN.
+    QueryDef("q354_piecewise_hazard", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val per = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          (datediff(max(col("ts")).cast("date"),
+            min(col("ts")).cast("date")) + 1).cast("long").as("t"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("last_type"))
+        .select(col("t"),
+          when(col("last_type") === "error", 1L).otherwise(0L)
+            .as("died"))
+      val cells = per.groupBy("t")
+        .agg(coalesce(sum(col("died")), lit(0L)).as("d"),
+          count(lit(1)).as("n"))
+      val bands = t(s, d, "region")
+        .select(col("r_regionkey").cast("long").as("bi"))
+        .where(col("bi") < 3)
+        .select(col("bi"), (col("bi") * 10L + 1L).as("lo"),
+          when(col("bi") < 2, (col("bi") + 1L) * 10L)
+            .otherwise(lit(Long.MaxValue)).as("hi"))
+      cells.crossJoin(broadcast(bands))
+        .where(col("t") >= col("lo"))
+        .groupBy("bi", "lo")
+        .agg(
+          coalesce(sum(col("n")
+            * (least(col("t"), col("hi")) - col("lo") + 1L)),
+            lit(0L)).as("person_days"),
+          coalesce(sum(when(col("t") <= col("hi"), col("d"))
+            .otherwise(0L)), lit(0L)).as("deaths"))
+        .select(col("bi").as("band"), col("lo"), col("person_days"),
+          col("deaths"),
+          when(col("person_days") > 0,
+            dbl(col("deaths")) / dbl(col("person_days")))
+            .otherwise(lit(Double.NaN)).as("hazard_rate"))
+    }, Some("""
+      WITH l AS (SELECT user_id, event_type, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      died AS (SELECT user_id,
+          CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS died
+        FROM l WHERE rn = 1),
+      span AS (SELECT user_id, CAST(date_diff('day',
+            CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1 AS BIGINT)
+            AS t
+        FROM events GROUP BY 1),
+      cells AS (SELECT t, CAST(coalesce(sum(died), 0) AS BIGINT) AS d,
+          CAST(count(*) AS BIGINT) AS n
+        FROM span JOIN died USING (user_id) GROUP BY 1),
+      bands AS (SELECT CAST(r_regionkey AS BIGINT) AS bi,
+          CAST(r_regionkey AS BIGINT) * 10 + 1 AS lo,
+          CASE WHEN r_regionkey < 2
+            THEN (CAST(r_regionkey AS BIGINT) + 1) * 10
+            ELSE 9223372036854775807 END AS hi
+        FROM region WHERE r_regionkey < 3),
+      g AS (SELECT bi, lo,
+          CAST(coalesce(sum(n * (least(t, hi) - lo + 1)), 0)
+            AS BIGINT) AS person_days,
+          CAST(coalesce(sum(CASE WHEN t <= hi THEN d ELSE 0 END), 0)
+            AS BIGINT) AS deaths
+        FROM cells, bands WHERE t >= lo GROUP BY 1, 2)
+      SELECT bi AS band, lo, person_days, deaths,
+        CASE WHEN person_days > 0
+          THEN CAST(deaths AS DOUBLE) / CAST(person_days AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS hazard_rate
+      FROM g"""))
   )
 }
