@@ -11408,6 +11408,209 @@ object Inference {
         CASE WHEN person_days > 0
           THEN CAST(deaths AS DOUBLE) / CAST(person_days AS DOUBLE)
           ELSE CAST('nan' AS DOUBLE) END AS hazard_rate
-      FROM g"""))
+      FROM g""")),
+
+    // Per-source KL divergence from the corpus language mix —
+    // "how far does each crawl source's language profile drift from
+    // the fleet average, in nats?" — the directed counterpart to
+    // q204's symmetric JSD, and the quantity a source-reweighting
+    // policy thresholds. The decomposition
+    // KL = Σ (n_sl/N_s)(ln n_sl + ln N − ln N_s − ln m_l) keeps
+    // EVERY portable_ln argument an INTEGER count; the per-source
+    // fold runs lang-sorted over ≤|langs| cells (q138). KL ≥ 0 by
+    // construction; empty sources guard NaN.
+    QueryDef("q355_kl_per_source", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def dbl(c: Column) = c.cast("double")
+      def pln(c: Column) = call_function("portable_ln", c.cast("double"))
+      val cells = t(s, d, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val ml = cells.groupBy("lang").agg(sum("n").as("m"))
+      val nTot = cells.agg(coalesce(sum(col("n")), lit(0L)).as("nt"))
+      cells.join(broadcast(ml), Seq("lang"))
+        .crossJoin(broadcast(nTot))
+        .select(col("source"),
+          struct(col("lang"), col("n"), col("m"), col("nt"))
+            .as("cell"))
+        .groupBy("source")
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(col("source"),
+          aggregate(col("cs"), lit(0L),
+            (a, c) => a + c.getField("n")).as("n_docs"),
+          col("cs"))
+        .select(col("source"), col("n_docs"),
+          when(col("n_docs") > 0,
+            aggregate(col("cs"), lit(0.0), (a, c) =>
+              a + dbl(c.getField("n"))
+                * (pln(c.getField("n")) + pln(c.getField("nt"))
+                  - pln(col("n_docs")) - pln(c.getField("m"))))
+              / dbl(col("n_docs")))
+            .otherwise(lit(Double.NaN)).as("kl_nats"))
+    }, Some("""
+      WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+      ml AS (SELECT lang, CAST(sum(n) AS BIGINT) AS m
+        FROM cells GROUP BY 1),
+      nt AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS nt
+        FROM cells),
+      l AS (SELECT source, list_sort(list(struct_pack(lang := lang,
+          n := n, m := m, nt := nt))) AS cs
+        FROM cells JOIN ml USING (lang), nt GROUP BY 1),
+      a AS (SELECT source, cs,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cs, c -> c.n)), (x, y) -> x + y) AS n_docs
+        FROM l)
+      SELECT source, n_docs,
+        CASE WHEN n_docs > 0
+          THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, c -> CAST(c.n AS DOUBLE)
+              * (ln(CAST(c.n AS DOUBLE)) + ln(CAST(c.nt AS DOUBLE))
+                - ln(CAST(n_docs AS DOUBLE))
+                - ln(CAST(c.m AS DOUBLE))))), (x, y) -> x + y)
+            / CAST(n_docs AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS kl_nats
+      FROM a""")),
+
+    // Average precision of "character length ranks English docs" —
+    // the ranking-quality summary that integrates precision over
+    // recall where q189's AUC integrates TPR over FPR (AP weights
+    // the HEAD, which is what retrieval cares about). Ties are
+    // handled by the deterministic BLOCK convention, stated
+    // explicitly: each distinct score is one block scanned in score-
+    // descending order, and every positive in a block contributes
+    // the precision at the BLOCK END — reproducible in any engine,
+    // no arbitrary within-tie order. Block boundaries come from the
+    // PrefixSum CDF over (negated score, count, positives) cells;
+    // each block's contribution is one rational; the fold runs
+    // block-sorted. No positives guards NaN.
+    QueryDef("q356_average_precision", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val docs = t(s, d, "documents")
+        .select(col("n_chars").as("sc"),
+          (col("lang") === "en").cast("long").as("y"))
+      val cells = docs.groupBy((-col("sc")).as("ns"))
+        .agg(count(lit(1)).as("cnt"),
+          coalesce(sum(col("y")), lit(0L)).as("pos"))
+      val cum = graft.operators.PrefixSum
+        .withRunningTotals(cells, "ns", Seq("cnt", "pos"))
+      val tot = cells.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"),
+        coalesce(sum(col("pos")), lit(0L)).as("p"))
+      cum
+        .select(struct(col("ns"), col("pos"), col("cnt_cum"),
+          col("pos_cum")).as("cell"))
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .crossJoin(broadcast(tot))
+        .select(col("n").as("n_docs"), col("p").as("total_pos"),
+          when(col("p") > 0,
+            aggregate(col("cs"), lit(0.0), (a, c) =>
+              a + dbl(c.getField("pos"))
+                * (dbl(c.getField("pos_cum"))
+                  / dbl(c.getField("cnt_cum"))))
+              / dbl(col("p")))
+            .otherwise(lit(Double.NaN)).as("avg_precision"))
+    }, Some("""
+      WITH docs AS (SELECT n_chars AS sc,
+          CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+        FROM documents),
+      cells AS (SELECT -sc AS ns, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(coalesce(sum(y), 0) AS BIGINT) AS pos
+        FROM docs GROUP BY 1),
+      cum AS (SELECT ns, pos,
+          CAST(sum(cnt) OVER w AS BIGINT) AS cnt_cum,
+          CAST(sum(pos) OVER w AS BIGINT) AS pos_cum
+        FROM cells WINDOW w AS (ORDER BY ns
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+          CAST(coalesce(sum(pos), 0) AS BIGINT) AS p FROM cells),
+      l AS (SELECT list_sort(list(struct_pack(ns := ns, pos := pos,
+          cnt_cum := cnt_cum, pos_cum := pos_cum))) AS cs FROM cum)
+      SELECT n AS n_docs, p AS total_pos,
+        CASE WHEN p > 0
+          THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, c -> CAST(c.pos AS DOUBLE)
+              * (CAST(c.pos_cum AS DOUBLE)
+                / CAST(c.cnt_cum AS DOUBLE)))), (x, y) -> x + y)
+            / CAST(p AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS avg_precision
+      FROM l, tot""")),
+
+    // Expected / maximum calibration error of the stopword-fraction
+    // "English-ness score" against the true label, with the
+    // BIN-MIDPOINT confidence convention (stated explicitly:
+    // conf_b = (b+½)/10, which keeps the whole statistic exact —
+    // the mean-score variant would need a cross-row double sum,
+    // the one operation this library never does). Bins are the
+    // integer (10·hits) DIV tokens clamped to 9; per-bin accuracy
+    // is an exact BIGINT ratio; ECE = Σ (n_b/N)|acc_b − mid_b|
+    // folds bin-sorted and MCE is the max gap over the same ≤10
+    // cells. Empty input guards NaN.
+    QueryDef("q357_ece", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val txt = col("text")
+      val hits = size(regexp_extract_all(lower(txt),
+        lit("\\b(the|a|and|of|to|in|is|that)\\b"), lit(0))).cast("long")
+      val toks = (length(txt) - length(regexp_replace(txt, " ", ""))
+        + 1).cast("long")
+      val binned = t(s, d, "documents")
+        .select(hits.as("h"), toks.as("tk"),
+          (col("lang") === "en").cast("long").as("y"))
+        .select(expr("least(9L, (10 * h) DIV tk)").as("bin"),
+          col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("nb"),
+          coalesce(sum(col("y")), lit(0L)).as("pb"))
+      val tot = binned.agg(coalesce(sum(col("nb")), lit(0L)).as("n"))
+      binned
+        .select(struct(col("bin"), col("nb"), col("pb")).as("cell"))
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .crossJoin(broadcast(tot))
+        .select(col("n").as("n_docs"),
+          when(col("n") > 0,
+            aggregate(col("cs"), lit(0.0), (a, c) =>
+              a + dbl(c.getField("nb")) / dbl(col("n"))
+                * abs(dbl(c.getField("pb")) / dbl(c.getField("nb"))
+                  - (dbl(c.getField("bin")) + lit(0.5)) / lit(10.0))))
+            .otherwise(lit(Double.NaN)).as("ece"),
+          when(col("n") > 0,
+            aggregate(col("cs"), lit(0.0), (a, c) =>
+              greatest(a,
+                abs(dbl(c.getField("pb")) / dbl(c.getField("nb"))
+                  - (dbl(c.getField("bin")) + lit(0.5))
+                    / lit(10.0)))))
+            .otherwise(lit(Double.NaN)).as("mce"))
+    }, Some("""
+      WITH binned AS (SELECT
+          least(9, 10 * CAST(len(regexp_extract_all(lower(text),
+              '\b(the|a|and|of|to|in|is|that)\b')) AS BIGINT)
+            // (CAST(length(text)
+              - length(replace(text, ' ', '')) + 1 AS BIGINT)))
+            AS bin,
+          CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+        FROM documents),
+      cells AS (SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+          CAST(coalesce(sum(y), 0) AS BIGINT) AS pb
+        FROM binned GROUP BY 1),
+      tot AS (SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) AS n
+        FROM cells),
+      l AS (SELECT list_sort(list(struct_pack(bin := bin, nb := nb,
+          pb := pb))) AS cs FROM cells)
+      SELECT n AS n_docs,
+        CASE WHEN n > 0
+          THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, c -> CAST(c.nb AS DOUBLE)
+              / CAST(n AS DOUBLE)
+              * abs(CAST(c.pb AS DOUBLE) / CAST(c.nb AS DOUBLE)
+                - (CAST(c.bin AS DOUBLE) + 0.5) / 10.0))),
+            (x, y) -> x + y)
+          ELSE CAST('nan' AS DOUBLE) END AS ece,
+        CASE WHEN n > 0
+          THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, c -> abs(CAST(c.pb AS DOUBLE)
+              / CAST(c.nb AS DOUBLE)
+              - (CAST(c.bin AS DOUBLE) + 0.5) / 10.0))),
+            (x, y) -> greatest(x, y))
+          ELSE CAST('nan' AS DOUBLE) END AS mce
+      FROM l, tot"""))
   )
 }
