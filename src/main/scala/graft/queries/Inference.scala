@@ -11611,6 +11611,198 @@ object Inference {
               - (CAST(c.bin AS DOUBLE) + 0.5) / 10.0))),
             (x, y) -> greatest(x, y))
           ELSE CAST('nan' AS DOUBLE) END AS mce
-      FROM l, tot"""))
+      FROM l, tot""")),
+
+    // KPSS level-stationarity statistic for the daily series — the
+    // null-reversed partner to the trend tests (q280 asks "is there
+    // a trend?"; KPSS asks "is the LEVEL stable?" — running both
+    // splits drift from random walk). The whole statistic collapses
+    // to ONE exact BIGINT ratio: with dₜ = n·cₜ−S and partial sums
+    // Mₜ = Σᵢ≤ₜdᵢ (the q319 integer excursion series),
+    // η = ΣSₜ²/(n²σ̂²) = ΣMₜ²/(n·Σdₜ²) — every power of n cancels,
+    // so the only floating-point op is the final division (lag-0
+    // long-run variance, the textbook short-run form, stated
+    // explicitly). Constant series guards NaN.
+    QueryDef("q358_kpss", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val tot = daily.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("c")), lit(0L)).as("s_tot"))
+      val w = Window.orderBy("day")
+      daily.crossJoin(broadcast(tot))
+        .withColumn("dterm", col("n") * col("c") - col("s_tot"))
+        .withColumn("m", sum(col("dterm")).over(w))
+        .agg(max(col("n")).as("n"),
+          coalesce(sum(col("m") * col("m")), lit(0L)).as("sm2"),
+          coalesce(sum(col("dterm") * col("dterm")), lit(0L))
+            .as("sd2"))
+        .select(col("n").as("n_days"), col("sm2"), col("sd2"),
+          when(col("sd2") > 0,
+            dbl(col("sm2")) / dbl(col("n") * col("sd2")))
+            .otherwise(lit(Double.NaN)).as("kpss_eta"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(c), 0) AS BIGINT) AS s_tot FROM daily),
+      seq AS (SELECT day, n, n * c - s_tot AS dterm,
+          CAST(sum(n * c - s_tot) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS m
+        FROM daily, tot),
+      a AS (SELECT CAST(max(n) AS BIGINT) AS n,
+          CAST(coalesce(sum(m * m), 0) AS BIGINT) AS sm2,
+          CAST(coalesce(sum(dterm * dterm), 0) AS BIGINT) AS sd2
+        FROM seq)
+      SELECT n AS n_days, sm2, sd2,
+        CASE WHEN sd2 > 0
+          THEN CAST(sm2 AS DOUBLE) / CAST(n * sd2 AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS kpss_eta
+      FROM a""")),
+
+    // Turning-points test for pure randomness of the daily series —
+    // count the local peaks and troughs (strict on both sides; a
+    // tied neighbor breaks the pattern, the standard strict
+    // convention) and compare with the i.i.d. expectation
+    // 2(n−2)/3, variance (16n−29)/90 — the quick "is there ANY
+    // serial structure?" screen that q299's rank RVN refines.
+    // Neighbor access is one lag+lead over the ≤day-count frame;
+    // counts and the moment numerators stay BIGINT; the z is one
+    // fixed tree. n < 3 guards NaN.
+    QueryDef("q359_turning_points", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("day")
+      daily
+        .withColumn("pv", lag(col("c"), 1).over(w))
+        .withColumn("nx", lead(col("c"), 1).over(w))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("pv").isNotNull && col("nx").isNotNull
+            && ((col("c") > col("pv") && col("c") > col("nx"))
+              || (col("c") < col("pv") && col("c") < col("nx"))),
+            1L).otherwise(0L)), lit(0L)).as("tp"))
+        .select(col("n").as("n_days"), col("tp"),
+          when(col("n") > 2,
+            (dbl(col("tp"))
+              - lit(2.0) * dbl(col("n") - 2L) / lit(3.0))
+              / sqrt(dbl(lit(16L) * col("n") - 29L) / lit(90.0)))
+            .otherwise(lit(Double.NaN)).as("z_turning"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      lagged AS (SELECT c,
+          lag(c) OVER (ORDER BY day) AS pv,
+          lead(c) OVER (ORDER BY day) AS nx
+        FROM daily),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(CASE WHEN pv IS NOT NULL
+            AND nx IS NOT NULL
+            AND ((c > pv AND c > nx) OR (c < pv AND c < nx))
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp
+        FROM lagged)
+      SELECT n AS n_days, tp,
+        CASE WHEN n > 2
+          THEN (CAST(tp AS DOUBLE)
+              - 2.0 * CAST(n - 2 AS DOUBLE) / 3.0)
+            / sqrt(CAST(16 * n - 29 AS DOUBLE) / 90.0)
+          ELSE CAST('nan' AS DOUBLE) END AS z_turning
+      FROM a""")),
+
+    // Lotka's-law fit over user activity — regress ln(fₖ) on ln(k)
+    // across the frequency-of-frequencies spectrum (fₖ = how many
+    // users produced exactly k events) and report the power-law
+    // exponent with its R²: the bibliometric companion to q177's
+    // degree tail (MLE at a cutoff) that uses the WHOLE spectrum
+    // and yields a goodness-of-fit. Every portable_ln argument is
+    // an INTEGER (k and fₖ); the five OLS moments fold k-sorted
+    // over the dimension-sized spectrum cells (q138); slope,
+    // intercept and R² are fixed trees. Fewer than 2 spectrum
+    // points or zero x-variance guards NaN.
+    QueryDef("q360_lotka", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def dbl(c: Column) = c.cast("double")
+      def pln(c: Column) = call_function("portable_ln", c.cast("double"))
+      val spec = t(s, d, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("fk"))
+      spec
+        .select(struct(col("k"), col("fk")).as("cell"))
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(size(col("cs")).cast("long").as("m"),
+          aggregate(col("cs"), lit(0.0),
+            (a, c) => a + pln(c.getField("k"))).as("sx"),
+          aggregate(col("cs"), lit(0.0),
+            (a, c) => a + pln(c.getField("fk"))).as("sy"),
+          aggregate(col("cs"), lit(0.0),
+            (a, c) => a + pln(c.getField("k")) * pln(c.getField("k")))
+            .as("sxx"),
+          aggregate(col("cs"), lit(0.0),
+            (a, c) => a + pln(c.getField("k")) * pln(c.getField("fk")))
+            .as("sxy"),
+          aggregate(col("cs"), lit(0.0),
+            (a, c) => a + pln(c.getField("fk"))
+              * pln(c.getField("fk"))).as("syy"))
+        .withColumn("vx",
+          dbl(col("m")) * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy",
+          dbl(col("m")) * col("syy") - col("sy") * col("sy"))
+        .withColumn("cxy",
+          dbl(col("m")) * col("sxy") - col("sx") * col("sy"))
+        .select(col("m").as("n_points"),
+          when(col("m") > 1 && col("vx") > 0.0,
+            col("cxy") / col("vx"))
+            .otherwise(lit(Double.NaN)).as("lotka_slope"),
+          when(col("m") > 1 && col("vx") > 0.0,
+            (col("sy") - (col("cxy") / col("vx")) * col("sx"))
+              / dbl(col("m")))
+            .otherwise(lit(Double.NaN)).as("intercept_ln"),
+          when(col("m") > 1 && col("vx") > 0.0 && col("vy") > 0.0,
+            col("cxy") * col("cxy") / (col("vx") * col("vy")))
+            .otherwise(lit(Double.NaN)).as("r2"))
+    }, Some("""
+      WITH spec AS (SELECT k, CAST(count(*) AS BIGINT) AS fk
+        FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS k
+          FROM events GROUP BY 1)
+        GROUP BY 1),
+      l AS (SELECT list_sort(list(struct_pack(k := k, fk := fk)))
+          AS cs FROM spec),
+      a AS (SELECT CAST(len(cs) AS BIGINT) AS m,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> ln(CAST(c.k AS DOUBLE)))),
+          (x, y) -> x + y) AS sx,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> ln(CAST(c.fk AS DOUBLE)))),
+          (x, y) -> x + y) AS sy,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> ln(CAST(c.k AS DOUBLE))
+            * ln(CAST(c.k AS DOUBLE)))), (x, y) -> x + y) AS sxx,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> ln(CAST(c.k AS DOUBLE))
+            * ln(CAST(c.fk AS DOUBLE)))), (x, y) -> x + y) AS sxy,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> ln(CAST(c.fk AS DOUBLE))
+            * ln(CAST(c.fk AS DOUBLE)))), (x, y) -> x + y) AS syy
+        FROM l),
+      v AS (SELECT *,
+        CAST(m AS DOUBLE) * sxx - sx * sx AS vx,
+        CAST(m AS DOUBLE) * syy - sy * sy AS vy,
+        CAST(m AS DOUBLE) * sxy - sx * sy AS cxy
+        FROM a)
+      SELECT m AS n_points,
+        CASE WHEN m > 1 AND vx > 0.0 THEN cxy / vx
+          ELSE CAST('nan' AS DOUBLE) END AS lotka_slope,
+        CASE WHEN m > 1 AND vx > 0.0
+          THEN (sy - (cxy / vx) * sx) / CAST(m AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS intercept_ln,
+        CASE WHEN m > 1 AND vx > 0.0 AND vy > 0.0
+          THEN cxy * cxy / (vx * vy)
+          ELSE CAST('nan' AS DOUBLE) END AS r2
+      FROM v"""))
   )
 }
