@@ -11803,6 +11803,200 @@ object Inference {
         CASE WHEN m > 1 AND vx > 0.0 AND vy > 0.0
           THEN cxy * cxy / (vx * vy)
           ELSE CAST('nan' AS DOUBLE) END AS r2
-      FROM v"""))
+      FROM v""")),
+
+    // MOSUM scan for a short-window mean break in the daily series —
+    // the moving-sum statistic with bandwidth w = 7: where CUSUM
+    // (q215) detects sustained drifts and Pettitt (q298) one global
+    // split, MOSUM localizes ABRUPT week-scale breaks by sliding a
+    // window of demeaned sums. Gₜ = Mₜ₊₇ − Mₜ over the integer
+    // excursion series (q319/q358's Mₜ) stays BIGINT; the scan max
+    // and its earliest day are a deterministic ordered LIMIT 1, and
+    // the standardized stat |G|max/(n·√(w·σ̂²)) with
+    // σ̂² = Σd²/n³ reduces to |G|max·√n/(√w·√Σd²) — one fixed tree.
+    // Degenerate variance guards NaN.
+    QueryDef("q361_mosum", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val wBand = 7
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val tot = daily.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("c")), lit(0L)).as("s_tot"))
+      val w = Window.orderBy("day")
+      val seq0 = daily.crossJoin(broadcast(tot))
+        .withColumn("dterm", col("n") * col("c") - col("s_tot"))
+        .withColumn("g",
+          sum(col("dterm")).over(w.rowsBetween(1, wBand)))
+      val sd2 = seq0.agg(coalesce(sum(col("dterm") * col("dterm")),
+        lit(0L)).as("sd2"))
+      val mx = seq0.where(col("g").isNotNull)
+        .agg(coalesce(max(abs(col("g"))), lit(0L)).as("gmax"))
+      seq0.crossJoin(broadcast(mx)).crossJoin(broadcast(sd2))
+        .where(abs(col("g")) === col("gmax"))
+        .select(col("day").as("day_break"), col("n").as("n_days"),
+          col("gmax"),
+          when(col("sd2") > 0,
+            dbl(col("gmax")) * sqrt(dbl(col("n")))
+              / (sqrt(lit(wBand.toDouble)) * sqrt(dbl(col("sd2")))))
+            .otherwise(lit(Double.NaN)).as("mosum_stat"))
+        .orderBy("day_break").limit(1)
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(c), 0) AS BIGINT) AS s_tot FROM daily),
+      seq AS (SELECT day, n, n * c - s_tot AS dterm,
+          CAST(sum(n * c - s_tot) OVER (ORDER BY day
+            ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING) AS BIGINT) AS g
+        FROM daily, tot),
+      sd2 AS (SELECT CAST(coalesce(sum(dterm * dterm), 0) AS BIGINT)
+          AS sd2 FROM seq),
+      mx AS (SELECT CAST(coalesce(max(abs(g)), 0) AS BIGINT) AS gmax
+        FROM seq WHERE g IS NOT NULL)
+      SELECT day AS day_break, n AS n_days, gmax,
+        CASE WHEN sd2 > 0
+          THEN CAST(gmax AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+            / (sqrt(7.0) * sqrt(CAST(sd2 AS DOUBLE)))
+          ELSE CAST('nan' AS DOUBLE) END AS mosum_stat
+      FROM seq, mx, sd2 WHERE abs(g) = gmax
+      ORDER BY day_break LIMIT 1""")),
+
+    // Shift-share decomposition of 1997→1998 order growth by nation
+    // — the regional-economics standard: each market's observed
+    // change splits into the NATIONAL-growth component (what it
+    // would have gained growing at the fleet rate) and the LOCAL
+    // shift (out/under-performance), which sum exactly to the
+    // observed delta — the additive identity is the audit. Counts
+    // are exact BIGINT; the expected component and shares divide
+    // once each per nation row; nations with no 1997 base report
+    // NaN expectations (their whole delta is shift by convention).
+    QueryDef("q362_shift_share", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val per = t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey").as("nk"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("nk")
+        .agg(
+          coalesce(sum(when(year(col("o_orderdate")) === 1997, 1L)
+            .otherwise(0L)), lit(0L)).as("c97"),
+          coalesce(sum(when(year(col("o_orderdate")) === 1998, 1L)
+            .otherwise(0L)), lit(0L)).as("c98"))
+      val tot = per.agg(coalesce(sum(col("c97")), lit(0L)).as("t97"),
+        coalesce(sum(col("c98")), lit(0L)).as("t98"))
+      per.crossJoin(broadcast(tot))
+        .select(col("nk"), col("c97"), col("c98"),
+          (col("c98") - col("c97")).as("delta"),
+          when(col("t97") > 0 && col("c97") > 0,
+            dbl(col("c97")) * (dbl(col("t98")) - dbl(col("t97")))
+              / dbl(col("t97")))
+            .otherwise(lit(Double.NaN)).as("national_component"),
+          when(col("t97") > 0 && col("c97") > 0,
+            dbl(col("c98") - col("c97"))
+              - dbl(col("c97"))
+                * (dbl(col("t98")) - dbl(col("t97")))
+                / dbl(col("t97")))
+            .otherwise(lit(Double.NaN)).as("local_shift"))
+    }, Some("""
+      WITH per AS (SELECT c.c_nationkey AS nk,
+          CAST(coalesce(sum(CASE WHEN year(o_orderdate) = 1997 THEN 1
+            ELSE 0 END), 0) AS BIGINT) AS c97,
+          CAST(coalesce(sum(CASE WHEN year(o_orderdate) = 1998 THEN 1
+            ELSE 0 END), 0) AS BIGINT) AS c98
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1),
+      tot AS (SELECT CAST(coalesce(sum(c97), 0) AS BIGINT) AS t97,
+          CAST(coalesce(sum(c98), 0) AS BIGINT) AS t98 FROM per)
+      SELECT nk, c97, c98, c98 - c97 AS delta,
+        CASE WHEN t97 > 0 AND c97 > 0
+          THEN CAST(c97 AS DOUBLE)
+            * (CAST(t98 AS DOUBLE) - CAST(t97 AS DOUBLE))
+            / CAST(t97 AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS national_component,
+        CASE WHEN t97 > 0 AND c97 > 0
+          THEN CAST(c98 - c97 AS DOUBLE)
+            - CAST(c97 AS DOUBLE)
+              * (CAST(t98 AS DOUBLE) - CAST(t97 AS DOUBLE))
+              / CAST(t97 AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS local_shift
+      FROM per, tot""")),
+
+    // Duncan dissimilarity index between urgent and non-urgent
+    // order placement across nations — "what fraction of urgent
+    // orders would have to RELOCATE for the two priority classes to
+    // be identically distributed?", the segregation-index classic
+    // (q303's Bray–Curtis compares arbitrary abundance profiles;
+    // Duncan D is the share-normalized two-group special case with
+    // a direct operational reading). D = ½Σ|aᵢ/A − bᵢ/B| folds
+    // nation-sorted over the ≤nation cells; the isolation index
+    // P* = Σ(aᵢ/A)(aᵢ/(aᵢ+bᵢ)) rides along from the same cells.
+    // Empty classes guard NaN.
+    QueryDef("q363_duncan_d", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val cells = t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey").as("nk"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("nk")
+        .agg(
+          coalesce(sum(when(
+            substring(col("o_orderpriority"), 1, 1) === "1", 1L)
+            .otherwise(0L)), lit(0L)).as("a"),
+          coalesce(sum(when(
+            substring(col("o_orderpriority"), 1, 1) =!= "1", 1L)
+            .otherwise(0L)), lit(0L)).as("b"))
+      val tot = cells.agg(coalesce(sum(col("a")), lit(0L)).as("ta"),
+        coalesce(sum(col("b")), lit(0L)).as("tb"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("ta"), col("tb"),
+          struct(col("nk"), col("a"), col("b")).as("cell"))
+        .groupBy("ta", "tb")
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(col("ta").as("n_urgent"), col("tb").as("n_other"),
+          when(col("ta") > 0 && col("tb") > 0,
+            aggregate(col("cs"), lit(0.0), (x, c) =>
+              x + abs(dbl(c.getField("a")) / dbl(col("ta"))
+                - dbl(c.getField("b")) / dbl(col("tb"))))
+              / lit(2.0))
+            .otherwise(lit(Double.NaN)).as("duncan_d"),
+          when(col("ta") > 0,
+            aggregate(col("cs"), lit(0.0), (x, c) =>
+              x + when(c.getField("a") + c.getField("b") > 0,
+                (dbl(c.getField("a")) / dbl(col("ta")))
+                  * (dbl(c.getField("a"))
+                    / dbl(c.getField("a") + c.getField("b"))))
+                .otherwise(lit(0.0))))
+            .otherwise(lit(Double.NaN)).as("isolation_pstar"))
+    }, Some("""
+      WITH cells AS (SELECT c.c_nationkey AS nk,
+          CAST(coalesce(sum(CASE WHEN substring(o_orderpriority, 1, 1)
+            = '1' THEN 1 ELSE 0 END), 0) AS BIGINT) AS a,
+          CAST(coalesce(sum(CASE WHEN substring(o_orderpriority, 1, 1)
+            <> '1' THEN 1 ELSE 0 END), 0) AS BIGINT) AS b
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1),
+      tot AS (SELECT CAST(coalesce(sum(a), 0) AS BIGINT) AS ta,
+          CAST(coalesce(sum(b), 0) AS BIGINT) AS tb FROM cells),
+      l AS (SELECT ta, tb, list_sort(list(struct_pack(nk := nk,
+          a := a, b := b))) AS cs
+        FROM cells, tot GROUP BY 1, 2)
+      SELECT ta AS n_urgent, tb AS n_other,
+        CASE WHEN ta > 0 AND tb > 0
+          THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, c -> abs(CAST(c.a AS DOUBLE)
+              / CAST(ta AS DOUBLE)
+              - CAST(c.b AS DOUBLE) / CAST(tb AS DOUBLE)))),
+            (x, y) -> x + y) / 2.0
+          ELSE CAST('nan' AS DOUBLE) END AS duncan_d,
+        CASE WHEN ta > 0
+          THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, c -> CASE WHEN c.a + c.b > 0
+              THEN (CAST(c.a AS DOUBLE) / CAST(ta AS DOUBLE))
+                * (CAST(c.a AS DOUBLE) / CAST(c.a + c.b AS DOUBLE))
+              ELSE 0.0 END)), (x, y) -> x + y)
+          ELSE CAST('nan' AS DOUBLE) END AS isolation_pstar
+      FROM l"""))
   )
 }
