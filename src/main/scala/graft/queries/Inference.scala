@@ -11997,6 +11997,236 @@ object Inference {
                 * (CAST(c.a AS DOUBLE) / CAST(c.a + c.b AS DOUBLE))
               ELSE 0.0 END)), (x, y) -> x + y)
           ELSE CAST('nan' AS DOUBLE) END AS isolation_pstar
-      FROM l"""))
+      FROM l""")),
+
+    // Directly standardized finished-order rates per nation — each
+    // market's F-rate recomputed AS IF it had the fleet's
+    // market-segment mix: rate_std = Σ_s w_s·r_{g,s} with fleet
+    // stratum weights w_s — the epidemiology-standard confounder
+    // adjustment (q242's raking CALIBRATES margins; straight
+    // standardization REWEIGHTS an outcome), plus the
+    // crude-vs-standardized gap that quantifies the composition
+    // effect. Stratum cells are exact BIGINT; each term is
+    // w_s·r_gs = (W_s·f_gs)/(W·n_gs) — one rational per ≤|segment|
+    // cell folded segment-sorted per nation; nations missing a
+    // stratum contribute that stratum's 0 (documented convention).
+    QueryDef("q364_std_rates", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val base = t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey").as("nk"),
+            col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+      val cells = base.groupBy("nk", "seg")
+        .agg(count(lit(1)).as("n_gs"),
+          coalesce(sum(when(col("o_orderstatus") === "F", 1L)
+            .otherwise(0L)), lit(0L)).as("f_gs"))
+      val wts = cells.groupBy("seg")
+        .agg(coalesce(sum(col("n_gs")), lit(0L)).as("w_s"))
+      val wTot = wts.agg(coalesce(sum(col("w_s")), lit(0L)).as("w"))
+      val crude = cells.groupBy("nk")
+        .agg(coalesce(sum(col("n_gs")), lit(0L)).as("n_g"),
+          coalesce(sum(col("f_gs")), lit(0L)).as("f_g"))
+      cells.join(broadcast(wts), Seq("seg"))
+        .crossJoin(broadcast(wTot))
+        .select(col("nk"),
+          struct(col("seg"), col("n_gs"), col("f_gs"), col("w_s"),
+            col("w")).as("cell"))
+        .groupBy("nk")
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .join(crude, Seq("nk"))
+        .select(col("nk"), col("n_g"),
+          (dbl(col("f_g")) / dbl(col("n_g"))).as("crude_rate"),
+          aggregate(col("cs"), lit(0.0), (a, c) =>
+            a + when(c.getField("n_gs") > 0,
+              dbl(c.getField("w_s")) * dbl(c.getField("f_gs"))
+                / (dbl(c.getField("w")) * dbl(c.getField("n_gs"))))
+              .otherwise(lit(0.0))).as("std_rate"))
+        .withColumn("composition_gap",
+          col("crude_rate") - col("std_rate"))
+    }, Some("""
+      WITH base AS (SELECT c.c_nationkey AS nk, c.c_mktsegment AS seg,
+          o.o_orderstatus
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      cells AS (SELECT nk, seg, CAST(count(*) AS BIGINT) AS n_gs,
+          CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1
+            ELSE 0 END), 0) AS BIGINT) AS f_gs
+        FROM base GROUP BY 1, 2),
+      wts AS (SELECT seg, CAST(coalesce(sum(n_gs), 0) AS BIGINT)
+          AS w_s FROM cells GROUP BY 1),
+      wt AS (SELECT CAST(coalesce(sum(w_s), 0) AS BIGINT) AS w
+        FROM wts),
+      crude AS (SELECT nk, CAST(coalesce(sum(n_gs), 0) AS BIGINT)
+          AS n_g,
+          CAST(coalesce(sum(f_gs), 0) AS BIGINT) AS f_g
+        FROM cells GROUP BY 1),
+      l AS (SELECT nk, list_sort(list(struct_pack(seg := seg,
+          n_gs := n_gs, f_gs := f_gs, w_s := w_s, w := w))) AS cs
+        FROM cells JOIN wts USING (seg), wt GROUP BY 1),
+      a AS (SELECT l.nk, n_g,
+          CAST(f_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS crude_rate,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, c -> CASE WHEN c.n_gs > 0
+              THEN CAST(c.w_s AS DOUBLE) * CAST(c.f_gs AS DOUBLE)
+                / (CAST(c.w AS DOUBLE) * CAST(c.n_gs AS DOUBLE))
+              ELSE 0.0 END)), (x, y) -> x + y) AS std_rate
+        FROM l JOIN crude ON l.nk = crude.nk)
+      SELECT nk, n_g, crude_rate, std_rate,
+        crude_rate - std_rate AS composition_gap
+      FROM a""")),
+
+    // Harrell's C-index — does higher user ACTIVITY predict longer
+    // survival? — the concordance between an activity-decile risk
+    // score and the q192 lifetimes, counting the usable pairs only
+    // (the death with the SHORTER time anchors each pair; ties in
+    // time or score contribute ½ — the standard convention, stated
+    // here). Deciles come from the PrefixSum CDF (q287 bins), so
+    // the pair census collapses onto (duration × decile) cells
+    // whose product is domain-bounded; concordant/discordant/tied
+    // sums are exact BIGINT from one cell theta-join, and C is ONE
+    // double division. No usable pairs guards NaN.
+    QueryDef("q365_harrell_c", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val per = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          (datediff(max(col("ts")).cast("date"),
+            min(col("ts")).cast("date")) + 1).cast("long").as("t"),
+          count(lit(1)).as("activity"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("last_type"))
+        .select(col("user_id"), col("t"), col("activity"),
+          when(col("last_type") === "error", 1L).otherwise(0L)
+            .as("died"))
+      val acells = per.groupBy(col("activity").as("av"))
+        .agg(count(lit(1)).as("n"))
+      val nn = acells.agg(coalesce(sum(col("n")), lit(0L)).as("nn"))
+      val dec = graft.operators.PrefixSum
+        .withRunningTotals(acells, "av", Seq("n"))
+        .crossJoin(broadcast(nn))
+        .select(col("av").as("activity"),
+          expr("(10 * (nn - n_cum)) DIV nn").as("q"))
+      val cells = per.join(broadcast(dec), Seq("activity"))
+        .groupBy("t", "q")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("died")), lit(0L)).as("dd"))
+      val a = cells.select(col("t").as("t1"), col("q").as("q1"),
+        col("dd").as("d1"))
+      val b = cells.select(col("t").as("t2"), col("q").as("q2"),
+        col("n").as("n2"))
+      a.crossJoin(b)
+        .where(col("d1") > 0 && col("t1") < col("t2"))
+        .agg(
+          coalesce(sum(when(col("q1") < col("q2"),
+            col("d1") * col("n2")).otherwise(0L)), lit(0L))
+            .as("conc"),
+          coalesce(sum(when(col("q1") > col("q2"),
+            col("d1") * col("n2")).otherwise(0L)), lit(0L))
+            .as("disc"),
+          coalesce(sum(when(col("q1") === col("q2"),
+            col("d1") * col("n2")).otherwise(0L)), lit(0L))
+            .as("tied"))
+        .select(col("conc"), col("disc"), col("tied"),
+          when(col("conc") + col("disc") + col("tied") > 0,
+            (dbl(col("conc")) + dbl(col("tied")) / lit(2.0))
+              / dbl(col("conc") + col("disc") + col("tied")))
+            .otherwise(lit(Double.NaN)).as("c_index"))
+    }, Some("""
+      WITH l AS (SELECT user_id, event_type, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      died AS (SELECT user_id,
+          CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS died
+        FROM l WHERE rn = 1),
+      span AS (SELECT user_id, CAST(date_diff('day',
+            CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1 AS BIGINT)
+            AS t,
+          CAST(count(*) AS BIGINT) AS activity
+        FROM events GROUP BY 1),
+      per AS (SELECT s.user_id, s.t, s.activity, dd.died
+        FROM span s JOIN died dd USING (user_id)),
+      ac AS (SELECT av, n, CAST(sum(n) OVER (ORDER BY av
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS n_cum
+        FROM (SELECT activity AS av, CAST(count(*) AS BIGINT) AS n
+          FROM per GROUP BY 1)),
+      an AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM ac),
+      dec AS (SELECT av AS activity, (10 * (nn - n_cum)) // nn AS q
+        FROM ac, an),
+      cells AS (SELECT t, q, CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(died), 0) AS BIGINT) AS dd
+        FROM per JOIN dec USING (activity) GROUP BY 1, 2),
+      pr AS (SELECT
+        CAST(coalesce(sum(CASE WHEN a.q < b.q THEN a.dd * b.n
+          ELSE 0 END), 0) AS BIGINT) AS conc,
+        CAST(coalesce(sum(CASE WHEN a.q > b.q THEN a.dd * b.n
+          ELSE 0 END), 0) AS BIGINT) AS disc,
+        CAST(coalesce(sum(CASE WHEN a.q = b.q THEN a.dd * b.n
+          ELSE 0 END), 0) AS BIGINT) AS tied
+        FROM cells a CROSS JOIN cells b
+        WHERE a.dd > 0 AND a.t < b.t)
+      SELECT conc, disc, tied,
+        CASE WHEN conc + disc + tied > 0
+          THEN (CAST(conc AS DOUBLE) + CAST(tied AS DOUBLE) / 2.0)
+            / CAST(conc + disc + tied AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS c_index
+      FROM pr""")),
+
+    // Vocabulary accumulation by source — scanning sources in
+    // deterministic name order, how many NEW types does each add,
+    // and what does the union reach? The corpus-planning curve
+    // ("which source is worth crawling NEXT?") that q198's Heaps
+    // law fits in aggregate: first-source-per-term assigns every
+    // type to min(source), per-source novel counts roll up through
+    // the distributed PrefixSum CDF keyed on source name, and the
+    // novelty share divides once per ≤|sources| row. All counts
+    // exact BIGINT.
+    QueryDef("q366_vocab_accumulation", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val firsts = t(s, d, "documents")
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("term").agg(min(col("source")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("novel"))
+      val allSrc = t(s, d, "documents")
+        .select(col("source")).distinct()
+        .join(firsts, Seq("source"), "left")
+        .select(col("source"), coalesce(col("novel"), lit(0L))
+          .as("novel"))
+      val tot = allSrc.agg(coalesce(sum(col("novel")), lit(0L))
+        .as("v_total"))
+      graft.operators.PrefixSum
+        .withRunningTotals(allSrc, "source", Seq("novel"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("novel"),
+          col("novel_cum").as("vocab_cum"),
+          when(col("v_total") > 0,
+            dbl(col("novel")) / dbl(col("v_total")))
+            .otherwise(lit(Double.NaN)).as("novelty_share"))
+    }, Some("""
+      WITH toks AS (SELECT source,
+          unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      firsts AS (SELECT min(source) AS source
+        FROM toks WHERE len(term) > 0 GROUP BY term),
+      novel AS (SELECT source, CAST(count(*) AS BIGINT) AS novel
+        FROM firsts GROUP BY 1),
+      alls AS (SELECT s.source,
+          CAST(coalesce(novel, 0) AS BIGINT) AS novel
+        FROM (SELECT DISTINCT source FROM documents) s
+        LEFT JOIN novel USING (source)),
+      tot AS (SELECT CAST(coalesce(sum(novel), 0) AS BIGINT)
+          AS v_total FROM alls),
+      cum AS (SELECT source, novel,
+          CAST(sum(novel) OVER (ORDER BY source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS vocab_cum
+        FROM alls)
+      SELECT source, novel, vocab_cum,
+        CASE WHEN v_total > 0
+          THEN CAST(novel AS DOUBLE) / CAST(v_total AS DOUBLE)
+          ELSE CAST('nan' AS DOUBLE) END AS novelty_share
+      FROM cum, tot"""))
   )
 }
