@@ -12227,6 +12227,289 @@ object Inference {
         CASE WHEN v_total > 0
           THEN CAST(novel AS DOUBLE) / CAST(v_total AS DOUBLE)
           ELSE CAST('nan' AS DOUBLE) END AS novelty_share
-      FROM cum, tot"""))
+      FROM cum, tot""")),
+
+    // Granger-style lagged predictability F — does YESTERDAY's
+    // error volume predict TODAY's purchase volume beyond what
+    // purchases already self-predict? The restricted (AR(1)) vs
+    // unrestricted (AR(1)+error-lag) OLS comparison with the
+    // partial F = (SSE_r − SSE_u)(n−3)/SSE_u — the causal-screen
+    // reading of q209's symmetric ACF. Both regressions solve in
+    // closed form (2×2 normal equations) from n-scaled exact BIGINT
+    // moments of the 29-row lagged frame (lag via a dimension-sized
+    // day window); one fixed IEEE tree. Singular designs guard NaN.
+    QueryDef("q367_granger_f", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(
+          coalesce(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)), lit(0L)).as("p"),
+          coalesce(sum(when(col("event_type") === "error", 1L)
+            .otherwise(0L)), lit(0L)).as("e"))
+      val w = Window.orderBy("day")
+      val lagged = daily
+        .withColumn("y", col("p"))
+        .withColumn("x1", lag(col("p"), 1).over(w))
+        .withColumn("x2", lag(col("e"), 1).over(w))
+        .where(col("x1").isNotNull)
+      val m = lagged.agg(count(lit(1)).as("n"),
+        sum("y").as("sy"), sum("x1").as("s1"), sum("x2").as("s2"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("x1") * col("x2")).as("s12"))
+      def cc(spq: Column, sp: Column, sq: Column) =
+        dbl(col("n")) * dbl(spq) - dbl(sp) * dbl(sq)
+      m
+        .withColumn("cyy", cc(col("syy"), col("sy"), col("sy")))
+        .withColumn("c11", cc(col("s11"), col("s1"), col("s1")))
+        .withColumn("c22", cc(col("s22"), col("s2"), col("s2")))
+        .withColumn("c1y", cc(col("s1y"), col("s1"), col("sy")))
+        .withColumn("c2y", cc(col("s2y"), col("s2"), col("sy")))
+        .withColumn("c12", cc(col("s12"), col("s1"), col("s2")))
+        .withColumn("sse_r",
+          when(col("c11") > 0.0,
+            col("cyy") - col("c1y") * col("c1y") / col("c11")))
+        .withColumn("det",
+          col("c11") * col("c22") - col("c12") * col("c12"))
+        .withColumn("sse_u",
+          when(col("det") =!= 0.0,
+            col("cyy") - (col("c22") * col("c1y") * col("c1y")
+              - lit(2.0) * col("c12") * col("c1y") * col("c2y")
+              + col("c11") * col("c2y") * col("c2y")) / col("det")))
+        .select(col("n").as("n_obs"), col("sse_r"), col("sse_u"),
+          when(col("sse_u").isNotNull && col("sse_r").isNotNull
+              && col("sse_u") > 0.0 && col("n") > 3,
+            (col("sse_r") - col("sse_u")) * dbl(col("n") - 3L)
+              / col("sse_u"))
+            .otherwise(lit(Double.NaN)).as("f_granger"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+            ELSE 0 END), 0) AS BIGINT) AS p,
+          CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1
+            ELSE 0 END), 0) AS BIGINT) AS e
+        FROM events GROUP BY 1),
+      lagged AS (SELECT p AS y,
+          lag(p) OVER (ORDER BY day) AS x1,
+          lag(e) OVER (ORDER BY day) AS x2
+        FROM daily),
+      lf AS (SELECT * FROM lagged WHERE x1 IS NOT NULL),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x1) AS BIGINT) AS s1,
+        CAST(sum(x2) AS BIGINT) AS s2,
+        CAST(sum(y * y) AS BIGINT) AS syy,
+        CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        CAST(sum(x1 * y) AS BIGINT) AS s1y,
+        CAST(sum(x2 * y) AS BIGINT) AS s2y,
+        CAST(sum(x1 * x2) AS BIGINT) AS s12
+        FROM lf),
+      c AS (SELECT n,
+        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy,
+        CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS c11,
+        CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c22,
+        CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS c1y,
+        CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+          - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS c2y,
+        CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c12
+        FROM m),
+      e1 AS (SELECT *,
+        CASE WHEN c11 > 0.0 THEN cyy - c1y * c1y / c11 END AS sse_r,
+        c11 * c22 - c12 * c12 AS det
+        FROM c),
+      e2 AS (SELECT *,
+        CASE WHEN det <> 0.0
+          THEN cyy - (c22 * c1y * c1y - 2.0 * c12 * c1y * c2y
+            + c11 * c2y * c2y) / det END AS sse_u
+        FROM e1)
+      SELECT n AS n_obs, sse_r, sse_u,
+        CASE WHEN sse_u IS NOT NULL AND sse_r IS NOT NULL
+            AND sse_u > 0.0 AND n > 3
+          THEN (sse_r - sse_u) * CAST(n - 3 AS DOUBLE) / sse_u
+          ELSE CAST('nan' AS DOUBLE) END AS f_granger
+      FROM e2""")),
+
+    // Lead–lag cross-correlation between daily error and purchase
+    // volumes at lags −3..+3 — WHICH WAY does trouble propagate,
+    // and with what delay? (q209's ACF is each series against
+    // itself; the CCF is the pair.) Convention stated explicitly:
+    // means are the FULL-window means (n-scaled exact integers),
+    // the lag-k cross products run over the n−|k| overlapping days,
+    // and normalization uses the full-series variance pair — so
+    // every rₖ is assembled from BIGINT sums with one division.
+    // The ≤7-row lag frame comes from a broadcast lag list joined
+    // through a day-shifted self-join of the dimension-sized daily
+    // table. Degenerate variance guards NaN.
+    QueryDef("q368_ccf", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(
+          coalesce(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)), lit(0L)).as("p"),
+          coalesce(sum(when(col("event_type") === "error", 1L)
+            .otherwise(0L)), lit(0L)).as("e"))
+      val tot = daily.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("e")), lit(0L)).as("se"),
+        coalesce(sum(col("p")), lit(0L)).as("sp"),
+        coalesce(sum(col("e") * col("e")), lit(0L)).as("see"),
+        coalesce(sum(col("p") * col("p")), lit(0L)).as("spp"))
+      val lags = t(s, d, "region")
+        .select((col("r_regionkey") - 2).cast("int").as("k"))
+        .unionByName(t(s, d, "region").where(col("r_regionkey") < 2)
+          .select((col("r_regionkey") + 3).cast("int").as("k")))
+      // pair (e at day t) with (p at day t+k)
+      val shifted = daily.select(col("day"), col("e"))
+        .crossJoin(broadcast(lags))
+        .join(daily.select(col("day").as("day2"), col("p")),
+          expr("date_add(day, k) = day2"))
+      shifted.crossJoin(broadcast(tot))
+        .groupBy("k", "n", "se", "sp", "see", "spp")
+        .agg(count(lit(1)).as("m"),
+          coalesce(sum((col("n") * col("e") - col("se"))
+            * (col("n") * col("p") - col("sp"))), lit(0L)).as("cxy"))
+        .select(col("k").as("lag"), col("m").as("n_overlap"),
+          when((col("n") * col("see") - col("se") * col("se")) > 0
+              && (col("n") * col("spp") - col("sp") * col("sp")) > 0,
+            dbl(col("cxy"))
+              / (dbl(col("m"))
+                * sqrt(dbl(col("n") * col("see")
+                    - col("se") * col("se"))
+                  * dbl(col("n") * col("spp")
+                    - col("sp") * col("sp")))))
+            .otherwise(lit(Double.NaN)).as("ccf"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+            ELSE 0 END), 0) AS BIGINT) AS p,
+          CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1
+            ELSE 0 END), 0) AS BIGINT) AS e
+        FROM events GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(e), 0) AS BIGINT) AS se,
+          CAST(coalesce(sum(p), 0) AS BIGINT) AS sp,
+          CAST(coalesce(sum(e * e), 0) AS BIGINT) AS see,
+          CAST(coalesce(sum(p * p), 0) AS BIGINT) AS spp
+        FROM daily),
+      lags AS (SELECT CAST(r_regionkey - 2 AS INT) AS k FROM region
+        UNION ALL SELECT CAST(r_regionkey + 3 AS INT) FROM region
+          WHERE r_regionkey < 2),
+      sh AS (SELECT lags.k, a.e, b.p
+        FROM daily a CROSS JOIN lags
+        JOIN daily b ON a.day + CAST(lags.k AS INT) = b.day),
+      g AS (SELECT k, CAST(count(*) AS BIGINT) AS m,
+          CAST(coalesce(sum((n * e - se) * (n * p - sp)), 0)
+            AS BIGINT) AS cxy,
+          CAST(max(n) AS BIGINT) AS n,
+          CAST(max(se) AS BIGINT) AS se, CAST(max(sp) AS BIGINT) AS sp,
+          CAST(max(see) AS BIGINT) AS see,
+          CAST(max(spp) AS BIGINT) AS spp
+        FROM sh, tot GROUP BY 1)
+      SELECT k AS lag, m AS n_overlap,
+        CASE WHEN n * see - se * se > 0 AND n * spp - sp * sp > 0
+          THEN CAST(cxy AS DOUBLE)
+            / (CAST(m AS DOUBLE)
+              * sqrt(CAST(n * see - se * se AS DOUBLE)
+                * CAST(n * spp - sp * sp AS DOUBLE)))
+          ELSE CAST('nan' AS DOUBLE) END AS ccf
+      FROM g""")),
+
+    // Second-digit Benford audit of order prices (in cents) — the
+    // fraud-analytics refinement of q179: first digits survive many
+    // natural manipulations, second digits rarely do. The expected
+    // law P(d₂) = Σ_{d₁=1..9} log₁₀(1 + 1/(10d₁+d₂)) is assembled
+    // ENTIRELY from integer-argument logarithms
+    // ((ln(k+1) − ln k)/ln 10 — the q162/q348 identity family), so
+    // both engines build bit-identical expectations; observed
+    // second digits are integer arithmetic on round(100·price), and
+    // the χ² folds digit-sorted over the 10 cells. Empty input
+    // guards NaN.
+    QueryDef("q369_benford2", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def dbl(c: Column) = c.cast("double")
+      def pln(c: Column) = call_function("portable_ln", c.cast("double"))
+      val digits = t(s, d, "orders")
+        .select((round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+        .where(col("cents") >= 10L)
+        .select(expr(
+          "CAST(substring(CAST(cents AS STRING), 2, 1) AS BIGINT)")
+          .as("d2"))
+        .groupBy("d2").agg(count(lit(1)).as("o"))
+      val tot = digits.agg(coalesce(sum(col("o")), lit(0L)).as("n"))
+      val anchor = t(s, d, "orders")
+        .select((col("o_orderkey") % 10).as("d2")).distinct()
+      val expd = anchor.select(col("d2"),
+        (1 to 9).map(d1 =>
+          (pln(lit(10L * d1) + col("d2") + 1L)
+            - pln(lit(10L * d1) + col("d2")))
+            / pln(lit(10.0)))
+          .reduce(_ + _).as("pexp"))
+      anchor.join(digits, Seq("d2"), "left")
+        .select(col("d2"), coalesce(col("o"), lit(0L)).as("o"))
+        .join(broadcast(expd), Seq("d2"))
+        .crossJoin(broadcast(tot))
+        .select(col("n"),
+          struct(col("d2"), col("o"), col("pexp")).as("cell"))
+        .groupBy("n")
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(col("n").as("n_orders"),
+          when(col("n") > 0,
+            aggregate(col("cs"), lit(0.0), (a, c) => {
+              val eCnt = c.getField("pexp") * dbl(col("n"))
+              a + ((dbl(c.getField("o")) - eCnt)
+                * (dbl(c.getField("o")) - eCnt) / eCnt)
+            }))
+            .otherwise(lit(Double.NaN)).as("chi2_benford2"),
+          lit(9L).as("dof"))
+    }, Some("""
+      WITH digits AS (SELECT
+          CAST(substring(CAST(cents AS VARCHAR), 2, 1) AS BIGINT)
+            AS d2
+        FROM (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+            AS cents FROM orders)
+        WHERE cents >= 10),
+      oc AS (SELECT d2, CAST(count(*) AS BIGINT) AS o
+        FROM digits GROUP BY 1),
+      tot AS (SELECT CAST(coalesce(sum(o), 0) AS BIGINT) AS n
+        FROM oc),
+      anchor AS (SELECT DISTINCT o_orderkey % 10 AS d2 FROM orders),
+      expd AS (SELECT d2,
+          (ln(CAST(10 * 1 + d2 + 1 AS DOUBLE)) - ln(CAST(10 * 1 + d2 AS DOUBLE))) / ln(CAST(10.0 AS DOUBLE))
+        + (ln(CAST(10 * 2 + d2 + 1 AS DOUBLE)) - ln(CAST(10 * 2 + d2 AS DOUBLE))) / ln(CAST(10.0 AS DOUBLE))
+        + (ln(CAST(10 * 3 + d2 + 1 AS DOUBLE)) - ln(CAST(10 * 3 + d2 AS DOUBLE))) / ln(CAST(10.0 AS DOUBLE))
+        + (ln(CAST(10 * 4 + d2 + 1 AS DOUBLE)) - ln(CAST(10 * 4 + d2 AS DOUBLE))) / ln(CAST(10.0 AS DOUBLE))
+        + (ln(CAST(10 * 5 + d2 + 1 AS DOUBLE)) - ln(CAST(10 * 5 + d2 AS DOUBLE))) / ln(CAST(10.0 AS DOUBLE))
+        + (ln(CAST(10 * 6 + d2 + 1 AS DOUBLE)) - ln(CAST(10 * 6 + d2 AS DOUBLE))) / ln(CAST(10.0 AS DOUBLE))
+        + (ln(CAST(10 * 7 + d2 + 1 AS DOUBLE)) - ln(CAST(10 * 7 + d2 AS DOUBLE))) / ln(CAST(10.0 AS DOUBLE))
+        + (ln(CAST(10 * 8 + d2 + 1 AS DOUBLE)) - ln(CAST(10 * 8 + d2 AS DOUBLE))) / ln(CAST(10.0 AS DOUBLE))
+        + (ln(CAST(10 * 9 + d2 + 1 AS DOUBLE)) - ln(CAST(10 * 9 + d2 AS DOUBLE))) / ln(CAST(10.0 AS DOUBLE))
+          AS pexp
+        FROM anchor),
+      j AS (SELECT anchor.d2, CAST(coalesce(o, 0) AS BIGINT) AS o,
+          pexp, n
+        FROM anchor LEFT JOIN oc ON anchor.d2 = oc.d2
+        JOIN expd ON anchor.d2 = expd.d2, tot),
+      l AS (SELECT n, list_sort(list(struct_pack(d2 := d2, o := o,
+          pexp := pexp))) AS cs FROM j GROUP BY 1)
+      SELECT n AS n_orders,
+        CASE WHEN n > 0
+          THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cs, c ->
+              (CAST(c.o AS DOUBLE) - c.pexp * CAST(n AS DOUBLE))
+              * (CAST(c.o AS DOUBLE) - c.pexp * CAST(n AS DOUBLE))
+              / (c.pexp * CAST(n AS DOUBLE)))), (x, y) -> x + y)
+          ELSE CAST('nan' AS DOUBLE) END AS chi2_benford2,
+        CAST(9 AS BIGINT) AS dof
+      FROM l"""))
   )
 }
