@@ -12510,6 +12510,228 @@ object Inference {
               / (c.pexp * CAST(n AS DOUBLE)))), (x, y) -> x + y)
           ELSE CAST('nan' AS DOUBLE) END AS chi2_benford2,
         CAST(9 AS BIGINT) AS dof
-      FROM l"""))
+      FROM l""")),
+
+    // Jackknife-1/2 and ACE vocabulary-richness estimators — the
+    // three standard companions bracketing q283's Chao1 (Chao1 is a
+    // LOWER bound; jackknife corrects order-by-order, ACE uses the
+    // whole rare tail ≤ 10): jack1 = S+f₁, jack2 = S+2f₁−f₂, and
+    // ACE = S_abund + S_rare/Ĉ + f₁γ̂²/Ĉ with sample coverage
+    // Ĉ = 1−f₁/N_rare and the squared CV γ̂² floored at 0. Every
+    // input is an exact BIGINT spectrum moment (Σk(k−1)Fₖ over the
+    // rare tail included) from one term-count aggregation; the ACE
+    // tree is fixed IEEE. A hapax-only rare tail (Ĉ = 0) guards
+    // ACE to NaN.
+    QueryDef("q370_richness_estimators", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val tc = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("r"))
+      tc.agg(
+          count(lit(1)).as("s_obs"),
+          coalesce(sum(when(col("r") === 1, 1L).otherwise(0L)),
+            lit(0L)).as("f1"),
+          coalesce(sum(when(col("r") === 2, 1L).otherwise(0L)),
+            lit(0L)).as("f2"),
+          coalesce(sum(when(col("r") <= 10, 1L).otherwise(0L)),
+            lit(0L)).as("s_rare"),
+          coalesce(sum(when(col("r") <= 10, col("r")).otherwise(0L)),
+            lit(0L)).as("n_rare"),
+          coalesce(sum(when(col("r") <= 10,
+            col("r") * (col("r") - 1L)).otherwise(0L)), lit(0L))
+            .as("kk1"))
+        .withColumn("s_abund", col("s_obs") - col("s_rare"))
+        .withColumn("chat",
+          when(col("n_rare") > 0,
+            lit(1.0) - dbl(col("f1")) / dbl(col("n_rare"))))
+        .withColumn("gamma2",
+          when(col("chat") > 0.0 && col("n_rare") > 1,
+            greatest(lit(0.0),
+              dbl(col("s_rare")) * dbl(col("kk1"))
+                / (col("chat") * dbl(col("n_rare"))
+                  * dbl(col("n_rare") - 1L)) - lit(1.0))))
+        .select(col("s_obs"), col("f1"), col("f2"),
+          (col("s_obs") + col("f1")).as("jack1"),
+          (col("s_obs") + lit(2L) * col("f1") - col("f2")).as("jack2"),
+          when(col("chat") > 0.0 && col("gamma2").isNotNull,
+            dbl(col("s_abund")) + dbl(col("s_rare")) / col("chat")
+              + dbl(col("f1")) * col("gamma2") / col("chat"))
+            .otherwise(lit(Double.NaN)).as("ace"))
+    }, Some("""
+      WITH tc AS (SELECT term, CAST(count(*) AS BIGINT) AS r
+        FROM (SELECT unnest(string_split(text, ' ')) AS term
+          FROM documents)
+        WHERE len(term) > 0 GROUP BY 1),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS s_obs,
+        CAST(coalesce(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS f1,
+        CAST(coalesce(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS f2,
+        CAST(coalesce(sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS s_rare,
+        CAST(coalesce(sum(CASE WHEN r <= 10 THEN r ELSE 0 END), 0)
+          AS BIGINT) AS n_rare,
+        CAST(coalesce(sum(CASE WHEN r <= 10 THEN r * (r - 1)
+          ELSE 0 END), 0) AS BIGINT) AS kk1
+        FROM tc),
+      b AS (SELECT *, s_obs - s_rare AS s_abund,
+        CASE WHEN n_rare > 0
+          THEN 1.0 - CAST(f1 AS DOUBLE) / CAST(n_rare AS DOUBLE)
+          END AS chat
+        FROM a),
+      g AS (SELECT *,
+        CASE WHEN chat > 0.0 AND n_rare > 1
+          THEN greatest(0.0, CAST(s_rare AS DOUBLE)
+            * CAST(kk1 AS DOUBLE)
+            / (chat * CAST(n_rare AS DOUBLE)
+              * CAST(n_rare - 1 AS DOUBLE)) - 1.0)
+          END AS gamma2
+        FROM b)
+      SELECT s_obs, f1, f2,
+        s_obs + f1 AS jack1,
+        s_obs + 2 * f1 - f2 AS jack2,
+        CASE WHEN chat > 0.0 AND gamma2 IS NOT NULL
+          THEN CAST(s_abund AS DOUBLE)
+            + CAST(s_rare AS DOUBLE) / chat
+            + CAST(f1 AS DOUBLE) * gamma2 / chat
+          ELSE CAST('nan' AS DOUBLE) END AS ace
+      FROM g""")),
+
+    // Seasonality strength of the daily series — the STL-style
+    // readout F_s = max(0, 1 − Var(residual)/Var(series)) with the
+    // weekday-mean model as the seasonal component: "what fraction
+    // of daily variance is pure weekly cycle?" — the scalar the
+    // q248 per-day indices imply but don't state. Residual squares
+    // stay exact by weekday-scaling: Σ(c − c̄_wd)² =
+    // Σ_wd Σ(n_wd·c − S_wd)²/n_wd² — one rational per weekday cell
+    // folded wd-sorted; total variance from global BIGINT moments.
+    // Constant series guards NaN.
+    QueryDef("q371_seasonal_strength", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val daily = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("wd", (dayofweek(col("day")) - 1).cast("int"))
+      val wdm = daily.groupBy("wd")
+        .agg(count(lit(1)).as("nwd"),
+          coalesce(sum(col("c")), lit(0L)).as("swd"))
+      val resid = daily.join(broadcast(wdm), Seq("wd"))
+        .groupBy("wd", "nwd")
+        .agg(coalesce(sum((col("nwd") * col("c") - col("swd"))
+          * (col("nwd") * col("c") - col("swd"))), lit(0L)).as("rq"))
+        .select(struct(col("wd"), col("nwd"), col("rq")).as("cell"))
+        .agg(sort_array(collect_list(col("cell"))).as("cs"))
+        .select(aggregate(col("cs"), lit(0.0), (a, c) =>
+          a + dbl(c.getField("rq"))
+            / (dbl(c.getField("nwd")) * dbl(c.getField("nwd"))))
+          .as("ss_resid"))
+      val tot = daily.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("c")), lit(0L)).as("s_tot"),
+          coalesce(sum(col("c") * col("c")), lit(0L)).as("q_tot"))
+        .withColumn("ss_tot",
+          dbl(col("q_tot")) - dbl(col("s_tot")) * dbl(col("s_tot"))
+            / dbl(col("n")))
+      resid.crossJoin(broadcast(tot))
+        .select(col("n").as("n_days"), col("ss_resid"),
+          col("ss_tot"),
+          when(col("ss_tot") > 0.0,
+            greatest(lit(0.0),
+              lit(1.0) - col("ss_resid") / col("ss_tot")))
+            .otherwise(lit(Double.NaN)).as("seasonal_strength"))
+    }, Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      wdd AS (SELECT day, c, CAST(date_part('dow', day) AS INT) AS wd
+        FROM daily),
+      wdm AS (SELECT wd, CAST(count(*) AS BIGINT) AS nwd,
+          CAST(coalesce(sum(c), 0) AS BIGINT) AS swd
+        FROM wdd GROUP BY 1),
+      rq AS (SELECT wdd.wd, nwd,
+          CAST(coalesce(sum((nwd * c - swd) * (nwd * c - swd)), 0)
+            AS BIGINT) AS rq
+        FROM wdd JOIN wdm ON wdd.wd = wdm.wd GROUP BY 1, 2),
+      l AS (SELECT list_sort(list(struct_pack(wd := wd, nwd := nwd,
+          rq := rq))) AS cs FROM rq),
+      sr AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c -> CAST(c.rq AS DOUBLE)
+            / (CAST(c.nwd AS DOUBLE) * CAST(c.nwd AS DOUBLE)))),
+          (x, y) -> x + y) AS ss_resid
+        FROM l),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(coalesce(sum(c), 0) AS BIGINT) AS s_tot,
+          CAST(coalesce(sum(c * c), 0) AS BIGINT) AS q_tot
+        FROM daily),
+      t2 AS (SELECT *, CAST(q_tot AS DOUBLE)
+          - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+            / CAST(n AS DOUBLE) AS ss_tot
+        FROM tot)
+      SELECT n AS n_days, ss_resid, ss_tot,
+        CASE WHEN ss_tot > 0.0
+          THEN greatest(0.0, 1.0 - ss_resid / ss_tot)
+          ELSE CAST('nan' AS DOUBLE) END AS seasonal_strength
+      FROM sr, t2""")),
+
+    // Pearson's second (median) skewness of the per-customer
+    // order-count distribution — 3(mean − median)/s, the
+    // sign-interpretable tail-direction readout that q172's exact
+    // moment skewness complements (g₁ weights cubes; the median
+    // form is robust to a handful of whales and is what a
+    // dashboard shows). Mean and s from exact BIGINT moments, the
+    // lower median from the PrefixSum CDF at rank (n+1) DIV 2 —
+    // one fixed tree, zero variance guards NaN.
+    QueryDef("q372_pearson_skew", (s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      val cells = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy(col("x").as("v")).agg(count(lit(1)).as("c"))
+      val tot = cells.agg(
+          coalesce(sum(col("c")), lit(0L)).as("n"),
+          coalesce(sum(col("v") * col("c")), lit(0L)).as("s_tot"),
+          coalesce(sum(col("v") * col("v") * col("c")), lit(0L))
+            .as("q_tot"))
+        .withColumn("m2n",
+          col("n") * col("q_tot") - col("s_tot") * col("s_tot"))
+        .withColumn("rk", expr("(n + 1) DIV 2"))
+      val med = graft.operators.PrefixSum
+        .withRunningTotals(cells, "v", Seq("c"))
+        .crossJoin(broadcast(tot))
+        .where(col("rk") > col("c_cum") - col("c")
+          && col("rk") <= col("c_cum"))
+        .select(col("v").as("med"))
+      tot.crossJoin(broadcast(med))
+        .select(col("n").as("n_customers"), col("med").as("median_x"),
+          (dbl(col("s_tot")) / dbl(col("n"))).as("mean_x"),
+          when(col("m2n") > 0 && col("n") > 1,
+            lit(3.0) * (dbl(col("s_tot")) / dbl(col("n"))
+              - dbl(col("med")))
+              / sqrt(dbl(col("m2n"))
+                / dbl(col("n") * (col("n") - 1L))))
+            .otherwise(lit(Double.NaN)).as("pearson_skew2"))
+    }, Some("""
+      WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+      cells AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c
+        FROM per GROUP BY 1),
+      tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+          CAST(coalesce(sum(v * c), 0) AS BIGINT) AS s_tot,
+          CAST(coalesce(sum(v * v * c), 0) AS BIGINT) AS q_tot
+        FROM cells),
+      t2 AS (SELECT *, n * q_tot - s_tot * s_tot AS m2n,
+          (n + 1) // 2 AS rk FROM tot),
+      cum AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS c_cum FROM cells),
+      med AS (SELECT v AS med FROM cum, t2
+        WHERE rk > c_cum - c AND rk <= c_cum)
+      SELECT n AS n_customers, med AS median_x,
+        CAST(s_tot AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+        CASE WHEN m2n > 0 AND n > 1
+          THEN 3.0 * (CAST(s_tot AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(med AS DOUBLE))
+            / sqrt(CAST(m2n AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+          ELSE CAST('nan' AS DOUBLE) END AS pearson_skew2
+      FROM t2, med"""))
   )
 }
