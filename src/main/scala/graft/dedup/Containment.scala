@@ -41,18 +41,41 @@ object Containment {
     * inter/|S(d1)|, c_in_2 = inter/|S(d2)|) with d1 < d2. `docs` needs
     * (idCol, toks array); shingles with document frequency > `maxDf` are
     * dropped on BOTH the numerator and denominator side, so the ratio
-    * stays a true containment over the kept-shingle sets. */
+    * stays a true containment over the kept-shingle sets.
+    *
+    * PLAN SHAPE (r06): the shingle stream is computed ONCE. The old shape
+    * (df-count join + kept⋈kept self-join) re-evaluated the interpreted
+    * shingle Generate under every broadcast branch — six scans of the
+    * corpus through the w-shingle HOF. Now both consumers of the shingle
+    * stream (the df count and the kept join) hash-partition it by shingle
+    * with IDENTICAL subtrees, so ReuseExchange materializes the shingle
+    * shuffle once; the per-shingle doc list is collected AFTER the df cap
+    * (aggregation state ≤ maxDf ids — never a hot-shingle buffer) on the
+    * join's existing partitioning (no extra exchange), and is lineage-cut
+    * eagerly (the Dedup stage-cut pattern: at cluster scale this cut is a
+    * persisted checkpoint table) because BOTH the pair expansion and the
+    * size table derive from it. Pairs come from a bounded array HOF
+    * (≤ maxDf(maxDf−1)/2 per shingle) instead of a self-join — the
+    * candidate multiset is identical, so the output is unchanged. */
   def containmentPairs(docs: DataFrame, idCol: String, toks: Column,
       w: Int, maxDf: Int, threshold: Double): DataFrame = {
     val sh = docs
       .select(col(idCol).as("doc"), explode(array_distinct(shingles(toks, w))).as("s"))
     val df = sh.groupBy("s").agg(count(lit(1)).as("c"))
-    val kept = sh.join(df.where(col("c") <= maxDf), Seq("s"))
-      .select("doc", "s")
-    val sz = kept.groupBy("doc").agg(count(lit(1)).as("n"))
-    val pr = kept.as("a").join(kept.as("b"),
-        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+    // per-shingle sorted doc list, state bounded by the df cap; the join
+    // output is already partitioned by s, so the groupBy adds no exchange
+    val grouped = sh.join(df.where(col("c") <= maxDf), Seq("s"))
+      .groupBy("s").agg(sort_array(collect_list(col("doc"))).as("docs"))
+      .localCheckpoint(true)
+    val sz = grouped.select(explode(col("docs")).as("doc"))
+      .groupBy("doc").agg(count(lit(1)).as("n"))
+    // ascending-ordered pairs from each sorted ≤ maxDf list: element i
+    // with every later element — exactly the a.doc < b.doc self-join rows
+    val pairCombos = flatten(transform(col("docs"), (x, i) =>
+      transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+        y => struct(x.as("d1"), y.as("d2")))))
+    val pr = grouped.select(explode(pairCombos).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
     pr.join(sz.select(col("doc").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(sz.select(col("doc").as("d2"), col("n").as("n2")), Seq("d2"))

@@ -215,10 +215,20 @@ object Dedup {
     val hashed = base
       .withColumn("_h", xxhash64(col("_text")))
       .withColumn("_h2", xxhash64(col("_text"), lit(7)))
+    // eager cut on the per-distinct-text aggregate (r06): FOUR consumers
+    // below (cleanGroups, collided, the members join, repDocs) otherwise
+    // each replan this aggregate with their own column pruning — the
+    // pruned exchanges are no longer identical subtrees, ReuseExchange
+    // cannot dedupe them, and the corpus-text shuffle ran twice at sf0.1
+    // (profiled ~1 s each). The cut materializes the one text shuffle
+    // once; at cluster scale this is the pipeline's persisted stage table
+    // (the Pipeline.runStage commit), same contract as the members /
+    // repDocs cuts below.
     val agg = hashed.groupBy("_h").agg(
       min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
       min_by(col("_text"), col("doc_id")).as("_text"),
       min(col("_h2")).as("_a"), max(col("_h2")).as("_b"))
+      .localCheckpoint(true)
     val collided = agg.where(col("_a") =!= col("_b")).select(col("_h"))
     val cleanGroups = agg.where(col("_a") === col("_b"))
       .select(col("_h"), col("rep"), col("n"), col("_text"))
@@ -237,8 +247,16 @@ object Dedup {
         .join(collGroups, Seq("_h", "_text"))
         .select(col("doc_id"), col("rep"), col("n")))
       .localCheckpoint(true)
+    // repartition before the cut (r06): the aggregate's AQE-coalesced
+    // output is 1-2 partitions at fixture scale, and the checkpoint
+    // inherits them — the downstream per-rep HOF work (64 minhash
+    // passes, PPJoin shingles) then ran near-serially (profiled 1.5 s on
+    // 2 tasks at sf0.1). An explicit cluster-width repartition is exempt
+    // from AQE coalescing; at scale the aggregate output is wide anyway
+    // and one extra exchange of the distinct-text table is noise.
     val repDocs = cleanGroups.select(col("rep").as("doc_id"), col("_text"))
       .unionByName(collGroups.select(col("rep").as("doc_id"), col("_text")))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     (members, repDocs)
   }
@@ -273,11 +291,20 @@ object Dedup {
         coalesce(col("component"), col("rep")).as("canonical_id"))
   }
 
-  /** Exact pairwise Jaccard for given candidate pairs. */
+  /** Exact pairwise Jaccard for given candidate pairs.
+    *
+    * The shingle stream is lineage-cut eagerly (r06): its three consumers
+    * (sizes, both join sides) prune different columns, so their exchanges
+    * are not identical subtrees and ReuseExchange cannot dedupe them —
+    * without the cut the interpreted shingle explode re-ran per consumer
+    * (profiled 3 × ~2.3 s single-task at sf0.1). At cluster scale this
+    * cut is the persisted shingle stage table (the Dedup stage-cut
+    * pattern). */
   def jaccardOnPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), k)).as("shingle")).distinct()
+      .localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("id_b"), col("shingle"))
@@ -344,8 +371,11 @@ object Dedup {
     *    pruning an exactly-at-threshold pair. */
   private def ngramJaccardPairsDistinct(docs: DataFrame, idCol: String,
       textCol: String, k: Int, threshold: Double): DataFrame = {
+    // eager shingle cut — same three-consumer pruning rationale as
+    // jaccardOnPairs (sizes / freq / ranked each re-ran the explode)
     val sh = docs.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), k)).as("shingle")).distinct()
+      .localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ranked = sh.join(freq, "shingle")

@@ -37,21 +37,45 @@ object LinkPrediction {
   /** (s1, s2, common, aa_score) for every left-node pair sharing ≥
     * `minCommon` right-neighbors of degree ≤ `maxDegree`. `edges` columns:
     * `left`, `right` (any equatable types); duplicates are collapsed.
-    * Requires `GraftFunctions.register` on the session (portable_ln). */
+    * Requires `GraftFunctions.register` on the session (portable_ln).
+    *
+    * PLAN SHAPE (r06): pair generation runs as a bounded array HOF over
+    * each right-node's CAPPED neighbor list instead of an ed⋈ed self-join.
+    * The old self-join planned its b-side as a BroadcastExchange of the
+    * whole (distinct + degree-join) subtree, re-running the edge scan and
+    * both aggregations a second time; now the degree-capped join output —
+    * already hash-partitioned by `right` — is grouped in place (no new
+    * exchange, aggregation state ≤ maxDegree ids) and each sorted list
+    * emits its ≤ maxDegree(maxDegree−1)/2 ascending pairs map-side. The
+    * pair multiset entering the (s1, s2) aggregate is identical, so the
+    * output (and the sorted-fold aa_score) is unchanged. */
   def adamicAdar(spark: SparkSession, edges: DataFrame, minCommon: Int,
       maxDegree: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     def pln(c: Column) = call_function("portable_ln", c)
     val e = edges.select(col("left"), col("right")).distinct()
     val deg = e.groupBy("right").agg(count(lit(1)).as("deg"))
-    // hub cap BEFORE the self-join — the degree filter is the whole
+    // hub cap BEFORE any pair expansion — the degree filter is the whole
     // scale story (see scaladoc); deg ≥ 2 afterwards, so ln(deg) > 0
-    val ed = e.join(deg.where(col("deg") <= maxDegree), Seq("right"))
-    ed.as("a").join(ed.as("b"),
-        col("a.right") === col("b.right") && col("a.left") < col("b.left"))
-      .select(col("a.left").as("s1"), col("b.left").as("s2"),
-        col("a.deg").as("deg"))
-      .groupBy("s1", "s2")
+    val grouped = e.join(deg.where(col("deg") <= maxDegree), Seq("right"))
+      .groupBy("right")
+      .agg(sort_array(collect_list(col("left"))).as("ls"),
+        first(col("deg")).as("deg"))
+    // ascending pairs of the sorted neighbor list: element i with every
+    // later element — exactly the a.left < b.left self-join rows, each
+    // carrying this right-node's degree
+    val pairCombos = flatten(transform(col("ls"), (x, i) =>
+      transform(slice(col("ls"), i + lit(2), size(col("ls"))),
+        y => struct(x.as("s1"), y.as("s2")))))
+    // the pair expansion multiplies WORK, not bytes — AQE sizes the
+    // upstream exchange by bytes and would run the explode on a handful
+    // of coalesced partitions (profiled: 4 tasks at sf0.1). An explicit
+    // width-of-the-cluster repartition is exempt from AQE coalescing and
+    // spreads the quadratic stage; one extra exchange of the (small)
+    // capped neighbor lists pays for it.
+    grouped.repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(pairCombos).as("p"), col("deg"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(count(lit(1)).as("common"),
         sort_array(collect_list(col("deg"))).as("ds"))
       .where(col("common") >= minCommon)

@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: every read/write spins
+  // up (and deletes) a temp file, which under 32 concurrent decode tasks
+  // turns into filesystem churn — profiled as multi-second swings on the
+  // q50/q75 decode stages (r06). All payloads here are in-memory byte
+  // arrays, so the memory cache is strictly better; decode/encode results
+  // are unchanged (the cache only buffers stream bytes).
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int, sample_rate: Int)
 

@@ -59,9 +59,17 @@ object Advanced {
   private def dupDocs(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
     val mx = docs.agg(max(col("doc_id")).as("_mx"))
+    // spread the single-split fixture: the dedup pipelines downstream
+    // (q26 minhash signatures, q34 PPJoin shingles) consume this corpus
+    // through interpreted HOF shingle work SEVERAL times, and each
+    // consumer otherwise runs on the one scan task — profiled at 3×
+    // ~2-3 s single-task stages at sf0.1. A 100 TB corpus has thousands
+    // of natural splits (the q83/q86 rationale); every consumer below
+    // groups by content hash / shingle, so row order is irrelevant.
     docs.unionByName(
       docs.crossJoin(broadcast(mx))
         .select((col("doc_id") + col("_mx") + 1L).as("doc_id"), col("text")))
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -118,13 +126,20 @@ object Advanced {
 
     // Connected components (large-star/small-star) vs recursive-CTE oracle.
     QueryDef("q30_connected_components", (s, d) => {
-      val ps = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
-        .distinct()
-      val a = ps.select(col("l_partkey"), col("l_suppkey").as("supp_a"))
-      val b = ps.select(col("l_partkey"), col("l_suppkey").as("supp_b"))
-      val edges = a.join(b, Seq("l_partkey"))
-        .where(col("supp_a") < col("supp_b"))
-        .groupBy(col("supp_a"), col("supp_b"))
+      // PLAN SHAPE (r06): same bounded-HOF pair expansion as q23 — the
+      // old ps⋈ps self-join broadcast-duplicated the distinct subtree
+      // and ran the expansion on AQE-byte-coalesced partitions; the pair
+      // multiset (and so the n ≥ 3 edge set fed to CC) is identical.
+      val grouped = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("supps"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val pairCombos = flatten(transform(col("supps"), (x, i) =>
+        transform(slice(col("supps"), i + lit(2), size(col("supps"))),
+          y => struct(x.as("supp_a"), y.as("supp_b")))))
+      val edges = grouped.select(explode(pairCombos).as("p"))
+        .groupBy(col("p.supp_a").as("supp_a"), col("p.supp_b").as("supp_b"))
         .agg(count(lit(1)).as("n")).where(col("n") >= 3)
         .select(col("supp_a").as("src"), col("supp_b").as("dst"))
       ConnectedComponents.run(edges)
@@ -325,7 +340,10 @@ object Advanced {
     // id arithmetic — the only way Spark gets them is a real decode.
     QueryDef("q50_image_decode", (s, d) => {
       import s.implicits._
-      t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      // spread the single-split fixture before the per-row PNG
+      // encode/decode/resize (profiled 1.6 s on ONE task) — q75 rationale
+      t(s, d, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long].map { id =>
         val w = 8 + (id % 24).toInt
         val h = 8 + (id % 16).toInt
         val png = Multimodal.syntheticPng(id, w, h)
@@ -356,6 +374,9 @@ object Advanced {
     // gets them is a real decode.
     QueryDef("q53_audio_decode", (s, d) => {
       import s.implicits._
+      // NOT spread (r06): unlike q50/q75, the per-row WAV synth+decode is
+      // tiny (≤96 samples) — measured, the extra exchange costs more than
+      // the single-task map
       t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val rate = 8000 + (id % 3).toInt * 8000
         val wav = Multimodal.syntheticWav(id, rate)
@@ -587,7 +608,13 @@ object Advanced {
     // requires a genuine demux AND a genuine per-frame decode.
     QueryDef("q75_video_decode", (s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map {
+      // spread the single-split fixture BEFORE the synth+demux+decode
+      // map work (container mux, ImageIO per frame — by far the
+      // heaviest per-row cost in the suite) — on one scan task it all
+      // ran on a single core; a real media corpus arrives in thousands
+      // of splits (the q83/q86 rationale). Per-row output → order-free.
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long].map {
         id => Multimodal.MediaRow(id, "video", Multimodal.syntheticVideo(id),
           8, 6, 0)
       }

@@ -1108,8 +1108,16 @@ object Analytics {
     // denominator (see Containment scaladoc); integer intersection and
     // set sizes, single-division ratios.
     QueryDef("q148_containment", (s, d) => {
+      // spread the single-split fixture before the shingle HOF work: the
+      // w-shingle transform is interpreted (CodegenFallback) per-row cost
+      // and the plan consumes the shingle stream several times — on one
+      // scan task that work serializes on a single core. A 100 TB corpus
+      // scan has thousands of natural splits, so spreading the fixture is
+      // the representative shape (the q83/q86 rationale).
       graft.dedup.Containment.containmentPairs(
-        t(s, d, "documents"), "doc_id", split(col("text"), " "),
+        t(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", split(col("text"), " "),
         w = 3, maxDf = 20, threshold = 0.2)
     }, Some("""
       WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -2569,17 +2577,43 @@ object Analytics {
     // is equi-joins + one hash aggregate — no driver-side candidate set.
     QueryDef("q193_apriori_triples", (s, d) => {
       val minsup = 3L
-      val it = t(s, d, "lineitem")
+      // PLAN SHAPE (r06): each order's distinct supplier set is collected
+      // ONCE (state bounded by basket size — ≤ 7 lineitems per order at
+      // every sf, and real baskets are naturally bounded; the Itemsets
+      // scaladoc cap pattern applies when they are not), then pairs and
+      // triples are emitted map-side by bounded array HOFs. The old shape
+      // self-joined the (o, sv) table twice (pairs, then ×it for s3),
+      // shuffling the basket table four times; now there is ONE basket
+      // exchange, and the a-priori prune survives as three broadcast
+      // semi-joins against the frequent-pair set — output-lossless as
+      // before (a support ≥ 3 triple has all pairs support ≥ 3).
+      val g = t(s, d, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_suppkey").as("sv"))
-        .distinct()
-      val pairs = it.select(col("o"), col("sv").as("s1"))
-        .join(it.select(col("o"), col("sv").as("s2")), "o")
-        .where(col("s1") < col("s2"))
-      val fp = pairs.groupBy("s1", "s2").agg(count(lit(1)).as("n"))
+        .groupBy("o").agg(sort_array(collect_set(col("sv"))).as("items"))
+        // spread the combination expansion: AQE coalesces the basket
+        // exchange by BYTES, but the pair/triple explode multiplies work —
+        // an explicit repartition (exempt from AQE coalescing) runs the
+        // expansion at cluster width (profiled: 4 tasks → 32 at sf0.1)
+        .repartition(s.sparkContext.defaultParallelism)
+      def tail(c: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+        slice(c, i + lit(2), size(c))
+      val pairCombos = flatten(transform(col("items"), (x, i) =>
+        transform(tail(col("items"), i),
+          y => struct(x.as("s1"), y.as("s2")))))
+      val fp = g.select(explode(pairCombos).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(count(lit(1)).as("n"))
         .where(col("n") >= minsup).select("s1", "s2")
-      val tri = pairs.join(fp, Seq("s1", "s2"), "left_semi")
-        .join(it.select(col("o"), col("sv").as("s3")), "o")
-        .where(col("s3") > col("s2"))
+      // all i < j < k triples of the sorted basket: x at index i, y at
+      // slice-local index j (absolute i+1+j), z strictly after y
+      val triCombos = flatten(flatten(transform(col("items"), (x, i) =>
+        transform(tail(col("items"), i), (y, j) =>
+          transform(tail(col("items"), i + j + lit(1)),
+            z => struct(x.as("s1"), y.as("s2"), z.as("s3")))))))
+      val tri = g.select(explode(triCombos).as("t"))
+        .select(col("t.s1").as("s1"), col("t.s2").as("s2"),
+          col("t.s3").as("s3"))
+        .join(fp, Seq("s1", "s2"), "left_semi")
         .join(fp.select(col("s1"), col("s2").as("s3")),
           Seq("s1", "s3"), "left_semi")
         .join(fp.select(col("s1").as("s2"), col("s2").as("s3")),
@@ -3009,6 +3043,10 @@ object Analytics {
           col("p_brand").as("brand"), col("p_type").as("ptype"),
           col("p_size").as("psize"))
         .distinct()
+        // eager cut (r06): consumed by the blocks build AND the anti-join
+        // side — the 3-table join + distinct re-executed twice (profiled
+        // 2 × ~1 s exchange-writing stages)
+        .localCheckpoint(true)
       val blocks = bought.select("cust", "brand", "ptype", "psize")
         .distinct()
       val cands = blocks.join(

@@ -796,10 +796,17 @@ object Inference {
     // replicate structs as fixed double trees.
     QueryDef("q223_bootstrap_se", (s, d) => {
       val reps = 32
+      // spread the single-split fixture before the per-row md5 fan-out
+      // (reps/16 digests + 16 nibble decodes per row are the dominant
+      // cost and run BEFORE the first exchange — on one scan task they
+      // serialize on a single core; a 100 TB scan has thousands of
+      // natural splits, the q83/q86 rationale). Row order is irrelevant:
+      // every aggregate below is an exact integer partial sum.
       val rows = t(s, d, "lineitem")
         .select(col("l_quantity").cast("long").as("x"),
           concat_ws(":", col("l_orderkey"), col("l_linenumber"))
             .as("rk"))
+        .repartition(s.sparkContext.defaultParallelism)
       // ONE digest feeds 16 replicates (its 16 hex nibbles), so the
       // row×replicate fan-out computes reps/16 md5 calls per row, not
       // reps — at 32 replicates a 16× cut in the dominant hash cost
@@ -885,11 +892,15 @@ object Inference {
     // distribution-free companion to q217/q221's parametric z/F.
     QueryDef("q224_permutation_test", (s, d) => {
       val perms = 32
+      // spread the single-split fixture before the per-row md5 fan-out —
+      // same rationale (and same exact-integer-sum order independence)
+      // as q223 above
       val rows = t(s, d, "lineitem")
         .select(col("l_quantity").cast("long").as("x"),
           when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"),
           concat_ws(":", col("l_orderkey"), col("l_linenumber"))
             .as("rk"))
+        .repartition(s.sparkContext.defaultParallelism)
       val obs = rows.agg(count(lit(1)).as("n"), sum("x").as("ss"),
         sum("r").as("n1"), sum(col("r") * col("x")).as("s1"))
       // one digest feeds 16 permutations via its nibbles (the q223
@@ -5697,6 +5708,9 @@ object Inference {
       def dbl(c: Column) = c.cast("double")
       val per = t(s, d, "orders").groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("cnt"), max(col("o_totalprice")).as("mx"))
+        // eager cut (r06): both quintile cell tables + the rated join
+        // consume this — q352 rationale
+        .localCheckpoint(true)
       def quintiles(values: org.apache.spark.sql.DataFrame,
           vc: String, out: String) = {
         val cells = values.groupBy(col(vc).as("sc"))
@@ -7748,16 +7762,29 @@ object Inference {
     // rather than +Inf.
     QueryDef("q313_rule_metrics", (s, d) => {
       def dbl(c: Column) = c.cast("double")
-      val b = t(s, d, "lineitem")
+      // PLAN SHAPE (r06): the distinct basket-item table fed FOUR
+      // consumers (nb, supp, both self-join sides), each replanning the
+      // distinct; pairs now come from each basket's sorted item set via
+      // a bounded array HOF (state = items-per-basket, the same per-key
+      // dimension the self-join expanded), cut eagerly and spread at
+      // cluster width before the expansion (AQE sizes by bytes, the
+      // explode multiplies work). Pair multiset and all supports are
+      // unchanged — the oracle stays the naive self-join.
+      val g = t(s, d, "lineitem")
         .select(col("l_orderkey").as("basket"),
-          col("l_partkey").as("item")).distinct()
-      val nb = b.select(col("basket")).distinct()
-        .agg(count(lit(1)).as("n"))
-      val supp = b.groupBy("item").agg(count(lit(1)).as("s"))
-      val pairs = b.join(b.select(col("basket"),
-          col("item").as("item2")), Seq("basket"))
-        .where(col("item") < col("item2"))
-        .groupBy(col("item").as("ia"), col("item2").as("ib"))
+          col("l_partkey").as("item"))
+        .groupBy("basket")
+        .agg(sort_array(collect_set(col("item"))).as("items"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      val nb = g.agg(count(lit(1)).as("n"))
+      val supp = g.select(explode(col("items")).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("s"))
+      val pairCombos = flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))),
+          y => struct(x.as("ia"), y.as("ib")))))
+      val pairs = g.select(explode(pairCombos).as("p"))
+        .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
         .agg(count(lit(1)).as("sab"))
         .where(col("sab") >= 3L)
       val rules = pairs
@@ -10193,6 +10220,12 @@ object Inference {
               .when(col("o_orderstatus") === "O", 2).otherwise(3)
               .as("y"),
             col("z").cast("int").as("z"))
+          // eager cut (r06): the three pairwise tau-b legs below each
+          // consume this frame through their own aggregation trees — the
+          // orders scan + quintile join re-executed 4+ times (profiled
+          // 59 stages, 4 × ~0.4 s rescans). One materialization of the
+          // narrow (x, y, z) triple serves all three legs.
+          .localCheckpoint(true)
       }
       def taub(u: String, w: String): org.apache.spark.sql.DataFrame = {
         val cells = priced.groupBy(col(u).as("u"), col(w).as("w"))
@@ -11193,6 +11226,11 @@ object Inference {
         .agg(min(datediff(col("dmax"),
             col("o_orderdate").cast("date"))).cast("long").as("r"),
           count(lit(1)).as("f"), max(col("o_totalprice")).as("m"))
+        // eager cut (r06): five consumers (three quintile cell tables,
+        // tot, the final join) each replanned the orders aggregation —
+        // profiled 60 stages; the customer-dimension frame is cheap to
+        // materialize once
+        .localCheckpoint(true)
       def quintile(vc: String, out: String) = {
         val cells = per.groupBy(col(vc).as("sc"))
           .agg(count(lit(1)).as("n"))

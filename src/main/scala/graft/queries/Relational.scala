@@ -243,13 +243,25 @@ object Relational {
       FROM orders""")),
 
     // J7/U2: self-join set intersection (DDI analogue on suppliers/parts).
+    // PLAN SHAPE (r06): the ps⋈ps self-join planned its b-side as a
+    // BroadcastExchange re-running the distinct subtree, and the pair
+    // expansion ran on AQE-byte-coalesced partitions. Now each part's
+    // sorted distinct supplier set is collected once (state bounded by
+    // suppliers-per-part, the same per-key dimension the old join
+    // expanded quadratically) and pairs are emitted by a bounded array
+    // HOF at cluster width. Pair multiset identical → output unchanged
+    // (the oracle stays the naive self-join).
     QueryDef("q23_shared_parts", (s, d) => {
-      val ps = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
-        .distinct()
-      val a = ps.select(col("l_partkey"), col("l_suppkey").as("supp_a"))
-      val b = ps.select(col("l_partkey"), col("l_suppkey").as("supp_b"))
-      a.join(b, Seq("l_partkey")).where(col("supp_a") < col("supp_b"))
-        .groupBy(col("supp_a"), col("supp_b"))
+      val grouped = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("supps"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val pairCombos = flatten(transform(col("supps"), (x, i) =>
+        transform(slice(col("supps"), i + lit(2), size(col("supps"))),
+          y => struct(x.as("supp_a"), y.as("supp_b")))))
+      grouped.select(explode(pairCombos).as("p"))
+        .groupBy(col("p.supp_a").as("supp_a"), col("p.supp_b").as("supp_b"))
         .agg(count(lit(1)).as("n_shared"))
         .where(col("n_shared") >= 2)
     }, Some("""

@@ -48,10 +48,21 @@ object Itemsets {
     val frequent = b.groupBy("item").agg(count(lit(1)).as("sup"))
       .where(col("sup") >= minSupport).select("item")
     val pruned = b.join(frequent, Seq("item"), "left_semi")
-    pruned.as("a").join(pruned.as("b"),
-        col("a.basket") === col("b.basket") &&
-          col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+    // r06: pairs from each pruned basket's sorted item list via a bounded
+    // array HOF instead of a pruned⋈pruned self-join — the join planned
+    // its b-side as a broadcast re-running the prune subtree, and AQE
+    // byte-sized the quadratic expansion onto a few partitions. State per
+    // group = pruned basket size (the same per-basket dimension the join
+    // expanded quadratically; the scaladoc's web-scale cap note applies
+    // unchanged). Pair multiset identical → output unchanged.
+    val grouped = pruned.groupBy("basket")
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .repartition(baskets.sparkSession.sparkContext.defaultParallelism)
+    val pairCombos = flatten(transform(col("items"), (x, i) =>
+      transform(slice(col("items"), i + lit(2), size(col("items"))),
+        y => struct(x.as("ia"), y.as("ib")))))
+    grouped.select(explode(pairCombos).as("p"))
+      .groupBy(col("p.ia").as("item_a"), col("p.ib").as("item_b"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
   }
@@ -87,15 +98,27 @@ object Itemsets {
     val b = baskets
       .select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .distinct()
-    val small = b.groupBy("basket").agg(count(lit(1)).as("sz"))
-      .where(col("sz") <= maxBasket).select("basket")
-    val kept = b.join(small, Seq("basket"), "left_semi")
-      .localCheckpoint(true) // feeds three consumers; cut, don't rescan
-    val occ = kept.groupBy("item").agg(count(lit(1)).as("occ"))
-    kept.as("a").join(kept.as("b"),
-        col("a.basket") === col("b.basket") &&
-          col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+    // r06: one aggregation replaces the size-filter semi-join + kept⋈kept
+    // self-join — each basket's sorted item list is collected (state
+    // bounded by basket size BEFORE the cap filter is applied to the
+    // aggregated row, i.e. a 10⁴-item crawl session still buffers its own
+    // list once, exactly as the old size aggregate did), oversize baskets
+    // are dropped whole as before, and pairs are emitted by a bounded
+    // array HOF at cluster width (AQE sizes exchanges by bytes; the
+    // expansion multiplies work). Cut eagerly: occ and the pair expansion
+    // both consume it. Pair multiset and occ counts unchanged.
+    val grouped = b.groupBy("basket")
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .where(size(col("items")) <= maxBasket)
+      .repartition(baskets.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+    val occ = grouped.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("occ"))
+    val pairCombos = flatten(transform(col("items"), (x, i) =>
+      transform(slice(col("items"), i + lit(2), size(col("items"))),
+        y => struct(x.as("ia"), y.as("ib")))))
+    grouped.select(explode(pairCombos).as("p"))
+      .groupBy(col("p.ia").as("item_a"), col("p.ib").as("item_b"))
       .agg(count(lit(1)).as("co"))
       .where(col("co") >= minCo)
       .join(occ.select(col("item").as("item_a"), col("occ").as("occ_a")),
