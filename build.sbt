@@ -32,4 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The whole-stage-codegen class cache is a STATIC conf defaulting to
+  // 100 entries — a session that cycles through 372 distinct query plans
+  // (Bench) evicts every compiled class before its next pass and pays
+  // janino recompilation per query per pass. Sized for the suite, env-
+  // overridable like the heap above; compiled classes live in metaspace
+  // and 4k entries is a few hundred MB at most.
+  s"-Dspark.sql.codegen.cache.maxEntries=${
+    sys.env.getOrElse("SPARK_CODEGEN_CACHE", "4000")}",
 )

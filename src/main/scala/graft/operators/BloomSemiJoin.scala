@@ -70,7 +70,16 @@ object BloomSemiJoin {
     */
   def prune(probe: DataFrame, key: Column, bloom: DataFrame,
       mBits: Int = DefaultBits): DataFrame = {
-    positions(key, mBits).zipWithIndex.foldLeft(probe) {
+    // materialize the 60-bit hash ONCE per probe row (r06): deriving both
+    // positions via positions(key) re-evaluated the md5 chain per
+    // position (×2) — the dominant probe-side cost. The _bh column is
+    // referenced four times below (two join conditions, two bit tests),
+    // so CollapseProject keeps the projection split and the hash is
+    // computed once. Same positions, same survivors.
+    val hashed = probe.withColumn("_bh", hash60(key))
+    val pos = Seq(pmod(col("_bh"), lit(mBits.toLong)),
+      pmod(shiftright(col("_bh"), 30), lit(mBits.toLong)))
+    pos.zipWithIndex.foldLeft(hashed) {
       case (df, (p, i)) =>
         val b = bloom.select(col("word").as(s"_bw$i"), col("bits").as(s"_bb$i"))
         df.join(broadcast(b), shiftright(p, 5) === col(s"_bw$i"), "inner")
@@ -78,6 +87,6 @@ object BloomSemiJoin {
             .bitwiseAND(call_function("shiftleft", lit(1L), pmod(p, lit(32L)).cast("int")))
             =!= 0L)
           .drop(s"_bw$i", s"_bb$i")
-    }
+    }.drop("_bh")
   }
 }

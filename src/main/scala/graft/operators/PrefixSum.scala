@@ -34,7 +34,6 @@ object PrefixSum {
       valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "valueCols must be non-empty")
     val spark = df.sparkSession
-    import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df
       .repartitionByRange(parts, col(orderCol))
@@ -42,30 +41,36 @@ object PrefixSum {
     // localCheckpoint: the ranged frame feeds BOTH the row-level cums and
     // the per-partition totals; repartitionByRange SAMPLES its child, so
     // two independent executions could pick different boundaries (the
-    // Packing/KeyAssigner boundary-stability note)
+    // Packing/KeyAssigner boundary-stability note). LAZY (r06): the first
+    // consuming job materializes the blocks and every later consumer
+    // reads them — boundaries are still fixed exactly once (a lost block
+    // on truncated lineage fails loudly, never resamples), but the
+    // dedicated eager-materialization job disappears. With ~45 PrefixSum
+    // invocations across the suite that job was pure per-call overhead.
     val w = Window.partitionBy("_pid").orderBy(orderCol)
     val local = valueCols.foldLeft(ranged) { (d, v) =>
       d.withColumn(s"${v}_lcum", sum(col(v).cast("long")).over(w))
-    }.localCheckpoint(true)
-    val offsets = local.groupBy("_pid")
+    }.localCheckpoint(eager = false)
+    val totals = local.groupBy("_pid")
       .agg(sum(col(valueCols.head).cast("long")).as("_t0"),
         valueCols.drop(1).zipWithIndex.map { case (v, i) =>
           sum(col(v).cast("long")).as(s"_t${i + 1}")
         }: _*)
-      .select(col("_pid").cast("int").as("_pid"),
-        array(valueCols.indices.map(i =>
-          coalesce(col(s"_t$i"), lit(0L))): _*).as("_ts"))
-      .as[(Int, Seq[Long])]
-      .repartition(1).sortWithinPartitions("_pid")
-      .mapPartitions { it =>
-        var acc: Array[Long] = null
-        it.map { case (pid, ts) =>
-          if (acc == null) acc = Array.fill(ts.size)(0L)
-          val off = acc.toSeq
-          acc = acc.zip(ts).map { case (a, t) => a + t }
-          (pid, off)
-        }
-      }.toDF("_pid", "_offs")
+    // O(P) cross-partition offsets as a ≤ P²-pair strict-lower-pid join
+    // (r06, the pathwayKeys shape): replaces the repartition(1) +
+    // sortWithinPartitions + mapPartitions pass — one fewer exchange and
+    // no Dataset-encoder stage, with P bounded by shuffle partitions at
+    // any scale. Exclusive prefix per pid ≡ the old sequential fold
+    // (integer sums, associative, exact).
+    val b = totals.select(col("_pid").as("_bpid") +:
+      valueCols.indices.map(i => col(s"_t$i").as(s"_bt$i")): _*)
+    val offsets = totals.join(b, col("_bpid") < col("_pid"), "left")
+      .groupBy("_pid")
+      .agg(coalesce(sum(s"_bt0"), lit(0L)).as("_o0"),
+        valueCols.indices.drop(1).map(i =>
+          coalesce(sum(s"_bt$i"), lit(0L)).as(s"_o$i")): _*)
+      .select(col("_pid"),
+        array(valueCols.indices.map(i => col(s"_o$i")): _*).as("_offs"))
     local.join(broadcast(offsets), Seq("_pid"))
       .select(df.columns.map(col) ++ valueCols.zipWithIndex.map {
         case (v, i) =>

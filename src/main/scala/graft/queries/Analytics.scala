@@ -3036,6 +3036,10 @@ object Analytics {
     // customer; k-bounded state.
     QueryDef("q202_hard_negatives", (s, d) => {
       val bought = t(s, d, "lineitem")
+        // spread the single-split scan: the broadcast-join probes +
+        // distinct partial-agg over the fact rows ran on one task
+        // (profiled ~0.9 s) — q83/q86 rationale, order-free downstream
+        .repartition(s.sparkContext.defaultParallelism)
         .join(t(s, d, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
@@ -3459,7 +3463,14 @@ object Analytics {
         .select(col("h"), lit(1L).as("ia"), lit(0L).as("ib"))
         .union(hs("A")
           .select(col("h"), lit(0L).as("ia"), lit(1L).as("ib")))
+        // explicit keyed width (r06): AQE byte-coalesced the merge
+        // exchange to ONE partition, serializing the reduce; the explicit
+        // partition count is honored and the groupBy reuses it. The cut
+        // stops the sketch and the exact-audit branches from re-running
+        // the reduce (profiled 2 × ~0.4 s single-task).
+        .repartition(s.sparkContext.defaultParallelism, col("h"))
         .groupBy("h").agg(max("ia").as("ia"), max("ib").as("ib"))
+        .localCheckpoint(true)
       val sk = tagged.orderBy("h").limit(64)
       val kk = sk.agg(count(lit(1)).as("k"), max("h").as("hk"),
         sum(col("ia") * col("ib")).as("rho"))
