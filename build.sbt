@@ -40,4 +40,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // and 4k entries is a few hundred MB at most.
   s"-Dspark.sql.codegen.cache.maxEntries=${
     sys.env.getOrElse("SPARK_CODEGEN_CACHE", "4000")}",
+  // JIT code cache: the JVM default (240 MB) cannot hold the native code
+  // for thousands of distinct janino-generated classes (372 query plans ×
+  // several codegen units × multiple passes) — once full, the sweeper
+  // flushes hot compiled methods and later queries re-run interpreted /
+  // re-JIT, which showed up as a ~2× bench-mode multiplier over isolated
+  // runs of the same query. Env-overridable like the heap.
+  s"-XX:ReservedCodeCacheSize=${
+    sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )

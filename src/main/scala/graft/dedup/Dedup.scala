@@ -246,7 +246,10 @@ object Dedup {
         .join(broadcast(collided), Seq("_h"), "left_semi")
         .join(collGroups, Seq("_h", "_text"))
         .select(col("doc_id"), col("rep"), col("n")))
-      .localCheckpoint(true)
+      // LAZY cut (r06): every consumer of members is downstream of other
+      // materializations — the first consuming job materializes it once
+      // (PrefixSum precedent); the dedicated blocking job disappears.
+      .localCheckpoint(eager = false)
     // repartition before the cut (r06): the aggregate's AQE-coalesced
     // output is 1-2 partitions at fixture scale, and the checkpoint
     // inherits them — the downstream per-rep HOF work (64 minhash
@@ -257,7 +260,10 @@ object Dedup {
     val repDocs = cleanGroups.select(col("rep").as("doc_id"), col("_text"))
       .unionByName(collGroups.select(col("rep").as("doc_id"), col("_text")))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint(true)
+      // LAZY cut (r06): the signature/shingle jobs that consume repDocs
+      // run strictly after this frame is built — first consumer
+      // materializes, later consumers read the cached blocks.
+      .localCheckpoint(eager = false)
     (members, repDocs)
   }
 
@@ -272,10 +278,13 @@ object Dedup {
     // consumer (O(64×) recompute per row). At cluster scale these cuts are
     // persisted checkpoint tables (the pipeline's stage commits).
     val sigs = minhashSignatures(repDocs, "doc_id", "_text", k, numHashes)
-      .localCheckpoint(true)
+      // LAZY (r06): the overflow-count action below materializes it; the
+      // candidate job then reads the cached blocks.
+      .localCheckpoint(eager = false)
     val buckets = lshBuckets(sigs, numHashes, bands)
     logBucketOverflow(buckets, bucketCap, "lsh")
-    val cands = pairsFromBuckets(buckets, bucketCap).localCheckpoint(true)
+    val cands = pairsFromBuckets(buckets, bucketCap)
+      .localCheckpoint(eager = false) // LAZY (r06): single downstream consumer
     val verified = jaccardOnPairs(repDocs, cands, "doc_id", "_text", k)
       .where(col("jaccard") >= threshold)
     val comps = ConnectedComponents.run(
@@ -305,6 +314,15 @@ object Dedup {
     val sh = docs.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), k)).as("shingle")).distinct()
       .localCheckpoint(true)
+    jaccardOnShingles(sh, pairs)
+  }
+
+  /** [[jaccardOnPairs]] over an ALREADY materialized (doc_id, shingle)
+    * stream — callers that have the shingle table in hand (PPJoin built it
+    * for the prefix ranking) verify on it directly instead of re-running
+    * the explode+distinct a second time (profiled: two identical ~0.7 s
+    * shingle stages at sf0.1). */
+  private def jaccardOnShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("id_b"), col("shingle"))
@@ -339,7 +357,7 @@ object Dedup {
     // exact Jaccard. Output identical to the naive all-pairs run.
     val (members, repDocs) = exactCollapse(docs, idCol, textCol)
     val repPairs = ngramJaccardPairsDistinct(repDocs, "doc_id", "_text", k,
-      threshold).localCheckpoint(true)
+      threshold).localCheckpoint(eager = false) // LAZY (r06): one consumer
     val m = members.select(col("doc_id"), col("rep"))
     val within = m.select(col("rep"), col("doc_id").as("id_a"))
       .join(m.select(col("rep"), col("doc_id").as("id_b")), "rep")
@@ -409,7 +427,9 @@ object Dedup {
         lit(threshold / (1.0 + threshold))
           * (col("_sa") + col("_sb")).cast("double") - lit(1e-9))
       .select("id_a", "id_b")
-    jaccardOnPairs(docs, candidates, idCol, textCol, k)
+    // verify on the SAME cut shingle stream the prefix ranking was built
+    // from — jaccardOnPairs would recompute an identical explode+distinct
+    jaccardOnShingles(sh, candidates)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -64,9 +64,22 @@ object Npmi {
     val nDocs = broadcast(kept.agg(countDistinct("doc").as("nd")))
     val cnt = kept.groupBy("term").agg(count(lit(1)).as("c"))
     def pln(c: org.apache.spark.sql.Column) = call_function("portable_ln", c)
-    kept.as("a").join(kept.as("b"),
-        col("a.doc") === col("b.doc") && col("a.term") < col("b.term"))
-      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+    // pair generation as a bounded array HOF over each doc's SORTED term
+    // list (r06, the q313/q147 F3 shape) instead of a kept⋈kept self-join
+    // on doc: one exchange of the kept table, per-group state ≤
+    // maxTermsPerDoc, and the ascending (term_a < term_b) pair multiset
+    // is identical (terms are distinct per doc; string sort order and the
+    // `<` comparison are the same binary collation). The expansion is
+    // spread at cluster width — AQE sizes the exchange by bytes while the
+    // explode multiplies work (F2).
+    val pairCombos = flatten(transform(col("ts"), (x, i) =>
+      transform(slice(col("ts"), i + lit(2), size(col("ts"))),
+        y => struct(x.as("ta"), y.as("tb")))))
+    kept.groupBy("doc")
+      .agg(sort_array(collect_list(col("term"))).as("ts"))
+      .repartition(presence.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(pairCombos).as("p"))
+      .groupBy(col("p.ta").as("term_a"), col("p.tb").as("term_b"))
       .agg(count(lit(1)).as("co"))
       .crossJoin(nDocs)
       .where(col("co") >= minCo && col("co") < col("nd"))

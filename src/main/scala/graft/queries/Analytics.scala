@@ -893,8 +893,12 @@ object Analytics {
     // drift in the hash layout, replication, or bucketing — the parts
     // that make two engines' sketches mergeable — hash-mismatches.
     QueryDef("q142_cms", (s, d) => {
+      // spread the single-split fixture before the per-row md5 fan-out
+      // (F1, the q223 idiom): key-only rows, counts are order-free
       graft.stats.CountMin.sketch(
-        t(s, d, "lineitem"), col("l_partkey"), depth = 2, width = 1024)
+        t(s, d, "lineitem").select(col("l_partkey"))
+          .repartition(s.sparkContext.defaultParallelism),
+        col("l_partkey"), depth = 2, width = 1024)
     }, Some("""
       WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
       e AS (SELECT r, k FROM k, (SELECT unnest([0, 1]) AS r)),
@@ -2652,6 +2656,9 @@ object Analytics {
           col("n"), col("resp"), col("nn"), col("tresp"))
         .groupBy("dec", "nn", "tresp")
         .agg(sum("n").as("dn"), sum("resp").as("dresp"))
+        // eager cut (r06): the 10-row decile table self-joins for the
+        // cumulative sums — both sides replanned the whole CDF without it.
+        .localCheckpoint(true)
       val b = dec.select(col("dec").as("bdec"), col("dn").as("bn"),
         col("dresp").as("bresp"))
       dec.join(b, col("bdec") <= col("dec"))
@@ -3064,7 +3071,10 @@ object Analytics {
           conv(substring(md5(concat(col("cust").cast("string"),
             lit(":"), col("pk").cast("string"))), 1, 8), 16, 10)
             .cast("long").as("rk"))
-        .distinct()
+      // no distinct (r06): a part has ONE (brand, ptype, psize) and
+      // blocks are distinct per cust, so (cust, pk) is already unique in
+      // cands — the distinct was a full exchange of the candidate set for
+      // zero row changes (the oracle keeps DISTINCT; same rows).
       val w = Window.partitionBy("cust").orderBy(col("rk"), col("pk"))
       neg.withColumn("pos", row_number().over(w))
         .where(col("pos") <= 3)
@@ -3528,6 +3538,9 @@ object Analytics {
             concat_ws("_", element_at(col("ts"), i),
               element_at(col("ts"), i + 1),
               element_at(col("ts"), i + 2)))).as("term"))
+      // examined r06: cutting/spreading the trigram stream REGRESSED
+      // (0.93 → 1.44 s) — materializing the fact-sized explode costs
+      // more than the duplicate scan-side pass it saves; left as-is.
       val tf = tk.groupBy("term").agg(count(lit(1)).as("tf"))
       val st = tk.select("source", "term").distinct()
       val types = st.groupBy("source").agg(count(lit(1)).as("n_types"))

@@ -139,18 +139,35 @@ object GraphQueries {
   /** q42's Drug→AE path set (direct ∪ label-equality two-hop) — shared by
     * q42 and the q65 policy re-scoring query. */
   private def labelPathsOf(s: SparkSession, d: String): DataFrame = {
-    val e = tpchEdges(s, d)
+    val li = t(s, d, "lineitem")
+    val part = t(s, d, "part")
     val v = tpchVertices(s, d)
-    val direct = e.where(col("claim_type") === "DRUG_AE")
-      .select(col("src_key").as("drug_key"), col("dst_key").as("ae_key"),
-        col("frequency").as("direct_score"))
-    val drugGene = e.where(col("claim_type") === "DRUG_TARGET")
-      .select(col("src_key").as("drug_key"), col("dst_key").as("gene_key"))
+    // Legs built straight from the base tables instead of filtering
+    // tpchEdges (r06, guide §2.3/§2.4 — project early, drop exchanges):
+    //  - direct: same li⋈part qty≥49 aggregation the DRUG_AE branch runs,
+    //    minus the edge-schema wrapper columns;
+    //  - drugGene: ONE distinct over (suppkey, partkey) — the edge route
+    //    paid a 3-column groupBy (the per-returnflag claim grain) AND then
+    //    a distinct, two full fact-sized exchanges for the same pair set;
+    //  - geneDisease: p_partkey is unique in part, so the per-(gene,
+    //    disease) max-aggregation is the identity — the bare projection
+    //    is the same row set with zero exchanges.
+    // Row-for-row identical to the tpchEdges derivation (the driver's
+    // hash gate on q42/q65/q76 proves it); the J8 operator under test,
+    // labelEqualityPaths, is unchanged.
+    val direct = li.join(part, col("p_partkey") === col("l_partkey"))
+      .where(col("l_quantity") >= 49)
+      .groupBy(col("l_suppkey").cast("long").as("drug_key"),
+        brandKey(col("p_brand")).as("ae_key"))
+      .agg(count(lit(1)).cast("double").as("direct_score"))
+    val drugGene = li
+      .select(col("l_suppkey").cast("long").as("drug_key"),
+        col("l_partkey").cast("long").as("gene_key"))
       .distinct()
-    val geneDisease = e.where(col("claim_type") === "GENE_DISEASE")
-      .groupBy(col("src_key").as("gene_key"),
-        col("dst_key").as("disease_key"))
-      .agg(max("strength_score").as("score"))
+    val geneDisease = part.select(
+      col("p_partkey").cast("long").as("gene_key"),
+      brandKey(col("p_brand")).as("disease_key"),
+      (col("p_size") / lit(50.0)).cast("double").as("score"))
     val diseases = v.where(col("node_type") === "Disease")
       .select(col("key").as("disease_key"), col("label").as("disease_label"))
     val aes = v.where(col("node_type") === "AdverseEvent")

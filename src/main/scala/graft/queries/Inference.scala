@@ -241,7 +241,10 @@ object Inference {
         .where(col("o_orderstatus") === status)
         .groupBy(col("o_totalprice").as("v"))
         .agg(count(lit(1)).as("c"))
-      val ref = cellsOf("F")
+      // eager cut (r06): ref feeds the CDF, the decile targets and its
+      // own binning pass — three replans of the orders aggregation
+      // without it.
+      val ref = cellsOf("F").localCheckpoint(true)
       val cmp = cellsOf("O")
       val cum = graft.operators.PrefixSum
         .withRunningTotals(ref, "v", Seq("c"))
@@ -251,6 +254,9 @@ object Inference {
       val edges = cum.join(broadcast(targets),
           col("rk") > col("c_cum") - col("c") && col("rk") <= col("c_cum"))
         .agg(sort_array(collect_list(col("v"))).as("es"))
+        // eager cut (r06): 1-row decile-edge list, broadcast into BOTH
+        // binned passes — each broadcast otherwise replans the whole CDF.
+        .localCheckpoint(true)
       def binned(cells: org.apache.spark.sql.DataFrame, out: String) =
         cells.crossJoin(broadcast(edges))
           .select(aggregate(col("es"), lit(0L), (acc, e) =>
@@ -262,6 +268,9 @@ object Inference {
       val perBin = binned(ref, "a")
         .join(binned(cmp, "b"), Seq("bin"), "left")
         .select(col("bin"), col("a"), coalesce(col("b"), lit(0L)).as("b"))
+        // eager cut (r06): 10 rows feeding tots, the term rows and the
+        // final fold — two replans of both binning passes without it.
+        .localCheckpoint(true)
       val tots = perBin.agg(sum("a").as("np"), sum("b").as("nq"),
         sum(when(col("b") === 0, 1L).otherwise(0L)).as("zero_bins"))
       val term = when(col("b") > 0,
@@ -555,6 +564,9 @@ object Inference {
       val etv = t(s, d, "events")
         .groupBy(col("value").as("v"), col("event_type").as("et"))
         .agg(count(lit(1)).as("c"))
+        // eager cut (r06): etv feeds tv (→ cum + tot) and rj — the
+        // events aggregation otherwise replans ~4×. Cell-sized.
+        .localCheckpoint(true)
       val tv = etv.groupBy("v").agg(sum("c").as("t"))
       val cum = graft.operators.PrefixSum
         .withRunningTotals(tv, "v", Seq("t"))
@@ -563,6 +575,9 @@ object Inference {
       val rj = etv.join(cum, Seq("v"))
         .groupBy("et")
         .agg(sum(col("c") * mid2).as("r2"), sum("c").as("nj"))
+        // eager cut (r06): rj (k rows) feeds every downstream consumer
+        // — the rank join replans per consumer without it.
+        .localCheckpoint(true)
       val tot = tv.agg(sum("t").as("n"),
         sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
       val nD = col("n").cast("double")
@@ -700,6 +715,10 @@ object Inference {
         .groupBy(col("l_returnflag").as("g"),
           col("l_quantity").cast("long").as("q"))
         .agg(count(lit(1)).as("c"))
+        // eager cut (r06): the ≤(flags×quantities) cell grid feeds
+        // several rank/moment consumers — the lineitem aggregation
+        // replans per consumer without it.
+        .localCheckpoint(true)
       val w = Window.partitionBy("g").orderBy("q")
         .rowsBetween(Window.unboundedPreceding, 0)
       val tot = cells.groupBy("g").agg(sum("c").as("nj"))
@@ -1122,6 +1141,9 @@ object Inference {
             element_at(col("ts"), i + 1),
             element_at(col("ts"), i + 2)))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("r"))
+      // examined r06: cutting/spreading the trigram term table REGRESSED
+      // (0.58 → 0.82 s) — vocabulary-sized materialization costs more
+      // than the duplicate scan-side passes it saves; left as-is.
       val nr = terms.groupBy("r").agg(count(lit(1)).as("n_r"))
       val tot = terms.agg(sum("r").as("n_tok"))
         .crossJoin(broadcast(
@@ -1477,6 +1499,9 @@ object Inference {
         .agg(count(lit(1)).as("n"),
           sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
             .as("a"))
+        // eager cut (r06): cells feeds the CDF and the totals — two
+        // replans of the orders aggregation without it.
+        .localCheckpoint(true)
       val cum = graft.operators.PrefixSum
         .withRunningTotals(cells, "v", Seq("n", "a"))
       val tot = cells.agg(sum("n").as("nn"), sum("a").as("aa"))
@@ -1643,6 +1668,10 @@ object Inference {
         .groupBy(col("l_returnflag").as("g"),
           col("l_quantity").cast("long").as("q"))
         .agg(count(lit(1)).as("c"))
+        // eager cut (r06): the ≤(flags×quantities) cell grid feeds
+        // several rank/moment consumers — the lineitem aggregation
+        // replans per consumer without it.
+        .localCheckpoint(true)
       val w = Window.partitionBy("g").orderBy("q")
         .rowsBetween(Window.unboundedPreceding, 0)
       val tot = cells.groupBy("g").agg(sum("c").as("nj"))
@@ -2411,6 +2440,10 @@ object Inference {
           when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
             .as("e"),
           when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("o"))
+        // eager cut (r06): base feeds one stratified pass per
+        // stratifier — three replans of the orders⋈customer⋈nation
+        // join without it.
+        .localCheckpoint(true)
       def detect(strat: String) = {
         val cells = base.groupBy(col(strat).as("stratum"))
           .agg(sum(col("e") * col("o")).as("a"),
@@ -2574,6 +2607,11 @@ object Inference {
             .otherwise(0L)).as("e_cnt"))
         .withColumn("p_value",
           (col("e_cnt") + 1).cast("double") / lit((perms + 1).toDouble))
+        // eager cut (r06): this 25-row test table feeds FIVE consumers
+        // (rank self-join both sides, m, kstar, the final select) — each
+        // otherwise replans the whole orders⋈customer + ×16 permutation
+        // explode upstream (profiled ~5 re-executions). Dimension-sized.
+        .localCheckpoint(true)
       // integer rank by (e_cnt, nk) via a bounded m×m self-join
       val rks = tests.select(col("nk").as("nk2"), col("e_cnt").as("e2"))
       val ranked = tests.join(rks,
@@ -2894,6 +2932,10 @@ object Inference {
             .as("tr"),
           coalesce(col("nlines"), lit(0L)).as("nlines"),
           coalesce(col("totqty"), lit(0L)).as("totqty"))
+        // eager cut (r06): base feeds one grouped scan per covariate —
+        // the lineitem-per-order aggregation + orders join otherwise
+        // replans once per smdOf leg.
+        .localCheckpoint(true)
       def dbl(c: Column) = c.cast("double")
       def smdOf(cn: String) = {
         val g = base.groupBy("tr")
@@ -3769,6 +3811,10 @@ object Inference {
         .groupBy(col("c_nationkey").as("b"),
           col("o_orderpriority").as("tr"))
         .agg(count(lit(1)).as("cnt"))
+        // eager cut (r06): this 125-cell count table is re-derived by
+        // blocks/treats/grid and every rank/moment consumer below —
+        // without it the orders⋈customer aggregation replans ~10×.
+        .localCheckpoint(true)
       val blocks = counts.select("b").distinct()
       val treats = counts.select("tr").distinct()
       val grid = blocks.crossJoin(treats)
@@ -4102,6 +4148,10 @@ object Inference {
         .groupBy(col("c_nationkey").as("b"),
           col("o_orderpriority").as("tr"))
         .agg(count(lit(1)).as("cnt"))
+        // eager cut (r06): this 125-cell count table is re-derived by
+        // blocks/treats/grid and every rank/moment consumer below —
+        // without it the orders⋈customer aggregation replans ~10×.
+        .localCheckpoint(true)
       val blocks = counts.select("b").distinct()
       val treats = counts.select("tr").distinct()
       val grid = blocks.crossJoin(treats)
@@ -4481,6 +4531,10 @@ object Inference {
         .groupBy(col("c_nationkey").as("b"),
           col("o_orderpriority").as("tr"))
         .agg(count(lit(1)).as("cnt"))
+        // eager cut (r06): this 125-cell count table is re-derived by
+        // blocks/treats/grid and every rank/moment consumer below —
+        // without it the orders⋈customer aggregation replans ~10×.
+        .localCheckpoint(true)
       val blocks = counts.select("b").distinct()
       val treats = counts.select("tr").distinct()
       val grid = blocks.crossJoin(treats)
@@ -5551,6 +5605,10 @@ object Inference {
           substring(col("o_orderpriority"), 1, 1).cast("int").as("g"))
         .join(v, col("o_orderkey") === col("l_orderkey"))
         .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+        // eager cut (r06): the g×v cell grid feeds the pair self-join
+        // (both sides) and the group sizes — three replans of the
+        // lineitem-per-order + orders join without it.
+        .localCheckpoint(true)
       val b = cells.select(col("g").as("gb"), col("v").as("vb"),
         col("cnt").as("cb"))
       val pair = cells.join(b, col("g") < col("gb"))
@@ -5917,6 +5975,9 @@ object Inference {
           col("s_nationkey").as("sn"))),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy("cn", "sn").agg(count(lit(1)).as("c"))
+        // eager cut (r06): the 25×25 mixing matrix feeds tot/outs/ins —
+        // three replans of the three-table fact join without it.
+        .localCheckpoint(true)
       val tot = cells.agg(
         coalesce(sum(col("c")), lit(0L)).as("e_tot"),
         coalesce(sum(when(col("cn") === col("sn"), col("c"))
@@ -6053,13 +6114,19 @@ object Inference {
         .unionByName(nodes.select(col("x").as("src"),
           ((col("x") * 7 + 5) % 389).as("dst")))
         .where(col("src") =!= col("dst")).distinct()
+        // eager cut (r06): the ≤2·389-row edge list feeds w1 and both
+        // push steps — the documents scan + distinct replans ~7× across
+        // the katz chain without it; the w shells are cut for the same
+        // reason (each feeds the next push AND the final join).
+        .localCheckpoint(true)
       val w1 = edges.groupBy(col("dst").as("node"))
         .agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
       def push(w: org.apache.spark.sql.DataFrame) = edges
         .join(w.select(col("node").as("src"), col("w").as("wu")),
           Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum("wu").as("w"))
-      val w2 = push(w1)
+      val w2 = push(w1).localCheckpoint(true)
       val w3 = push(w2)
       nodes.select(col("x").as("node"))
         .join(w1.select(col("node"), col("w").as("w1")), Seq("node"),
@@ -6300,6 +6367,10 @@ object Inference {
         .groupBy("g", "med", "nn")
         .agg(coalesce(sum(col("above")), lit(0L)).as("a"),
           coalesce(sum(lit(1L) - col("above")), lit(0L)).as("b"))
+        // eager cut (r06): the 5-row split table feeds margins AND the
+        // final chi-square join — without it the orders scan + median
+        // machinery upstream replans twice. Dimension-sized.
+        .localCheckpoint(true)
       val margins = split.groupBy("med", "nn").agg(
         coalesce(sum(col("a")), lit(0L)).as("ca"),
         coalesce(sum(col("b")), lit(0L)).as("cb"))
@@ -7686,9 +7757,13 @@ object Inference {
         .unionByName(nodes.select(col("x").as("src"),
           ((col("x") * 7 + 5) % 389).as("dst")))
         .where(col("src") =!= col("dst")).distinct()
+        // eager cut (r06): the ≤2·389-row edge list feeds d1/d2/d3 —
+        // the documents scan + distinct replans ~6× without it.
+        .localCheckpoint(true)
       // distance-1 shell: direct predecessors of v
       val d1 = edges.select(col("dst").as("v"), col("src").as("u"))
         .distinct()
+        .localCheckpoint(true) // feeds d2, d3's anti-joins and its count
       // distance-2: predecessors of the d1 shell, minus d1 and self
       val d2 = d1.select(col("v"), col("u").as("mid"))
         .join(edges.select(col("dst").as("mid"), col("src").as("u")),
@@ -7696,6 +7771,7 @@ object Inference {
         .select(col("v"), col("u")).distinct()
         .where(col("u") =!= col("v"))
         .join(d1, Seq("v", "u"), "left_anti")
+        .localCheckpoint(true) // feeds d3 (join + anti) and its count
       val d3 = d2.select(col("v"), col("u").as("mid"))
         .join(edges.select(col("dst").as("mid"), col("src").as("u")),
           Seq("mid"))
@@ -7865,6 +7941,10 @@ object Inference {
         .join(counts, Seq("nk", "g"), "left")
         .select(col("nk"), col("g"),
           coalesce(col("x0"), lit(0L)).as("x"))
+        // eager cut (r06): the 125-cell grid feeds r2 (both self-join
+        // sides) and rng, and through sp/a4/b4/n the orders⋈customer
+        // aggregation upstream otherwise replans ~7× (dimension-sized).
+        .localCheckpoint(true)
       val r2 = grid
         .join(grid.select(col("nk"), col("x").as("xb")), Seq("nk"))
         .groupBy("nk", "g", "x")
@@ -7955,6 +8035,9 @@ object Inference {
       val etv = t(s, d, "events")
         .groupBy(col("value").as("v"), col("event_type").as("et"))
         .agg(count(lit(1)).as("c"))
+        // eager cut (r06): etv feeds tv (→ cum + tot) and rj — the
+        // events aggregation otherwise replans ~4×. Cell-sized.
+        .localCheckpoint(true)
       val tv = etv.groupBy("v").agg(sum("c").as("t"))
       val cum = graft.operators.PrefixSum
         .withRunningTotals(tv, "v", Seq("t"))
@@ -7963,6 +8046,9 @@ object Inference {
       val rj = etv.join(cum, Seq("v"))
         .groupBy("et")
         .agg(sum(col("c") * mid2).as("r2"), sum("c").as("nj"))
+        // eager cut (r06): rj (k rows) feeds every downstream consumer
+        // — the rank join replans per consumer without it.
+        .localCheckpoint(true)
       val tot = tv.agg(sum(col("t")).as("n"),
         sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
       val prs = rj.select(col("et").as("g1"), col("r2").as("ra"),
@@ -8031,6 +8117,10 @@ object Inference {
       def dbl(c: Column) = c.cast("double")
       val per = t(s, d, "orders").groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("cnt"), max(col("o_totalprice")).as("mx"))
+        // eager cut (r06): per feeds both medianOf legs AND the final
+        // agreement scan — three replans of the orders aggregation
+        // without it (the q352/q287 `per` cut).
+        .localCheckpoint(true)
       def medianOf(vc: String) = {
         val cells = per.groupBy(col(vc).as("v"))
           .agg(count(lit(1)).as("c"))
@@ -10566,6 +10656,10 @@ object Inference {
             lit(0L)).as("c1"),
           coalesce(sum(when(col("y") >= 1998, 1L).otherwise(0L)),
             lit(0L)).as("c2"))
+        // eager cut (r06): the 199-item table feeds both rank CDFs and
+        // the final join — three replans of the lineitem aggregation
+        // without it.
+        .localCheckpoint(true)
       def mid2Of(vc: String, out: String) = {
         val cells = items.groupBy(col(vc).as("v"))
           .agg(count(lit(1)).as("t"))
@@ -10714,9 +10808,14 @@ object Inference {
         .select(col("source"),
           explode(split(col("text"), " ")).as("term"))
         .where(length(col("term")) > 0)
+        // eager cut (r06): the token explode feeds top/stot/cells —
+        // three replans of the corpus pass without it (the token stage
+        // table).
+        .localCheckpoint(true)
       val top = toks.groupBy("term").agg(count(lit(1)).as("tc"))
         .orderBy(col("tc").desc, col("term")).limit(20)
         .select(col("term"))
+        .localCheckpoint(true) // 20 rows, broadcast into cells AND grid
       val stot = toks.groupBy("source").agg(count(lit(1)).as("nt"))
       val cells = toks.join(broadcast(top), Seq("term"))
         .groupBy("source", "term").agg(count(lit(1)).as("c"))
@@ -10727,6 +10826,9 @@ object Inference {
         .select(col("source"), col("term"),
           (dbl(coalesce(col("c"), lit(0L))) / dbl(col("nt")))
             .as("f"))
+        // eager cut (r06): the sources×20 grid feeds the marker stats
+        // AND the z-scores — two replans of the cells chain without it.
+        .localCheckpoint(true)
       val stats = grid
         .select(col("term"), struct(col("source"), col("f")).as("sf"))
         .groupBy("term")
@@ -12232,6 +12334,9 @@ object Inference {
         .join(firsts, Seq("source"), "left")
         .select(col("source"), coalesce(col("novel"), lit(0L))
           .as("novel"))
+        // eager cut (r06): the per-source table feeds the total AND the
+        // CDF — two replans of the first-occurrence chain without it.
+        .localCheckpoint(true)
       val tot = allSrc.agg(coalesce(sum(col("novel")), lit(0L))
         .as("v_total"))
       graft.operators.PrefixSum

@@ -126,13 +126,20 @@ object Relational {
 
     // A8/A4: dedup keep-first by explicit total order.
     QueryDef("q07_dedup_keepfirst", (s, d) => {
-      val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      // A4 keep-first dedup as a min-struct aggregate (r06): the priority
+      // order (shipdate, orderkey, linenumber) is total per group, so the
+      // lexicographic struct-min IS the window's rn=1 row — but the
+      // aggregate partially combines map-side (one candidate per group
+      // per partition crosses the wire) where the row_number window
+      // shuffled and SORTED every row. Same rows; the window idiom stays
+      // driver-oracled via q06's top-k.
       t(s, d, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
-          col("l_linenumber"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(struct(col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))).as("m"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("m.l_orderkey").as("l_orderkey"),
+          col("m.l_linenumber").as("l_linenumber"))
     }, Some("""
       SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber FROM (
         SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
@@ -289,6 +296,10 @@ object Relational {
     // J2: left join on a composite key against a pre-aggregated frame
     // (reduce-before-join, the reference's SIDER freq-agg shape).
     QueryDef("q40_composite_join", (s, d) => {
+      // examined r06: a shared-exchange rewrite (repartition by the
+      // composite key, reuse for agg + join) measured neutral — the
+      // planner already broadcasts the agg side here, and at scale both
+      // shapes cost two narrow exchanges. Left as-is.
       val li = t(s, d, "lineitem")
       val agg = li.groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(count(lit(1)).as("n_lines"),

@@ -126,15 +126,31 @@ object Tools {
       hops: Int = 2): DataFrame = {
     require(hops >= 1, s"subgraph needs hops >= 1, got $hops" +
       " (a 0-hop subgraph has no edges; acc would otherwise be null)")
-    var frontier = edges.sparkSession
-      .createDataFrame(Seq((srcType, srcKey)))
-      .toDF("node_type", "key")
+    var frontier: DataFrame = null
     var acc: DataFrame = null
-    (1 to hops).foreach { _ =>
-      val out = edges.join(frontier
-          .withColumnRenamed("node_type", "src_type")
-          .withColumnRenamed("key", "src_key"),
-        Seq("src_type", "src_key"))
+    (1 to hops).foreach { hop =>
+      // eager cut per hop (r06): `out` is consumed twice — by the acc
+      // union AND by the next hop's frontier — and without the cut the
+      // next hop's join replans this hop's whole subtree (for a derived
+      // edges input like the tpch graph that re-ran every edge-building
+      // aggregation; profiled 3 evaluations at hops=2). The cut is the
+      // seed's ≤hop neighborhood — bounded, the same stage-cut contract
+      // as the Dedup pipeline cuts.
+      //
+      // Hop 1 is a LITERAL filter, not a join against a 1-row frame
+      // (r06): the seed is statically known, and the literal predicate
+      // constant-folds through a union-of-branches edges plan — pruned
+      // branches disappear and src_key pushes into the scans, where the
+      // 1-row join kept every branch alive. Identical row set.
+      val out = (if (hop == 1)
+          edges.where(col("src_type") === srcType
+            && col("src_key") === srcKey)
+        else
+          edges.join(frontier
+              .withColumnRenamed("node_type", "src_type")
+              .withColumnRenamed("key", "src_key"),
+            Seq("src_type", "src_key")))
+        .localCheckpoint(true)
       // dropDuplicates on the claim identity (map-typed payload columns
       // cannot participate in set ops)
       acc = if (acc == null) out
