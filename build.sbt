@@ -38,8 +38,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // janino recompilation per query per pass. Sized for the suite, env-
   // overridable like the heap above; compiled classes live in metaspace
   // and 4k entries is a few hundred MB at most.
+  // 20000, not 4000 (r06 session 2): one full pass over 372 queries
+  // compiles ~10k+ distinct codegen units (several per plan, more under
+  // AQE re-optimization) — at 4000 the suite still evicts every entry
+  // before its next pass and min-of-N keeps paying janino recompilation
+  // (full-suite A/B, same code: 241.6 s at 4000 vs 194.2 s at 20000;
+  // a 60-query subset fits in 4000 and shows no difference, which is
+  // how the undersizing hid).
   s"-Dspark.sql.codegen.cache.maxEntries=${
-    sys.env.getOrElse("SPARK_CODEGEN_CACHE", "4000")}",
+    sys.env.getOrElse("SPARK_CODEGEN_CACHE", "20000")}",
   // JIT code cache: the JVM default (240 MB) cannot hold the native code
   // for thousands of distinct janino-generated classes (372 query plans ×
   // several codegen units × multiple passes) — once full, the sweeper

@@ -70,12 +70,14 @@ object Containment {
     val sz = grouped.select(explode(col("docs")).as("doc"))
       .groupBy("doc").agg(count(lit(1)).as("n"))
     // ascending-ordered pairs from each sorted ≤ maxDf list: element i
-    // with every later element — exactly the a.doc < b.doc self-join rows
-    val pairCombos = flatten(transform(col("docs"), (x, i) =>
-      transform(slice(col("docs"), i + lit(2), size(col("docs"))),
-        y => struct(x.as("d1"), y.as("d2")))))
-    val pr = grouped.select(explode(pairCombos).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    // with every later element — exactly the a.doc < b.doc self-join
+    // rows. Two chained codegen Generates instead of the nested-HOF
+    // combo build (r06): HOFs are CodegenFallback; identical multiset.
+    val pr = grouped
+      .select(col("docs"), posexplode(col("docs")).as(Seq("_i", "d1")))
+      .select(col("d1"), explode(slice(col("docs"),
+        col("_i") + lit(2), size(col("docs")))).as("d2"))
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
     pr.join(sz.select(col("doc").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(sz.select(col("doc").as("d2"), col("n").as("n2")), Seq("d2"))

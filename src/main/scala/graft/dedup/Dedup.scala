@@ -61,21 +61,26 @@ object Dedup {
   }
 
   /** MinHash signatures: n independent 64-bit min-hashes per doc.
-    * Hash family: xxhash64(shingle, seed_i). Computed as a NARROW
-    * projection with array HOFs — no explode, no shuffle, no n-aggregate
-    * codegen blowup; each row emits its full signature in one pass, so the
-    * 100 TB scan stays embarrassingly parallel. */
+    * Hash family: xxhash64(shingle, seed_i).
+    *
+    * Computed as explode + n min-AGGREGATES (r06): the former narrow
+    * array-HOF form (`array_min(transform(_sh, s => xxhash64(s, i)))`
+    * × n) ran n interpreted passes per row — higher-order functions are
+    * CodegenFallback — where explode and the n declarative min buffers
+    * whole-stage-codegen. The per-doc partial aggregate collapses
+    * map-side (each doc's shingles live in one partition), so the added
+    * exchange carries exactly one n-long signature row per doc — the
+    * same bytes the signature frame materializes anyway. Signature
+    * values are identical: min over the same hash multiset (shingle
+    * arrays are always non-empty — short docs shingle to [text]). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64): DataFrame = {
-    // materialize the shingle array ONCE per row in its own projection —
-    // referencing the shingles() expression inside all n signature columns
-    // would recompute it n times (CollapseProject keeps the split because
-    // the attribute is referenced n times, i.e. non-cheap multi-use)
-    val shingled = docs.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), k).as("_sh"))
     val sigCols = (0 until numHashes).map(i =>
-      array_min(transform(col("_sh"), s => xxhash64(s, lit(i)))).as(s"h$i"))
-    shingled.select(col("doc_id") +: sigCols: _*)
+      min(xxhash64(col("_s"), lit(i))).as(s"h$i"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), k)).as("_s"))
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.drop(1): _*)
   }
 
   /** LSH candidate pairs from signatures: `bands` bands of

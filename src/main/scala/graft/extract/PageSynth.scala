@@ -112,8 +112,19 @@ object PageSynth {
     }
   }
 
-  private def noiseRun(i: Long, k: Long, words: Int): String =
-    (0 until words).map(w => Noise(draw(i, k + w, Noise.length))).mkString(" ")
+  private def noiseRun(i: Long, k: Long, words: Int): String = {
+    // byte-identical to the former map+mkString — appended in place to
+    // skip the per-call Seq + join allocations (this runs per sentence
+    // per page on the KG hot path)
+    val sb = new java.lang.StringBuilder(words * 9)
+    var w = 0
+    while (w < words) {
+      if (w > 0) sb.append(' ')
+      sb.append(Noise(draw(i, k + w, Noise.length)))
+      w += 1
+    }
+    sb.toString
+  }
 
   /** Duplicate-page clusters: ~10% of pages are byte-identical boilerplate
     * copies of a template chosen from a small pool. */
@@ -128,7 +139,9 @@ object PageSynth {
 <body><p>boilerplate   template $t</p><p>${drugName(t)}\tcauses ${aeName(t)}.</p></body></html>"""
     } else {
       val ws = Array(" ", "  ", "\t", "\n", " \n ")
-      val sb = new StringBuilder
+      // presized: the default 16-char builder re-copies its array ~6×
+      // growing to a ~1 KB page (the oversized branch appends ~14 KB)
+      val sb = new StringBuilder(if (draw(i, 5, 20) == 0) 16384 else 2048)
       sb ++= s"<html><head><title>page $i</title><style>p{}</style>"
       sb ++= "<script>if(1<2){document.x=1;}</script></head><body>"
       if (draw(i, 5, 20) == 0) { // ~5% oversized → truncation path
@@ -145,7 +158,21 @@ object PageSynth {
     }
   }
 
-  def url(i: Long): String = f"https://host-${i % 997}%04d.example/p/$i%09d"
+  /** Byte-identical to f"https://host-${i % 997}%04d.example/p/$i%09d"
+    * without java.util.Formatter (format-string parsing measured on the
+    * per-page hot path; PageSynthSpec pins equality). */
+  def url(i: Long): String = {
+    val sb = new java.lang.StringBuilder(40)
+    sb.append("https://host-")
+    val host = i % 997
+    if (host < 1000) sb.append('0')
+    if (host < 100) sb.append('0')
+    if (host < 10) sb.append('0')
+    sb.append(host).append(".example/p/")
+    var pad = 100000000L
+    while (pad > 1 && i < pad) { sb.append('0'); pad /= 10 }
+    sb.append(i).toString
+  }
   def warcTs(i: Long): Timestamp =
     new Timestamp(1700000000000L + (i % 86400000L)) // deterministic
 

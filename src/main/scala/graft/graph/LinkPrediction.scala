@@ -63,19 +63,27 @@ object LinkPrediction {
         first(col("deg")).as("deg"))
     // ascending pairs of the sorted neighbor list: element i with every
     // later element — exactly the a.left < b.left self-join rows, each
-    // carrying this right-node's degree
-    val pairCombos = flatten(transform(col("ls"), (x, i) =>
-      transform(slice(col("ls"), i + lit(2), size(col("ls"))),
-        y => struct(x.as("s1"), y.as("s2")))))
-    // the pair expansion multiplies WORK, not bytes — AQE sizes the
+    // carrying this right-node's degree.
+    //
+    // TWO chained Generates (posexplode, then explode over the ascending
+    // slice) instead of one nested transform/flatten HOF (r06): higher-
+    // order functions are CodegenFallback — the nested lambda built an
+    // array-of-struct-arrays per row in the interpreted evaluator —
+    // while explode/posexplode run inside whole-stage codegen. Identical
+    // pair multiset, same ascending order per element.
+    //
+    // The pair expansion multiplies WORK, not bytes — AQE sizes the
     // upstream exchange by bytes and would run the explode on a handful
     // of coalesced partitions (profiled: 4 tasks at sf0.1). An explicit
     // width-of-the-cluster repartition is exempt from AQE coalescing and
     // spreads the quadratic stage; one extra exchange of the (small)
     // capped neighbor lists pays for it.
     grouped.repartition(spark.sparkContext.defaultParallelism)
-      .select(explode(pairCombos).as("p"), col("deg"))
-      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .select(col("ls"), col("deg"), posexplode(col("ls")).as(Seq("i", "s1")))
+      .select(col("s1"), col("deg"),
+        explode(slice(col("ls"), col("i") + lit(2), size(col("ls"))))
+          .as("s2"))
+      .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("common"),
         sort_array(collect_list(col("deg"))).as("ds"))
       .where(col("common") >= minCommon)

@@ -72,14 +72,15 @@ object Npmi {
     // `<` comparison are the same binary collation). The expansion is
     // spread at cluster width — AQE sizes the exchange by bytes while the
     // explode multiplies work (F2).
-    val pairCombos = flatten(transform(col("ts"), (x, i) =>
-      transform(slice(col("ts"), i + lit(2), size(col("ts"))),
-        y => struct(x.as("ta"), y.as("tb")))))
     kept.groupBy("doc")
       .agg(sort_array(collect_list(col("term"))).as("ts"))
       .repartition(presence.sparkSession.sparkContext.defaultParallelism)
-      .select(explode(pairCombos).as("p"))
-      .groupBy(col("p.ta").as("term_a"), col("p.tb").as("term_b"))
+      // two chained codegen Generates instead of a nested-HOF combo
+      // build (HOFs are CodegenFallback); identical pair multiset
+      .select(col("ts"), posexplode(col("ts")).as(Seq("_i", "term_a")))
+      .select(col("term_a"), explode(slice(col("ts"),
+        col("_i") + lit(2), size(col("ts")))).as("term_b"))
+      .groupBy(col("term_a"), col("term_b"))
       .agg(count(lit(1)).as("co"))
       .crossJoin(nDocs)
       .where(col("co") >= minCo && col("co") < col("nd"))

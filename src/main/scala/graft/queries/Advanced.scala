@@ -135,11 +135,14 @@ object Advanced {
         .groupBy("l_partkey")
         .agg(sort_array(collect_set(col("l_suppkey"))).as("supps"))
         .repartition(s.sparkContext.defaultParallelism)
-      val pairCombos = flatten(transform(col("supps"), (x, i) =>
-        transform(slice(col("supps"), i + lit(2), size(col("supps"))),
-          y => struct(x.as("supp_a"), y.as("supp_b")))))
-      val edges = grouped.select(explode(pairCombos).as("p"))
-        .groupBy(col("p.supp_a").as("supp_a"), col("p.supp_b").as("supp_b"))
+      // two chained codegen Generates instead of the nested-HOF combo
+      // build (r06): HOFs are CodegenFallback; identical pair multiset
+      val edges = grouped
+        .select(col("supps"),
+          posexplode(col("supps")).as(Seq("_i", "supp_a")))
+        .select(col("supp_a"), explode(slice(col("supps"),
+          col("_i") + lit(2), size(col("supps")))).as("supp_b"))
+        .groupBy(col("supp_a"), col("supp_b"))
         .agg(count(lit(1)).as("n")).where(col("n") >= 3)
         .select(col("supp_a").as("src"), col("supp_b").as("dst"))
       ConnectedComponents.run(edges)

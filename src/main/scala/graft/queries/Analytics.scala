@@ -2601,22 +2601,24 @@ object Analytics {
         .repartition(s.sparkContext.defaultParallelism)
       def tail(c: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
         slice(c, i + lit(2), size(c))
-      val pairCombos = flatten(transform(col("items"), (x, i) =>
-        transform(tail(col("items"), i),
-          y => struct(x.as("s1"), y.as("s2")))))
-      val fp = g.select(explode(pairCombos).as("p"))
-        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      // chained codegen Generates instead of nested-HOF combo builds
+      // (r06): HOFs are CodegenFallback; pair/triple multisets identical
+      val fp = g
+        .select(col("items"), posexplode(col("items")).as(Seq("_i", "s1")))
+        .select(col("s1"),
+          explode(tail(col("items"), col("_i"))).as("s2"))
+        .groupBy(col("s1"), col("s2"))
         .agg(count(lit(1)).as("n"))
         .where(col("n") >= minsup).select("s1", "s2")
-      // all i < j < k triples of the sorted basket: x at index i, y at
-      // slice-local index j (absolute i+1+j), z strictly after y
-      val triCombos = flatten(flatten(transform(col("items"), (x, i) =>
-        transform(tail(col("items"), i), (y, j) =>
-          transform(tail(col("items"), i + j + lit(1)),
-            z => struct(x.as("s1"), y.as("s2"), z.as("s3")))))))
-      val tri = g.select(explode(triCombos).as("t"))
-        .select(col("t.s1").as("s1"), col("t.s2").as("s2"),
-          col("t.s3").as("s3"))
+      // all i < j < k triples of the sorted basket: s1 at index i, s2 at
+      // slice-local index j (absolute i+1+j), s3 strictly after s2
+      val tri = g
+        .select(col("items"), posexplode(col("items")).as(Seq("_i", "s1")))
+        .select(col("items"), col("_i"), col("s1"),
+          posexplode(tail(col("items"), col("_i"))).as(Seq("_j", "s2")))
+        .select(col("s1"), col("s2"),
+          explode(tail(col("items"), col("_i") + col("_j") + lit(1)))
+            .as("s3"))
         .join(fp, Seq("s1", "s2"), "left_semi")
         .join(fp.select(col("s1"), col("s2").as("s3")),
           Seq("s1", "s3"), "left_semi")

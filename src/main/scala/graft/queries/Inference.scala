@@ -7856,11 +7856,13 @@ object Inference {
       val nb = g.agg(count(lit(1)).as("n"))
       val supp = g.select(explode(col("items")).as("item"))
         .groupBy("item").agg(count(lit(1)).as("s"))
-      val pairCombos = flatten(transform(col("items"), (x, i) =>
-        transform(slice(col("items"), i + lit(2), size(col("items"))),
-          y => struct(x.as("ia"), y.as("ib")))))
-      val pairs = g.select(explode(pairCombos).as("p"))
-        .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      // two chained codegen Generates instead of the nested-HOF combo
+      // build (r06): HOFs are CodegenFallback; identical pair multiset
+      val pairs = g
+        .select(col("items"), posexplode(col("items")).as(Seq("_i", "ia")))
+        .select(col("ia"), explode(slice(col("items"),
+          col("_i") + lit(2), size(col("items")))).as("ib"))
+        .groupBy(col("ia"), col("ib"))
         .agg(count(lit(1)).as("sab"))
         .where(col("sab") >= 3L)
       val rules = pairs

@@ -58,11 +58,13 @@ object Itemsets {
     val grouped = pruned.groupBy("basket")
       .agg(sort_array(collect_list(col("item"))).as("items"))
       .repartition(baskets.sparkSession.sparkContext.defaultParallelism)
-    val pairCombos = flatten(transform(col("items"), (x, i) =>
-      transform(slice(col("items"), i + lit(2), size(col("items"))),
-        y => struct(x.as("ia"), y.as("ib")))))
-    grouped.select(explode(pairCombos).as("p"))
-      .groupBy(col("p.ia").as("item_a"), col("p.ib").as("item_b"))
+    // two chained codegen Generates instead of the nested-HOF combo
+    // build (r06): HOFs are CodegenFallback — identical pair multiset
+    grouped
+      .select(col("items"), posexplode(col("items")).as(Seq("_i", "item_a")))
+      .select(col("item_a"), explode(slice(col("items"),
+        col("_i") + lit(2), size(col("items")))).as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
   }
@@ -114,11 +116,13 @@ object Itemsets {
       .localCheckpoint(true)
     val occ = grouped.select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("occ"))
-    val pairCombos = flatten(transform(col("items"), (x, i) =>
-      transform(slice(col("items"), i + lit(2), size(col("items"))),
-        y => struct(x.as("ia"), y.as("ib")))))
-    grouped.select(explode(pairCombos).as("p"))
-      .groupBy(col("p.ia").as("item_a"), col("p.ib").as("item_b"))
+    // two chained codegen Generates instead of the nested-HOF combo
+    // build (r06, same rationale as frequentPairs)
+    grouped
+      .select(col("items"), posexplode(col("items")).as(Seq("_i", "item_a")))
+      .select(col("item_a"), explode(slice(col("items"),
+        col("_i") + lit(2), size(col("items")))).as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("co"))
       .where(col("co") >= minCo)
       .join(occ.select(col("item").as("item_a"), col("occ").as("occ_a")),

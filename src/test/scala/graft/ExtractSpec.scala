@@ -84,4 +84,22 @@ class ExtractSpec extends AnyFunSuite {
         s"str <$s> max=$max")
     }
   }
+
+  test("PageSynth.url: hand-rolled padding == format-string spec (r06)") {
+    // the URL builder dropped java.util.Formatter on the per-page hot
+    // path; every oracle fixture keys on these exact strings, so pin
+    // byte-identity to the original format spec across the pad/no-pad
+    // boundaries of both fields
+    def spec(i: Long): String =
+      f"https://host-${i % 997}%04d.example/p/$i%09d"
+    val cases = Seq(0L, 1L, 9L, 10L, 99L, 996L, 997L, 998L, 1993L,
+      99999999L, 100000000L, 100000001L, 999999999L, 1000000000L,
+      123456789012L)
+    cases.foreach(i => assert(PageSynth.url(i) == spec(i), s"i=$i"))
+    val rnd = new scala.util.Random(7)
+    (0 until 2000).foreach { _ =>
+      val i = rnd.nextLong(2000000000L)
+      assert(PageSynth.url(i) == spec(i), s"i=$i")
+    }
+  }
 }
