@@ -2790,6 +2790,10 @@ object Analytics {
     QueryDef("q197_kmv_sketch", (s, d) => {
       val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 8),
         16, 10).cast("long")
+      // examined r06: spreading + cutting the distinct hash set measured
+      // a regression (0.64 → 0.89 vs an adjacent-window control) — the
+      // extra exchange and materialization cost more than the duplicate
+      // md5 pass; left as-is
       val keys = t(s, d, "lineitem").select(h.as("h")).distinct()
       val mins = keys.orderBy("h").limit(64)
       val exact = keys.agg(count(lit(1)).as("exact"))
@@ -3233,6 +3237,9 @@ object Analytics {
           .where(col("o_orderstatus") === status)
           .groupBy(col("o_totalprice").as("sc"))
           .agg(count(lit(1)).as("n"))
+          // eager cut (r06): cells feeds the CDF and the decile targets
+          // — two replans of the orders aggregation per side without it
+          .localCheckpoint(true)
         val cum = graft.operators.PrefixSum
           .withRunningTotals(cells, "sc", Seq("n"))
         val targets = cells.agg(sum("n").as("nn"))

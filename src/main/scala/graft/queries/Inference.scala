@@ -2384,6 +2384,8 @@ object Inference {
               element_at(col("ts"), i + 1),
               element_at(col("ts"), i + 2)))).as("term"))
       val oldTerms = shingles(newWave = false).select("term").distinct()
+      // examined r06: cutting newTypes (vocab-sized) measured neutral at
+      // best — the q211 materialization-cost lesson; left as-is
       val newTypes = shingles(newWave = true)
         .select("source", "term").distinct()
       val types = newTypes.groupBy("source")
@@ -4803,6 +4805,9 @@ object Inference {
           col("lang").as("truth"))
       val conf = scored.groupBy("pred", "truth")
         .agg(count(lit(1)).as("cnt"))
+        // eager cut (r06): the ≤langs² confusion matrix feeds pm/tm/diag
+        // — three replans of the 3-regex langId corpus pass without it
+        .localCheckpoint(true)
       val pm = conf.groupBy(col("pred").as("label"))
         .agg(sum("cnt").as("pn"))
       val tm = conf.groupBy(col("truth").as("label"))
@@ -4948,6 +4953,9 @@ object Inference {
           col("lang").as("truth"))
         .groupBy("pred", "truth").agg(count(lit(1)).as("cnt"))
         .where(col("pred") =!= col("truth"))
+        // eager cut (r06): the ≤langs² confusion cells feed both
+        // triangle halves — the 3-regex langId corpus pass ran twice.
+        .localCheckpoint(true)
       val up = conf.where(col("pred") < col("truth"))
         .select(col("pred").as("i"), col("truth").as("j"),
           col("cnt").as("nij"))

@@ -238,6 +238,10 @@ object PathTools {
       .join(typed(vertices, "Gene", "key", "label"), "key")
       .select(lit("target").as("kind"), col("key"), col("label"),
         col("n_claims"))
+      // eager cut (r06): one drug's target list (bounded) feeds the
+      // output union AND the pathway semi-probe — the edge aggregation
+      // replans twice without it.
+      .localCheckpoint(true)
     val pathways = edges.where(col("src_type") === "Gene"
         && col("dst_type") === "Pathway")
       .select(col("src_key").as("key"), col("dst_key").as("pw_key"))
