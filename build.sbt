@@ -56,3 +56,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-XX:ReservedCodeCacheSize=${
     sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )
+// dev escape hatch: extra JVM flags for the forked run (GC logging,
+// profilers) without editing the build — unset in normal runs
+javaOptions ++= sys.env.get("SPARK_EXTRA_JVM").toSeq.flatMap(_.split(" "))
