@@ -576,6 +576,10 @@ object Analytics {
       val keys = t(s, d, "orders")
         .where(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey").as("k"))
+        // eager cut (r06): keys feeds the bitmap build (twice, one per
+        // bit position) AND the exact-join broadcast — three replans of
+        // the filtered orders scan without it; selective by design.
+        .localCheckpoint(true)
       val bloom = BloomSemiJoin.build(keys, "k")
       val pruned = BloomSemiJoin.prune(
         t(s, d, "lineitem").select(col("l_returnflag"), col("l_orderkey"),
